@@ -1,0 +1,84 @@
+"""Catalog helpers for the driver-generated star-schema test tables.
+
+At 100 TB these would be external catalog tables (Hive/Glue/Iceberg) with
+partition columns; here they are single parquet files per table, so the same
+``spark.read.parquet`` path applies. All readers go through this module so
+the scan layer has a single place to add bucketing / partition-pruning hints
+later.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor (region/
+#: nation are fixed-size; supplier/part/customer grow with sf but stay tiny
+#: relative to fact tables — broadcast decisions for those are left to AQE).
+ALWAYS_BROADCAST = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Runtime SQL confs this engine's semantics depend on. Set defensively on
+#: whatever session executes a query (the driver harness builds its own
+#: SparkSession, so the factory defaults in session.py may not apply):
+#: - UTC session TZ: deterministic timestamp->date semantics (oracle parity)
+#: - ANSI off: null-on-failure casts, required by the cleaning operators
+#: - nanosAsLong: the events table is INT64 TIMESTAMP(NANOS), which Spark's
+#:   parquet reader rejects otherwise (PARQUET_TYPE_ILLEGAL)
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static conf on some build: leave as-is
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown into the parquet
+    scan are Catalyst's job — callers should select/filter declaratively."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # nanosAsLong surfaces ts as raw INT64 nanoseconds; convert to a
+        # microsecond timestamp with integer division (a double division
+        # would lose precision past 2^53 ns). DuckDB's ns->us cast truncates
+        # identically.
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the spark.sql query path)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

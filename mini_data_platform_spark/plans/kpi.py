@@ -1,0 +1,203 @@
+"""The reference's declared KPI query surface (SURVEY.md §2.6, Q1-Q6),
+re-expressed as first-class Spark DataFrame plans over the star-schema
+fixtures (orders/lineitem play `sales`; events plays the audit trend).
+
+Reference citations: /root/reference/README.md:132-146 (Metabase KPIs).
+
+Each query has a matched DuckDB oracle (ORACLE dict) with identical output
+column names; float aggregates use the decimal-sum parity recipe
+(plans/_parity.py) so values hash-match bit-for-bit.
+
+Scale notes are per-query in docstrings — these plans are written for the
+100 TB case: aggregations are partial-agg friendly (groupBy on bounded-
+cardinality keys), top-k compiles to TakeOrderedAndProject (no global
+sort materialization), the one dimension join broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mini_data_platform_spark.catalog import load_table
+from mini_data_platform_spark.plans._parity import dsum, sql_dsum
+
+
+def revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q1 — total sales amount by day (README.md:142).
+
+    Scale: group keys are days (bounded ~1e4 cardinality even at 100 TB), so
+    partial aggregation collapses each input partition to a few thousand rows
+    before the shuffle — the shuffle is negligible regardless of input size.
+    Only (o_orderdate, o_totalprice) are read from the scan (column pruning).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q2 — top 10 customers by revenue (README.md:143).
+
+    Scale: aggregate orders by custkey FIRST (shuffle on custkey with
+    map-side combine), then join the much smaller per-customer aggregate to
+    the customer dim. The final top-k compiles to TakeOrderedAndProject —
+    each partition keeps its local top 10, the driver merges 10×P rows; no
+    global sort. Tie-break on custkey makes the result set deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"), "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q3 — product performance: revenue / quantity / order count by
+    product (README.md:144), joined onto the part dimension for names.
+
+    Scale: lineitem aggregates by partkey before joining part — the join
+    input shrinks from |lineitem| to |part|. At sf where part fits the
+    broadcast threshold Catalyst/AQE broadcasts it; otherwise both sides are
+    already partitioned by the join key from the aggregation shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return per_part.join(part, per_part.l_partkey == part.p_partkey).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+        "revenue",
+        "total_qty",
+        "n_lines",
+    )
+
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q4 — rolling 7-day revenue (README.md:145), gap-correct: the
+    frame is a RANGE over days (missing days shrink the window), not a
+    ROWS frame over whatever days happen to exist.
+
+    Scale: the daily aggregate (bounded cardinality) happens first, so the
+    window operates on thousands of rows no matter the input size. The
+    single-partition window is fine BECAUSE of that bound; the rolling mean
+    is derived from exact decimal rolling sum / rolling count for
+    cross-engine determinism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_rev_dec")
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        F.sum("_rev_dec").over(w).cast("double").alias("rolling_7d_revenue"),
+        (F.sum("_rev_dec").over(w).cast("double") / F.count("*").over(w)).alias("rolling_7d_avg"),
+    )
+
+
+def failed_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q5 — failure trend by day (README.md:146). The reference counts
+    `%failed%` rows in file_ingestion_log; the fixture equivalent is the
+    events table's `error` event_type.
+
+    Scale: filter pushes into the parquet scan (PushedFilters on
+    event_type), then a bounded-key aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_failed"))
+    )
+
+
+def revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q6 — revenue by customer (README.md:134). Plain hash aggregate;
+    partial agg bounds the shuffle at |customers|."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+QUERIES = {
+    "kpi_revenue_by_day": revenue_by_day,
+    "kpi_top_customers": top_customers,
+    "kpi_product_performance": product_performance,
+    "kpi_rolling_7d_revenue": rolling_7d_revenue,
+    "kpi_failed_events_trend": failed_events_trend,
+    "kpi_revenue_by_customer": revenue_by_customer,
+}
+
+_REV = sql_dsum("o_totalprice")
+
+ORACLE = {
+    "kpi_revenue_by_day": f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_REV} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "kpi_top_customers": f"""
+        WITH per_cust AS (
+            SELECT o_custkey, {_REV} AS revenue FROM orders GROUP BY 1
+        )
+        SELECT c_custkey AS custkey, c_name AS name, revenue
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, custkey ASC LIMIT 10
+    """,
+    "kpi_product_performance": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   {sql_dsum('l_quantity')} AS total_qty,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY 1
+        )
+        SELECT p_partkey AS partkey, p_name AS part_name, p_brand AS brand,
+               revenue, total_qty, n_lines
+        FROM per_part JOIN part ON l_partkey = p_partkey
+    """,
+    # DuckDB's windowed SUM(DECIMAL) accumulates inexactly (unlike its group
+    # aggregate), so the oracle expresses the rolling frame as a range
+    # self-join + exact group SUM instead of a window function.
+    "kpi_rolling_7d_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+            FROM orders GROUP BY 1
+        ),
+        roll AS (
+            SELECT d1.day, SUM(d2.rev_dec) AS roll_dec, COUNT(*) AS cnt
+            FROM daily d1 JOIN daily d2
+              ON d2.day BETWEEN d1.day - 6 AND d1.day
+            GROUP BY d1.day
+        )
+        SELECT d.day,
+               CAST(d.rev_dec AS DOUBLE) AS revenue,
+               CAST(r.roll_dec AS DOUBLE) AS rolling_7d_revenue,
+               CAST(r.roll_dec AS DOUBLE) / r.cnt AS rolling_7d_avg
+        FROM daily d JOIN roll r ON d.day = r.day
+    """,
+    "kpi_failed_events_trend": """
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_failed
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    """,
+    "kpi_revenue_by_customer": f"""
+        SELECT o_custkey AS custkey, {_REV} AS revenue, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+}

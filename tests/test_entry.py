@@ -1,0 +1,31 @@
+"""Driver-contract smoke: entry() runs on sf0.001, queries()/oracle_sql()
+keys line up, every query returns a DataFrame with stable schema."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "revenue" in df.columns
+
+
+def test_queries_and_oracles_align(spark):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert q, "queries() must not be empty"
+    unknown = set(o) - set(q)
+    assert not unknown, f"oracle keys without queries: {unknown}"
+
+
+def test_all_queries_run_at_smoke_sf(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        df.limit(5).collect()
