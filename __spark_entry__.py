@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from mini_data_platform_spark.plans import kpi
+from mini_data_platform_spark.plans import analytics, kpi
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,10 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(kpi.QUERIES)
+    out.update(analytics.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(kpi.ORACLE)
+    out.update(analytics.ORACLE)
     return out

@@ -1,0 +1,569 @@
+"""Relational analytics query library — the operator-coverage surface beyond
+the reference's declared KPIs (SURVEY.md §2.7 notes these operator classes
+are absent from the reference; our engine provides them as first-class
+Spark plans): multi-way joins, semi/anti joins, set operations, rollup,
+window functions (rank / lag / running totals), exact percentiles,
+conditional aggregation, sessionization, JSON extraction, and an as-of join.
+
+Every query has a DuckDB oracle with identical column names; floats follow
+the decimal-sum parity recipe (plans/_parity.py); timestamps cross the
+engine boundary as unix microseconds (exact integers) or formatted strings.
+
+Scale notes inline — the recurring themes:
+- aggregate-then-join (shrink fact side before dimension joins),
+- broadcast the bounded dims, let AQE handle the sf-scaled ones,
+- windows partitioned by a key (never a global single-partition window
+  except over already-bounded aggregates),
+- set ops on pre-deduped key columns (shuffle carries keys only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mini_data_platform_spark.catalog import load_table
+from mini_data_platform_spark.operators.asof import asof_join
+from mini_data_platform_spark.plans._parity import davg, dsum, sql_davg, sql_dsum
+
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate. One shuffle over 6 group
+    keys; partial aggregation reduces each scan partition to ≤6 rows, so
+    at 100 TB this is pure scan + codegen'd agg, shuffle cost ~zero."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(_revenue()).alias("sum_disc_price"),
+            dsum(_revenue() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join where customer and supplier must be
+    in the same nation. region/nation broadcast unconditionally (fixed
+    cardinality); supplier/customer broadcast while under the AQE threshold.
+    Join order: shrink lineitem by its supplier/order keys first, keep the
+    c_nationkey = s_nationkey filter as a join predicate (not a post-filter)
+    so Catalyst can plan it into the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(_revenue()).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    top-10 orders by revenue. The segment filter pushes into the customer
+    scan; top-k is TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal rows per region + grand total.
+    grouping_id disambiguates subtotal NULLs from data NULLs. Rollup is one
+    shuffle; Spark expands grouping sets at the partial-agg stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        base.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+def customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue within each nation — the canonical
+    top-k-per-group window. Aggregate first (bounds the window input at
+    |customers|), then rank within nation partitions. Deterministic via
+    custkey tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    joined = per_cust.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            "revenue",
+            "rnk",
+        )
+    )
+
+
+def daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over the daily aggregate: day-over-day revenue delta. Window
+    input is bounded (days), so the unpartitioned window is safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+    )
+
+
+def monthly_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue. The running sum stays in exact decimal
+    until the final cast (DuckDB's windowed decimal SUM is inexact, so the
+    oracle uses a range self-join — but OUR engine's window sum over
+    decimal is exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_rev_dec"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        F.sum("_rev_dec").over(w).cast("double").alias("cumulative_revenue"),
+    )
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's keep-latest dedup (operators/dedup.py D2 semantics,
+    processor.py:74-77 parity) expressed over orders: per customer keep the
+    most recent order, deterministic orderkey tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc_nulls_first(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------- semi/anti/setops
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers that placed at least one order.
+    The semi join shuffles only the key column of the probe side and
+    short-circuits on first match."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — returns whatever customers never
+    ordered (possibly zero rows; the shape is what's exercised)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+def wealthy_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (high-balance customers INTERSECT customers with
+    orders) EXCEPT customers in nations 0-4. Set ops run on pre-projected
+    single-key columns, so the shuffles carry keys only."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    high_bal = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+    low_nation = customer.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return high_bal.intersect(with_orders).subtract(low_nation)
+
+
+def order_stats_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate: Spark plans multiple count(DISTINCT) via
+    expand + two-phase agg — one pass over the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def priority_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot shape): per priority, order counts and
+    revenue split by status — sum(CASE WHEN ...) compiled into one agg pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.when(is_f, 1)).alias("n_f"),
+        F.count(F.when(is_o, 1)).alias("n_o"),
+        F.count(F.when(~(is_f | is_o), 1)).alias("n_other"),
+        dsum(F.when(is_f, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias("revenue_f"),
+        dsum(F.when(is_o, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias("revenue_o"),
+    )
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per returnflag (sort-based exact
+    median/quartiles; for 100 TB production use approx_percentile — the
+    exact variant exists for parity-checkable correctness)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.75)).alias("p75"),
+    )
+
+
+# ------------------------------------------------------------------- events
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregate over the event stream (batch analog of the
+    streaming windowed count; streaming/windows.py runs the same logic with
+    watermarks). Hour exported as a formatted string for cross-engine
+    stability."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30 min inactivity gaps —
+    lag + cumulative flag-sum, the classic two-window formulation. All time
+    math in unix microseconds (exact integers). One shuffle on user_id;
+    sessions never cross partitions."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_seq = Window.partitionBy("user_id").orderBy(us)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        us.alias("ts_us"),
+        F.when(
+            (us - F.lag(us).over(w_seq)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = flagged.withColumn("session_no", F.sum("new_sess").over(w_cum))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+def events_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column + aggregate: JVM-side
+    get_json_object (no Python), pushable into one agg pass."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        dsum(k.cast("double")).alias("sum_k"),
+        F.count(k).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+def click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every purchase event, the most
+    recent prior-or-simultaneous click by the same user. Single shuffle,
+    no range blow-up; oracle is DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="click_ts_us",
+        right_cols=["click_event_id"],
+        how="inner",
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        "click_event_id",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "regional_revenue": regional_revenue,
+    "top_building_orders": top_building_orders,
+    "region_nation_rollup": region_nation_rollup,
+    "customer_rank_in_nation": customer_rank_in_nation,
+    "daily_revenue_delta": daily_revenue_delta,
+    "monthly_running_revenue": monthly_running_revenue,
+    "latest_order_per_customer": latest_order_per_customer,
+    "customers_with_orders": customers_with_orders,
+    "customers_without_orders": customers_without_orders,
+    "wealthy_active_customers": wealthy_active_customers,
+    "order_stats_distinct": order_stats_distinct,
+    "priority_status_matrix": priority_status_matrix,
+    "price_quantiles": price_quantiles,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "events_json_value": events_json_value,
+    "click_before_purchase": click_before_purchase,
+}
+
+ORACLE = {
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum(_SQL_REVENUE)} AS sum_disc_price,
+               {sql_dsum(f'({_SQL_REVENUE}) * (1 + l_tax)')} AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "regional_revenue": f"""
+        SELECT r_name AS region, n_name AS nation,
+               {sql_dsum(_SQL_REVENUE)} AS revenue, COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+    "top_building_orders": f"""
+        SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+               {sql_dsum(_SQL_REVENUE)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, orderkey ASC LIMIT 10
+    """,
+    "region_nation_rollup": f"""
+        SELECT r_name AS region, n_name AS nation,
+               {sql_dsum('o_totalprice')} AS revenue, COUNT(*) AS n_orders,
+               GROUPING(r_name, n_name) AS gid
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "customer_rank_in_nation": f"""
+        WITH per_cust AS (
+            SELECT o_custkey, {sql_dsum('o_totalprice')} AS revenue
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n_name AS nation, c_custkey AS custkey, revenue,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY revenue DESC, c_custkey ASC) AS rnk
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT nation, custkey, revenue, rnk FROM ranked WHERE rnk <= 3
+    """,
+    "daily_revenue_delta": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {sql_dsum('o_totalprice')} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT day, revenue,
+               LAG(revenue) OVER (ORDER BY day) AS prev_revenue,
+               revenue - LAG(revenue) OVER (ORDER BY day) AS delta
+        FROM daily
+    """,
+    # windowed decimal SUM is inexact in DuckDB -> cumulative via self-join
+    "monthly_running_revenue": """
+        WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT m1.month,
+               CAST(m1.rev_dec AS DOUBLE) AS revenue,
+               CAST(SUM(m2.rev_dec) AS DOUBLE) AS cumulative_revenue
+        FROM monthly m1 JOIN monthly m2 ON m2.month <= m1.month
+        GROUP BY m1.month, m1.rev_dec
+    """,
+    "latest_order_per_customer": """
+        SELECT custkey, orderkey, orderdate, totalprice FROM (
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   CAST(o_orderdate AS DATE) AS orderdate,
+                   o_totalprice AS totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC NULLS FIRST,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "customers_with_orders": """
+        SELECT c_custkey AS custkey, c_name AS name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey AS custkey, c_name AS name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "wealthy_active_customers": """
+        (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders)
+        EXCEPT
+        SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 5
+    """,
+    "order_stats_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               COUNT(*) AS n_orders
+        FROM orders
+    """,
+    "priority_status_matrix": f"""
+        SELECT o_orderpriority AS priority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus NOT IN ('F','O') THEN 1 END) AS n_other,
+               {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS revenue_f,
+               {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS revenue_o
+        FROM orders GROUP BY 1
+    """,
+    "price_quantiles": """
+        SELECT l_returnflag AS returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5)  AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY 1
+    """,
+    "events_hourly": f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ),
+        sessions AS (
+            SELECT user_id, ts_us,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM flagged
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+        FROM sessions GROUP BY 1, 2
+    """,
+    "events_json_value": f"""
+        SELECT event_type,
+               {sql_dsum("CAST(json_extract_string(props, '$.k') AS INT)")} AS sum_k,
+               COUNT(json_extract_string(props, '$.k')) AS n,
+               {sql_dsum('value')} AS total_value
+        FROM events GROUP BY 1
+    """,
+    "click_before_purchase": """
+        SELECT p.user_id AS user_id,
+               p.event_id AS purchase_event_id,
+               c.event_id AS click_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+}
