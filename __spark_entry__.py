@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from mini_data_platform_spark.plans import analytics, kpi
+from mini_data_platform_spark.plans import analytics, kpi, llm
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +26,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(kpi.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(llm.QUERIES)
     return out
 
 
@@ -33,4 +34,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(kpi.ORACLE)
     out.update(analytics.ORACLE)
+    out.update(llm.ORACLE)
     return out

@@ -1,0 +1,252 @@
+"""Similarity-based deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.8 X1): exact-hash, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All operators are pure DataFrame compositions (no Python UDFs): hashing is
+md5/sha2 (JVM-side, identical output in any engine — which is also what
+makes the DuckDB oracles possible), candidate generation is band-bucket
+self-joins, verification is an explode/join/aggregate Jaccard.
+
+Scale design (the 100 TB story):
+- Signatures are one scan + one narrow projection per doc — no shuffle.
+- LSH candidate generation shuffles (band_id, band_signature) keys only;
+  a band bucket with B docs emits B(B-1)/2 pairs, so bucket size is the
+  knob that bounds the blow-up: more bands/rows → smaller buckets. Hot
+  buckets (boilerplate docs) are the skew risk — AQE skew-join splitting
+  plus an optional bucket-size cap (``max_bucket``) handle them.
+- Jaccard verification joins only the candidate pairs back to shingle
+  sets — proportional to candidates, not to the corpus square.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from mini_data_platform_spark.functions.text import normalize_text, shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized text: per content-hash group keep the
+    smallest id (deterministic survivor), count the duplicates. One
+    shuffle on the hash; partial agg collapses uniques map-side."""
+    hashed = df.select(
+        F.col(id_col), F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_" + id_col),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: hash function i is
+    ``md5(i || '#' || shingle)``; the signature element is the minimum over
+    the doc's shingles (computed per-row inside the projection — no explode,
+    no shuffle). Empty-shingle docs get null signature elements."""
+    sh = shingles(F.col(text_col), shingle_n)
+    cols = [F.col(id_col)]
+
+    # NB: must be a true 1-arg lambda — a `lambda s, i=i` 2-parameter form is
+    # interpreted by F.transform as its (element, index) variant, binding the
+    # seed to the index Column (nondeterministic repr) instead of the int.
+    def _hasher(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    for i in range(num_hashes):
+        hashed = F.transform(sh, _hasher(f"{i}#"))
+        cols.append(F.array_min(hashed).alias(f"mh_{i}"))
+    return df.select(*cols)
+
+
+def sql_minhash_signatures(
+    table: str, id_col: str, sql_shingles_expr: str, num_hashes: int = 16
+) -> str:
+    """DuckDB twin of :func:`minhash_signatures` (oracle construction)."""
+    parts = [id_col]
+    for i in range(num_hashes):
+        parts.append(
+            f"list_min(list_transform({sql_shingles_expr}, s -> md5('{i}#' || s))) AS mh_{i}"
+        )
+    return f"SELECT {', '.join(parts)} FROM {table}"
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: split the signature into ``bands`` bands
+    of r = num_hashes/bands rows, hash each band, self-join on
+    (band_id, band_key), keep a<b, distinct.
+
+    ``max_bucket`` drops pathological buckets (boilerplate explosion) —
+    a recall/cost tradeoff knob for production; leave None for exactness.
+    """
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        stacked = stacked.withColumn("_bsz", F.count("*").over(w)).filter(
+            F.col("_bsz") <= max_bucket
+        ).drop("_bsz")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: explode each side's
+    distinct shingles, join through the pair list, count intersections.
+    Cost ∝ candidate pairs × shingles, never corpus²."""
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sets.select(id_col, F.size("sh").alias("sz"))
+    exploded = sets.select(id_col, F.explode("sh").alias("shingle"))
+    ea = exploded.toDF("id_a", "shingle")
+    eb = exploded.toDF("id_b2", "shingle_b")
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(
+            eb,
+            (F.col("id_b") == F.col("id_b2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pipeline: signatures → banded candidate
+    pairs → exact Jaccard filter. The standard large-corpus dedup recipe."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    jac = jaccard_pairs(df, cands, id_col, text_col, shingle_n)
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, emitted as a 16-char hex
+    string. Bit j of token t = bit j of md5(t) (nibble-decoded portably via
+    strpos on the hex alphabet); the signature bit is the sign of the
+    ±1-vote sum over tokens.
+
+    Implementation is explode → 64 conditional-sum aggregates → nibble
+    reassembly: one shuffle on the doc id, all JVM expressions.
+    """
+    from mini_data_platform_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn("h", F.md5("tok"))
+    aggs = []
+    for nib in range(16):
+        # hex char -> 0..15 via base conversion (JVM-side, no UDF)
+        val = F.conv(F.substring("h", nib + 1, 1), 16, 10).cast("int")
+        for bit in range(4):
+            vote = F.when(F.shiftright(val, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            aggs.append(F.sum(vote).alias(f"s_{nib}_{bit}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+    nib_chars = []
+    for nib in range(16):
+        nibble_val = None
+        for bit in range(4):
+            b = F.when(F.col(f"s_{nib}_{bit}") > 0, F.lit(1)).otherwise(F.lit(0)) * (2**bit)
+            nibble_val = b if nibble_val is None else (nibble_val + b)
+        nib_chars.append(F.substr(F.lit(_HEX), nibble_val + 1, F.lit(1)))
+    return sums.select(F.col(id_col), F.concat(*nib_chars).alias("simhash"))
+
+
+def sql_simhash(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`simhash` (generated SQL, same vote rules)."""
+    sums = []
+    for nib in range(16):
+        val = f"(strpos('{_HEX}', substr(h, {nib + 1}, 1)) - 1)"
+        for bit in range(4):
+            vote = f"CASE WHEN ((({val}) >> {bit}) & 1) = 1 THEN 1 ELSE -1 END"
+            sums.append(f"SUM({vote}) AS s_{nib}_{bit}")
+    nibs = []
+    for nib in range(16):
+        nibble_val = " + ".join(
+            f"(CASE WHEN s_{nib}_{bit} > 0 THEN 1 ELSE 0 END) * {2**bit}"
+            for bit in range(4)
+        )
+        nibs.append(f"substr('{_HEX}', ({nibble_val}) + 1, 1)")
+    return f"""
+        WITH tok AS (
+            SELECT {id_col}, md5(t.tok) AS h
+            FROM {table}, unnest(string_split_regex(trim({text_col}), ' +')) AS t(tok)
+        ),
+        sums AS (
+            SELECT {id_col}, {', '.join(sums)} FROM tok GROUP BY {id_col}
+        )
+        SELECT {id_col}, {' || '.join(nibs)} AS simhash FROM sums
+    """

@@ -1,0 +1,373 @@
+"""LLM training-data pipeline queries (SURVEY.md §2.8 / BASELINE.json north
+star): text analysis, document fingerprinting, exact + MinHash-LSH + SimHash
+deduplication, embedding norms, brute-force and LSH-bucketed kNN, and
+embedding near-duplicate pairs. Every query here is oracle-checked against
+DuckDB — including MinHash (md5 is engine-independent) and cosine math
+(sequential double folds are bit-identical; see functions/vectors.py).
+
+The near-dup queries run over ``documents`` UNION a mutated copy of itself
+(first token dropped, doc_id offset by 10000): the raw fixture has no true
+near-duplicates, so the mutation makes recall observable — LSH must find
+the ~500 planted pairs, and the oracle recomputes the identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mini_data_platform_spark.catalog import load_table
+from mini_data_platform_spark.functions import text as TX
+from mini_data_platform_spark.functions import vectors as VX
+from mini_data_platform_spark.operators import dedup_fuzzy as DF_OPS
+from mini_data_platform_spark.operators import similarity as SIM
+
+NUM_HASHES = 16
+BANDS = 4
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+COS_THRESHOLD = 0.4
+KNN_K = 5
+N_PLANES = 4
+
+# ------------------------------------------------------------------- text
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — whitespace tokens, BPE-ish regex
+    tokens, distinct tokens, type-token ratio. Pure projection: scan-speed
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(TX.tokens(t))).alias("n_distinct_tokens"),
+        TX.type_token_ratio(t).alias("ttr"),
+        F.length(t).alias("n_chars_observed"),
+    )
+
+
+def doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via per-language stopword hit-rates with a
+    deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.stopword_hits(t, "en").alias("en_hits"),
+        TX.stopword_hits(t, "de").alias("de_hits"),
+        TX.language_guess(t).alias("lang_guess"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score components + composite score (length saturation,
+    punctuation sanity, lexical diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.type_token_ratio(t).alias("ttr"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch fingerprint per document (compact near-dup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text"), k=4, shingle_n=SHINGLE_N).alias("fp")
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+def _mutated_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-duplicate copies (first token dropped, id+10000)."""
+    t = TX.tokens(F.col("text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+_SQL_MUTATED = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
+        FROM documents
+"""
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted exact copies (documents ∪
+    unmodified copies at id+20000): per content-hash keep min id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    )
+    return DF_OPS.exact_dedup(corpus, "doc_id", "text")
+
+
+def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over the mutated corpus."""
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    sigs = DF_OPS.minhash_signatures(corpus, "doc_id", "text", NUM_HASHES, SHINGLE_N)
+    return DF_OPS.lsh_candidate_pairs(sigs, "doc_id", NUM_HASHES, BANDS)
+
+
+def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verification."""
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    return DF_OPS.near_dup_pairs(
+        corpus, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+    )
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (hex) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DF_OPS.simhash(docs, "doc_id", "text")
+
+
+# ------------------------------------------------------------- embeddings
+
+def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        VX.l2_norm(F.col("embedding")).alias("l2_norm"),
+        "label",
+    )
+
+
+def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.knn_bruteforce(queries, emb, "vec_id", "embedding", k=KNN_K)
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
+def emb_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN (same queries; recall bounded by the
+    bucket partition — the 100 TB path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.ann_neighbors_lsh(queries, emb, "vec_id", "embedding", k=KNN_K, n_planes=N_PLANES)
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
+def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= threshold (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.near_dup_embeddings(emb, "vec_id", "embedding", COS_THRESHOLD, exact=True)
+
+
+def emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-bucket embedding near-dup pairs (approximate scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.near_dup_embeddings(
+        emb, "vec_id", "embedding", COS_THRESHOLD, n_planes=N_PLANES, exact=False
+    )
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_language_guess": doc_language_guess,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_minhash_candidates": doc_minhash_candidates,
+    "doc_near_dups": doc_near_dups,
+    "doc_simhash": doc_simhash,
+    "emb_norms": emb_norms,
+    "emb_knn": emb_knn,
+    "emb_ann_knn": emb_ann_knn,
+    "emb_near_dups_exact": emb_near_dups_exact,
+    "emb_near_dups_lsh": emb_near_dups_lsh,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+def _sql_sigs(src: str) -> str:
+    sh = TX.sql_shingles("text", SHINGLE_N)
+    parts = ["doc_id"]
+    for i in range(NUM_HASHES):
+        parts.append(
+            f"list_min(list_transform({sh}, s -> md5('{i}#' || s))) AS mh_{i}"
+        )
+    return f"SELECT {', '.join(parts)} FROM ({src})"
+
+
+def _sql_bands() -> str:
+    r = NUM_HASHES // BANDS
+    selects = []
+    for b in range(BANDS):
+        key = " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sigs"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _sql_candidate_pairs(src: str) -> str:
+    return f"""
+        WITH sigs AS ({_sql_sigs(src)}),
+        bands AS ({_sql_bands()})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+
+def _sql_near_dups(src: str) -> str:
+    sh = TX.sql_shingles("text", SHINGLE_N)
+    return f"""
+        WITH sigs AS ({_sql_sigs(src)}),
+        bands AS ({_sql_bands()}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        sets AS (SELECT doc_id, list_distinct({sh}) AS sh FROM ({src})),
+        sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+        ex AS (SELECT doc_id, u.s AS shingle FROM sets, unnest(sh) AS u(s)),
+        inter AS (
+            SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+            FROM pairs p
+            JOIN ex ea ON ea.doc_id = p.id_a
+            JOIN ex eb ON eb.doc_id = p.id_b AND eb.shingle = ea.shingle
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """
+
+
+_SQL_EMB = f"""
+        SELECT vec_id, embedding, label,
+               {VX.sql_l2_norm('embedding')} AS nrm
+        FROM embeddings
+"""
+
+_SQL_COS = VX.sql_dot("a.embedding", "b.embedding") + " / (a.nrm * b.nrm)"
+
+_SQL_BUCKETED = f"""
+        SELECT e.vec_id, e.embedding, e.nrm,
+               string_agg(
+                   CASE WHEN {VX.sql_dot('e.embedding', 'p.embedding')} >= 0
+                        THEN '1' ELSE '0' END,
+                   '' ORDER BY p.vec_id) AS bucket
+        FROM e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_PLANES}) p
+        GROUP BY e.vec_id, e.embedding, e.nrm
+"""
+
+ORACLE = {
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               len({TX.sql_tokens('text')}) AS n_tokens,
+               {TX.sql_bpe_token_count('text')} AS n_bpe_tokens,
+               len(list_distinct({TX.sql_tokens('text')})) AS n_distinct_tokens,
+               {TX.sql_type_token_ratio('text')} AS ttr,
+               length(text) AS n_chars_observed
+        FROM documents
+    """,
+    "doc_language_guess": f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {TX.sql_stopword_hits('text', 'en')} AS en_hits,
+               {TX.sql_stopword_hits('text', 'de')} AS de_hits,
+               {TX.sql_language_guess('text')} AS lang_guess
+        FROM documents
+    """,
+    "doc_quality": f"""
+        SELECT doc_id,
+               {TX.sql_punct_ratio('text')} AS punct_ratio,
+               {TX.sql_type_token_ratio('text')} AS ttr,
+               {TX.sql_quality_score('text')} AS quality
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id, {TX.sql_fingerprint('text', 4, SHINGLE_N)} AS fp
+        FROM documents
+    """,
+    "doc_exact_dedup": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text FROM documents
+        )
+        SELECT sha256({TX.sql_normalize_text('text')}) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM corpus GROUP BY 1
+    """,
+    "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
+    "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
+    "doc_simhash": DF_OPS.sql_simhash("documents", "doc_id", "text"),
+    "emb_norms": f"""
+        SELECT vec_id, len(embedding) AS dim,
+               {VX.sql_l2_norm('embedding')} AS l2_norm, label
+        FROM embeddings
+    """,
+    "emb_knn": f"""
+        WITH e AS ({_SQL_EMB}),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_SQL_COS} AS cos_sim
+            FROM (SELECT * FROM e WHERE vec_id < 10) a
+            JOIN e b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= {KNN_K}
+    """,
+    "emb_ann_knn": f"""
+        WITH e AS ({_SQL_EMB}),
+        bucketed AS ({_SQL_BUCKETED}),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_SQL_COS} AS cos_sim
+            FROM (SELECT * FROM bucketed WHERE vec_id < 10) a
+            JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= {KNN_K}
+    """,
+    "emb_near_dups_exact": f"""
+        WITH e AS ({_SQL_EMB})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= {COS_THRESHOLD}
+    """,
+    "emb_near_dups_lsh": f"""
+        WITH e AS ({_SQL_EMB}),
+        bucketed AS ({_SQL_BUCKETED})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS} AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= {COS_THRESHOLD}
+    """,
+}
