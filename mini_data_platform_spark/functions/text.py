@@ -53,15 +53,32 @@ def sql_bpe_token_count(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}'))"
 
 
+def shingles_of(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
+
+    ``tok`` must be a plain column reference (not an expression tree):
+    higher-order-function lambdas re-evaluate captured expressions per
+    element, so passing ``tokens(text)`` directly here costs
+    O(tokens²·len) per row. Materialize tokens in a prior ``select`` and
+    pass the attribute — Catalyst's CollapseProject keeps the staging
+    projection because the alias is non-cheap and multiply-referenced.
+    """
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return F.when(F.size(tok) >= n, windows).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (the unit of MinHash/Jaccard dedup). Documents
-    shorter than n tokens yield an empty array."""
-    t = tokens(col)
-    windows = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
-    return F.when(F.size(t) >= n, windows).otherwise(F.array().cast("array<string>"))
+    shorter than n tokens yield an empty array.
+
+    NB: evaluates ``tokens(col)`` inside a per-element lambda — fine for
+    oracles and small data, but the hot path should stage ``tokens`` into
+    its own projection and use :func:`shingles_of` (see dedup_fuzzy.py).
+    """
+    return shingles_of(tokens(col), n)
 
 
 def sql_shingles(expr: str, n: int = 3) -> str:
@@ -164,12 +181,20 @@ def sql_normalize_text(expr: str) -> str:
     return f"lower(regexp_replace(trim({expr}), ' +', ' ', 'g'))"
 
 
+def fingerprint_of(sh: Column, k: int = 4) -> Column:
+    """Bottom-k sketch fingerprint from a materialized shingle array column:
+    md5 of the k lexicographically smallest distinct shingle hashes."""
+    hashes = F.array_sort(F.array_distinct(F.transform(sh, F.md5)))
+    return F.md5(F.concat_ws("|", F.slice(hashes, 1, k)))
+
+
 def fingerprint(col: Column, k: int = 4, shingle_n: int = 3) -> Column:
     """Bottom-k sketch fingerprint: md5 of the k lexicographically smallest
     distinct shingle hashes. Two documents sharing most shingles get equal
-    fingerprints with high probability — a compact near-dup key."""
-    hashes = F.array_sort(F.array_distinct(F.transform(shingles(col, shingle_n), F.md5)))
-    return F.md5(F.concat_ws("|", F.slice(hashes, 1, k)))
+    fingerprints with high probability — a compact near-dup key.
+
+    Hot path: stage tokens/shingles and use :func:`fingerprint_of`."""
+    return fingerprint_of(shingles(col, shingle_n), k)
 
 
 def sql_fingerprint(expr: str, k: int = 4, shingle_n: int = 3) -> str:

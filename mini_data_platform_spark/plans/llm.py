@@ -76,10 +76,13 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-k sketch fingerprint per document (compact near-dup key)."""
+    """Bottom-k sketch fingerprint per document (compact near-dup key).
+    Tokens staged into their own projection (see dedup_fuzzy._staged_shingles
+    for why inlining is quadratic)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TX.fingerprint(F.col("text"), k=4, shingle_n=SHINGLE_N).alias("fp")
+    shingled = DF_OPS._staged_shingles(docs, "doc_id", "text", SHINGLE_N)
+    return shingled.select(
+        "doc_id", TX.fingerprint_of(F.col("_sh"), k=4).alias("fp")
     )
 
 
