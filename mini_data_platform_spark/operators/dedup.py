@@ -37,15 +37,22 @@ def dedup_keep_latest(
     keys: Sequence[str] = ("sale_id",),
     order_col: str = "sale_date",
     null_wins: bool = True,
+    precedence_cols: Sequence[str] = (),
 ) -> DataFrame:
     """D1+D2 fused — per key keep the row with the greatest ``order_col``.
 
     ``null_wins=True`` reproduces the reference's NaT-sorts-last semantics
     (processor.py:74-77): a NULL date beats any real date. Ties break on
     ``_ingest_order`` (greatest wins = pandas keep="last") when present.
+
+    ``precedence_cols`` sort BEFORE ``order_col`` (descending): the batch
+    runner passes the file rank here so one multi-file job reproduces the
+    reference's sequential per-file upserts (a later file's row wins over
+    any earlier file's row for the same key, regardless of dates).
     """
     direction = F.col(order_col).desc_nulls_first() if null_wins else F.col(order_col).desc_nulls_last()
-    ordering = [direction]
+    ordering = [F.col(c).desc() for c in precedence_cols]
+    ordering.append(direction)
     if INGEST_ORDER_COL in df.columns:
         ordering.append(F.col(INGEST_ORDER_COL).desc())
     w = Window.partitionBy(*keys).orderBy(*ordering)

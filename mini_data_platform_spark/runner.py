@@ -1,0 +1,244 @@
+"""Batch ingestion runner — the reference's Airflow DAG re-expressed as one
+Spark program (SURVEY.md §3.1, §7 M6).
+
+Pipeline per batch: discover → validate (file granularity) → route
+(clean+dedup+upsert | quarantine) → finalize moves → audit. Fault routing
+matches the reference's prefix vocabulary
+(/root/reference/dags/process_sales_dags.py:145-198):
+
+- ``failed/validation_failed/``  invalid files, moved before any processing
+- ``failed/processing_failed/``  read/clean errors
+- ``failed/loading_failed/``     sink errors
+- ``processed/``                 loaded files
+
+Two execution modes:
+
+- **scale mode** (default): ALL valid files are cleaned, deduped and
+  upserted in ONE Spark job. Cross-file key collisions resolve exactly as
+  the reference's sequential per-file upserts would (later file wins) via
+  a file-rank precedence column in the dedup window — so the result is
+  bit-identical to the file-loop, but the cluster sees a single
+  clean→window→sink plan over every file at once. Per-file row counts
+  come from one small groupBy on the file rank. This is the 100 TB path:
+  no per-file driver round-trips, one shuffle (the dedup window), and the
+  sink commits once (idempotent upsert makes retries safe).
+- **per-file mode** (``per_file=True``): the reference's loop, for
+  deployments that need per-file transactions / fault isolation at the
+  cost of one job per file.
+
+Design deviations from the reference, on purpose (SURVEY.md §3.1(iv)):
+files are routed to exactly ONE branch (the reference runs invalid files
+through process_file too and catches the exception after quarantining);
+validate and process read the file once each, not twice.
+
+Moves are driver-side side effects performed AFTER the sink commit
+(order: upsert → move → audit, process_sales_dags.py:186-190), never
+inside Spark tasks, so task retries cannot double-move files.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_data_platform_spark.operators.clean import clean_sales
+from mini_data_platform_spark.operators.dedup import (
+    dedup_keep_latest,
+    with_ingest_order,
+)
+from mini_data_platform_spark.schema import SALES_COLUMNS
+from mini_data_platform_spark.sinks.audit import AuditLog
+from mini_data_platform_spark.sinks.objects import move_object
+from mini_data_platform_spark.sources.readers import read_file_as_strings
+from mini_data_platform_spark.sources.validate import validate_file
+
+logger = logging.getLogger(__name__)
+
+FILE_RANK_COL = "_file_rank"
+
+
+@dataclass
+class FileOutcome:
+    path: str
+    status: str  # loaded | validation_failed | processing_failed | load_failed
+    rows: int | None = None
+    error: str | None = None
+
+
+@dataclass
+class IngestReport:
+    outcomes: list[FileOutcome] = field(default_factory=list)
+    rows_upserted: int = 0
+
+    @property
+    def loaded(self) -> list[FileOutcome]:
+        return [o for o in self.outcomes if o.status == "loaded"]
+
+    @property
+    def failed(self) -> list[FileOutcome]:
+        return [o for o in self.outcomes if o.status != "loaded"]
+
+
+def discover_files(incoming_dir: str) -> list[str]:
+    """Deterministic (sorted) listing of the incoming prefix. On a real
+    object store this is the S3A directory listing; the order defines
+    cross-file precedence exactly like the reference's list_objects order."""
+    return sorted(
+        p for p in glob.glob(os.path.join(incoming_dir, "*")) if os.path.isfile(p)
+    )
+
+
+def _quarantine(
+    path: str, failed_dir: str, reason: str, audit: AuditLog | None, error: str
+) -> FileOutcome:
+    move_object(path, os.path.join(failed_dir, reason, os.path.basename(path)))
+    if audit:
+        audit.log_file_status(path, failed_dir, reason, error=error)
+    return FileOutcome(path, reason, error=error)
+
+
+def _prepare_one(spark: SparkSession, path: str, rank: int) -> DataFrame:
+    """Read one validated file and stage it for the unioned clean: string
+    cast, canonical columns, file-rank + ingest-order tags."""
+    df = read_file_as_strings(spark, path)
+    for c in SALES_COLUMNS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    return with_ingest_order(df.select(*SALES_COLUMNS)).withColumn(
+        FILE_RANK_COL, F.lit(rank)
+    )
+
+
+def run_batch_ingest(
+    spark: SparkSession,
+    incoming_dir: str,
+    processed_dir: str,
+    failed_dir: str,
+    sink: Callable[[DataFrame], int],
+    audit: AuditLog | None = None,
+    per_file: bool = False,
+) -> IngestReport:
+    """One ingestion batch over every file in ``incoming_dir``. ``sink``
+    receives the cleaned, deduped, canonically-typed sales DataFrame and
+    returns the row count it wrote (e.g. ``functools.partial(
+    sinks.upsert_parquet, spark, target_dir=..., key_cols=["sale_id"])``
+    adapted, or an upsert_dbapi closure)."""
+    report = IngestReport()
+    files = discover_files(incoming_dir)
+    valid: list[str] = []
+    for path in files:
+        ok, err = validate_file(spark, path)
+        if ok:
+            if audit:
+                audit.log_file_status(path, incoming_dir, "validated")
+            valid.append(path)
+        else:
+            report.outcomes.append(
+                _quarantine(path, failed_dir, "validation_failed", audit, err)
+            )
+    if not valid:
+        return report
+
+    if per_file:
+        for path in valid:
+            report.outcomes.append(
+                _ingest_one(spark, path, processed_dir, failed_dir, sink, audit)
+            )
+        report.rows_upserted = sum(o.rows or 0 for o in report.loaded)
+        return report
+
+    # ---- scale mode: one job over all valid files -------------------------
+    try:
+        staged = _prepare_one(spark, valid[0], 0)
+        for rank, path in enumerate(valid[1:], start=1):
+            staged = staged.unionByName(_prepare_one(spark, path, rank))
+        # clean_sales conforms to exactly the canonical 6 columns; the batch
+        # job must keep the bookkeeping tags, so the same P4-P8 stages are
+        # applied with the tags carried through.
+        cleaned = _clean_keep_tags(staged)
+    except Exception as e:  # noqa: BLE001 — read/plan failure: quarantine all
+        for path in valid:
+            report.outcomes.append(
+                _quarantine(path, failed_dir, "processing_failed", audit, str(e))
+            )
+        return report
+    deduped = dedup_keep_latest(
+        cleaned,
+        keys=("sale_id",),
+        order_col="sale_date",
+        null_wins=True,
+        precedence_cols=(FILE_RANK_COL,),
+    )
+
+    per_file_rows = {
+        int(r[FILE_RANK_COL]): int(r["n"])
+        for r in cleaned.groupBy(FILE_RANK_COL).agg(F.count("*").alias("n")).collect()
+    }
+    final = deduped.drop(FILE_RANK_COL)
+
+    try:
+        report.rows_upserted = sink(final)
+    except Exception as e:  # noqa: BLE001 — sink failure: batch-granular quarantine
+        for path in valid:
+            report.outcomes.append(
+                _quarantine(path, failed_dir, "loading_failed", audit, str(e))
+            )
+        return report
+
+    for rank, path in enumerate(valid):
+        move_object(path, os.path.join(processed_dir, os.path.basename(path)))
+        rows = per_file_rows.get(rank, 0)
+        if audit:
+            audit.log_file_status(path, processed_dir, "loaded", rows=rows)
+        report.outcomes.append(FileOutcome(path, "loaded", rows=rows))
+    return report
+
+
+def _clean_keep_tags(staged: DataFrame) -> DataFrame:
+    """clean_sales over the data columns while preserving the
+    _file_rank/_ingest_order bookkeeping columns (positionally joined via a
+    row tag would shuffle; instead the cleaning expressions are applied
+    in-place — they are all narrow per-column transforms)."""
+    from mini_data_platform_spark.operators.clean import (
+        clean_strings,
+        coerce_sales_types,
+        drop_null_keys,
+    )
+    from mini_data_platform_spark.operators.dedup import INGEST_ORDER_COL
+
+    tags = [FILE_RANK_COL, INGEST_ORDER_COL]
+    out = clean_strings(staged, columns=[c for c in SALES_COLUMNS])
+    out = coerce_sales_types(out)
+    out = drop_null_keys(out, "sale_id")
+    return out.select(*SALES_COLUMNS, *tags)
+
+
+def _ingest_one(
+    spark: SparkSession,
+    path: str,
+    processed_dir: str,
+    failed_dir: str,
+    sink: Callable[[DataFrame], int],
+    audit: AuditLog | None,
+) -> FileOutcome:
+    """Per-file mode body (reference process_file + load_to_postgres,
+    process_sales_dags.py:156-198)."""
+    try:
+        df = with_ingest_order(read_file_as_strings(spark, path))
+        cleaned = dedup_keep_latest(clean_sales(df))
+        n = cleaned.count()
+    except Exception as e:  # noqa: BLE001
+        return _quarantine(path, failed_dir, "processing_failed", audit, str(e))
+    try:
+        sink(cleaned)
+    except Exception as e:  # noqa: BLE001
+        return _quarantine(path, failed_dir, "loading_failed", audit, str(e))
+    move_object(path, os.path.join(processed_dir, os.path.basename(path)))
+    if audit:
+        audit.log_file_status(path, processed_dir, "loaded", rows=n)
+    return FileOutcome(path, "loaded", rows=n)

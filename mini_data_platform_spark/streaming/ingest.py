@@ -1,0 +1,105 @@
+"""Streaming ingestion — the reference's poll-every-30s sensor replaced by
+Structured Streaming's file source (SURVEY.md §2.1 S8, §7 M6).
+
+The reference polls ``incoming/`` with an Airflow sensor
+(/root/reference/dags/process_sales_dags.py:94-105) and fans out one task
+per file. Spark's file source IS that sensor: it discovers new files per
+micro-batch (no polling code), checkpoints which files it has consumed
+(exactly-once file admission across restarts), and ``maxFilesPerTrigger``
+is the admission-control knob. ``Trigger.AvailableNow`` gives the one-shot
+batch semantics; omit it for continuous arrival-driven ingestion.
+
+Each micro-batch runs the SAME clean→dedup→upsert composition as the
+batch runner via ``foreachBatch`` — one code path for both modes. Within
+a micro-batch, cross-file precedence uses the lexicographic file order
+(same contract as the batch runner); across micro-batches the keyed
+upsert provides last-batch-wins.
+
+Finalize-moves: ``cleanSource=archive`` hands consumed files to Spark
+itself (moved to ``sourceArchiveDir`` after commit) — the streaming
+equivalent of the runner's post-commit ``processed/`` move, with the same
+crash-safety (a file is archived only after its batch commits).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mini_data_platform_spark.operators.clean import (
+    clean_strings,
+    coerce_sales_types,
+    drop_null_keys,
+)
+from mini_data_platform_spark.operators.dedup import dedup_keep_latest
+from mini_data_platform_spark.schema import SALES_COLUMNS, SALES_RAW_SCHEMA
+from mini_data_platform_spark.sinks.audit import AuditLog
+
+SRC_FILE_COL = "_src_file"
+
+
+def _clean_micro_batch(batch: DataFrame) -> DataFrame:
+    """clean+dedup with per-file precedence, preserving the source-file tag
+    for audit row counts. Mirrors runner._clean_keep_tags."""
+    tagged = batch.withColumn(SRC_FILE_COL, F.input_file_name())
+    out = clean_strings(tagged, columns=list(SALES_COLUMNS))
+    out = coerce_sales_types(out)
+    out = drop_null_keys(out, "sale_id")
+    return out
+
+
+def start_streaming_ingest(
+    spark: SparkSession,
+    incoming_dir: str,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame], int],
+    audit: AuditLog | None = None,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the sales CSV ingestion stream. ``sink`` receives each
+    micro-batch's cleaned+deduped canonical DataFrame (same contract as
+    the batch runner's sink)."""
+    reader = (
+        spark.readStream.schema(SALES_RAW_SCHEMA)
+        .option("header", True)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    stream = reader.csv(incoming_dir)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        cleaned = _clean_micro_batch(batch)
+        if audit is not None:
+            counts = (
+                cleaned.groupBy(SRC_FILE_COL).agg(F.count("*").alias("n")).collect()
+            )
+        deduped = dedup_keep_latest(
+            cleaned,
+            keys=("sale_id",),
+            order_col="sale_date",
+            null_wins=True,
+            precedence_cols=(SRC_FILE_COL,),  # lexicographic file order
+        ).drop(SRC_FILE_COL)
+        sink(deduped)
+        if audit is not None:
+            for row in counts:
+                audit.log_file_status(
+                    row[SRC_FILE_COL], incoming_dir, "loaded", rows=int(row["n"])
+                )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,164 @@
+"""Streaming analytics operators over event streams: watermarked windowed
+aggregation and custom stateful sessionization (SURVEY.md §2.7 — absent
+from the reference, mandated by the extension surface).
+
+Both operators take a DataFrame that may be a stream (``readStream``) or a
+static frame — the expressions are identical; only the sink differs. The
+schemas target the fixture ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+Scale design:
+- Windowed aggregation: watermark bounds state (late rows beyond the
+  watermark are dropped, state for closed windows is evicted); the
+  aggregation itself is the standard partial+final hash agg keyed on
+  (window, event_type) — one shuffle.
+- Sessionization: ``applyInPandasWithState`` keeps ONE state row per
+  user (last-seen timestamp + running aggregates), emits a session row
+  when the gap timeout fires. State is partitioned by user_id, so it
+  scales horizontally with the key space; the per-key state size is O(1).
+  A batch (non-streaming) sessionization with identical semantics lives
+  in plans/analytics.py (events_sessionize) — the window/lag composition
+  — so results are cross-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts + value stats per event type,
+    with a watermark for bounded state and deterministic late-data
+    semantics."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        src.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator. Emits a finished session when the
+    inactivity gap exceeds SESSION_GAP_MS (event-time within the batch,
+    processing-time timeout across batches)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_ms, last_ms, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n],
+                "sum_value": [sv],
+            }
+        )
+        return
+
+    ts_ms: list[int] = []
+    vals: list[float] = []
+    for pdf in pdfs:
+        ts_ms.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        vals.extend(pdf["value"].fillna(0.0).tolist())
+    order = sorted(range(len(ts_ms)), key=lambda i: ts_ms[i])
+
+    if state.exists:
+        start_ms, last_ms, n, sv = state.get
+    else:
+        start_ms, last_ms, n, sv = ts_ms[order[0]], ts_ms[order[0]], 0, 0.0
+
+    finished = []
+    for i in order:
+        t, v = ts_ms[i], vals[i]
+        if t - last_ms > SESSION_GAP_MS:
+            finished.append((start_ms, last_ms, n, sv))
+            start_ms, n, sv = t, 0, 0.0
+        last_ms = max(last_ms, t)
+        n += 1
+        sv += v
+
+    state.update((start_ms, last_ms, n, sv))
+    state.setTimeoutDuration(SESSION_GAP_MS)
+    if finished:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(finished),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in finished],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _, _ in finished],
+                "n_events": [n_ for _, _, n_, _ in finished],
+                "sum_value": [v_ for _, _, _, v_ in finished],
+            }
+        )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user 30-minute-gap sessions
+    via ``applyInPandasWithState`` (Arrow-batched state machine — the
+    canonical escape hatch when built-in windowed aggs can't express the
+    semantics)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

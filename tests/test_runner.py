@@ -1,0 +1,213 @@
+"""End-to-end batch ingestion: mixed formats, dirty data, quarantine
+routing, cross-file precedence, idempotent re-runs. Golden semantics from
+/root/reference/dags/process_sales_dags.py + processor.py."""
+
+import functools
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mini_data_platform_spark.runner import run_batch_ingest
+from mini_data_platform_spark.sinks.audit import AuditLog
+from mini_data_platform_spark.sinks.upsert import sqlite_conn_factory, upsert_parquet
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    d = {
+        "incoming": str(tmp_path / "incoming"),
+        "processed": str(tmp_path / "processed"),
+        "failed": str(tmp_path / "failed"),
+        "target": str(tmp_path / "sales_target"),
+        "audit_db": str(tmp_path / "audit.db"),
+    }
+    os.makedirs(d["incoming"])
+    return d
+
+
+def _put(lake, name, text):
+    p = os.path.join(lake["incoming"], name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+def _sink(spark, lake):
+    def sink(df):
+        return upsert_parquet(spark, df, lake["target"], ["sale_id"])
+
+    return sink
+
+
+def _run(spark, lake, **kw):
+    audit = AuditLog(functools.partial(sqlite_conn_factory, lake["audit_db"]))
+    return run_batch_ingest(
+        spark,
+        lake["incoming"],
+        lake["processed"],
+        lake["failed"],
+        sink=_sink(spark, lake),
+        audit=audit,
+        **kw,
+    ), audit
+
+
+# 49 clean filler rows keep the dirty rows outside the validator's 50-row
+# date sample (the reference's errors="raise" probe would quarantine a file
+# with a bad date in the first 50 rows — validator.py:56 parity).
+_FILLER = "".join(
+    f"f{i},2024-01-01 00:00:00,CF,PF,1,1.0\n" for i in range(49)
+)
+FILLER_KEYS = {f"f{i}" for i in range(49)}
+
+DIRTY_CSV = (
+    "Sale_ID , sale_date,customer_id,product_id,quantity,amount\n"
+    "s1,2024-01-01 10:00:00,  C1  ,P1,2,20.0\n"        # clean row
+    + _FILLER +
+    "s2,not-a-date,C2,P2,12.5,oops\n"                   # bad date->null, qty 12.5->12, amount->0.0
+    "s3,2024-01-03 00:00:00,nan,P3,,5\n"                # nan customer->null, empty qty->1
+    ",2024-01-04 00:00:00,C4,P4,1,1\n"                  # null sale_id -> dropped
+    "s1,2024-02-01 00:00:00,C1,P1,3,30.0\n"             # dup: later date wins
+)
+
+GOOD_NDJSON = "\n".join(
+    json.dumps(
+        {
+            "sale_id": f"n{i}",
+            "sale_date": f"2024-05-0{i} 00:00:00",
+            "customer_id": f"C{i}",
+            "product_id": "PX",
+            "quantity": i,
+            "amount": i * 10.0,
+        }
+    )
+    for i in (1, 2)
+)
+
+BAD_CSV = "sale_id,amount\nx,1\n"
+
+
+class TestBatchIngest:
+    def test_mixed_batch(self, spark, lake):
+        _put(lake, "a_dirty.csv", DIRTY_CSV)
+        _put(lake, "b_good.json", GOOD_NDJSON)
+        _put(lake, "c_bad.csv", BAD_CSV)
+        pq.write_table(
+            pa.table(
+                {
+                    "sale_id": ["p1"],
+                    "sale_date": ["2024-06-01 00:00:00"],
+                    "customer_id": ["CP"],
+                    "product_id": ["PP"],
+                    "quantity": [7],
+                    "amount": [70.0],
+                }
+            ),
+            os.path.join(lake["incoming"], "d_good.parquet"),
+        )
+
+        report, audit = _run(spark, lake)
+
+        statuses = {os.path.basename(o.path): o.status for o in report.outcomes}
+        assert statuses == {
+            "a_dirty.csv": "loaded",
+            "b_good.json": "loaded",
+            "c_bad.csv": "validation_failed",
+            "d_good.parquet": "loaded",
+        }
+        # physical routing
+        assert sorted(os.listdir(lake["processed"])) == [
+            "a_dirty.csv", "b_good.json", "d_good.parquet",
+        ]
+        assert os.listdir(os.path.join(lake["failed"], "validation_failed")) == ["c_bad.csv"]
+        assert os.listdir(lake["incoming"]) == []
+
+        # sink state: coercion + dedup semantics
+        got = {r["sale_id"]: r.asDict() for r in spark.read.parquet(lake["target"]).collect()}
+        assert set(got) == {"s1", "s2", "s3", "n1", "n2", "p1"} | FILLER_KEYS
+        assert got["s1"]["amount"] == 30.0 and got["s1"]["quantity"] == 3  # latest date won
+        assert got["s2"]["sale_date"] is None
+        assert got["s2"]["quantity"] == 12 and got["s2"]["amount"] == 0.0
+        assert got["s3"]["customer_id"] is None and got["s3"]["quantity"] == 1
+        assert got["s1"]["customer_id"] == "C1"  # trimmed
+
+        # audit trail
+        st = audit.statuses()
+        assert st[os.path.join(lake["incoming"], "c_bad.csv")] == "validation_failed"
+        assert sum(1 for v in st.values() if v == "loaded") == 3
+
+    def test_cross_file_precedence_later_file_wins(self, spark, lake):
+        # same key, EARLIER date in the later file: the reference's
+        # sequential upserts make the later file win anyway.
+        _put(
+            lake,
+            "1_first.csv",
+            "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+            "k,2024-12-31 00:00:00,EARLY,P,1,1.0\n",
+        )
+        _put(
+            lake,
+            "2_second.csv",
+            "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+            "k,2024-01-01 00:00:00,LATE,P,2,2.0\n",
+        )
+        _run(spark, lake)
+        rows = spark.read.parquet(lake["target"]).collect()
+        assert len(rows) == 1 and rows[0]["customer_id"] == "LATE"
+
+    def test_null_date_wins_within_file(self, spark, lake):
+        _put(
+            lake,
+            "f.csv",
+            "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+            "k,2024-06-01 00:00:00,REAL,P,1,1.0\n"
+            + _FILLER +
+            "k,bogus-date,NULLED,P,2,2.0\n",
+        )
+        _run(spark, lake)
+        rows = {r["sale_id"]: r for r in spark.read.parquet(lake["target"]).collect()}
+        assert rows["k"]["customer_id"] == "NULLED"
+
+    def test_idempotent_rerun(self, spark, lake):
+        _put(lake, "f.csv", DIRTY_CSV)
+        _run(spark, lake)
+        first = sorted(
+            (r["sale_id"], r["amount"]) for r in spark.read.parquet(lake["target"]).collect()
+        )
+        # same file re-lands (e.g. replayed upstream) -> same sink state
+        _put(lake, "f.csv", DIRTY_CSV)
+        report, _ = _run(spark, lake)
+        assert [o.status for o in report.outcomes] == ["loaded"]
+        second = sorted(
+            (r["sale_id"], r["amount"]) for r in spark.read.parquet(lake["target"]).collect()
+        )
+        assert first == second
+
+    def test_per_file_mode(self, spark, lake):
+        _put(lake, "a.csv", DIRTY_CSV)
+        _put(lake, "bad.csv", BAD_CSV)
+        report, _ = _run(spark, lake, per_file=True)
+        statuses = {os.path.basename(o.path): o.status for o in report.outcomes}
+        assert statuses == {"a.csv": "loaded", "bad.csv": "validation_failed"}
+        assert spark.read.parquet(lake["target"]).count() == 3 + len(FILLER_KEYS)
+
+    def test_empty_incoming(self, spark, lake):
+        report, _ = _run(spark, lake)
+        assert report.outcomes == [] and report.rows_upserted == 0
+
+    def test_sink_failure_quarantines_to_loading_failed(self, spark, lake):
+        _put(lake, "f.csv", DIRTY_CSV)
+        audit = AuditLog(functools.partial(sqlite_conn_factory, lake["audit_db"]))
+
+        def boom(df):
+            raise RuntimeError("sink down")
+
+        report = run_batch_ingest(
+            spark, lake["incoming"], lake["processed"], lake["failed"],
+            sink=boom, audit=audit,
+        )
+        assert [o.status for o in report.outcomes] == ["loading_failed"]
+        assert os.listdir(os.path.join(lake["failed"], "loading_failed")) == ["f.csv"]

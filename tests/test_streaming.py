@@ -1,0 +1,144 @@
+"""Streaming: file-source ingestion with checkpointed exactly-once file
+admission, watermarked windowed aggregation, stateful sessionization."""
+
+import datetime
+import os
+import time
+
+import pytest
+
+from pyspark.sql import Row, functions as F, types as T
+
+from mini_data_platform_spark.sinks.upsert import upsert_parquet
+from mini_data_platform_spark.streaming import (
+    sessionize_stateful,
+    start_streaming_ingest,
+    windowed_event_stats,
+)
+
+CSV_1 = (
+    "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+    "a,2024-01-01 00:00:00,C1,P1,1,10.0\n"
+    "b,2024-01-02 00:00:00,C2,P2,2,20.0\n"
+)
+CSV_2 = (
+    "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+    "b,2024-02-02 00:00:00,C2,P2,9,99.0\n"
+    "c,2024-01-03 00:00:00,C3,P3,3,30.0\n"
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(
+        minutes=minute, seconds=second
+    )
+
+
+class TestStreamingIngest:
+    def _run_once(self, spark, incoming, ckpt, target):
+        def sink(df):
+            return upsert_parquet(spark, df, target, ["sale_id"])
+
+        q = start_streaming_ingest(
+            spark, incoming, ckpt, sink=sink, available_now=True
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def test_ingest_and_checkpointed_admission(self, spark, tmp_path):
+        incoming = str(tmp_path / "incoming")
+        ckpt = str(tmp_path / "ckpt")
+        target = str(tmp_path / "target")
+        os.makedirs(incoming)
+
+        with open(os.path.join(incoming, "f1.csv"), "w") as f:
+            f.write(CSV_1)
+        self._run_once(spark, incoming, ckpt, target)
+        got = {r["sale_id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+        assert got == {"a": 10.0, "b": 20.0}
+
+        # second file lands; SAME checkpoint -> f1 not reprocessed, b upserted
+        with open(os.path.join(incoming, "f2.csv"), "w") as f:
+            f.write(CSV_2)
+        self._run_once(spark, incoming, ckpt, target)
+        got = {r["sale_id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+        assert got == {"a": 10.0, "b": 99.0, "c": 30.0}
+
+
+class TestWindowedStats:
+    def _events(self, spark):
+        rows = [
+            Row(event_id=1, ts=_ts(5), user_id=1, event_type="click", value=1.0),
+            Row(event_id=2, ts=_ts(20), user_id=2, event_type="click", value=2.0),
+            Row(event_id=3, ts=_ts(70), user_id=1, event_type="view", value=3.0),
+        ]
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def test_static_semantics(self, spark):
+        out = windowed_event_stats(self._events(spark), "1 hour").collect()
+        by_key = {(r["window_start"].minute + r["window_start"].hour * 60, r["event_type"]): r for r in out}
+        assert by_key[(0, "click")]["n_events"] == 2
+        assert by_key[(0, "click")]["sum_value"] == 3.0
+        assert by_key[(60, "view")]["n_events"] == 1
+
+    def test_streaming_with_watermark(self, spark, tmp_path):
+        src = str(tmp_path / "events_src")
+        self._events(spark).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        agg = windowed_event_stats(stream, "1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_stats")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM win_stats").collect()
+        assert sum(r["n_events"] for r in rows) == 3
+
+
+class TestSessionize:
+    def test_finished_sessions_emit_within_batch(self, spark, tmp_path):
+        # user 7: burst at t=0..5min (3 events), 40-min gap, burst at t=45
+        # -> first burst is a finished session; second stays open in state.
+        rows = [
+            Row(event_id=1, ts=_ts(0), user_id=7, event_type="c", value=1.0),
+            Row(event_id=2, ts=_ts(2), user_id=7, event_type="c", value=2.0),
+            Row(event_id=3, ts=_ts(5), user_id=7, event_type="c", value=3.0),
+            Row(event_id=4, ts=_ts(45), user_id=7, event_type="c", value=4.0),
+            Row(event_id=5, ts=_ts(1), user_id=9, event_type="c", value=5.0),
+        ]
+        src = str(tmp_path / "sess_src")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sessions").collect()
+        assert len(got) == 1
+        s = got[0]
+        assert s["user_id"] == 7
+        assert s["n_events"] == 3
+        assert s["sum_value"] == 6.0
+        assert s["session_start"] == _ts(0)
+        assert s["session_end"] == _ts(5)
