@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from mini_data_platform_spark.plans import analytics, kpi, llm
+from mini_data_platform_spark.plans import analytics, kpi, llm, multimodal_q
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(kpi.QUERIES)
     out.update(analytics.QUERIES)
     out.update(llm.QUERIES)
+    out.update(multimodal_q.QUERIES)
     return out
 
 
@@ -35,4 +36,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(kpi.ORACLE)
     out.update(analytics.ORACLE)
     out.update(llm.ORACLE)
+    out.update(multimodal_q.ORACLE)
     return out
