@@ -1,0 +1,149 @@
+"""Vector math vs numpy, brute-force kNN correctness, LSH bucketing
+invariants, fuzzy-dedup recall on planted near-duplicates."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from mini_data_platform_spark.functions import vectors as VX
+from mini_data_platform_spark.operators import dedup_fuzzy as DF_OPS
+from mini_data_platform_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestVectorMath:
+    def test_dot_and_norm_vs_numpy(self, spark, vecs):
+        got = vecs.select(
+            "vec_id",
+            VX.l2_norm(F.col("embedding")).alias("nrm"),
+        ).collect()
+        data = {r["vec_id"]: r for r in vecs.collect()}
+        for r in got:
+            np_norm = float(np.linalg.norm(np.array(data[r["vec_id"]]["embedding"])))
+            assert r["nrm"] == pytest.approx(np_norm, rel=1e-12)
+
+    def test_cosine_self_is_one(self, spark, vecs):
+        a = vecs.select(
+            VX.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+        ).collect()
+        for r in a:
+            assert r["c"] == pytest.approx(1.0, abs=1e-12)
+
+
+class TestKnnBruteforce:
+    def test_matches_numpy_topk(self, spark, vecs):
+        queries = vecs.filter(F.col("vec_id") < 3)
+        out = SIM.knn_bruteforce(queries, vecs, "vec_id", "embedding", k=4).collect()
+        data = {r["vec_id"]: np.array(r["embedding"]) for r in vecs.collect()}
+
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+        for qid, hits in by_q.items():
+            hits.sort()
+            qv = data[qid]
+            sims = {
+                nid: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+                for nid, v in data.items()
+                if nid != qid
+            }
+            expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+            got = [(nid, s) for _, nid, s in hits]
+            assert [nid for nid, _ in got] == [nid for nid, _ in expect]
+            for (_, gs), (_, es) in zip(got, expect):
+                assert gs == pytest.approx(es, rel=1e-9)
+
+
+class TestLshBuckets:
+    def test_bucket_signature_shape_and_determinism(self, spark, vecs):
+        planes = SIM.planes_from_corpus(vecs, "vec_id", "embedding", n_planes=4)
+        assert len(planes) == 4 and len(planes[0]) == 16
+        b1 = SIM.lsh_bucket(vecs, planes, "vec_id", "embedding").collect()
+        b2 = SIM.lsh_bucket(vecs, planes, "vec_id", "embedding").collect()
+        assert {r["vec_id"]: r["bucket"] for r in b1} == {
+            r["vec_id"]: r["bucket"] for r in b2
+        }
+        assert all(set(r["bucket"]) <= {"0", "1"} and len(r["bucket"]) == 4 for r in b1)
+
+    def test_ann_subset_of_exact_candidates(self, spark, vecs):
+        queries = vecs.filter(F.col("vec_id") < 3)
+        ann = SIM.ann_neighbors_lsh(queries, vecs, "vec_id", "embedding", k=4, n_planes=2)
+        exact = SIM.knn_bruteforce(queries, vecs, "vec_id", "embedding", k=60)
+        exact_sims = {
+            (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()
+        }
+        for r in ann.collect():
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in exact_sims
+            assert r["cos_sim"] == pytest.approx(exact_sims[key], rel=1e-9)
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng, n=30):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+class TestFuzzyDedupRecall:
+    def test_planted_near_dups_recovered(self, spark):
+        rng = random.Random(5)
+        originals = [_doc(rng) for _ in range(40)]
+        rows = [Row(doc_id=i, text=t) for i, t in enumerate(originals)]
+        # plant near-dups: drop one word from each of the first 10 docs
+        for i in range(10):
+            toks = originals[i].split()
+            toks.pop(7)
+            rows.append(Row(doc_id=1000 + i, text=" ".join(toks)))
+        corpus = spark.createDataFrame(rows)
+
+        pairs = DF_OPS.near_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8, shingle_n=3
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        planted = {(i, 1000 + i) for i in range(10)}
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.9, f"recall {recall}: {sorted(found)}"
+        # every reported pair must genuinely clear the threshold
+        for r in pairs:
+            assert r["jaccard"] >= 0.5
+
+    def test_exact_dedup_groups(self, spark):
+        rows = [
+            Row(doc_id=1, text="Same   Text here"),
+            Row(doc_id=2, text="same text HERE"),   # normalizes differently? no: lowercased+collapsed
+            Row(doc_id=3, text="different entirely"),
+        ]
+        out = DF_OPS.exact_dedup(spark.createDataFrame(rows), "doc_id", "text").collect()
+        groups = {r["keep_doc_id"]: r["n_copies"] for r in out}
+        assert groups == {1: 2, 3: 1}
+
+    def test_simhash_similar_docs_close(self, spark):
+        rng = random.Random(9)
+        base = _doc(rng, 60)
+        toks = base.split()
+        toks[5] = "changed"
+        near = " ".join(toks)
+        far = _doc(random.Random(10), 60)
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+        )
+        sh = {r["doc_id"]: int(r["simhash"], 16) for r in DF_OPS.simhash(df, "doc_id", "text").collect()}
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
