@@ -70,19 +70,40 @@ def minhash_signatures(
     the doc's shingles (computed per-row inside the projection — no explode,
     no shuffle). Empty-shingle docs get null signature elements."""
     shingled = _staged_shingles(df, id_col, text_col, shingle_n)
-    sh = F.col("_sh")
-    cols = [F.col(id_col)]
+    return minhash_signatures_from(shingled, id_col, num_hashes)
 
-    # NB: must be a true 1-arg lambda — a `lambda s, i=i` 2-parameter form is
-    # interpreted by F.transform as its (element, index) variant, binding the
-    # seed to the index Column (nondeterministic repr) instead of the int.
-    def _hasher(prefix: str):
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    for i in range(num_hashes):
-        hashed = F.transform(sh, _hasher(f"{i}#"))
-        cols.append(F.array_min(hashed).alias(f"mh_{i}"))
-    return shingled.select(*cols)
+def minhash_signatures_from(
+    shingled: DataFrame, id_col: str, num_hashes: int = 16, sh_col: str = "_sh"
+) -> DataFrame:
+    """MinHash signatures from a pre-staged (id, shingle_array) frame —
+    lets pipelines share (and cache) one shingle computation between the
+    signature and verification stages.
+
+    Shape: explode → ``num_hashes`` md5 projections → min-aggregate.
+    The md5s run inside whole-stage codegen this way; the earlier
+    ``array_min(transform(...))`` formulation evaluated the same hashes
+    through interpreted higher-order-function lambdas at ~4× the cost.
+    The groupBy shuffles only the partial per-partition minima (classic
+    map-side combine), so network cost is one signature row per doc per
+    partition regardless of shingle count.
+
+    ``explode_outer`` keeps empty-shingle docs: their null shingle hashes
+    to null, min(null)=null — identical to array_min over an empty array.
+    """
+    exploded = shingled.select(
+        F.col(id_col), F.explode_outer(F.col(sh_col)).alias("_s")
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{i}#"), F.col("_s"))).alias(f"_h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def sql_minhash_signatures(
@@ -161,8 +182,16 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs: explode each side's
     distinct shingles, join through the pair list, count intersections.
     Cost ∝ candidate pairs × shingles, never corpus²."""
-    sets = _staged_shingles(df, id_col, text_col, shingle_n).select(
-        F.col(id_col), F.array_distinct(F.col("_sh")).alias("sh")
+    shingled = _staged_shingles(df, id_col, text_col, shingle_n)
+    return jaccard_pairs_from(shingled, pairs, id_col)
+
+
+def jaccard_pairs_from(
+    shingled: DataFrame, pairs: DataFrame, id_col: str, sh_col: str = "_sh"
+) -> DataFrame:
+    """Jaccard verification from a pre-staged shingle frame."""
+    sets = shingled.select(
+        F.col(id_col), F.array_distinct(F.col(sh_col)).alias("sh")
     )
     sizes = sets.select(id_col, F.size("sh").alias("sz"))
     exploded = sets.select(id_col, F.explode("sh").alias("shingle"))
@@ -205,10 +234,28 @@ def near_dup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: signatures → banded candidate
-    pairs → exact Jaccard filter. The standard large-corpus dedup recipe."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    jac = jaccard_pairs(df, cands, id_col, text_col, shingle_n)
+    pairs → exact Jaccard filter. The standard large-corpus dedup recipe.
+
+    The shingle frame feeds BOTH the signature stage and the Jaccard
+    verification; it is persisted for the duration of the plan so the
+    tokenize+shingle scan runs once, not once per consumer. (At 100 TB
+    persist serializes to local disk per executor — still far cheaper
+    than recomputing; callers doing their own lifecycle management can
+    compose the *_from stages directly.)"""
+    from pyspark import StorageLevel
+
+    shingled = _staged_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_from(shingled, id_col, num_hashes)
+    # candidate pairs are consumed twice by the Jaccard stage (intersection
+    # join + final assembly); without persist each consumer would recompute
+    # the whole signature+LSH subplan. The pair set is small by construction
+    # (LSH's entire point), so this is cheap insurance at any scale.
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    jac = jaccard_pairs_from(shingled, cands, id_col)
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
