@@ -1,0 +1,89 @@
+"""Plan-quality gates: the properties that make queries scale are asserted
+here so they can't silently regress — pushdown reaches the parquet scan,
+projections prune columns, small dims broadcast, hot paths stay out of
+row-at-a-time Python, and dedup pays exactly one shuffle."""
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from mini_data_platform_spark.catalog import load_table
+from mini_data_platform_spark.explain import (
+    count_exchanges,
+    explain_str,
+    uses_python_eval,
+)
+from mini_data_platform_spark.operators.dedup import dedup_keep_latest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestScanPushdown:
+    def test_filter_pushed_to_parquet(self, spark):
+        df = load_table(spark, SF, "orders").filter(F.col("o_totalprice") > 100.0)
+        plan = explain_str(df, "formatted")
+        assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+    def test_column_pruning(self, spark):
+        df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        plan = explain_str(df, "formatted")
+        # ReadSchema carries only the projected columns
+        readschema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "l_orderkey" in readschema and "l_quantity" in readschema
+        assert "l_comment" not in readschema and "l_extendedprice" not in readschema
+
+    def test_limit_pushdown_for_validation_sample(self, spark):
+        df = load_table(spark, SF, "orders").limit(50)
+        plan = explain_str(df, "simple")
+        assert "CollectLimit 50" in plan or "GlobalLimit 50" in plan
+
+
+class TestJoinStrategy:
+    def test_small_dims_broadcast(self, spark):
+        from mini_data_platform_spark.plans.analytics import regional_revenue
+
+        plan = explain_str(regional_revenue(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+    def test_knn_broadcasts_query_side(self, spark):
+        from mini_data_platform_spark.operators.similarity import knn_bruteforce
+
+        emb = load_table(spark, SF, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        plan = explain_str(knn_bruteforce(q, emb, "vec_id", "embedding", k=3), "simple")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestPythonBoundary:
+    def test_kpi_queries_stay_jvm_side(self, spark):
+        from mini_data_platform_spark.plans import analytics, kpi
+
+        for name, fn in {**kpi.QUERIES, **analytics.QUERIES}.items():
+            assert not uses_python_eval(fn(spark, SF)), f"{name} row-ships to Python"
+
+    def test_text_and_dedup_queries_stay_jvm_side(self, spark):
+        from mini_data_platform_spark.plans import llm
+
+        for name in ["doc_token_stats", "doc_near_dups", "doc_simhash", "emb_knn"]:
+            assert not uses_python_eval(llm.QUERIES[name](spark, SF)), name
+
+
+class TestShuffleBudget:
+    def test_dedup_is_single_shuffle(self, spark):
+        rows = [Row(sale_id=str(i % 10), sale_date=None, v=i) for i in range(100)]
+        df = spark.createDataFrame(rows, "sale_id string, sale_date timestamp, v long")
+        assert count_exchanges(dedup_keep_latest(df, keys=("sale_id",))) == 1
+
+    def test_groupby_agg_is_single_shuffle(self, spark):
+        df = load_table(spark, SF, "lineitem").groupBy("l_returnflag").agg(
+            F.sum("l_quantity")
+        )
+        assert count_exchanges(df) == 1
+
+    def test_minhash_signatures_single_shuffle(self, spark):
+        from mini_data_platform_spark.operators.dedup_fuzzy import minhash_signatures
+
+        docs = load_table(spark, SF, "documents")
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+        assert count_exchanges(sigs) == 1
