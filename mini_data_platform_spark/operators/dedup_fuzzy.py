@@ -190,11 +190,17 @@ def jaccard_pairs_from(
     shingled: DataFrame, pairs: DataFrame, id_col: str, sh_col: str = "_sh"
 ) -> DataFrame:
     """Jaccard verification from a pre-staged shingle frame."""
+    from pyspark import StorageLevel
+
     sets = shingled.select(
         F.col(id_col), F.array_distinct(F.col(sh_col)).alias("sh")
     )
     sizes = sets.select(id_col, F.size("sh").alias("sz"))
-    exploded = sets.select(id_col, F.explode("sh").alias("shingle"))
+    # both sides of the intersection join scan the exploded shingles;
+    # persist so the explode runs once, not once per side
+    exploded = sets.select(id_col, F.explode("sh").alias("shingle")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ea = exploded.toDF("id_a", "shingle")
     eb = exploded.toDF("id_b2", "shingle_b")
     inter = (

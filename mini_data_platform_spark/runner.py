@@ -38,7 +38,6 @@ inside Spark tasks, so task retries cannot double-move files.
 
 from __future__ import annotations
 
-import glob
 import logging
 import os
 from collections.abc import Callable
@@ -85,12 +84,12 @@ class IngestReport:
 
 
 def discover_files(incoming_dir: str) -> list[str]:
-    """Deterministic (sorted) listing of the incoming prefix. On a real
-    object store this is the S3A directory listing; the order defines
-    cross-file precedence exactly like the reference's list_objects order."""
-    return sorted(
-        p for p in glob.glob(os.path.join(incoming_dir, "*")) if os.path.isfile(p)
-    )
+    """Deterministic (sorted) listing of the incoming prefix — local glob
+    or paginated S3 listing. The order defines cross-file precedence
+    exactly like the reference's list_objects order."""
+    from mini_data_platform_spark.sinks.objects import list_objects
+
+    return list_objects(incoming_dir)
 
 
 def _quarantine(

@@ -57,7 +57,24 @@ def upload_bytes(data: bytes, dst: str) -> None:
         f.write(data)
 
 
-def ensure_bucket(bucket_or_dir: str) -> None:
+def list_objects(prefix: str) -> list[str]:
+    """Paginated listing under a prefix (reference minio_client.py:45-65
+    S6); sorted for deterministic cross-file precedence. Local directories
+    list via glob; S3 via paginated list_objects_v2."""
+    if is_s3_uri(prefix):
+        if boto3 is None:
+            raise RuntimeError("boto3 not available for s3 listings")
+        bucket, key_prefix = _split_s3(prefix)
+        out: list[str] = []
+        paginator = boto3.client("s3").get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=key_prefix):
+            out.extend(f"s3://{bucket}/{o['Key']}" for o in page.get("Contents", []))
+        return sorted(out)
+    import glob
+
+    return sorted(
+        p for p in glob.glob(os.path.join(prefix, "*")) if os.path.isfile(p)
+    )
     """head-else-create (reference minio_client.py:32-42); mkdir -p locally."""
     if is_s3_uri(bucket_or_dir):
         if boto3 is None:
