@@ -129,6 +129,21 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — cells, two
+    marginals, grand total — in one shuffle; Spark expands grouping sets at
+    the partial-agg stage just like ROLLUP."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
 # ------------------------------------------------------------------ windows
 
 def customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,6 +390,7 @@ QUERIES = {
     "regional_revenue": regional_revenue,
     "top_building_orders": top_building_orders,
     "region_nation_rollup": region_nation_rollup,
+    "status_priority_cube": status_priority_cube,
     "customer_rank_in_nation": customer_rank_in_nation,
     "daily_revenue_delta": daily_revenue_delta,
     "monthly_running_revenue": monthly_running_revenue,
@@ -436,6 +452,13 @@ ORACLE = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "status_priority_cube": f"""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               {sql_dsum('o_totalprice')} AS revenue, COUNT(*) AS n_orders,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "customer_rank_in_nation": f"""
         WITH per_cust AS (

@@ -241,3 +241,63 @@ def _ingest_one(
     if audit:
         audit.log_file_status(path, processed_dir, "loaded", rows=n)
     return FileOutcome(path, "loaded", rows=n)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m mini_data_platform_spark.runner --incoming DIR
+    --target DIR`` runs one batch with the parquet-merge sink and a sqlite
+    audit log (swap for JDBC/psycopg2 sinks in deployment)."""
+    import argparse
+    import functools
+    import json
+
+    from mini_data_platform_spark.session import get_spark
+    from mini_data_platform_spark.sinks.upsert import (
+        sqlite_conn_factory,
+        upsert_parquet,
+    )
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--incoming", required=True)
+    ap.add_argument("--processed", default=None)
+    ap.add_argument("--failed", default=None)
+    ap.add_argument("--target", required=True, help="parquet upsert target dir")
+    ap.add_argument("--audit-db", default=None, help="sqlite audit db path")
+    ap.add_argument("--per-file", action="store_true")
+    args = ap.parse_args(argv)
+
+    base = os.path.dirname(args.incoming.rstrip("/"))
+    processed = args.processed or os.path.join(base, "processed")
+    failed = args.failed or os.path.join(base, "failed")
+    spark = get_spark("batch_ingest")
+    audit = (
+        AuditLog(functools.partial(sqlite_conn_factory, args.audit_db))
+        if args.audit_db
+        else None
+    )
+
+    def sink(df: DataFrame) -> int:
+        return upsert_parquet(spark, df, args.target, ["sale_id"])
+
+    report = run_batch_ingest(
+        spark, args.incoming, processed, failed,
+        sink=sink, audit=audit, per_file=args.per_file,
+    )
+    print(
+        json.dumps(
+            {
+                "loaded": len(report.loaded),
+                "failed": len(report.failed),
+                "rows_upserted": report.rows_upserted,
+                "outcomes": [
+                    {"file": o.path, "status": o.status, "rows": o.rows, "error": o.error}
+                    for o in report.outcomes
+                ],
+            }
+        )
+    )
+    return 1 if report.failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
