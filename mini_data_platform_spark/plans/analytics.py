@@ -355,6 +355,20 @@ def events_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++) next to
+    the exact count. At 100 TB approx_count_distinct is the only sane
+    default: fixed-size sketch per group, mergeable map-side, no shuffle
+    of distinct values. Oracle-omitted by design — HLL sketches are
+    engine-specific; the unit test pins the error bound against the exact
+    count instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every purchase event, the most
     recent prior-or-simultaneous click by the same user. Single shuffle,
@@ -404,6 +418,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_json_value": events_json_value,
+    "events_approx_users": events_approx_users,
     "click_before_purchase": click_before_purchase,
 }
 

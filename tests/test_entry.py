@@ -29,3 +29,14 @@ def test_all_queries_run_at_smoke_sf(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_approx_users_error_bound(spark):
+    """The HLL sketch has no cross-engine oracle; pin its accuracy against
+    the exact distinct count instead (rsd=0.02 -> generous 3x bound)."""
+    rows = entry_mod.queries()["events_approx_users"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.06 * r["exact_users"]
+        ), r

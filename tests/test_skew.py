@@ -1,0 +1,61 @@
+"""Salted aggregation equals direct aggregation, including on skewed data."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators.skew import salted_agg
+
+
+class TestSaltedAgg:
+    def _skewed(self, spark):
+        # one hot key with 10k rows, 50 cold keys with 10 each
+        hot = spark.range(10_000).select(
+            F.lit("HOT").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        cold = spark.range(500).select(
+            F.concat(F.lit("c"), (F.col("id") % 50)).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        return hot.unionByName(cold)
+
+    def test_matches_direct_agg(self, spark):
+        df = self._skewed(spark)
+        direct = {
+            r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in df.groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+        salted = {
+            r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in salted_agg(
+                df,
+                ["k"],
+                {
+                    "n": ("count", "*"),
+                    "total": ("sum", "v"),
+                    "lo": ("min", "v"),
+                    "hi": ("max", "v"),
+                },
+                n_salts=8,
+            ).collect()
+        }
+        assert salted == direct
+
+    def test_rejects_non_decomposable(self, spark):
+        df = self._skewed(spark)
+        with pytest.raises(ValueError, match="non-decomposable"):
+            salted_agg(df, ["k"], {"m": ("median", "v")})
+
+    def test_two_shuffles(self, spark):
+        from mini_data_platform_spark.explain import count_exchanges
+
+        df = self._skewed(spark)
+        out = salted_agg(df, ["k"], {"n": ("count", "*")}, n_salts=4)
+        assert count_exchanges(out) == 2
