@@ -369,6 +369,39 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def errors_near_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): every (error, click)
+    pair where the error falls within 6 hours AFTER a click by the same
+    user. The naive formulation is a theta-join (nested-loop at scale);
+    the bucketed rewrite equi-joins on (user, time-bucket) and applies the
+    exact predicate to candidates only."""
+    from mini_data_platform_spark.operators.rangejoin import range_join_point_interval
+
+    events = load_table(spark, sf_dir, "events")
+    win_us = 6 * 3600 * 1_000_000
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("err_ts_us"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        (F.unix_micros("ts") + win_us).alias("click_end_us"),
+    )
+    joined = range_join_point_interval(
+        errors, clicks,
+        on=["user_id"], point="err_ts_us",
+        start="click_ts_us", end="click_end_us",
+        bucket_width=win_us,
+    )
+    return joined.select(
+        "user_id", "error_id", "click_id",
+        (F.col("err_ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
 def click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every purchase event, the most
     recent prior-or-simultaneous click by the same user. Single shuffle,
@@ -420,6 +453,7 @@ QUERIES = {
     "events_json_value": events_json_value,
     "events_approx_users": events_approx_users,
     "click_before_purchase": click_before_purchase,
+    "errors_near_click": errors_near_click,
 }
 
 ORACLE = {
@@ -594,6 +628,25 @@ ORACLE = {
                COUNT(json_extract_string(props, '$.k')) AS n,
                {sql_dsum('value')} AS total_value
         FROM events GROUP BY 1
+    """,
+    "errors_near_click": """
+        WITH errors AS (
+            SELECT user_id, event_id AS error_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS err_ts_us
+            FROM events WHERE event_type = 'error'
+        ),
+        clicks AS (
+            SELECT user_id, event_id AS click_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT e.user_id, e.error_id, c.click_id,
+               e.err_ts_us - c.click_ts_us AS gap_us
+        FROM errors e
+        JOIN clicks c
+          ON e.user_id = c.user_id
+         AND c.click_ts_us <= e.err_ts_us
+         AND e.err_ts_us < c.click_ts_us + CAST(21600000000 AS BIGINT)
     """,
     "click_before_purchase": """
         SELECT p.user_id AS user_id,
