@@ -222,6 +222,84 @@ def _seq_norms(np, mat):
     return np.sqrt(acc)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by cosine (ties → lowest centroid id). Implemented as explode over the
+    centroid list + a row_number window — the exact formulation the SQL
+    oracle uses, so cell assignments match across engines bit-for-bit.
+    Centroids ride the plan as literals (K × dim floats)."""
+    structs = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        structs.append(
+            F.struct(
+                F.lit(cid).alias("cent_id"),
+                cosine(F.col(vec_col), c).alias("cent_cos"),
+            )
+        )
+    exploded = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm"),
+        F.explode(F.array(*structs)).alias("c"),
+    ).select(id_col, vec_col, "nrm", "c.cent_id", "c.cent_cos")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "nrm", F.col("cent_id").alias("cell"))
+    )
+
+
+def ann_neighbors_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+) -> DataFrame:
+    """IVF approximate kNN: corpus partitioned into ``n_cells`` coarse
+    cells (centroids = first ``n_cells`` vectors by id — deterministic;
+    production would k-means them, the operator contract is unchanged);
+    each query scores only its own cell. Complementary to the hyperplane-
+    LSH path: IVF adapts to the data distribution, LSH needs no training.
+    Recall is bounded by single-probe assignment; raise recall by probing
+    more cells (n_probe) at proportional cost."""
+    cents = planes_from_corpus(corpus, id_col, vec_col, n_cells)
+    centroids = list(enumerate(cents))
+    cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    qb = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    scored = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_dup_embeddings(
     df: DataFrame,
     id_col: str,

@@ -28,6 +28,7 @@ JACCARD_THRESHOLD = 0.5
 COS_THRESHOLD = 0.4
 KNN_K = 5
 N_PLANES = 4
+N_CELLS = 8
 
 # ------------------------------------------------------------------- text
 
@@ -167,6 +168,15 @@ def emb_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate kNN (coarse-quantizer cells; the
+    data-adaptive counterpart of the hyperplane-LSH path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.ann_neighbors_ivf(queries, emb, "vec_id", "embedding", k=KNN_K, n_cells=N_CELLS)
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= threshold (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -193,6 +203,7 @@ QUERIES = {
     "emb_norms": emb_norms,
     "emb_knn": emb_knn,
     "emb_ann_knn": emb_ann_knn,
+    "emb_ann_ivf": emb_ann_ivf,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
 }
@@ -283,6 +294,29 @@ _SQL_BUCKETED = f"""
         GROUP BY e.vec_id, e.embedding, e.nrm
 """
 
+_SQL_IVF_CELLS = f"""
+        cents AS (
+            SELECT vec_id AS cent_id, embedding AS cvec,
+                   {VX.sql_l2_norm('embedding')} AS cnrm
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        scored_cents AS (
+            SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                   {VX.sql_dot('e.embedding', 'c.cvec')}
+                   / ({VX.sql_l2_norm('e.embedding')} * {VX.sql_l2_norm('c.cvec')}) AS cent_cos
+            FROM e, cents c
+        ),
+        cells AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id ASC
+                ) AS rn
+                FROM scored_cents
+            ) WHERE rn = 1
+        )
+"""
+
 ORACLE = {
     "doc_token_stats": f"""
         SELECT doc_id,
@@ -352,6 +386,21 @@ ORACLE = {
                    {_SQL_COS} AS cos_sim
             FROM (SELECT * FROM bucketed WHERE vec_id < 10) a
             JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= {KNN_K}
+    """,
+    "emb_ann_ivf": f"""
+        WITH e AS ({_SQL_EMB}),
+        {_SQL_IVF_CELLS},
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_SQL_COS} AS cos_sim
+            FROM (SELECT * FROM cells WHERE vec_id < 10) a
+            JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         )
         SELECT query_id, neighbor_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id

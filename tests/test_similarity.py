@@ -78,6 +78,28 @@ class TestLshBuckets:
         }
         assert all(set(r["bucket"]) <= {"0", "1"} and len(r["bucket"]) == 4 for r in b1)
 
+    def test_ivf_cells_partition_corpus(self, spark, vecs):
+        cents = SIM.planes_from_corpus(vecs, "vec_id", "embedding", n_planes=4)
+        assigned = SIM.ivf_assign(vecs, list(enumerate(cents)), "vec_id", "embedding")
+        rows = assigned.collect()
+        assert len(rows) == vecs.count()  # every vector in exactly one cell
+        assert {r["cell"] for r in rows} <= {0, 1, 2, 3}
+        # centroid vectors assign to themselves (cos=1 with own centroid)
+        own = {r["vec_id"]: r["cell"] for r in rows if r["vec_id"] < 4}
+        assert own == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_ivf_ann_subset_of_exact(self, spark, vecs):
+        queries = vecs.filter(F.col("vec_id") < 3)
+        ann = SIM.ann_neighbors_ivf(queries, vecs, "vec_id", "embedding", k=4, n_cells=4)
+        exact = SIM.knn_bruteforce(queries, vecs, "vec_id", "embedding", k=60)
+        exact_sims = {
+            (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()
+        }
+        for r in ann.collect():
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in exact_sims
+            assert r["cos_sim"] == pytest.approx(exact_sims[key], rel=1e-9)
+
     def test_ann_subset_of_exact_candidates(self, spark, vecs):
         queries = vecs.filter(F.col("vec_id") < 3)
         ann = SIM.ann_neighbors_lsh(queries, vecs, "vec_id", "embedding", k=4, n_planes=2)
