@@ -33,8 +33,13 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # warmup: tiny action to absorb JVM startup + codegen compile
+    # warmup: absorb JVM startup, codegen compile, and parquet reader init
+    # (sf0.001 scan — steady-state per-query numbers, negligible work)
+    from mini_data_platform_spark.catalog import load_table
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, "/root/testdata/sf0.001", t).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
