@@ -78,3 +78,38 @@ def read_file_as_strings(spark: SparkSession, path: str, fmt: str | None = None)
     the exact same coercion rules as CSV text."""
     df = read_file(spark, path, fmt)
     return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def read_csv_tracking_corrupt(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Row-level quarantine variant (SURVEY.md V4): typed PERMISSIVE read
+    where rows that fail the schema land intact in ``_corrupt_record``
+    instead of failing the file. Complements the file-granularity
+    validators: use this when a file is broadly healthy and only stray
+    rows should quarantine. ``schema`` must NOT already contain the
+    corrupt column."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    return normalize_column_names(
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(full)
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, corrupt_rows): good rows drop the tracking column;
+    corrupt rows keep the raw line for the quarantine sink. The cache is
+    required — Spark refuses plans that filter on only the internal
+    corrupt column of an uncached PERMISSIVE read (the parser would have
+    pruned the data columns away)."""
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_record")
+    )
+    return good, bad
