@@ -355,6 +355,34 @@ def events_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_day_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue: a generated date spine (min..max order
+    date) left-joined onto the daily aggregate, missing days as zero.
+    The spine is F.sequence over the aggregated min/max — one row per
+    day, built from a 1-row subquery, so the spine side is a broadcast
+    at any scale; dashboards need dense axes and 100 TB of orders still
+    has only ~1e4 distinct days."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("rev"), F.count("*").alias("n")
+    )
+    bounds = orders.select(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -452,6 +480,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_json_value": events_json_value,
     "events_approx_users": events_approx_users,
+    "revenue_by_day_dense": revenue_by_day_dense,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
 }
@@ -628,6 +657,27 @@ ORACLE = {
                COUNT(json_extract_string(props, '$.k')) AS n,
                {sql_dsum('value')} AS total_value
         FROM events GROUP BY 1
+    """,
+    "revenue_by_day_dense": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {sql_dsum('o_totalprice')} AS rev, COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        bounds AS (
+            SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                   MAX(CAST(o_orderdate AS DATE)) AS hi
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(u.d AS DATE) AS day
+            FROM bounds, unnest(generate_series(bounds.lo, bounds.hi,
+                                                INTERVAL 1 DAY)) AS u(d)
+        )
+        SELECT s.day,
+               COALESCE(d.rev, 0.0) AS revenue,
+               COALESCE(d.n, 0) AS n_orders
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
     """,
     "errors_near_click": """
         WITH errors AS (

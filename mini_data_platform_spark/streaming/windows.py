@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterable, Iterator, Sequence
 
 import pandas as pd
 
@@ -62,6 +62,24 @@ def windowed_event_stats(
             "sum_value",
             "approx_users",
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: emit the first arrival of
+    each key, drop replays. ``dropDuplicatesWithinWatermark`` evicts key
+    state older than the watermark, so state size tracks the watermark
+    window, not the stream's lifetime (the difference between a feasible
+    and an impossible 100 TB/day dedup; plain ``dropDuplicates(keys)``
+    would keep every key forever). Re-delivery later than the watermark
+    is the accepted trade-off, same as any at-least-once upstream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 

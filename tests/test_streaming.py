@@ -110,6 +110,45 @@ class TestWindowedStats:
         assert sum(r["n_events"] for r in rows) == 3
 
 
+class TestStreamDedup:
+    def test_replays_dropped_across_microbatches(self, spark, tmp_path):
+        from mini_data_platform_spark.streaming import dedup_stream
+
+        src = str(tmp_path / "dd_src")
+        os.makedirs(src)
+        rows1 = [
+            Row(event_id=1, ts=_ts(0), user_id=1, event_type="c", value=1.0),
+            Row(event_id=2, ts=_ts(1), user_id=1, event_type="c", value=2.0),
+        ]
+        rows2 = [
+            Row(event_id=2, ts=_ts(1), user_id=1, event_type="c", value=2.0),  # replay
+            Row(event_id=3, ts=_ts(2), user_id=1, event_type="c", value=3.0),
+        ]
+        spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("dd_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dd_out").collect())
+        assert got == [1, 2, 3]  # the replayed id 2 appears exactly once
+
+
 class TestSessionize:
     def test_finished_sessions_emit_within_batch(self, spark, tmp_path):
         # user 7: burst at t=0..5min (3 events), 40-min gap, burst at t=45
