@@ -53,6 +53,43 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — static conf on some build: leave as-is
             pass
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver process's cwd/PYTHONPATH.
+
+    mapInPandas/applyInPandas closures reference module-level functions
+    (decoders, numpy kernels), which cloudpickle serializes BY REFERENCE —
+    workers must import the module. A host session built outside this repo
+    (the driver harness, a notebook, spark-submit from elsewhere) has no
+    such guarantee, so ship the package source as an archive via
+    ``sc.addPyFile`` — the same mechanism used to deploy this engine to a
+    real cluster. Once per SparkContext; never raises (a session that can
+    already import us works without it)."""
+    try:
+        sc = spark.sparkContext
+        if getattr(sc, "_mdp_pkg_shipped", False):
+            return
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"mdp_spark_pkg_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        sc.addPyFile(zip_path)
+        sc._mdp_pkg_shipped = True
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -52,20 +52,35 @@ def asof_join(
     payload = [*out_names.values()]
     ts_out = right_ts + suffix if right_ts in left.columns else right_ts
 
+    # The whole right row rides as ONE struct through last(ignorenulls=True):
+    # carrying payload columns independently would let a NULL payload field
+    # of the winning right row "resurrect" a stale non-null value from an
+    # older right row (and mix columns across right rows). The struct is
+    # non-null exactly for right rows, so last() picks the most recent right
+    # ROW atomically and its interior NULLs survive.
+    from pyspark.sql import types as T
+
+    struct_fields = [(ts_out, right.schema[right_ts].dataType)] + [
+        (out_names[c], right.schema[c].dataType) for c in right_cols
+    ]
+    null_struct = F.lit(None).cast(
+        T.StructType([T.StructField(n, t, True) for n, t in struct_fields])
+    )
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_tag"),
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
-        F.col(right_ts).alias(ts_out),
+        F.struct(
+            F.col(right_ts).alias(ts_out),
+            *[F.col(c).alias(out_names[c]) for c in right_cols],
+        ).alias("_asof_row"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
     )
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(ts_out),
+        null_struct.alias("_asof_row"),
         *[F.col(c) for c in left.columns if c not in on],
     )
 
@@ -80,9 +95,16 @@ def asof_join(
         *on,
         "_asof_tag",
         *[c for c in left.columns if c not in on],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in (*payload, ts_out)],
+        F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_row"),
     )
-    out = carried.filter(F.col("_asof_tag") == 1).drop("_asof_tag")
+    out = (
+        carried.filter(F.col("_asof_tag") == 1)
+        .select(
+            "*",
+            *[F.col(f"_asof_row.{n}").alias(n) for n in (*payload, ts_out)],
+        )
+        .drop("_asof_tag", "_asof_row")
+    )
     if how == "inner":
         out = out.filter(F.col(ts_out).isNotNull())
     return out

@@ -79,7 +79,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("modality", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -87,14 +87,18 @@ FEATURE_SCHEMA = T.StructType(
 def fake_feature_decoder(content: bytes, modality: str) -> list[float]:
     """Deterministic stand-in for a real decode→embed step: derives
     N_FEATURES floats from byte statistics. Content-dependent and stable,
-    so tests can assert real values through the full Spark plumbing."""
+    so tests can assert real values through the full Spark plumbing.
+
+    Each feature is a single IEEE-754 division ``sum(stride)/(255*len)``
+    (exact int numerator/denominator — no rounding step), so an SQL oracle
+    can reproduce the values bit-exactly."""
     if content is None:
         return [0.0] * N_FEATURES
     n = len(content)
     out = []
     for i in range(N_FEATURES):
         stride = content[i::N_FEATURES] or b"\x00"
-        out.append(round(sum(stride) / (255.0 * len(stride)), 6))
+        out.append(sum(stride) / (255.0 * len(stride)))
     return out if n else [0.0] * N_FEATURES
 
 

@@ -142,17 +142,27 @@ def allpairs_cosine_blocked(
     vec_col: str,
     threshold: float,
     block: int = 512,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine (id_a < id_b, cos >= threshold) via blocked
-    numpy over ``mapInPandas``.
+    """Exact all-pairs cosine (id_a < id_b, cos >= threshold), fully
+    distributed via a block-pair equi-join + grouped numpy scoring.
 
-    The corpus is broadcast as a (n × dim) float64 matrix (all-pairs exact
-    search requires one side resident anyway — beyond broadcastable sizes
-    the LSH path is the answer); each partition's rows are scored against
-    it in ``block``-column chunks, so peak memory is
-    batch × block × dim × 8B per task. ~10× faster than the per-pair
-    zip_with/aggregate expression at sf0.1 (30s → ~3s) because the inner
-    loop is vectorized C instead of interpreted HOF lambdas.
+    Plan shape (no driver-side data path at all — the corpus never
+    touches the driver):
+      1. every vector hashes into one of ``n_blocks`` blocks
+         (murmur3 pmod — deterministic, evenly spread);
+      2. each row is shuffled to every (bi, bj) block-pair group it
+         participates in (bi <= bj enumerated as a broadcast literal
+         frame), i.e. replication factor n_blocks+1;
+      3. ``applyInPandas`` per block-pair builds the two block matrices
+         and scores them in ``block``-column numpy chunks, so peak task
+         memory is (rows_per_block × dim × 8B) × 2 — tune ``n_blocks``
+         so a block fits an executor, which is exactly how the O(n²)
+         work keeps scaling past broadcast sizes.
+    Total compute stays the exact-search n²/2; it is spread over
+    (n_blocks²+n_blocks)/2 independent tasks instead of |partitions|
+    driver-fed ones. ~10× faster than the per-pair zip_with/aggregate
+    expression at sf0.1 because the inner loop is vectorized C.
 
     Bit-parity with the sequential-fold oracle (functions/vectors.py
     doctrine) is preserved deliberately: float32×float32 products are
@@ -165,53 +175,89 @@ def allpairs_cosine_blocked(
     import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    rows.sort(key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, mat, _seq_norms(np, mat)))
+    base = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    pair_rows = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+    # left role: row's block is bi; right role: row's block is bj. For the
+    # diagonal (bi == bj) only the left role ships — the scorer reuses the
+    # left matrix for both sides, halving diagonal shuffle volume.
+    lhs = base.join(F.broadcast(pairs), base["blk"] == pairs["bi"]).select(
+        "bi", "bj", F.lit("L").alias("side"), "vid", "vec"
+    )
+    off_diag = pairs.filter(F.col("bi") != F.col("bj"))
+    rhs = base.join(
+        F.broadcast(off_diag), base["blk"] == off_diag["bj"]
+    ).select("bi", "bj", F.lit("R").alias("side"), "vid", "vec")
 
     out_schema = "id_a long, id_b long, cos_sim double"
 
-    def score(batches):
-        b_ids, b_mat, b_norms = bc.value
-        n, dim = b_mat.shape
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if not len(a_ids):
-                continue
-            a_norms = _seq_norms(np, a_mat)
-            for a_lo in range(0, len(a_ids), block):
-                a_hi = min(a_lo + block, len(a_ids))
-                am = a_mat[a_lo:a_hi]
-                for lo in range(0, n, block):
-                    hi = min(lo + block, n)
-                    bm = b_mat[lo:hi]
-                    # sequential-over-dim accumulation: bit-equal to a fold
-                    acc = am[:, 0, None] * bm[None, :, 0]
-                    for k in range(1, dim):
-                        acc += am[:, k, None] * bm[None, :, k]
-                    cos = acc / (a_norms[a_lo:a_hi, None] * b_norms[None, lo:hi])
-                    ok = (a_ids[a_lo:a_hi, None] < b_ids[None, lo:hi]) & (
-                        cos >= threshold
-                    )
-                    ai, bj = np.nonzero(ok)
-                    if len(ai):
-                        yield pd.DataFrame(
+    def score(key, pdf: pd.DataFrame):
+        bi, bj = key
+        left = pdf[pdf["side"] == "L"].sort_values("vid")
+        a_ids = left["vid"].to_numpy(dtype=np.int64)
+        if not len(a_ids):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        a_mat = np.array([np.asarray(v, dtype=np.float64) for v in left["vec"]])
+        a_norms = _seq_norms(np, a_mat)
+        if bi == bj:
+            b_ids, b_mat, b_norms = a_ids, a_mat, a_norms
+        else:
+            right = pdf[pdf["side"] == "R"].sort_values("vid")
+            b_ids = right["vid"].to_numpy(dtype=np.int64)
+            if not len(b_ids):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                    {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+                )
+            b_mat = np.array([np.asarray(v, dtype=np.float64) for v in right["vec"]])
+            b_norms = _seq_norms(np, b_mat)
+        dim = a_mat.shape[1]
+        outs = []
+        for a_lo in range(0, len(a_ids), block):
+            a_hi = min(a_lo + block, len(a_ids))
+            am = a_mat[a_lo:a_hi]
+            for lo in range(0, len(b_ids), block):
+                hi = min(lo + block, len(b_ids))
+                bm = b_mat[lo:hi]
+                # sequential-over-dim accumulation: bit-equal to a fold
+                acc = am[:, 0, None] * bm[None, :, 0]
+                for k in range(1, dim):
+                    acc += am[:, k, None] * bm[None, :, k]
+                cos = acc / (a_norms[a_lo:a_hi, None] * b_norms[None, lo:hi])
+                ok = (a_ids[a_lo:a_hi, None] != b_ids[None, lo:hi]) & (
+                    cos >= threshold
+                )
+                ai, bj_idx = np.nonzero(ok)
+                if len(ai):
+                    xa, xb = a_ids[a_lo + ai], b_ids[lo + bj_idx]
+                    outs.append(
+                        pd.DataFrame(
                             {
-                                "id_a": a_ids[a_lo + ai],
-                                "id_b": b_ids[lo + bj],
-                                "cos_sim": cos[ai, bj],
+                                # orient unordered pairs as id_a < id_b; the
+                                # != guard above dropped self-pairs, and each
+                                # unordered pair reaches exactly one group
+                                "id_a": np.minimum(xa, xb),
+                                "id_b": np.maximum(xa, xb),
+                                "cos_sim": cos[ai, bj_idx],
                             }
                         )
+                    )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        # diagonal groups score the full square: keep the upper triangle once
+        if bi == bj:
+            out = out.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
+        return out
 
-    cpus = spark.sparkContext.defaultParallelism
-    return (
-        df.select(id_col, vec_col)
-        .repartition(max(cpus, 1))
-        .mapInPandas(score, out_schema)
-    )
+    return lhs.unionByName(rhs).groupBy("bi", "bj").applyInPandas(score, out_schema)
 
 
 def _seq_norms(np, mat):

@@ -643,8 +643,11 @@ ORACLE = {
         ),
         sessions AS (
             SELECT user_id, ts_us,
-                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                                       ROWS UNBOUNDED PRECEDING) AS session_no
+                   -- DuckDB windowed SUM yields HUGEINT; Spark emits BIGINT.
+                   -- Cast so the driver's dtype-sensitive value hash matches.
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_no
             FROM flagged
         )
         SELECT user_id, session_no, COUNT(*) AS n_events,

@@ -11,8 +11,13 @@ sha256 only accepts VARCHAR.
 
 ``asset_features`` exercises the real multimodal hot path — binary
 columns through Arrow-batched ``mapInPandas`` with an injected decoder
-(the deterministic fake; real decode libs are not in this container) —
-and is oracle-omitted by design (driver records the rows-only check).
+(the deterministic fake; real decode libs are not in this container).
+The fake decoder's stride-mean features are plain IEEE divisions over
+byte sums, so the DuckDB oracle reproduces them bit-exactly by exploding
+byte positions (``unnest(range(octet_length(...)))``) and decoding each
+byte from the hex dump. Features are emitted as eight unpacked double
+columns ``f0..f7`` — the driver's pandas canonicalizer cannot sort/hash
+raw ``array`` cells.
 """
 
 from __future__ import annotations
@@ -71,12 +76,18 @@ def asset_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → feature vectors through mapInPandas with the deterministic
-    fake decoder (real plumbing, stubbed decode). No SQL oracle — custom
-    Python batch operator."""
+    fake decoder (real plumbing, stubbed decode). The array column is
+    unpacked to scalar doubles f0..f7 so the result is canonicalizable
+    (and row-shape-stable) for the driver's value-hash compare."""
     out = MM.extract_features(
         assets_from_documents(spark, sf_dir), decoder=MM.fake_feature_decoder
     )
-    return out.select("asset_id", "modality", "n_bytes", "features")
+    return out.select(
+        "asset_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[F.col("features")[i].alias(f"f{i}") for i in range(MM.N_FEATURES)],
+    )
 
 
 QUERIES = {
@@ -97,5 +108,43 @@ ORACLE = {
                octet_length(content) AS n_bytes,
                sha256(hex(content)) AS content_sha
         FROM assets
+    """,
+    # Bit-exact oracle for the fake decoder (operators/multimodal.py
+    # fake_feature_decoder): feature i = sum(content[i::8]) / (255*len) as
+    # one IEEE double division. Bytes decode from the uppercase hex dump
+    # (DuckDB blobs have no direct byte accessor); missing strides -> 0.0,
+    # matching the decoder's b"\\x00" fallback.
+    "asset_features": f"""
+        WITH assets AS ({_SQL_ASSETS}),
+        positions AS (
+            SELECT asset_id, modality,
+                   CAST(octet_length(content) AS BIGINT) AS n_bytes,
+                   hex(content) AS h, u.j AS j
+            FROM assets, unnest(range(octet_length(content))) AS u(j)
+        ),
+        byte_vals AS (
+            SELECT asset_id, modality, n_bytes,
+                   CAST(j % 8 AS INT) AS slot,
+                   (strpos('0123456789ABCDEF',
+                           substr(h, CAST(2 * j + 1 AS INT), 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                             substr(h, CAST(2 * j + 2 AS INT), 1)) - 1) AS b
+            FROM positions
+        ),
+        stride_means AS (
+            SELECT asset_id, modality, n_bytes, slot,
+                   CAST(SUM(b) AS DOUBLE) / (255.0 * COUNT(*)) AS f
+            FROM byte_vals GROUP BY 1, 2, 3, 4
+        )
+        SELECT asset_id, modality, n_bytes,
+               COALESCE(MAX(CASE WHEN slot = 0 THEN f END), 0.0) AS f0,
+               COALESCE(MAX(CASE WHEN slot = 1 THEN f END), 0.0) AS f1,
+               COALESCE(MAX(CASE WHEN slot = 2 THEN f END), 0.0) AS f2,
+               COALESCE(MAX(CASE WHEN slot = 3 THEN f END), 0.0) AS f3,
+               COALESCE(MAX(CASE WHEN slot = 4 THEN f END), 0.0) AS f4,
+               COALESCE(MAX(CASE WHEN slot = 5 THEN f END), 0.0) AS f5,
+               COALESCE(MAX(CASE WHEN slot = 6 THEN f END), 0.0) AS f6,
+               COALESCE(MAX(CASE WHEN slot = 7 THEN f END), 0.0) AS f7
+        FROM stride_means GROUP BY 1, 2, 3
     """,
 }

@@ -75,6 +75,9 @@ def list_objects(prefix: str) -> list[str]:
     return sorted(
         p for p in glob.glob(os.path.join(prefix, "*")) if os.path.isfile(p)
     )
+
+
+def ensure_bucket(bucket_or_dir: str) -> None:
     """head-else-create (reference minio_client.py:32-42); mkdir -p locally."""
     if is_s3_uri(bucket_or_dir):
         if boto3 is None:

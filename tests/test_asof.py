@@ -34,6 +34,23 @@ def test_inner_drops_unmatched(spark):
     assert sorted(r.pid for r in out.collect()) == ["p1", "p2"]
 
 
+def test_nullable_payload_not_resurrected(spark):
+    """The winning right row's NULL payload fields must stay NULL, and all
+    payload columns must come from the SAME right row (struct carry — a
+    per-column last(ignorenulls) would resurrect stale values)."""
+    left = spark.createDataFrame(
+        [("u1", 300, "p1")], "user string, ts_us long, pid string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "old-a", "old-b"), ("u1", 200, None, "new-b")],
+        "user string, click_ts long, a string, b string",
+    )
+    row = asof_join(left, right, ["user"], "ts_us", "click_ts").collect()[0]
+    assert row.click_ts == 200
+    assert row.a is None  # NOT "old-a" from the stale row
+    assert row.b == "new-b"
+
+
 def test_collision_suffix(spark):
     left = spark.createDataFrame([("u1", 100, "L")], "user string, ts long, v string")
     right = spark.createDataFrame([("u1", 90, "R")], "user string, rts long, v string")

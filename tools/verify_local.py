@@ -51,6 +51,48 @@ def rows_to_multiset(cols, rows):
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+#: type → comparison kind. The driver fetches both sides into pandas and
+#: value-hashes; int width differences are harmless (both land as intNN and
+#: hash equal), but DuckDB HUGEINT/DECIMAL fetch as float64/object and hash
+#: differently from Spark's bigint/double — the events_sessionize round-1
+#: failure mode. Flag any kind mismatch.
+_DUCK_KINDS = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i", "UBIGINT": "i",
+    "HUGEINT": "hugeint!", "UHUGEINT": "hugeint!",
+    "FLOAT": "f", "DOUBLE": "f", "VARCHAR": "s", "BOOLEAN": "b",
+    "DATE": "d", "TIMESTAMP": "t", "TIMESTAMP_NS": "t", "BLOB": "y",
+}
+
+
+def duck_kind(type_name: str) -> str:
+    t = str(type_name).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal!"
+    return _DUCK_KINDS.get(t, t)
+
+
+def spark_kind(dt) -> str:
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if name in ("float", "double"):
+        return "f"
+    if name == "string":
+        return "s"
+    if name == "boolean":
+        return "b"
+    if name == "date":
+        return "d"
+    if name.startswith("timestamp"):
+        return "t"
+    if name == "binary":
+        return "y"
+    if name.startswith("decimal"):
+        return "decimal!"
+    return name
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="subset of query names to check")
@@ -98,6 +140,18 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            skinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
+            dtypes = con.execute(
+                f"DESCRIBE {oracles[name]}"  # noqa: S608 — local tool
+            ).fetchall()
+            dkinds = {r[0]: duck_kind(r[1]) for r in dtypes}
+            for c in scols:
+                if skinds[c] != dkinds.get(c):
+                    problems.append(
+                        f"dtype kind mismatch on {c!r}: spark={skinds[c]} "
+                        f"duckdb={dkinds.get(c)} (driver hash will diverge)"
+                    )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if not problems:
