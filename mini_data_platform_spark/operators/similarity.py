@@ -273,12 +273,17 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid
-    by cosine (ties → lowest centroid id). Implemented as explode over the
-    centroid list + a row_number window — the exact formulation the SQL
-    oracle uses, so cell assignments match across engines bit-for-bit.
-    Centroids ride the plan as literals (K × dim floats)."""
+    """IVF coarse quantization: assign every vector to its ``n_probe``
+    nearest centroids by cosine (ties → lowest centroid id). With the
+    default ``n_probe=1`` this is the storage-side cell assignment; the
+    query side passes ``n_probe>1`` to probe several cells (the standard
+    IVF recall knob — each extra probe costs one more cell's candidates).
+    Implemented as explode over the centroid list + a row_number window —
+    the exact formulation the SQL oracle uses, so cell assignments match
+    across engines bit-for-bit. Centroids ride the plan as literals
+    (K × dim floats)."""
     structs = []
     for cid, cvec in centroids:
         c = F.array(*[F.lit(float(x)) for x in cvec])
@@ -297,7 +302,7 @@ def ivf_assign(
     )
     return (
         exploded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_probe)
         .select(id_col, vec_col, "nrm", F.col("cent_id").alias("cell"))
     )
 
@@ -309,14 +314,17 @@ def ann_neighbors_ivf(
     vec_col: str,
     k: int = 5,
     n_cells: int = 8,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF approximate kNN: corpus partitioned into ``n_cells`` coarse
     cells (centroids = first ``n_cells`` vectors by id — deterministic;
     production would k-means them, the operator contract is unchanged);
-    each query scores only its own cell. Complementary to the hyperplane-
-    LSH path: IVF adapts to the data distribution, LSH needs no training.
-    Recall is bounded by single-probe assignment; raise recall by probing
-    more cells (n_probe) at proportional cost."""
+    each query scores its ``n_probe`` nearest cells. Complementary to the
+    hyperplane-LSH path: IVF adapts to the data distribution, LSH needs no
+    training. Recall rises monotonically with ``n_probe`` (each corpus
+    vector lives in exactly one cell, so probing p cells scores a superset
+    of probing p-1) at proportional candidate cost — the standard
+    IVF recall/latency dial."""
     cents = planes_from_corpus(corpus, id_col, vec_col, n_cells)
     centroids = list(enumerate(cents))
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
@@ -325,7 +333,7 @@ def ann_neighbors_ivf(
         F.col("nrm").alias("c_norm"),
         "cell",
     )
-    qb = ivf_assign(queries, centroids, id_col, vec_col).select(
+    qb = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("nrm").alias("q_norm"),

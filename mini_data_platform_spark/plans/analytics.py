@@ -302,6 +302,252 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the 100 TB default. approx_percentile
+    keeps one fixed-size mergeable GK sketch per group (map-side partials,
+    no per-group sort), vs the exact variant's full sort per group. With
+    ``accuracy >= |group|`` the sketch is in its exact-rank regime and
+    returns the discrete quantile (an actual data value), which DuckDB's
+    quantile_disc reproduces — so even the approx operator is
+    value-oracle-checked at test scale; production would dial accuracy
+    down (1e4 ≈ 0.01% rank error) and keep the identical plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(1_000_000)
+    price = F.col("l_extendedprice")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile_approx(price, F.lit(0.25), acc).alias("p25"),
+        F.percentile_approx(price, F.lit(0.5), acc).alias("p50"),
+        F.percentile_approx(price, F.lit(0.75), acc).alias("p75"),
+    )
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type — the oracle-checked twin of
+    events_approx_users (HLL sketches are engine-specific, so the approx
+    row can't value-match an oracle; this one can and does)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts/totals through the two-stage SALTED aggregate
+    (operators/skew.py): partial-agg on (user_id, salt) spreads any hot key
+    over 8 reducers, then partials merge per user. Value parity with the
+    plain-GROUP-BY oracle holds because the summed term is DECIMAL(30,6)
+    (exact, associative — the _parity.py recipe), so the extra merge stage
+    cannot change the result."""
+    from mini_data_platform_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", F.col("value").cast("decimal(30,6)").alias("value_dec")
+    )
+    out = salted_agg(
+        base,
+        ["user_id"],
+        {"n_events": ("count", "*"), "total_dec": ("sum", "value_dec")},
+        n_salts=8,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT operator: order counts per status × priority as a wide matrix.
+    The pivot value list is explicit (TPC-H's five fixed priorities), so no
+    discovery pass runs and the plan is a single groupBy — pivot with known
+    values is exactly one shuffle at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    values = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out_names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    wide = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", values)
+        .count()
+    )
+    return wide.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n)
+            for v, n in zip(values, out_names)
+        ],
+    )
+
+
+def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) operator: lineitem measure columns rotated into
+    (metric, value) long form, then aggregated per metric. Unpivot is a
+    narrow per-row expansion (no shuffle); the single shuffle is the
+    following 4-key aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        dsum(F.col("val")).alias("total"),
+        F.count("val").alias("n"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+    )
+
+
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist over
+    account balance WITHIN each nation (a partitioned window — never a
+    global sort; each nation's customers sort independently). The ordering
+    includes the unique custkey tiebreak, making every rank function
+    deterministic; percent_rank/cume_dist are then single double divisions
+    with identical IEEE results in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def _dsum_prod(a, b):
+    """Order-independent sum of a cross/square product term, exact in BOTH
+    engines: each factor casts to DECIMAL(18,2) FIRST (2dp-true money/qty
+    values sit exactly on that grid — the _parity.py doctrine), then the
+    multiplication and sum run entirely in decimal arithmetic (exact,
+    associative). Casting the double product x*x to decimal instead would
+    diverge cross-engine: at 1e11 magnitude the product's 4dp true value
+    exceeds double's 16-digit grid, so Spark's exact-binary HALF_UP and
+    DuckDB's multiply-by-10^s rounding disagree in the last ulp.
+
+    The exact sum (~1e14, scale 4 → 18-19 significant digits) ALSO exceeds
+    double precision, and the engines' decimal→double casts round
+    differently there (DuckDB converts int128 then divides by 10^scale —
+    two roundings; Spark's BigDecimal path is correctly rounded once). So
+    the conversion is split: integer part (int→double is correctly rounded
+    in both engines) + sub-1 fractional part (well inside double
+    precision), added with one deterministic IEEE add."""
+    s = F.sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)"))
+    hi = F.floor(s)
+    return hi.cast("double") + (s - hi).cast("double")
+
+
+def _sql_dsum_prod(a: str, b: str) -> str:
+    s = f"SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+    return f"(CAST(FLOOR({s}) AS DOUBLE) + CAST({s} - FLOOR({s}) AS DOUBLE))"
+
+
+def order_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (sample stddev/variance) per priority —
+    computed from exact decimal power sums with the IDENTICAL double
+    formula in both engines, because native STDDEV implementations differ
+    in accumulation order (Welford vs naive vs pairwise) and would never
+    hash-match. var = (Σx² − (Σx)²/n)/(n−1) over exact Σ, Σ² terms: every
+    double op deterministic, so the result is bit-exact cross-engine —
+    and across re-runs of a 1000-executor job."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    agg = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("_s1"),
+        _dsum_prod(x, x).alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+    return agg.select(
+        "priority",
+        "n",
+        (F.col("_s1") / n).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
+
+
+def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per returnflag from exact decimal power/product
+    sums + one shared closed-form double expression (same rationale as
+    order_moments: native CORR accumulates in engine-specific order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("_sx"),
+        dsum(y).alias("_sy"),
+        _dsum_prod(x, x).alias("_sxx"),
+        _dsum_prod(y, y).alias("_syy"),
+        _dsum_prod(x, y).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * F.sqrt(
+        n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    return agg.select("returnflag", "n", (num / den).alias("corr_qty_price"))
+
+
+def nation_top_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per nation, the top-3 customers by
+    revenue joined into one comma-separated string (collect_list of
+    (rank, name) structs → array_sort → transform → array_join: all
+    JVM-side higher-order functions, equivalent to DuckDB's
+    string_agg(... ORDER BY)). The aggregate-first/rank-later shape keeps
+    the window input at |customers|."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    joined = per_cust.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    top = joined.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    names = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rnk", "c_name"))),
+            lambda s: s["c_name"],
+        ),
+        ",",
+    )
+    return top.groupBy(F.col("n_name").alias("nation")).agg(
+        names.alias("top_names"),
+        F.sum(F.col("revenue").cast("decimal(30,6)")).cast("double").alias("top_revenue"),
+    )
+
+
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql surface (the engine's
+    second query API — same Catalyst plan as the DataFrame path): per-
+    status, per-priority, both, and grand-total aggregates in ONE shuffle
+    (Spark expands the sets at the partial-agg stage, like rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders,
+               grouping_id() AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # ------------------------------------------------------------------- events
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,8 +634,10 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact count. At 100 TB approx_count_distinct is the only sane
     default: fixed-size sketch per group, mergeable map-side, no shuffle
     of distinct values. Oracle-omitted by design — HLL sketches are
-    engine-specific; the unit test pins the error bound against the exact
-    count instead."""
+    engine-specific; verification is split instead: the exact half is
+    oracle-checked as its own query (events_distinct_users) and the
+    approx half's rsd error bound is pinned by
+    tests/test_entry.py::test_approx_users_error_bound."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -476,6 +724,16 @@ QUERIES = {
     "order_stats_distinct": order_stats_distinct,
     "priority_status_matrix": priority_status_matrix,
     "price_quantiles": price_quantiles,
+    "price_quantiles_approx": price_quantiles_approx,
+    "order_priority_pivot": order_priority_pivot,
+    "lineitem_unpivot_stats": lineitem_unpivot_stats,
+    "customer_deciles": customer_deciles,
+    "order_moments": order_moments,
+    "quantity_price_corr": quantity_price_corr,
+    "nation_top_customer_names": nation_top_customer_names,
+    "order_grouping_sets": order_grouping_sets,
+    "events_distinct_users": events_distinct_users,
+    "events_user_stats_salted": events_user_stats_salted,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_json_value": events_json_value,
@@ -625,6 +883,118 @@ ORACLE = {
                quantile_cont(l_extendedprice, 0.5)  AS p50,
                quantile_cont(l_extendedprice, 0.75) AS p75
         FROM lineitem GROUP BY 1
+    """,
+    "price_quantiles_approx": """
+        SELECT l_returnflag AS returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS p25,
+               quantile_disc(l_extendedprice, 0.5)  AS p50,
+               quantile_disc(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY 1
+    """,
+    "order_priority_pivot": """
+        SELECT o_orderstatus AS status,
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+               COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+               COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+               COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
+               COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        FROM orders GROUP BY 1
+    """,
+    "lineitem_unpivot_stats": f"""
+        WITH long AS (
+            SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT metric, {sql_dsum('val')} AS total, COUNT(val) AS n,
+               MIN(val) AS lo, MAX(val) AS hi
+        FROM long GROUP BY 1
+    """,
+    "customer_deciles": """
+        SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+               c_acctbal AS acctbal,
+               NTILE(10) OVER w AS decile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    # identical closed-form double expression over exact decimal power sums
+    # (see order_moments docstring for why native STDDEV can't hash-match)
+    "order_moments": f"""
+        WITH agg AS (
+            SELECT o_orderpriority AS priority, COUNT(*) AS n,
+                   {sql_dsum('o_totalprice')} AS s1,
+                   {_sql_dsum_prod('o_totalprice', 'o_totalprice')} AS s2
+            FROM orders GROUP BY 1
+        )
+        SELECT priority, n,
+               s1 / CAST(n AS DOUBLE) AS mean_price,
+               (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                   AS var_price,
+               sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                   AS stddev_price
+        FROM agg
+    """,
+    "quantity_price_corr": f"""
+        WITH agg AS (
+            SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+                   {sql_dsum('l_quantity')} AS sx,
+                   {sql_dsum('l_extendedprice')} AS sy,
+                   {_sql_dsum_prod('l_quantity', 'l_quantity')} AS sxx,
+                   {_sql_dsum_prod('l_extendedprice', 'l_extendedprice')} AS syy,
+                   {_sql_dsum_prod('l_quantity', 'l_extendedprice')} AS sxy
+            FROM lineitem GROUP BY 1
+        )
+        SELECT returnflag, n,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+        FROM agg
+    """,
+    "nation_top_customer_names": f"""
+        WITH per_cust AS (
+            SELECT o_custkey, {sql_dsum('o_totalprice')} AS revenue
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n_name AS nation, c_name, revenue,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY revenue DESC, c_custkey ASC) AS rnk
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT nation,
+               string_agg(c_name, ',' ORDER BY rnk) AS top_names,
+               CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE) AS top_revenue
+        FROM ranked WHERE rnk <= 3 GROUP BY 1
+    """,
+    "order_grouping_sets": f"""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """,
+    "events_distinct_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "events_user_stats_salted": f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM events GROUP BY 1
     """,
     "events_hourly": f"""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

@@ -29,6 +29,7 @@ COS_THRESHOLD = 0.4
 KNN_K = 5
 N_PLANES = 4
 N_CELLS = 8
+N_PROBE = 2
 
 # ------------------------------------------------------------------- text
 
@@ -170,10 +171,15 @@ def emb_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate kNN (coarse-quantizer cells; the
-    data-adaptive counterpart of the hyperplane-LSH path)."""
+    data-adaptive counterpart of the hyperplane-LSH path). Queries probe
+    their top-``N_PROBE`` cells — the IVF recall dial; recall dominance
+    over single-probe is pinned in tests/test_similarity_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.ann_neighbors_ivf(queries, emb, "vec_id", "embedding", k=KNN_K, n_cells=N_CELLS)
+    out = SIM.ann_neighbors_ivf(
+        queries, emb, "vec_id", "embedding",
+        k=KNN_K, n_cells=N_CELLS, n_probe=N_PROBE,
+    )
     return out.withColumnRenamed("rank", "knn_rank")
 
 
@@ -314,6 +320,15 @@ _SQL_IVF_CELLS = f"""
                 ) AS rn
                 FROM scored_cents
             ) WHERE rn = 1
+        ),
+        qcells AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id ASC
+                ) AS rn
+                FROM scored_cents
+            ) WHERE rn <= {N_PROBE}
         )
 """
 
@@ -399,7 +414,7 @@ ORACLE = {
         scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    {_SQL_COS} AS cos_sim
-            FROM (SELECT * FROM cells WHERE vec_id < 10) a
+            FROM (SELECT * FROM qcells WHERE vec_id < 10) a
             JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         )
         SELECT query_id, neighbor_id, cos_sim,

@@ -121,12 +121,40 @@ def run_batch_ingest(
     sink: Callable[[DataFrame], int],
     audit: AuditLog | None = None,
     per_file: bool = False,
+    on_complete: Callable[[IngestReport], None] | None = None,
 ) -> IngestReport:
     """One ingestion batch over every file in ``incoming_dir``. ``sink``
     receives the cleaned, deduped, canonically-typed sales DataFrame and
     returns the row count it wrote (e.g. ``functools.partial(
     sinks.upsert_parquet, spark, target_dir=..., key_cols=["sale_id"])``
-    adapted, or an upsert_dbapi closure)."""
+    adapted, or an upsert_dbapi closure).
+
+    ``on_complete`` is the notification hook (reference
+    notify_success/notify_failure, process_sales_dags.py:37-62, without
+    baking in a transport): it receives the final IngestReport on EVERY
+    exit path — success and failure alike; distinguish via
+    ``report.failed`` — and, like the audit log, can never fail the
+    pipeline (exceptions are logged and swallowed)."""
+    report = _run_batch_ingest(
+        spark, incoming_dir, processed_dir, failed_dir, sink, audit, per_file
+    )
+    if on_complete is not None:
+        try:
+            on_complete(report)
+        except Exception:  # noqa: BLE001 — notification must never fail the run
+            logger.exception("on_complete notification hook raised")
+    return report
+
+
+def _run_batch_ingest(
+    spark: SparkSession,
+    incoming_dir: str,
+    processed_dir: str,
+    failed_dir: str,
+    sink: Callable[[DataFrame], int],
+    audit: AuditLog | None = None,
+    per_file: bool = False,
+) -> IngestReport:
     report = IngestReport()
     files = discover_files(incoming_dir)
     valid: list[str] = []

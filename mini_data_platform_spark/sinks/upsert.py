@@ -52,7 +52,10 @@ def on_conflict_sql(
     updates = ", ".join(
         f"{c} = EXCLUDED.{c}" for c in columns if c not in key_cols
     )
-    src = f"SELECT {collist} FROM {source}" if source else "VALUES %s"
+    # WHERE true disambiguates SELECT ... ON CONFLICT for sqlite's parser
+    # (required there, harmless in Postgres) so one statement shape serves
+    # both dialects and the staging merge is unit-testable on sqlite.
+    src = f"SELECT {collist} FROM {source} WHERE true" if source else "VALUES %s"
     return (
         f"INSERT INTO {table} ({collist}) {src} "
         f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {updates}"
@@ -103,6 +106,42 @@ def _insert_upsert_dbapi_sql(
 
 # ------------------------------------------------------------ JDBC strategy
 
+def staging_merge_statements(
+    table: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    staging_table: str,
+    dialect: str = "postgres",
+) -> list[str]:
+    """The ordered driver-side statements of the staging-merge upsert:
+    one set-based merge from the staging table, then the staging drop.
+    ``dialect='postgres'`` uses INSERT..ON CONFLICT, ``'merge'`` uses ANSI
+    MERGE INTO. Pure (no connection) so the exact SQL is unit-testable."""
+    if dialect == "merge":
+        merge = merge_into_sql(table, staging_table, columns, key_cols)
+    elif dialect == "postgres":
+        merge = on_conflict_sql(table, columns, key_cols, source=staging_table)
+    else:
+        raise ValueError(f"unknown merge dialect: {dialect!r}")
+    return [merge, f"DROP TABLE {staging_table}"]
+
+
+def execute_merge(conn, statements: Sequence[str]) -> None:
+    """Run the staging-merge statements on a java.sql-style connection
+    (``createStatement``/``execute``/``commit``/``close``): all statements
+    in one transaction, commit only after every statement succeeded, close
+    unconditionally. Separated from :func:`upsert_jdbc` so the lifecycle
+    (ordering, commit-after-drop, close-on-error) is testable with a stub
+    connection — the container has no JDBC jar to run the real thing."""
+    try:
+        stmt = conn.createStatement()
+        for s in statements:
+            stmt.execute(s)
+        conn.commit()
+    finally:
+        conn.close()
+
+
 def upsert_jdbc(
     df: DataFrame,
     url: str,
@@ -125,17 +164,12 @@ def upsert_jdbc(
         .options(**props)
         .jdbc(url, staging_table)
     )
-    merge = on_conflict_sql(table, df.columns, key_cols, source=staging_table)
     spark = df.sparkSession
     jvm = spark._jvm  # noqa: SLF001 — driver-side merge statement
     conn = jvm.java.sql.DriverManager.getConnection(url)
-    try:
-        stmt = conn.createStatement()
-        stmt.execute(merge)
-        stmt.execute(f"DROP TABLE {staging_table}")
-        conn.commit()
-    finally:
-        conn.close()
+    execute_merge(
+        conn, staging_merge_statements(table, df.columns, key_cols, staging_table)
+    )
 
 
 # ---------------------------------------------------------- DB-API strategy

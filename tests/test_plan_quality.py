@@ -69,6 +69,31 @@ class TestPythonBoundary:
             assert not uses_python_eval(llm.QUERIES[name](spark, SF)), name
 
 
+class TestNoDriverDataPath:
+    def test_allpairs_exact_never_collects(self, spark):
+        """The exact all-pairs operator must be fully distributed: building
+        the plan triggers ZERO Spark jobs (a driver-side collect would run
+        one), and the physical plan is the block-pair groupBy shape."""
+        import inspect
+
+        from mini_data_platform_spark.operators import similarity as SIM
+
+        src = inspect.getsource(SIM.allpairs_cosine_blocked)
+        assert ".collect()" not in src  # no driver hop in the operator body
+
+        emb = load_table(spark, SF, "embeddings")
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        df = SIM.allpairs_cosine_blocked(emb, "vec_id", "embedding", 0.4)
+        plan = explain_str(df, "simple")
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, "plan construction ran a Spark job (driver collect?)"
+        assert "FlatMapGroupsInPandas" in plan  # grouped numpy scoring
+        # values agree with the LSH-free oracle path at this scale
+        got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        assert all(a < b for a, b in got)
+
+
 class TestShuffleBudget:
     def test_dedup_is_single_shuffle(self, spark):
         rows = [Row(sale_id=str(i % 10), sale_date=None, v=i) for i in range(100)]
@@ -80,6 +105,27 @@ class TestShuffleBudget:
             F.sum("l_quantity")
         )
         assert count_exchanges(df) == 1
+
+    def test_pivot_with_known_values_bounded_shuffles(self, spark):
+        # Spark's pivot plan is two exchanges — (status, priority) pre-agg,
+        # then pivotfirst on status — but BOTH are partial-aggregated to
+        # |status×priority| rows per partition before shuffling, so the
+        # shuffle volume is constant regardless of input size. Pinning the
+        # count catches a regression to an unaggregated exchange.
+        from mini_data_platform_spark.plans.analytics import order_priority_pivot
+
+        assert count_exchanges(order_priority_pivot(spark, SF)) == 2
+
+    def test_grouping_sets_single_shuffle(self, spark):
+        from mini_data_platform_spark.plans.analytics import order_grouping_sets
+
+        assert count_exchanges(order_grouping_sets(spark, SF)) == 1
+
+    def test_unpivot_adds_no_shuffle(self, spark):
+        # unpivot is a narrow expansion; the single exchange is the groupBy
+        from mini_data_platform_spark.plans.analytics import lineitem_unpivot_stats
+
+        assert count_exchanges(lineitem_unpivot_stats(spark, SF)) == 1
 
     def test_minhash_signatures_single_shuffle(self, spark):
         from mini_data_platform_spark.operators.dedup_fuzzy import minhash_signatures

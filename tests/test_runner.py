@@ -211,3 +211,42 @@ class TestBatchIngest:
         )
         assert [o.status for o in report.outcomes] == ["loading_failed"]
         assert os.listdir(os.path.join(lake["failed"], "loading_failed")) == ["f.csv"]
+
+
+class TestNotificationHook:
+    """on_complete parity with the reference's notify_success/notify_failure
+    callbacks (process_sales_dags.py:37-62): fires on success AND failure
+    outcomes with the final report, and can never fail the pipeline."""
+
+    def test_invoked_on_success(self, spark, lake):
+        _put(lake, "good.ndjson", GOOD_NDJSON)
+        seen = []
+        audit = AuditLog(functools.partial(sqlite_conn_factory, lake["audit_db"]))
+        report = run_batch_ingest(
+            spark, lake["incoming"], lake["processed"], lake["failed"],
+            sink=_sink(spark, lake), audit=audit, on_complete=seen.append,
+        )
+        assert seen == [report]
+        assert not report.failed and len(report.loaded) == 1
+
+    def test_invoked_on_failure(self, spark, lake):
+        _put(lake, "bad.csv", BAD_CSV)
+        seen = []
+        report = run_batch_ingest(
+            spark, lake["incoming"], lake["processed"], lake["failed"],
+            sink=_sink(spark, lake), on_complete=seen.append,
+        )
+        assert seen == [report]
+        assert report.failed and report.failed[0].status == "validation_failed"
+
+    def test_raising_hook_never_fails_run(self, spark, lake):
+        _put(lake, "good.ndjson", GOOD_NDJSON)
+
+        def hook(_report):
+            raise RuntimeError("smtp down")
+
+        report = run_batch_ingest(
+            spark, lake["incoming"], lake["processed"], lake["failed"],
+            sink=_sink(spark, lake), on_complete=hook,
+        )
+        assert len(report.loaded) == 1  # pipeline outcome unaffected

@@ -100,6 +100,26 @@ class TestLshBuckets:
             assert key in exact_sims
             assert r["cos_sim"] == pytest.approx(exact_sims[key], rel=1e-9)
 
+    def test_ivf_nprobe_improves_recall(self, spark, vecs):
+        """n_probe is the IVF recall dial: probing 2 cells scores a strict
+        superset of candidates vs 1 cell, so recall@k vs exact top-k can
+        only rise — and on this seeded fixture it strictly does."""
+        queries = vecs.filter(F.col("vec_id") < 10)
+        exact = SIM.knn_bruteforce(queries, vecs, "vec_id", "embedding", k=4)
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+        def recalled(n_probe):
+            ann = SIM.ann_neighbors_ivf(
+                queries, vecs, "vec_id", "embedding",
+                k=4, n_cells=4, n_probe=n_probe,
+            )
+            got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+            return len(got & truth)
+
+        r1, r2 = recalled(1), recalled(2)
+        assert r2 >= r1  # monotone by construction
+        assert r2 > r1  # and strictly better on this fixture
+
     def test_ann_subset_of_exact_candidates(self, spark, vecs):
         queries = vecs.filter(F.col("vec_id") < 3)
         ann = SIM.ann_neighbors_lsh(queries, vecs, "vec_id", "embedding", k=4, n_planes=2)
