@@ -307,6 +307,55 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    round_scale: int = 4,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd's) for IVF coarse centroids, as pure
+    DataFrame ops: assign = cosine argmax against the current centroids
+    (the same explode+window formulation as ivf_assign), update =
+    per-dimension mean via posexplode + groupBy(cell, pos).
+
+    Scale: each iteration is one assignment pass (explode over k centroid
+    literals — k×dim extra flops per row, no shuffle beyond the argmax
+    window on vec id) plus one mean aggregation whose shuffle carries at
+    most k×dim partial means per input partition. The only driver traffic
+    is the k centroid rows per iteration — centroids are hyperparameters,
+    not data (planes_from_corpus doctrine).
+
+    Determinism: init = first k vectors by id; means are rounded to
+    ``round_scale`` decimals so the centroid literals (and every
+    downstream cell assignment) are stable against partial-aggregation
+    order and reproducible cross-engine. Empty cells keep their previous
+    centroid."""
+    centroids = list(enumerate(planes_from_corpus(df, id_col, vec_col, k)))
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        by_dim = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = by_dim.groupBy("cell", "pos").agg(
+            F.round(F.avg("x"), round_scale).alias("m")
+        )
+        rows = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        updated = {int(r["cell"]): [float(x) for x in r["cvec"]] for r in rows}
+        centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
 def ann_neighbors_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -315,18 +364,19 @@ def ann_neighbors_ivf(
     k: int = 5,
     n_cells: int = 8,
     n_probe: int = 1,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate kNN: corpus partitioned into ``n_cells`` coarse
-    cells (centroids = first ``n_cells`` vectors by id — deterministic;
-    production would k-means them, the operator contract is unchanged);
-    each query scores its ``n_probe`` nearest cells. Complementary to the
-    hyperplane-LSH path: IVF adapts to the data distribution, LSH needs no
-    training. Recall rises monotonically with ``n_probe`` (each corpus
-    vector lives in exactly one cell, so probing p cells scores a superset
-    of probing p-1) at proportional candidate cost — the standard
-    IVF recall/latency dial."""
-    cents = planes_from_corpus(corpus, id_col, vec_col, n_cells)
-    centroids = list(enumerate(cents))
+    cells (default centroids = first ``n_cells`` vectors by id —
+    deterministic; pass ``centroids=kmeans_centroids(...)`` for trained,
+    data-adaptive cells); each query scores its ``n_probe`` nearest cells.
+    Complementary to the hyperplane-LSH path: IVF adapts to the data
+    distribution, LSH needs no training. Recall rises monotonically with
+    ``n_probe`` (each corpus vector lives in exactly one cell, so probing
+    p cells scores a superset of probing p-1) at proportional candidate
+    cost — the standard IVF recall/latency dial."""
+    if centroids is None:
+        centroids = list(enumerate(planes_from_corpus(corpus, id_col, vec_col, n_cells)))
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

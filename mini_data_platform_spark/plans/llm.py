@@ -183,6 +183,25 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-TRAINED coarse centroids (one Lloyd's
+    iteration from the deterministic first-k seed — the data-adaptive
+    production path the naive variant's docstring promises). The oracle
+    unrolls the same iteration in SQL: centroid means round to 4 decimals
+    in both engines, making every downstream cell assignment and cosine
+    bit-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.kmeans_centroids(
+        emb, "vec_id", "embedding", k=N_CELLS, n_iter=1
+    )
+    out = SIM.ann_neighbors_ivf(
+        queries, emb, "vec_id", "embedding",
+        k=KNN_K, n_cells=N_CELLS, n_probe=N_PROBE, centroids=cents,
+    )
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= threshold (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -210,6 +229,7 @@ QUERIES = {
     "emb_knn": emb_knn,
     "emb_ann_knn": emb_ann_knn,
     "emb_ann_ivf": emb_ann_ivf,
+    "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
 }
@@ -332,6 +352,66 @@ _SQL_IVF_CELLS = f"""
         )
 """
 
+def _sql_cos_vs_cent(vec: str, cvec: str) -> str:
+    return (
+        f"{VX.sql_dot(vec, cvec)} / ({VX.sql_l2_norm(vec)} * {VX.sql_l2_norm(cvec)})"
+    )
+
+
+#: one unrolled Lloyd's iteration: assign to first-k seed centroids, update
+#: each cell's centroid to its rounded per-dimension mean (empty cells keep
+#: the seed), then the standard IVF probe/score over the trained cells.
+_SQL_IVF_TRAINED = f"""
+        cents0 AS (
+            SELECT vec_id AS cent_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        assign0 AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos_vs_cent('e.embedding', 'c.cvec')} DESC,
+                                    c.cent_id ASC) AS rn
+                FROM e, cents0 c
+            ) WHERE rn = 1
+        ),
+        by_dim AS (
+            SELECT cell, CAST(u.pos AS INT) AS pos,
+                   CAST(embedding[CAST(u.pos + 1 AS INT)] AS DOUBLE) AS x
+            FROM assign0, unnest(range(len(embedding))) AS u(pos)
+        ),
+        cmeans AS (
+            SELECT cell, pos, round(avg(x), 4) AS m
+            FROM by_dim GROUP BY 1, 2
+        ),
+        cents1 AS (
+            SELECT c0.cent_id, COALESCE(m.cvec, c0.cvec) AS cvec
+            FROM cents0 c0
+            LEFT JOIN (
+                SELECT cell AS cent_id, list(m ORDER BY pos) AS cvec
+                FROM cmeans GROUP BY 1
+            ) m USING (cent_id)
+        ),
+        tr_scored AS (
+            SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos_vs_cent('e.embedding', 'c.cvec')} DESC,
+                                c.cent_id ASC) AS rn
+            FROM e, cents1 c
+        ),
+        tr_cells AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell
+            FROM tr_scored WHERE rn = 1
+        ),
+        tr_qcells AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell
+            FROM tr_scored WHERE rn <= {N_PROBE}
+        )
+"""
+
 ORACLE = {
     "doc_token_stats": f"""
         SELECT doc_id,
@@ -416,6 +496,21 @@ ORACLE = {
                    {_SQL_COS} AS cos_sim
             FROM (SELECT * FROM qcells WHERE vec_id < 10) a
             JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= {KNN_K}
+    """,
+    "emb_ann_ivf_trained": f"""
+        WITH e AS ({_SQL_EMB}),
+        {_SQL_IVF_TRAINED},
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_SQL_COS} AS cos_sim
+            FROM (SELECT * FROM tr_qcells WHERE vec_id < 10) a
+            JOIN tr_cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
         )
         SELECT query_id, neighbor_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id

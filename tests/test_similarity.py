@@ -120,6 +120,59 @@ class TestLshBuckets:
         assert r2 >= r1  # monotone by construction
         assert r2 > r1  # and strictly better on this fixture
 
+    def test_kmeans_centroids_recover_planted_clusters(self, spark):
+        """On clustered data with an adversarial seed (the first k ids all
+        sit in ONE cluster), Lloyd's iterations must spread the centroids:
+        cells rebalance to the true clusters, single-probe recall beats the
+        naive first-k centroids, and the spherical-k-means objective (mean
+        cosine to the assigned centroid) rises decisively."""
+        rng = random.Random(7)
+        centers = [[rng.choice([-1.0, 1.0]) for _ in range(16)] for _ in range(4)]
+        rows = []
+        i = 0
+        for cl in range(4):  # ids 0..14 are cluster 0 => seeds 0-3 collide
+            for _ in range(15):
+                rows.append(
+                    Row(
+                        vec_id=i,
+                        embedding=[x + rng.uniform(-0.1, 0.1) for x in centers[cl]],
+                    )
+                )
+                i += 1
+        vecs = spark.createDataFrame(rows)
+        queries = vecs.filter(F.col("vec_id") % 6 == 0)
+        exact = SIM.knn_bruteforce(queries, vecs, "vec_id", "embedding", k=4)
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+        def stats(cents):
+            ann = SIM.ann_neighbors_ivf(
+                queries, vecs, "vec_id", "embedding",
+                k=4, n_cells=4, n_probe=1, centroids=cents,
+            )
+            got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+            sizes = sorted(
+                r["count"]
+                for r in SIM.ivf_assign(vecs, cents, "vec_id", "embedding")
+                .groupBy("cell").count().collect()
+            )
+            cd = dict(cents)
+            tot = 0.0
+            for r in SIM.ivf_assign(vecs, cents, "vec_id", "embedding").collect():
+                v, c = r["embedding"], cd[r["cell"]]
+                dot_vc = sum(x * y for x, y in zip(v, c))
+                tot += dot_vc / (
+                    math.sqrt(sum(x * x for x in v)) * math.sqrt(sum(x * x for x in c))
+                )
+            return len(got & truth), sizes, tot / 60
+
+        naive = list(enumerate(SIM.planes_from_corpus(vecs, "vec_id", "embedding", 4)))
+        trained = SIM.kmeans_centroids(vecs, "vec_id", "embedding", k=4, n_iter=3)
+        n_recall, n_sizes, n_obj = stats(naive)
+        t_recall, t_sizes, t_obj = stats(trained)
+        assert t_recall > n_recall
+        assert t_sizes == [15, 15, 15, 15]  # true clusters recovered
+        assert t_obj > n_obj + 0.5  # objective rises decisively
+
     def test_ann_subset_of_exact_candidates(self, spark, vecs):
         queries = vecs.filter(F.col("vec_id") < 3)
         ann = SIM.ann_neighbors_lsh(queries, vecs, "vec_id", "embedding", k=4, n_planes=2)
