@@ -109,6 +109,126 @@ def real_decoder_unavailable(content: bytes, modality: str) -> list[float]:
     )
 
 
+def real_resizer_unavailable(content: bytes, width: int, height: int) -> bytes:
+    raise NotImplementedError(
+        "image resize libraries (PIL/opencv) are not available in this "
+        "environment; inject a resizer via resize_images(resizer=...)"
+    )
+
+
+def fake_resizer(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: emits a tagged
+    header + an evenly-strided byte sample of the source sized w×h//64.
+    Content-derived and stable so tests pin real values through the
+    mapInPandas plumbing."""
+    if not content:
+        return b""
+    target = max(1, (width * height) // 64)
+    stride = max(1, len(content) // target)
+    return b"RSZ" + bytes([width % 256, height % 256]) + content[::stride][:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = real_resizer_unavailable,
+    content_col: str = "content",
+) -> DataFrame:
+    """Batch image resize through mapInPandas (binary in → binary out, 1:1
+    rows). Same operator contract as a real GPU/PIL resizer: swap the
+    ``resizer`` callable, schema and batching stay fixed. Non-image rows
+    pass through untouched (transform only what decodes)."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("resized", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "content": pdf[content_col],
+                    "resized": [
+                        resizer(c, width, height) if m == "image" else None
+                        for c, m in zip(pdf[content_col], pdf["modality"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def real_frame_sampler_unavailable(content: bytes):
+    raise NotImplementedError(
+        "video decode libraries (ffmpeg) are not available in this "
+        "environment; inject a sampler via sample_frames(sampler=...)"
+    )
+
+
+def fake_frame_sampler(
+    content: bytes, frame_size: int = 256, every_n: int = 2, max_frames: int = 4
+) -> list[bytes]:
+    """Deterministic stand-in for container demux + frame decode: 'frames'
+    are fixed-size byte windows at offsets of ``every_n × frame_size``.
+    Pure positional slicing, so an SQL oracle reproduces the exact frame
+    bytes with substring arithmetic."""
+    if not content:
+        return []
+    out = []
+    for k in range(max_frames):
+        off = k * every_n * frame_size
+        if off >= len(content):
+            break
+        out.append(content[off : off + frame_size])
+    return out
+
+
+def sample_frames(
+    df: DataFrame,
+    sampler: Callable[[bytes], list[bytes]] = real_frame_sampler_unavailable,
+    content_col: str = "content",
+) -> DataFrame:
+    """Video frame sampling through mapInPandas — the 1→N multimodal
+    expansion (one input asset yields a row per sampled frame). Arrow
+    batches stream in; the output batch is rebuilt with one row per frame,
+    so memory is bounded by batch × max_frames × frame size regardless of
+    partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf[content_col]):
+                for k, fr in enumerate(sampler(content)):
+                    ids.append(aid)
+                    nos.append(k)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes, str], list[float]] = real_decoder_unavailable,

@@ -90,9 +90,41 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: frame-sampling geometry shared by the query and its oracle
+_FRAME_SIZE, _EVERY_N, _MAX_FRAMES = 256, 2, 4
+
+
+def asset_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1→N mapInPandas expansion) over the
+    video-modality assets, with the deterministic positional sampler —
+    frame bytes are pure slices, so the oracle reproduces them with
+    substring arithmetic and the digests match exactly."""
+    import functools
+
+    vids = assets_from_documents(spark, sf_dir).filter(
+        F.col("modality") == "video"
+    )
+    frames = MM.sample_frames(
+        vids,
+        sampler=functools.partial(
+            MM.fake_frame_sampler,
+            frame_size=_FRAME_SIZE,
+            every_n=_EVERY_N,
+            max_frames=_MAX_FRAMES,
+        ),
+    )
+    return frames.select(
+        "asset_id",
+        "frame_no",
+        F.length("frame").alias("n_bytes"),
+        F.sha2(F.hex("frame"), 256).alias("frame_sha"),
+    )
+
+
 QUERIES = {
     "asset_binary_stats": asset_binary_stats,
     "asset_features": asset_features,
+    "asset_frame_samples": asset_frame_samples,
 }
 
 _MIME_CASES = " ".join(
@@ -146,5 +178,26 @@ ORACLE = {
                COALESCE(MAX(CASE WHEN slot = 6 THEN f END), 0.0) AS f6,
                COALESCE(MAX(CASE WHEN slot = 7 THEN f END), 0.0) AS f7
         FROM stride_means GROUP BY 1, 2, 3
+    """,
+    "asset_frame_samples": f"""
+        WITH assets AS ({_SQL_ASSETS}),
+        vids AS (
+            SELECT asset_id, content FROM assets WHERE modality = 'video'
+        ),
+        frames AS (
+            -- DuckDB has no BLOB substring: slice the hex dump instead.
+            -- hex() is uppercase in both engines and Spark hashes
+            -- sha2(hex(frame)), so hashing the hex slice is identical.
+            SELECT asset_id, CAST(u.k AS INT) AS frame_no,
+                   substr(hex(content),
+                          CAST(u.k * {2 * _EVERY_N * _FRAME_SIZE} + 1 AS INT),
+                          {2 * _FRAME_SIZE}) AS fh
+            FROM vids, unnest(range({_MAX_FRAMES})) AS u(k)
+            WHERE u.k * {_EVERY_N * _FRAME_SIZE} < octet_length(content)
+        )
+        SELECT asset_id, frame_no,
+               CAST(length(fh) // 2 AS INT) AS n_bytes,
+               sha256(fh) AS frame_sha
+        FROM frames
     """,
 }

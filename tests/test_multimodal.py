@@ -60,6 +60,43 @@ class TestExtractFeatures:
         with pytest.raises(Exception, match="NotImplementedError|decode libraries"):
             out.collect()
 
+    def test_resize_images_only_image_rows(self, spark, assets):
+        out = {
+            r["asset_id"]: r["resized"]
+            for r in MM.resize_images(assets, 8, 8, resizer=MM.fake_resizer).collect()
+        }
+        assert out[1] == MM.fake_resizer(b"\x89PNG\r\n\x1a\nxxxx", 8, 8)
+        assert bytes(out[1]).startswith(b"RSZ")
+        assert out[2] is None  # audio passes through unresized
+        assert out[3] is None  # video too
+
+    def test_sample_frames_one_to_n_expansion(self, spark):
+        content = bytes(range(256)) * 5  # 1280 bytes
+        df = spark.createDataFrame(
+            [Row(asset_id=7, modality="video", content=content,
+                 mime=None, source_uri=None)],
+            MM.ASSET_SCHEMA,
+        )
+        import functools
+
+        out = MM.sample_frames(
+            df,
+            sampler=functools.partial(
+                MM.fake_frame_sampler, frame_size=256, every_n=2, max_frames=4
+            ),
+        ).collect()
+        # offsets 0, 512, 1024 fit in 1280 bytes; 1536 does not -> 3 frames
+        assert [(r["asset_id"], r["frame_no"]) for r in out] == [
+            (7, 0), (7, 1), (7, 2)
+        ]
+        assert bytes(out[1]["frame"]) == content[512:768]
+        assert len(bytes(out[2]["frame"])) == 256
+
+    def test_sample_frames_default_raises_cleanly(self, spark, assets):
+        out = MM.sample_frames(assets)
+        with pytest.raises(Exception, match="NotImplementedError|decode libraries"):
+            out.collect()
+
     def test_parquet_roundtrip(self, spark, assets, tmp_path):
         p = str(tmp_path / "assets_pq")
         assets.write.parquet(p)
