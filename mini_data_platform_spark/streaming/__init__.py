@@ -1,7 +1,9 @@
 from mini_data_platform_spark.streaming.ingest import start_streaming_ingest
 from mini_data_platform_spark.streaming.windows import (
     dedup_stream,
+    session_window_agg,
     sessionize_stateful,
+    stream_interval_join,
     windowed_event_stats,
 )
 
@@ -9,5 +11,7 @@ __all__ = [
     "start_streaming_ingest",
     "windowed_event_stats",
     "sessionize_stateful",
+    "session_window_agg",
+    "stream_interval_join",
     "dedup_stream",
 ]

@@ -83,6 +83,74 @@ def dedup_stream(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user sessions via the BUILT-IN ``session_window`` — the
+    declarative twin of ``sessionize_stateful``. Same gap semantics
+    (events within ``gap`` merge into one session); window.end is
+    last-event + gap per Spark's definition. Prefer this when the session
+    payload is expressible as standard aggregates: state management,
+    watermark eviction, and merge-on-late-data come from the engine
+    instead of hand-written applyInPandasWithState code. The custom
+    stateful operator remains for session logic aggregates can't express
+    (e.g. per-session event sequences, ML featurization mid-stream)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row matches
+    right rows with the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` (the streaming analog of the batch
+    range join in operators/rangejoin.py).
+
+    Scale/state reasoning — the part that matters at 100 TB/day: both
+    sides buffer state; the time-bound condition plus BOTH watermarks let
+    the engine evict right-side rows older than
+    ``right_watermark + lookback`` and left rows older than
+    ``left_watermark``, so state is bounded by arrival-rate × window, not
+    stream lifetime. An unbounded (equi-only) stream-stream join would
+    grow state forever — the interval condition is not an optimization
+    hint, it is the feasibility condition."""
+    lw = left.withWatermark(left_ts, left_watermark).alias("l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} <= l.{left_ts} "
+        f"AND r.{right_ts} >= l.{left_ts} - interval {lookback}"
+    )
+    return lw.join(rw, cond, "inner")
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -181,3 +181,99 @@ class TestSessionize:
         assert s["sum_value"] == 6.0
         assert s["session_start"] == _ts(0)
         assert s["session_end"] == _ts(5)
+
+
+class TestSessionWindowBuiltin:
+    def test_static_matches_stateful_session_semantics(self, spark):
+        """The built-in session_window must carve the SAME sessions as the
+        custom stateful operator's gap logic: user 7 bursts at 0-5min and
+        45min (40-min gap > 30-min session gap -> two sessions)."""
+        from mini_data_platform_spark.streaming import session_window_agg
+
+        rows = [
+            Row(event_id=1, ts=_ts(0), user_id=7, event_type="c", value=1.0),
+            Row(event_id=2, ts=_ts(2), user_id=7, event_type="c", value=2.0),
+            Row(event_id=3, ts=_ts(5), user_id=7, event_type="c", value=3.0),
+            Row(event_id=4, ts=_ts(45), user_id=7, event_type="c", value=4.0),
+            Row(event_id=5, ts=_ts(1), user_id=9, event_type="c", value=5.0),
+        ]
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = sorted(
+            session_window_agg(df, gap="30 minutes").collect(),
+            key=lambda r: (r["user_id"], r["session_start"]),
+        )
+        assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in out] == [
+            (7, 3, 6.0), (7, 1, 4.0), (9, 1, 5.0)
+        ]
+        first = out[0]
+        assert first["session_start"] == _ts(0)
+        assert first["last_event"] == _ts(5)
+        # session_window end = last event + gap by definition
+        assert first["window_end"] == _ts(35)
+
+    def test_streaming_append_emits_closed_sessions(self, spark, tmp_path):
+        from mini_data_platform_spark.streaming import session_window_agg
+
+        rows = [
+            Row(event_id=1, ts=_ts(0), user_id=7, event_type="c", value=1.0),
+            Row(event_id=2, ts=_ts(5), user_id=7, event_type="c", value=2.0),
+            # a much later event advances the watermark so session 1 closes
+            Row(event_id=3, ts=_ts(600), user_id=8, event_type="c", value=9.0),
+        ]
+        src = str(tmp_path / "sw_src")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("sw_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sw_out").collect()
+        # user 7's session closed (watermark passed); user 8's stays open
+        assert [(r["user_id"], r["n_events"]) for r in got] == [(7, 2)]
+
+
+class TestStreamIntervalJoin:
+    def test_purchases_match_recent_clicks_only(self, spark, tmp_path):
+        from mini_data_platform_spark.streaming import stream_interval_join
+
+        clicks = [
+            Row(event_id=10, ts=_ts(0), user_id=1, event_type="click", value=0.0),
+            Row(event_id=11, ts=_ts(50), user_id=1, event_type="click", value=0.0),
+            Row(event_id=12, ts=_ts(0), user_id=2, event_type="click", value=0.0),
+        ]
+        purchases = [
+            Row(event_id=20, ts=_ts(60), user_id=1, event_type="buy", value=5.0),
+            Row(event_id=21, ts=_ts(90), user_id=2, event_type="buy", value=7.0),
+        ]
+        csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        spark.createDataFrame(clicks, EVENT_SCHEMA).coalesce(1).write.parquet(csrc)
+        spark.createDataFrame(purchases, EVENT_SCHEMA).coalesce(1).write.parquet(psrc)
+        cs = spark.readStream.schema(EVENT_SCHEMA).parquet(csrc).select(
+            F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        ps = spark.readStream.schema(EVENT_SCHEMA).parquet(psrc).select(
+            F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+        )
+        joined = stream_interval_join(
+            ps, cs, key="user_id", left_ts="purchase_ts", right_ts="click_ts",
+            lookback="30 minutes",
+        ).select("purchase_id", "click_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["purchase_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+        # purchase 20 at t=60: click 11 (t=50) is within 30 min, click 10 (t=0) is not;
+        # purchase 21 at t=90: user 2's only click (t=0) is too old -> no match
+        assert got == {(20, 11)}
