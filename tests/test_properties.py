@@ -97,3 +97,121 @@ class TestDedupProperties:
         inputs = {tuple(r) for r in cleaned.collect()}
         out = dedup_keep_latest(cleaned)
         assert all(tuple(r) in inputs for r in out.collect())
+
+
+class TestAsofDifferential:
+    """asof_join vs pandas merge_asof — an independent reference
+    implementation of the backward-inclusive contract (the reference
+    repo's own engine, pandas, arbitrating our Spark operator)."""
+
+    _TS = st.integers(min_value=0, max_value=20)
+    _KEY = st.sampled_from(["u1", "u2"])
+
+    @given(
+        left=st.lists(st.tuples(_KEY, _TS), min_size=1, max_size=10),
+        right=st.lists(
+            st.tuples(_KEY, _TS, st.one_of(st.none(), st.integers(0, 99))),
+            min_size=0,
+            max_size=10,
+        ),
+    )
+    @_SETTINGS
+    def test_matches_pandas_merge_asof(self, spark, left, right):
+        import pandas as pd
+
+        from mini_data_platform_spark.operators.asof import asof_join
+
+        # unique (key, ts) per side: merge_asof tie order within equal ts
+        # is positional, ours is unspecified — dedupe to compare exactly
+        left = list({(k, t): None for k, t in left})
+        right_d = {(k, t): v for k, t, v in right}
+        right = [(k, t, v) for (k, t), v in right_d.items()]
+
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)],
+            "key string, ts long, lid long",
+        )
+        if right:
+            rdf = spark.createDataFrame(right, "key string, rts long, payload long")
+        else:
+            rdf = spark.createDataFrame([], "key string, rts long, payload long")
+        got = {
+            r["lid"]: (r["rts"], r["payload"])
+            for r in asof_join(
+                ldf, rdf, on=["key"], left_ts="ts", right_ts="rts"
+            ).collect()
+        }
+
+        lpd = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left)],
+            columns=["key", "ts", "lid"],
+        ).sort_values("ts", kind="stable")
+        rpd = pd.DataFrame(
+            {
+                "key": pd.Series([k for k, _, _ in right], dtype=object),
+                "rts": pd.Series([t for _, t, _ in right], dtype="int64"),
+                "payload": pd.Series(
+                    [v for _, _, v in right], dtype="float64"
+                ),
+            }
+        ).sort_values("rts", kind="stable")
+        merged = pd.merge_asof(
+            lpd, rpd, left_on="ts", right_on="rts", by="key", direction="backward"
+        )
+        for _, row in merged.iterrows():
+            want_rts = None if pd.isna(row["rts"]) else int(row["rts"])
+            want_pay = None if pd.isna(row["payload"]) else int(row["payload"])
+            assert got[int(row["lid"])] == (want_rts, want_pay), (
+                f"lid={row['lid']}: spark={got[int(row['lid'])]} "
+                f"pandas=({want_rts}, {want_pay})"
+            )
+
+
+class TestSaltedAggDifferential:
+    """salted_agg must be value-identical to the plain groupBy it
+    replaces, for every decomposable aggregate, under any skew."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["hot", "k1", "k2"]),  # 'hot' dominates: skew
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        n_salts=st.sampled_from([1, 2, 7]),
+    )
+    @_SETTINGS
+    def test_equals_plain_groupby(self, spark, rows, n_salts):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.skew import salted_agg
+
+        df = spark.createDataFrame(rows, "key string, v long")
+        got = {
+            r["key"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in salted_agg(
+                df,
+                ["key"],
+                {
+                    "n": ("count", "*"),
+                    "total": ("sum", "v"),
+                    "lo": ("min", "v"),
+                    "hi": ("max", "v"),
+                },
+                n_salts=n_salts,
+            ).collect()
+        }
+        want = {
+            r["key"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in df.groupBy("key")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+        assert got == want
