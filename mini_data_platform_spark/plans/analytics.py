@@ -548,6 +548,31 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over orders (operators/quality.py — the
+    reference README's declared-but-unbuilt capability): five checks
+    including key uniqueness, ALL evaluated in one aggregation pass."""
+    from mini_data_platform_spark.operators.quality import (
+        dq_report,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_report(
+        orders,
+        checks=[
+            not_null("o_orderkey"),
+            in_range("o_totalprice", 0.0, 1_000_000.0),
+            in_set("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+        unique_keys=["o_orderkey"],
+    )
+
+
 # ------------------------------------------------------------------- events
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +757,7 @@ QUERIES = {
     "quantity_price_corr": quantity_price_corr,
     "nation_top_customer_names": nation_top_customer_names,
     "order_grouping_sets": order_grouping_sets,
+    "orders_dq_report": orders_dq_report,
     "events_distinct_users": events_distinct_users,
     "events_user_stats_salted": events_user_stats_salted,
     "events_hourly": events_hourly,
@@ -983,6 +1009,39 @@ ORACLE = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority), ())
+    """,
+    "orders_dq_report": """
+        WITH base AS (SELECT COUNT(*) AS n FROM orders),
+        v AS (
+            SELECT 'not_null_o_orderkey' AS check_name,
+                   COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'in_range_o_totalprice',
+                   COUNT(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+                         THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'in_set_o_orderstatus',
+                   COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'matches_o_orderpriority',
+                   COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'unique_o_orderkey',
+                   COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+            FROM orders
+        )
+        SELECT v.check_name, base.n AS n_rows, v.n_violations,
+               v.n_violations = 0 AS passed
+        FROM v, base
     """,
     "events_distinct_users": """
         SELECT event_type,
