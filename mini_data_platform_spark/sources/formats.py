@@ -6,6 +6,10 @@ Semantics match the reference's ``detect_format``
 ⇒ parquet), default csv. This is a driver-side helper — it reads at most
 a few bytes per file to route the file to the right Spark reader; the
 data itself is only ever read by Spark.
+
+Extension beyond the reference: ORC (.orc extension / ``ORC`` magic) —
+Spark's second first-class columnar format, free to support since the
+reader, schema metadata access, and predicate pushdown are all built in.
 """
 
 from __future__ import annotations
@@ -33,10 +37,14 @@ def detect_format(key: str, data: bytes | None = None) -> str:
         return "json"
     if key_lower.endswith(".parquet"):
         return "parquet"
+    if key_lower.endswith(".orc"):
+        return "orc"
     if data:
         head = data[:4]
         if head.startswith(b"PK") or head == b"PAR1":
             return "parquet"
+        if head.startswith(b"ORC"):
+            return "orc"
     return "csv"
 
 
@@ -44,7 +52,7 @@ def detect_format_path(path: str) -> str:
     """``detect_format`` for a local/posix path (reads the head lazily only
     when the extension is inconclusive)."""
     key_lower = path.lower()
-    if key_lower.endswith((".csv", ".json", ".ndjson", ".parquet")):
+    if key_lower.endswith((".csv", ".json", ".ndjson", ".parquet", ".orc")):
         return detect_format(path, None)
     return detect_format(path, _head(path) if os.path.exists(path) else None)
 

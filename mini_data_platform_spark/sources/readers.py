@@ -56,6 +56,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return normalize_column_names(spark.read.parquet(path))
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC (beyond the reference's format set — Spark-native columnar
+    reader with the same pushdown/pruning machinery as parquet)."""
+    return normalize_column_names(spark.read.orc(path))
+
+
 def read_file(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """Format-dispatched read (reference read_bytes_to_df,
     processor.py:15-41): csv → all-string; json → array vs ndjson sniff;
@@ -69,6 +75,8 @@ def read_file(spark: SparkSession, path: str, fmt: str | None = None) -> DataFra
         return read_ndjson(spark, path)
     if fmt == "parquet":
         return read_parquet(spark, path)
+    if fmt == "orc":
+        return read_orc(spark, path)
     raise ValueError(f"Unsupported format: {fmt}")
 
 

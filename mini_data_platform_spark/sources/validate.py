@@ -107,6 +107,17 @@ def validate_parquet(spark: SparkSession, path: str) -> tuple[bool, str]:
     return True, ""
 
 
+def validate_orc(spark: SparkSession, path: str) -> tuple[bool, str]:
+    try:
+        schema = spark.read.orc(path).schema  # metadata only — no data IO
+    except Exception as e:  # noqa: BLE001
+        return False, f"ORC parse error: {e}"
+    missing = _missing(schema.fieldNames())
+    if missing:
+        return False, f"Missing required columns: {missing}"
+    return True, ""
+
+
 def validate_file(
     spark: SparkSession, path: str, fmt: str | None = None
 ) -> tuple[bool, str]:
@@ -119,4 +130,6 @@ def validate_file(
         return validate_json(spark, path)
     if fmt == "parquet":
         return validate_parquet(spark, path)
+    if fmt == "orc":
+        return validate_orc(spark, path)
     return False, f"Unsupported format: {fmt}"

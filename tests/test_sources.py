@@ -203,3 +203,57 @@ class TestValidate:
         # PERMISSIVE csv parses garbage into one string column -> fails the
         # required-column check, not an exception
         assert not ok
+
+
+class TestOrcSupport:
+    """ORC — beyond the reference's format set (Spark-native columnar)."""
+
+    def _write_orc(self, spark, tmp_path, dirname="orc_sales"):
+        d = str(tmp_path / dirname)
+        spark.createDataFrame(
+            [("s1", "2024-01-01 00:00:00", "C1", "P1", 1, 10.0)],
+            "sale_id string, sale_date string, customer_id string, "
+            "product_id string, quantity int, amount double",
+        ).coalesce(1).write.orc(d)
+        import glob
+
+        return glob.glob(os.path.join(d, "*.orc"))[0]
+
+    def test_detect_by_extension_and_magic(self, spark, tmp_path):
+        from mini_data_platform_spark.sources.formats import (
+            detect_format,
+            detect_format_path,
+        )
+
+        p = self._write_orc(spark, tmp_path)
+        assert detect_format("any/key.orc", None) == "orc"
+        assert detect_format_path(p) == "orc"  # .orc extension
+        # magic-byte fallback: extensionless copy still detected
+        import shutil
+
+        noext = str(tmp_path / "mystery_file")
+        shutil.copy(p, noext)
+        assert detect_format_path(noext) == "orc"
+
+    def test_read_and_validate(self, spark, tmp_path):
+        from mini_data_platform_spark.sources.readers import read_file_as_strings
+        from mini_data_platform_spark.sources.validate import validate_file
+
+        p = self._write_orc(spark, tmp_path)
+        ok, err = validate_file(spark, p)
+        assert ok, err
+        rows = read_file_as_strings(spark, p).collect()
+        assert len(rows) == 1
+        assert rows[0]["sale_id"] == "s1"
+        assert rows[0]["quantity"] == "1"  # strings for the cleaning pipeline
+
+    def test_validate_rejects_missing_columns(self, spark, tmp_path):
+        d = str(tmp_path / "orc_bad")
+        spark.createDataFrame([("x",)], "sale_id string").coalesce(1).write.orc(d)
+        import glob
+
+        from mini_data_platform_spark.sources.validate import validate_file
+
+        p = glob.glob(os.path.join(d, "*.orc"))[0]
+        ok, err = validate_file(spark, p)
+        assert not ok and "Missing required columns" in err
