@@ -548,6 +548,78 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate
+    semi-joined back to the fact. Aggregate lineitem FIRST (one shuffle,
+    map-side combine), filter to the rare heavy orders, then join the tiny
+    survivor set to orders — at 100 TB the join probe side is a few
+    thousand rows, broadcast by AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return heavy.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+        "sum_qty",
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio per
+    month over the lineitem ⋈ part join. part broadcasts under AQE at test
+    scale; at 100 TB it shuffles once on partkey — revenue terms reduce
+    map-side either way. The ratio is one double division of two
+    decimal-exact sums: deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    is_promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    monthly = joined.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        dsum(F.when(is_promo, _revenue()).otherwise(F.lit(0.0))).alias("_promo"),
+        dsum(_revenue()).alias("_total"),
+    )
+    return monthly.select(
+        "month",
+        "_promo",
+        "_total",
+        (F.lit(100.0) * F.col("_promo") / F.col("_total")).alias("promo_pct"),
+    ).withColumnsRenamed({"_promo": "promo_revenue", "_total": "total_revenue"})
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier), adapted to the fixture's schema
+    (no partsupp table): per part, the supplier with the lowest average
+    sale price observed in lineitem — the classic correlated
+    min-subquery, decorrelated into aggregate + per-part window (what
+    Catalyst rewrites the subquery into anyway). Ties break to the lowest
+    suppkey, making the result deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        davg(F.col("l_extendedprice")).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = per_ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier_name"),
+        "avg_price",
+    )
+
+
 def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality report over orders (operators/quality.py — the
     reference README's declared-but-unbuilt capability): five checks
@@ -757,6 +829,9 @@ QUERIES = {
     "quantity_price_corr": quantity_price_corr,
     "nation_top_customer_names": nation_top_customer_names,
     "order_grouping_sets": order_grouping_sets,
+    "big_orders": big_orders,
+    "promo_revenue_share": promo_revenue_share,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "orders_dq_report": orders_dq_report,
     "events_distinct_users": events_distinct_users,
     "events_user_stats_salted": events_user_stats_salted,
@@ -1009,6 +1084,46 @@ ORACLE = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority), ())
+    """,
+    "big_orders": f"""
+        WITH heavy AS (
+            SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING {sql_dsum('l_quantity')} > 250.0
+        )
+        SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               o_totalprice AS totalprice, sum_qty
+        FROM heavy JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "promo_revenue_share": f"""
+        WITH monthly AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   {sql_dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_SQL_REVENUE} ELSE 0.0 END")} AS promo_revenue,
+                   {sql_dsum(_SQL_REVENUE)} AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        )
+        SELECT month, promo_revenue, total_revenue,
+               100.0 * promo_revenue / total_revenue AS promo_pct
+        FROM monthly
+    """,
+    "cheapest_supplier_per_part": f"""
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   {sql_davg('l_extendedprice')} AS avg_price
+            FROM lineitem GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, avg_price,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+            FROM per_ps
+        )
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               s_name AS supplier_name, avg_price
+        FROM best JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rn = 1
     """,
     "orders_dq_report": """
         WITH base AS (SELECT COUNT(*) AS n FROM orders),
