@@ -19,6 +19,7 @@ from mini_data_platform_spark.catalog import load_table
 from mini_data_platform_spark.functions import text as TX
 from mini_data_platform_spark.functions import vectors as VX
 from mini_data_platform_spark.operators import dedup_fuzzy as DF_OPS
+from mini_data_platform_spark.operators import embed as EMB_OPS
 from mini_data_platform_spark.operators import similarity as SIM
 
 NUM_HASHES = 16
@@ -107,6 +108,16 @@ _SQL_MUTATED = """
                array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
         FROM documents
 """
+
+
+def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors (operators/embed.py): 16 md5-
+    bucket token counts per document — the model-free embedding for
+    near-dup triage/clustering before a learned encoder exists."""
+    from mini_data_platform_spark.operators.embed import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_embed(docs, "doc_id", "text", dim=16)
 
 
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +232,7 @@ QUERIES = {
     "doc_language_guess": doc_language_guess,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
+    "doc_hash_embedding": doc_hash_embedding,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
@@ -440,6 +452,7 @@ ORACLE = {
         SELECT doc_id, {TX.sql_fingerprint('text', 4, SHINGLE_N)} AS fp
         FROM documents
     """,
+    "doc_hash_embedding": EMB_OPS.sql_hash_embed("documents", "doc_id", "text", dim=16),
     "doc_exact_dedup": f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents

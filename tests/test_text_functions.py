@@ -96,3 +96,33 @@ class TestNormalizeFingerprint:
         df = spark.createDataFrame([Row(t=base), Row(t=mutated)])
         fps = [r["v"] for r in df.select(TX.fingerprint(F.col("t"), k=2).alias("v")).collect()]
         assert fps[0] == fps[1]
+
+
+class TestHashEmbed:
+    def test_counts_and_zero_vector_for_empty(self, spark):
+        from pyspark.sql import Row
+
+        from mini_data_platform_spark.operators.embed import hash_embed
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="   ")]
+        )
+        out = {r["doc_id"]: r.asDict() for r in hash_embed(df, "doc_id", "text").collect()}
+        import hashlib
+
+        bkt = lambda t: hashlib.md5(t.encode()).hexdigest()[0]
+        v1 = out[1]
+        assert v1[f"h_{bkt('a')}"] == 2 and v1[f"h_{bkt('b')}"] == 1
+        assert sum(v for k, v in v1.items() if k.startswith("h_")) == 3
+        # whitespace-only doc embeds as the zero vector, not a missing row
+        assert sum(v for k, v in out[2].items() if k.startswith("h_")) == 0
+
+    def test_dim_validation(self, spark):
+        import pytest
+        from pyspark.sql import Row
+
+        from mini_data_platform_spark.operators.embed import hash_embed
+
+        df = spark.createDataFrame([Row(doc_id=1, text="x")])
+        with pytest.raises(ValueError, match="16 or 256"):
+            hash_embed(df, "doc_id", "text", dim=32)
