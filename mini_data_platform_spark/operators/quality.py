@@ -56,6 +56,8 @@ def dq_report(
 ) -> DataFrame:
     """Evaluate all checks in one pass. Returns one row per check:
     (check_name, n_rows, n_violations, passed)."""
+    if not checks and not unique_keys:
+        raise ValueError("dq_report needs at least one check or unique_keys")
     aggs = [F.count("*").alias("_n")]
     names = []
     for c in checks:

@@ -180,18 +180,24 @@ def allpairs_cosine_blocked(
         F.col(vec_col).alias("vec"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    pair_rows = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
-    pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
-    # left role: row's block is bi; right role: row's block is bj. For the
-    # diagonal (bi == bj) only the left role ships — the scorer reuses the
-    # left matrix for both sides, halving diagonal shuffle volume.
-    lhs = base.join(F.broadcast(pairs), base["blk"] == pairs["bi"]).select(
-        "bi", "bj", F.lit("L").alias("side"), "vid", "vec"
+    # role table: block value -> every (bi, bj, side) group it ships to.
+    # Left role where the row's block is bi; right role where it is bj —
+    # except the diagonal (bi == bj), where only the left role ships and
+    # the scorer reuses the left matrix for both sides. ONE broadcast
+    # equi-join assigns all roles, so the corpus is scanned exactly once
+    # (two separate lhs/rhs joins would rescan + rehash the whole input).
+    role_rows = []
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            role_rows.append((bi, bi, bj, "L"))
+            if bi != bj:
+                role_rows.append((bj, bi, bj, "R"))
+    roles = spark.createDataFrame(
+        role_rows, "blk int, bi int, bj int, side string"
     )
-    off_diag = pairs.filter(F.col("bi") != F.col("bj"))
-    rhs = base.join(
-        F.broadcast(off_diag), base["blk"] == off_diag["bj"]
-    ).select("bi", "bj", F.lit("R").alias("side"), "vid", "vec")
+    tagged = base.join(F.broadcast(roles), "blk").select(
+        "bi", "bj", "side", "vid", "vec"
+    )
 
     out_schema = "id_a long, id_b long, cos_sim double"
 
@@ -257,7 +263,7 @@ def allpairs_cosine_blocked(
             out = out.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
         return out
 
-    return lhs.unionByName(rhs).groupBy("bi", "bj").applyInPandas(score, out_schema)
+    return tagged.groupBy("bi", "bj").applyInPandas(score, out_schema)
 
 
 def _seq_norms(np, mat):
@@ -307,13 +313,18 @@ def ivf_assign(
     )
 
 
+#: centroid quantization factor (2^20). Powers of two make x*Q and /Q
+#: EXACT IEEE operations, so the quantize-sum-divide mean below is
+#: bit-deterministic in any engine and under any aggregation order.
+_KMEANS_Q = float(1 << 20)
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     n_iter: int = 2,
-    round_scale: int = 4,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd's) for IVF coarse centroids, as pure
     DataFrame ops: assign = cosine argmax against the current centroids
@@ -327,10 +338,15 @@ def kmeans_centroids(
     is the k centroid rows per iteration — centroids are hyperparameters,
     not data (planes_from_corpus doctrine).
 
-    Determinism: init = first k vectors by id; means are rounded to
-    ``round_scale`` decimals so the centroid literals (and every
-    downstream cell assignment) are stable against partial-aggregation
-    order and reproducible cross-engine. Empty cells keep their previous
+    Determinism: init = first k vectors by id; the mean is computed over
+    INTEGER-quantized components — q = round(x·2^20) as BIGINT — so the
+    sum is exact and order-independent (a double avg would vary with
+    partial-aggregation order), and the final (sum/n)/2^20 is two IEEE
+    ops both engines execute identically (scaling by a power of two is
+    exact; round-half-away matches Spark HALF_UP and DuckDB round).
+    Every downstream cell assignment is therefore reproducible across
+    re-runs AND engines — which is what lets the SQL oracle unroll a
+    training iteration and hash-match. Empty cells keep their previous
     centroid."""
     centroids = list(enumerate(planes_from_corpus(df, id_col, vec_col, k)))
     for _ in range(n_iter):
@@ -338,8 +354,13 @@ def kmeans_centroids(
         by_dim = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
         )
+        q = F.round(F.col("x").cast("double") * F.lit(_KMEANS_Q)).cast("long")
         means = by_dim.groupBy("cell", "pos").agg(
-            F.round(F.avg("x"), round_scale).alias("m")
+            (
+                F.sum(q).cast("double")
+                / F.count("x").cast("double")
+                / F.lit(_KMEANS_Q)
+            ).alias("m")
         )
         rows = (
             means.groupBy("cell")

@@ -184,7 +184,8 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate kNN (coarse-quantizer cells; the
     data-adaptive counterpart of the hyperplane-LSH path). Queries probe
     their top-``N_PROBE`` cells — the IVF recall dial; recall dominance
-    over single-probe is pinned in tests/test_similarity_ops.py."""
+    over single-probe is pinned in
+    tests/test_similarity.py::test_ivf_nprobe_improves_recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = SIM.ann_neighbors_ivf(
@@ -340,27 +341,20 @@ _SQL_IVF_CELLS = f"""
         ),
         scored_cents AS (
             SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-                   {VX.sql_dot('e.embedding', 'c.cvec')}
-                   / ({VX.sql_l2_norm('e.embedding')} * {VX.sql_l2_norm('c.cvec')}) AS cent_cos
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {VX.sql_dot('e.embedding', 'c.cvec')}
+                                / ({VX.sql_l2_norm('e.embedding')} * {VX.sql_l2_norm('c.cvec')}) DESC,
+                                c.cent_id ASC) AS rn
             FROM e, cents c
         ),
         cells AS (
             SELECT vec_id, embedding, nrm, cent_id AS cell
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id ASC
-                ) AS rn
-                FROM scored_cents
-            ) WHERE rn = 1
+            FROM scored_cents WHERE rn = 1
         ),
         qcells AS (
             SELECT vec_id, embedding, nrm, cent_id AS cell
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id ASC
-                ) AS rn
-                FROM scored_cents
-            ) WHERE rn <= {N_PROBE}
+            FROM scored_cents WHERE rn <= {N_PROBE}
         )
 """
 
@@ -394,8 +388,15 @@ _SQL_IVF_TRAINED = f"""
                    CAST(embedding[CAST(u.pos + 1 AS INT)] AS DOUBLE) AS x
             FROM assign0, unnest(range(len(embedding))) AS u(pos)
         ),
+        -- integer-quantized mean (round(x*2^20) as BIGINT): exact,
+        -- order-independent sum; (sum/n)/2^20 is bit-identical to the
+        -- Spark side (power-of-two scaling is exact IEEE; both engines
+        -- round halves away from zero). A double AVG here would drift
+        -- with accumulation order and break the hash match.
         cmeans AS (
-            SELECT cell, pos, round(avg(x), 4) AS m
+            SELECT cell, pos,
+                   CAST(SUM(CAST(round(x * 1048576.0) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(x) AS DOUBLE) / 1048576.0 AS m
             FROM by_dim GROUP BY 1, 2
         ),
         cents1 AS (

@@ -56,6 +56,12 @@ class TestDqReport:
         ).collect()
         assert all(r["passed"] and r["n_violations"] == 0 for r in out)
 
+    def test_no_checks_is_a_clear_error(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="at least one check"):
+            dq_report(_df(spark), checks=[])
+
     def test_single_pass_plan(self, spark):
         # every check compiles into ONE aggregation: no per-check scans
         df = _df(spark)
