@@ -133,3 +133,43 @@ class TestShuffleBudget:
         docs = load_table(spark, SF, "documents")
         sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
         assert count_exchanges(sigs) == 1
+
+
+class TestPartitionPruning:
+    def test_day_filter_becomes_partition_filter(self, spark, tmp_path):
+        """A filter on the partition column must prune at FILE-LISTING
+        time (PartitionFilters in the scan), not as a post-scan data
+        filter — the difference between reading one day and reading the
+        whole table."""
+        import os
+
+        from mini_data_platform_spark.sinks.layout import (
+            DAY_COL,
+            read_day_partitioned,
+            write_day_partitioned,
+        )
+
+        orders = load_table(spark, SF, "orders").limit(2000)
+        target = str(tmp_path / "orders_by_day")
+        write_day_partitioned(orders, target, "o_orderdate")
+        days = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(target)
+            if d.startswith(f"{DAY_COL}=")
+        )
+        assert len(days) > 10  # genuinely multi-partition layout
+
+        back = read_day_partitioned(spark, target)
+        one_day = back.filter(F.col(DAY_COL) == days[0])
+        plan = explain_str(one_day, "formatted")
+        assert f"PartitionFilters: [isnotnull({DAY_COL}" in plan
+        assert f"({DAY_COL}#" in plan  # equality predicate reached listing
+        # and the data-filter section must NOT re-check the partition col
+        # (no PushedFilters line at all is the ideal: nothing left to push)
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert all(DAY_COL not in l for l in pushed)
+        # correctness: pruned read returns exactly that day's rows
+        want = orders.filter(
+            F.date_format("o_orderdate", "yyyy-MM-dd") == days[0]
+        ).count()
+        assert one_day.count() == want
