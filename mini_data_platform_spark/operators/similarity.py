@@ -286,31 +286,48 @@ def ivf_assign(
     default ``n_probe=1`` this is the storage-side cell assignment; the
     query side passes ``n_probe>1`` to probe several cells (the standard
     IVF recall knob — each extra probe costs one more cell's candidates).
-    Implemented as explode over the centroid list + a row_number window —
-    the exact formulation the SQL oracle uses, so cell assignments match
-    across engines bit-for-bit. Centroids ride the plan as literals
-    (K × dim floats)."""
+
+    ZERO-shuffle formulation: the k (cos, -cent_id, cent_id) structs are
+    built per row and the argmax is ``array_max``'s lexicographic struct
+    compare — a pure codegen'd projection, vs the naive explode +
+    row_number window which shuffles k×n rows and sorts. n_probe>1 sorts
+    the tiny k-element array per row instead. The comparisons are
+    EXACTLY the window's ORDER BY cent_cos DESC, cent_id ASC, and the
+    cosine doubles are the same sequential folds, so cell assignments
+    still match the SQL oracle's row_number formulation bit-for-bit.
+    Centroids (and their norms — Python's sequential-fold sqrt is the
+    same IEEE computation) ride the plan as literals."""
+    import math
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm")
+    )
     structs = []
     for cid, cvec in centroids:
         c = F.array(*[F.lit(float(x)) for x in cvec])
+        acc = 0.0
+        for x in cvec:
+            acc += float(x) * float(x)
+        cnorm = math.sqrt(acc)
+        cos = dot(F.col(vec_col), c) / (F.col("nrm") * F.lit(cnorm))
         structs.append(
             F.struct(
+                cos.alias("cent_cos"),
+                (-F.lit(cid)).alias("neg_id"),
                 F.lit(cid).alias("cent_id"),
-                cosine(F.col(vec_col), c).alias("cent_cos"),
             )
         )
-    exploded = df.select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm"),
-        F.explode(F.array(*structs)).alias("c"),
-    ).select(id_col, vec_col, "nrm", "c.cent_id", "c.cent_cos")
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cent_cos").desc(), F.col("cent_id").asc()
-    )
-    return (
-        exploded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_probe)
-        .select(id_col, vec_col, "nrm", F.col("cent_id").alias("cell"))
-    )
+    arr = F.array(*structs)
+    if n_probe == 1:
+        return base.select(
+            id_col, vec_col, "nrm",
+            F.array_max(arr)["cent_id"].alias("cell"),
+        )
+    # ascending lexicographic sort, reversed => (cos DESC, cent_id ASC)
+    top = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+    return base.select(
+        id_col, vec_col, "nrm", F.explode(top).alias("_c")
+    ).select(id_col, vec_col, "nrm", F.col("_c.cent_id").alias("cell"))
 
 
 #: centroid quantization factor (2^20). Powers of two make x*Q and /Q
