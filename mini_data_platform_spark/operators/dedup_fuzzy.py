@@ -80,28 +80,44 @@ def minhash_signatures_from(
     lets pipelines share (and cache) one shingle computation between the
     signature and verification stages.
 
-    Shape: explode → ``num_hashes`` md5 projections → min-aggregate.
-    The md5s run inside whole-stage codegen this way; the earlier
-    ``array_min(transform(...))`` formulation evaluated the same hashes
-    through interpreted higher-order-function lambdas at ~4× the cost.
-    The groupBy shuffles only the partial per-partition minima (classic
-    map-side combine), so network cost is one signature row per doc per
+    Hash family: component i is an 8-hex-char (32-bit) SLICE of
+    ``md5((i div 4) || '#' || shingle)`` — one md5 call yields FOUR
+    independent components (disjoint substrings of md5 output are
+    independent bits), so a 16-component signature costs 4 md5 calls per
+    shingle instead of 16. md5 dominates signature cost, making this a
+    ~4× cut on the scan stage; 32-bit components are ample for min-hash
+    (per-doc shingle sets are far below birthday range).
+
+    Shape: explode → staged md5 projections → slice projections →
+    min-aggregate. The md5s are computed in their OWN select so the four
+    slice references share one evaluation (CollapseProject keeps the
+    stage: non-cheap alias, referenced 4×; inlining would re-hash per
+    slice). The groupBy shuffles only the partial per-partition minima
+    (map-side combine), so network cost is one signature row per doc per
     partition regardless of shingle count.
 
     ``explode_outer`` keeps empty-shingle docs: their null shingle hashes
     to null, min(null)=null — identical to array_min over an empty array.
     """
+    n_md5 = (num_hashes + 3) // 4
     exploded = shingled.select(
         F.col(id_col), F.explode_outer(F.col(sh_col)).alias("_s")
     )
     hashed = exploded.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{i}#"), F.col("_s"))).alias(f"_h_{i}")
+            F.md5(F.concat(F.lit(f"{m}#"), F.col("_s"))).alias(f"_md5_{m}")
+            for m in range(n_md5)
+        ],
+    )
+    sliced = hashed.select(
+        F.col(id_col),
+        *[
+            F.substring(F.col(f"_md5_{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"_h_{i}")
             for i in range(num_hashes)
         ],
     )
-    return hashed.groupBy(id_col).agg(
+    return sliced.groupBy(id_col).agg(
         *[F.min(f"_h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
@@ -109,11 +125,13 @@ def minhash_signatures_from(
 def sql_minhash_signatures(
     table: str, id_col: str, sql_shingles_expr: str, num_hashes: int = 16
 ) -> str:
-    """DuckDB twin of :func:`minhash_signatures` (oracle construction)."""
+    """DuckDB twin of :func:`minhash_signatures` (oracle construction) —
+    same slice-of-md5 hash family."""
     parts = [id_col]
     for i in range(num_hashes):
         parts.append(
-            f"list_min(list_transform({sql_shingles_expr}, s -> md5('{i}#' || s))) AS mh_{i}"
+            f"list_min(list_transform({sql_shingles_expr}, "
+            f"s -> substr(md5('{i // 4}#' || s), {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
         )
     return f"SELECT {', '.join(parts)} FROM {table}"
 

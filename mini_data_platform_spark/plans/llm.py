@@ -251,11 +251,13 @@ QUERIES = {
 # ---------------------------------------------------------------- oracles
 
 def _sql_sigs(src: str) -> str:
+    # same slice-of-md5 family as dedup_fuzzy.minhash_signatures_from
     sh = TX.sql_shingles("text", SHINGLE_N)
     parts = ["doc_id"]
     for i in range(NUM_HASHES):
         parts.append(
-            f"list_min(list_transform({sh}, s -> md5('{i}#' || s))) AS mh_{i}"
+            f"list_min(list_transform({sh}, "
+            f"s -> substr(md5('{i // 4}#' || s), {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
         )
     return f"SELECT {', '.join(parts)} FROM ({src})"
 
