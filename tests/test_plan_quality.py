@@ -134,6 +134,33 @@ class TestShuffleBudget:
         sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
         assert count_exchanges(sigs) == 1
 
+    def test_minhash_pays_one_md5_per_four_components(self, spark):
+        """The slice-of-md5 family must stay 4 components per md5 call —
+        a regression to per-component md5 quadruples the dominant hash
+        cost of the dedup pipeline."""
+        from mini_data_platform_spark.operators.dedup_fuzzy import minhash_signatures
+
+        docs = load_table(spark, SF, "documents")
+        plan = explain_str(minhash_signatures(docs, "doc_id", "text", num_hashes=16), "formatted")
+        assert plan.count("md5(") == 4  # 16 components from 4 hashes
+
+    def test_ivf_assignment_is_zero_shuffle(self, spark):
+        """Cell assignment must stay a pure projection (array_max over
+        score structs) — the naive explode+window formulation shuffles
+        k×n rows."""
+        from mini_data_platform_spark.operators.similarity import (
+            ivf_assign,
+            planes_from_corpus,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        cents = list(enumerate(planes_from_corpus(emb, "vec_id", "embedding", 4)))
+        assert count_exchanges(ivf_assign(emb, cents, "vec_id", "embedding")) == 0
+        # multi-probe sorts the k-element array per row; still no shuffle
+        assert count_exchanges(
+            ivf_assign(emb, cents, "vec_id", "embedding", n_probe=2)
+        ) == 0
+
 
 class TestPartitionPruning:
     def test_day_filter_becomes_partition_filter(self, spark, tmp_path):
