@@ -22,6 +22,18 @@ def test_queries_and_oracles_align(spark):
     assert q, "queries() must not be empty"
     unknown = set(o) - set(q)
     assert not unknown, f"oracle keys without queries: {unknown}"
+    # only the HLL sketch is deliberately oracle-free (engine-specific)
+    assert set(q) - set(o) == {"events_approx_users"}
+
+
+def test_no_silent_name_collisions_between_plan_modules():
+    """queries() merges four module dicts; a repeated name would silently
+    drop a query from the driver contract."""
+    from mini_data_platform_spark.plans import analytics, kpi, llm, multimodal_q
+
+    parts = [kpi.QUERIES, analytics.QUERIES, llm.QUERIES, multimodal_q.QUERIES]
+    total = sum(len(p) for p in parts)
+    assert len(entry_mod.queries()) == total
 
 
 def test_all_queries_run_at_smoke_sf(spark):
