@@ -82,7 +82,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch fingerprint per document (compact near-dup key).
     Tokens staged into their own projection (see dedup_fuzzy._staged_shingles
     for why inlining is quadratic)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     shingled = DF_OPS._staged_shingles(docs, "doc_id", "text", SHINGLE_N)
     return shingled.select(
         "doc_id", TX.fingerprint_of(F.col("_sh"), k=4).alias("fp")
@@ -91,6 +91,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ dedup
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small-file corpus across all cores before CPU-heavy
+    hashing projections. The fixture's documents parquet arrives as 1-2
+    input splits, which would serialize the shingle/md5 work (the
+    pipeline's dominant cost) onto 2 of 32 cores; shuffling the raw text
+    first costs MBs and unlocks full parallelism. At production scale the
+    file count already provides splits, and if the source is many files
+    this repartition is simply load balancing — never a correctness
+    concern since every downstream op re-keys."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _mutated_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ near-duplicate copies (first token dropped, id+10000)."""
     t = TX.tokens(F.col("text"))
@@ -98,7 +110,7 @@ def _mutated_corpus(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(mutated)
+    return _spread(docs.select("doc_id", "text").unionByName(mutated))
 
 
 _SQL_MUTATED = """
@@ -116,7 +128,7 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup triage/clustering before a learned encoder exists."""
     from mini_data_platform_spark.operators.embed import hash_embed
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return hash_embed(docs, "doc_id", "text", dim=16)
 
 
@@ -124,8 +136,10 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a corpus with planted exact copies (documents ∪
     unmodified copies at id+20000): per content-hash keep min id."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    corpus = _spread(
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        )
     )
     return DF_OPS.exact_dedup(corpus, "doc_id", "text")
 
@@ -147,7 +161,7 @@ def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (hex) per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return DF_OPS.simhash(docs, "doc_id", "text")
 
 
