@@ -207,10 +207,21 @@ def jaccard_pairs(
 def jaccard_pairs_from(
     shingled: DataFrame, pairs: DataFrame, id_col: str, sh_col: str = "_sh"
 ) -> DataFrame:
-    """Jaccard verification from a pre-staged shingle frame."""
+    """Jaccard verification from a pre-staged shingle frame.
+
+    Only documents that appear in a candidate pair are exploded: the
+    semi-join below shrinks the shingle-explode volume from |corpus| to
+    |candidate docs| — at scale LSH admits a small fraction of the corpus
+    into candidates, so this is the difference between exploding 100 TB
+    of shingles and exploding the few TB under verification."""
     from pyspark import StorageLevel
 
-    sets = shingled.select(
+    involved = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = shingled.join(involved, id_col, "left_semi").select(
         F.col(id_col), F.array_distinct(F.col(sh_col)).alias("sh")
     )
     sizes = sets.select(id_col, F.size("sh").alias("sz"))
