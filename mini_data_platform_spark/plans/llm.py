@@ -165,6 +165,24 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF_OPS.simhash(docs, "doc_id", "text")
 
 
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the verified near-dup pairs (the dedup
+    endgame, operators/graph.py): connected components assign every
+    clustered document its canonical survivor (the component's min id) —
+    transitive matches dedup together even when never directly scored.
+    Iterative min-label propagation on Spark; recursive-CTE oracle."""
+    from mini_data_platform_spark.operators.graph import connected_components
+
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = DF_OPS.near_dup_pairs(
+        corpus, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("canonical_doc_id")
+    )
+
+
 # ------------------------------------------------------------- embeddings
 
 def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +270,7 @@ QUERIES = {
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
     "doc_simhash": doc_simhash,
+    "doc_dup_clusters": doc_dup_clusters,
     "emb_norms": emb_norms,
     "emb_knn": emb_knn,
     "emb_ann_knn": emb_ann_knn,
@@ -483,6 +502,21 @@ ORACLE = {
     """,
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
+    "doc_dup_clusters": f"""
+        WITH RECURSIVE nd AS ({_sql_near_dups(_SQL_MUTATED)}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT e.dst, r.c FROM reach r JOIN sym e ON e.src = r.v
+        )
+        SELECT v AS doc_id, MIN(c) AS canonical_doc_id
+        FROM reach GROUP BY v
+    """,
     "doc_simhash": DF_OPS.sql_simhash("documents", "doc_id", "text"),
     "emb_norms": f"""
         SELECT vec_id, len(embedding) AS dim,
