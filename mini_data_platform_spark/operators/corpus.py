@@ -1,0 +1,281 @@
+"""Corpus-curation operators for LLM training-data pipelines: deterministic
+train/val/test splits, stratified sampling, benchmark decontamination,
+and intra-document repetition metrics (the Gopher-style repetition
+signals) — the curation steps between raw ingestion and dedup
+(dedup_fuzzy.py) that every large-scale pretraining pipeline needs.
+
+Spark-first shapes, all oracle-checkable:
+
+- Splits/sampling hash with md5 (the repo's engine-independent hash,
+  see operators/dedup_fuzzy.py): a document's assignment depends only on
+  its id + salt, never on partitioning, row order, or cluster size — the
+  property that makes a 100 TB split reproducible forever, and lets any
+  engine with md5 (DuckDB here) recompute it bit-for-bit.
+- Decontamination broadcasts the benchmark n-gram set (benchmarks are
+  tiny; corpora are not) so the corpus side stays a single scan +
+  per-doc aggregate — no shuffle of the 100 TB side by shingle.
+- Repetition metrics are pure per-row array expressions (whole-stage
+  codegen, zero shuffle): scan-speed at any scale.
+
+No reference-repo counterpart (the reference pipeline is
+ingest/clean/upsert only) — this module is part of the §2.8 extension
+surface mandated by the driver brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mini_data_platform_spark.functions.text import shingles_of, tokens
+
+_HEX = "0123456789abcdef"
+
+#: every hash family in this module gets its own salt so that split
+#: assignment, sampling, and any future hash use are mutually independent
+SPLIT_SALT = "split"
+SAMPLE_SALT = "sample"
+
+
+def hash_bucket(id_col: Column, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(salt # id).
+
+    The first 4 hex chars (16 bits) of the digest, mod ``buckets``:
+    partition-order independent and engine-independent. With 65536 hash
+    points the mod-100 buckets differ in mass by at most 1/655 — the
+    bias is fixed and documented, not a correctness concern for splits.
+    JVM-side end to end (md5 + conv are codegen'd); no shuffle.
+    """
+    h = F.md5(F.concat(F.lit(salt + "#"), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % buckets).alias(
+        "bucket"
+    )
+
+
+def sql_hash_bucket(id_expr: str, salt: str, buckets: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket` (no ``conv`` there — nibble
+    positions in the hex alphabet, summed with place values)."""
+    h = f"md5('{salt}#' || CAST({id_expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) % {buckets})"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Stable train/val/test assignment: adding, removing, or reordering
+    OTHER rows never moves a document between splits (the holdout
+    contamination guarantee hash-splits exist for)."""
+    b = hash_bucket(F.col(id_col), SPLIT_SALT)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def sql_split_assign(id_expr: str, train_pct: int = 80, val_pct: int = 10) -> str:
+    b = sql_hash_bucket(id_expr, SPLIT_SALT)
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, class_col: str, rates: dict[str, int]
+) -> DataFrame:
+    """Deterministic per-class downsampling: keep a row iff its hash
+    bucket falls below its class's percentage. The per-class rate dial
+    every data-mix recipe needs (e.g. downweight boilerplate-heavy
+    sources), with the same stability guarantee as :func:`split_assign`.
+    Classes absent from ``rates`` are dropped entirely."""
+    b = hash_bucket(F.col(id_col), SAMPLE_SALT)
+    rate = F.lit(0)
+    for cls, pct in sorted(rates.items()):
+        rate = F.when(F.col(class_col) == cls, F.lit(pct)).otherwise(rate)
+    return df.withColumn("bucket", b).filter(F.col("bucket") < rate)
+
+
+def sql_stratified_sample_pred(
+    id_expr: str, class_expr: str, rates: dict[str, int]
+) -> str:
+    b = sql_hash_bucket(id_expr, SAMPLE_SALT)
+    cases = " ".join(
+        f"WHEN {class_expr} = '{cls}' THEN {pct}"
+        for cls, pct in sorted(rates.items())
+    )
+    return f"({b} < (CASE {cases} ELSE 0 END))"
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination scores: for every document, the fraction
+    of its distinct word n-grams that appear anywhere in the benchmark
+    set (the standard n-gram-overlap test-set-leakage check).
+
+    Plan shape for 100 TB: the benchmark's distinct n-gram set is small
+    by construction (eval sets are thousands of docs, not billions), so
+    it is aggregated once and BROADCAST; the corpus side is one staged
+    shingle projection + explode + two map-side-combinable aggregates —
+    the corpus is never shuffled by shingle. Returns
+    (id, n_ngrams, n_hits, contamination)."""
+    doc_sh = (
+        _distinct_shingles(docs, id_col, text_col, shingle_n)
+        .persist()  # consumed by both the totals and the hits branches
+    )
+    bench_sh = _distinct_shingles(
+        benchmark, id_col, text_col, shingle_n
+    ).select("_shingle").distinct()
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    out = (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_ngrams", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("contamination"),
+        )
+    )
+    return out
+
+
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _shingle) exploded DISTINCT-per-doc shingle rows, tokens staged
+    (see dedup_fuzzy._staged_shingles for the HOF-recompute trap)."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_of(F.col("_toks"), shingle_n))
+        ).alias("_shingle"),
+    )
+
+
+def sql_contamination(
+    docs_src: str, bench_src: str, shingle_sql: str
+) -> str:
+    """DuckDB twin of :func:`contamination`. ``shingle_sql`` is the shingle
+    list expression over a column named ``text`` (TX.sql_shingles)."""
+    return f"""
+        WITH corpus AS ({docs_src}),
+        bench AS ({bench_src}),
+        doc_sh AS (
+            SELECT doc_id, u.s AS shingle
+            FROM (SELECT doc_id, list_distinct({shingle_sql}) AS sh FROM corpus),
+                 unnest(sh) AS u(s)
+        ),
+        bench_sh AS (
+            SELECT DISTINCT u.s AS shingle
+            FROM (SELECT list_distinct({shingle_sql}) AS sh FROM bench),
+                 unnest(sh) AS u(s)
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM doc_sh GROUP BY 1),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM doc_sh JOIN bench_sh USING (shingle) GROUP BY 1
+        )
+        SELECT c.doc_id,
+               COALESCE(t.n_ngrams, 0) AS n_ngrams,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+               / CAST(greatest(COALESCE(t.n_ngrams, 0), 1) AS DOUBLE)
+                   AS contamination
+        FROM corpus c
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals, per document:
+
+    - ``n_bigrams`` — total word bigrams
+    - ``top_bigram_n`` / ``top_bigram_frac`` — occurrences of the most
+      frequent bigram and its share (boilerplate/spam detector)
+    - ``n_adjacent_repeats`` — positions where a token immediately
+      repeats ("foo foo")
+
+    Everything is a per-row array expression — zero shuffle, whole-stage
+    codegen, scan-speed at 100 TB. The top-bigram count deliberately uses
+    the O(distinct·total) nested-HOF count over per-row arrays instead of
+    an explode + two-level aggregate: documents are bounded (thousands of
+    tokens), so per-row quadratic beats two cluster-wide shuffles.
+    ``_toks`` and ``_bg`` are staged projections — inlining them into the
+    lambdas would re-evaluate the split per element (dedup_fuzzy.py)."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    staged = toked.select(
+        F.col(id_col),
+        F.col("_toks"),
+        shingles_of(F.col("_toks"), 2).alias("_bg"),
+    )
+    bg = F.col("_bg")
+    top_n = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda b: F.size(F.filter(bg, lambda x: x == b)),
+            )
+        ),
+        F.lit(0),
+    )
+    t = F.col("_toks")
+    head = F.slice(t, 1, F.size(t) - 1)
+    tail = F.slice(t, 2, F.size(t) - 1)
+    n_adj = F.size(F.filter(F.zip_with(head, tail, lambda a, b: a == b), lambda x: x))
+    return staged.select(
+        F.col(id_col),
+        F.size(bg).alias("n_bigrams"),
+        top_n.alias("top_bigram_n"),
+        (
+            top_n.cast("double")
+            / F.greatest(F.size(bg), F.lit(1)).cast("double")
+        ).alias("top_bigram_frac"),
+        n_adj.alias("n_adjacent_repeats"),
+    )
+
+
+def sql_repetition_metrics(src: str, tokens_sql: str, bigrams_sql: str) -> str:
+    """DuckDB twin of :func:`repetition_metrics` over source ``src`` with
+    token / bigram list expressions over its ``text`` column."""
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, {tokens_sql} AS t, {bigrams_sql} AS bg FROM ({src})
+        )
+        SELECT doc_id,
+               len(bg) AS n_bigrams,
+               COALESCE(list_max(list_transform(list_distinct(bg),
+                        b -> len(list_filter(bg, x -> x = b)))), 0) AS top_bigram_n,
+               CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+                        b -> len(list_filter(bg, x -> x = b)))), 0) AS DOUBLE)
+               / CAST(greatest(len(bg), 1) AS DOUBLE) AS top_bigram_frac,
+               len(list_filter(list_transform(range(len(t) - 1),
+                        i -> t[CAST(i + 1 AS INT)] = t[CAST(i + 2 AS INT)]),
+                        x -> x)) AS n_adjacent_repeats
+        FROM staged
+    """

@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mini_data_platform_spark.catalog import load_table
+from mini_data_platform_spark.functions import pii as PII
 from mini_data_platform_spark.functions import text as TX
 from mini_data_platform_spark.functions import vectors as VX
+from mini_data_platform_spark.operators import corpus as CORPUS
 from mini_data_platform_spark.operators import dedup_fuzzy as DF_OPS
 from mini_data_platform_spark.operators import embed as EMB_OPS
 from mini_data_platform_spark.operators import similarity as SIM
@@ -183,6 +185,96 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME materialized: the surviving corpus after near-dup
+    clustering — per cluster only the canonical (min-id) document remains;
+    unclustered documents pass through untouched. Anti-join against the
+    non-canonical cluster members, so the corpus is streamed once."""
+    from mini_data_platform_spark.operators.graph import connected_components
+
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = DF_OPS.near_dup_pairs(
+        corpus, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+    )
+    dupes = (
+        connected_components(pairs)
+        .filter(F.col("v") != F.col("comp"))
+        .select(F.col("v").alias("doc_id"))
+    )
+    return corpus.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
+# ------------------------------------------------------- corpus curation
+
+#: per-language sampling percentages for the stratified-sample query —
+#: a deliberate non-uniform mix (downweight es, keep all zh)
+SAMPLE_RATES = {"en": 40, "de": 65, "fr": 85, "es": 20, "zh": 100}
+BENCH_SOURCE = "src0"
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators/corpus.py):
+    md5-bucket assignment, stable under any repartitioning or corpus
+    growth — the holdout-contamination guarantee."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return CORPUS.split_assign(docs, "doc_id")
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling at SAMPLE_RATES percent —
+    the data-mix dial, reproducible at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return CORPUS.stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES)
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each document's distinct
+    3-grams that appear in the benchmark set (source == BENCH_SOURCE).
+    Benchmark n-gram set is broadcast; corpus side never shuffles by
+    shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == BENCH_SOURCE)
+    return CORPUS.contamination(
+        _spread(docs), bench, "doc_id", "text", SHINGLE_N
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-bigram share, adjacent token
+    repeats) — pure per-row array math, zero shuffle."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return CORPUS.repetition_metrics(docs, "doc_id", "text")
+
+
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redaction over a corpus with synthetic PII planted
+    deterministically (the raw fixture contains none, which would make
+    the scan vacuous): every document gains an email, a URL, and a phone
+    number derived from its doc_id. Redacted text is emitted as md5 so
+    the full transform is value-checked without shipping megabytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), sid, F.lit("@example.com or https://ex.example/p/"),
+            sid, F.lit(" call +1415555"), sid,
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return planted.select(
+        "doc_id",
+        PII.email_count(t).alias("n_emails"),
+        PII.url_count(t).alias("n_urls"),
+        PII.phone_count(t).alias("n_phones"),
+        F.md5(PII.redact(t)).alias("redacted_md5"),
+        F.length(PII.redact(t)).alias("redacted_len"),
+    )
+
+
 # ------------------------------------------------------------- embeddings
 
 def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,6 +363,12 @@ QUERIES = {
     "doc_near_dups": doc_near_dups,
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_dedup_final": doc_dedup_final,
+    "doc_split_assign": doc_split_assign,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_contamination": doc_contamination,
+    "doc_repetition": doc_repetition,
+    "doc_pii_scan": doc_pii_scan,
     "emb_norms": emb_norms,
     "emb_knn": emb_knn,
     "emb_ann_knn": emb_ann_knn,
@@ -516,6 +614,62 @@ ORACLE = {
         )
         SELECT v AS doc_id, MIN(c) AS canonical_doc_id
         FROM reach GROUP BY v
+    """,
+    "doc_dedup_final": f"""
+        WITH RECURSIVE corpus AS ({_SQL_MUTATED}),
+        nd AS ({_sql_near_dups(_SQL_MUTATED)}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT e.dst, r.c FROM reach r JOIN sym e ON e.src = r.v
+        ),
+        dupes AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(c))
+        SELECT doc_id, md5(text) AS text_md5 FROM corpus
+        WHERE doc_id NOT IN (SELECT v FROM dupes)
+    """,
+    "doc_split_assign": f"""
+        SELECT doc_id,
+               {CORPUS.sql_hash_bucket('doc_id', CORPUS.SPLIT_SALT)} AS bucket,
+               {CORPUS.sql_split_assign('doc_id')} AS split
+        FROM documents
+    """,
+    "doc_stratified_sample": f"""
+        SELECT doc_id, lang,
+               {CORPUS.sql_hash_bucket('doc_id', CORPUS.SAMPLE_SALT)} AS bucket
+        FROM documents
+        WHERE {CORPUS.sql_stratified_sample_pred('doc_id', 'lang', SAMPLE_RATES)}
+    """,
+    "doc_contamination": CORPUS.sql_contamination(
+        "SELECT doc_id, text FROM documents",
+        f"SELECT doc_id, text FROM documents WHERE source = '{BENCH_SOURCE}'",
+        TX.sql_shingles("text", SHINGLE_N),
+    ),
+    "doc_repetition": CORPUS.sql_repetition_metrics(
+        "SELECT doc_id, text FROM documents",
+        TX.sql_tokens("text"),
+        TX.sql_shingles("text", 2),
+    ),
+    "doc_pii_scan": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or https://ex.example/p/'
+                        || CAST(doc_id AS VARCHAR)
+                        || ' call +1415555' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {PII.sql_count('text', PII.EMAIL_RE)} AS n_emails,
+               {PII.sql_count('text', PII.URL_RE)} AS n_urls,
+               {PII.sql_count('text', PII.PHONE_RE)} AS n_phones,
+               md5({PII.sql_redact('text')}) AS redacted_md5,
+               length({PII.sql_redact('text')}) AS redacted_len
+        FROM planted
     """,
     "doc_simhash": DF_OPS.sql_simhash("documents", "doc_id", "text"),
     "emb_norms": f"""

@@ -1,0 +1,130 @@
+"""Corpus-curation operators (operators/corpus.py, functions/pii.py):
+split stability, stratified sampling, decontamination, repetition
+metrics, PII scrubbing."""
+
+from pyspark.sql import Row, functions as F
+
+from mini_data_platform_spark.functions import pii
+from mini_data_platform_spark.operators.corpus import (
+    contamination,
+    repetition_metrics,
+    split_assign,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+class TestSplitAssign:
+    def test_partitioning_invariant(self, spark):
+        docs = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id").collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(docs.repartition(7), "doc_id").collect()
+        }
+        assert a == b
+
+    def test_growth_never_moves_existing_rows(self, spark):
+        small = spark.range(200).withColumnRenamed("id", "doc_id")
+        big = spark.range(1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in split_assign(small, "doc_id").collect()}
+        b = {r["doc_id"]: r["split"] for r in split_assign(big, "doc_id").collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_proportions_roughly_80_10_10(self, spark):
+        docs = spark.range(5000).withColumnRenamed("id", "doc_id")
+        counts = {
+            r["split"]: r["n"]
+            for r in split_assign(docs, "doc_id").groupBy("split").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert sum(counts.values()) == 5000
+        assert 0.75 < counts["train"] / 5000 < 0.85
+        assert 0.07 < counts["val"] / 5000 < 0.13
+        assert 0.07 < counts["test"] / 5000 < 0.13
+
+
+class TestStratifiedSample:
+    def _classed(self, spark):
+        return spark.createDataFrame(
+            [Row(doc_id=i, cat="a" if i % 2 else "b") for i in range(400)],
+            "doc_id long, cat string",
+        )
+
+    def test_rate_100_keeps_all_rate_0_drops_all(self, spark):
+        df = self._classed(spark)
+        out = stratified_sample(df, "doc_id", "cat", {"a": 100}).collect()
+        assert {r["cat"] for r in out} == {"a"}
+        assert len(out) == 200  # every 'a' kept, every 'b' (absent) dropped
+
+    def test_lower_rate_is_subset_of_higher(self, spark):
+        df = self._classed(spark)
+        lo = {r["doc_id"] for r in stratified_sample(df, "doc_id", "cat", {"a": 20}).collect()}
+        hi = {r["doc_id"] for r in stratified_sample(df, "doc_id", "cat", {"a": 60}).collect()}
+        assert lo <= hi
+        assert len(lo) < len(hi)
+
+
+class TestContamination:
+    def test_benchmark_docs_fully_contaminated(self, spark):
+        docs = _docs(spark, [(1, "w x y z"), (2, "p q r s t")])
+        bench = _docs(spark, [(10, "w x y z")])
+        out = {r["doc_id"]: r for r in contamination(docs, bench, "doc_id", "text").collect()}
+        assert out[1]["contamination"] == 1.0
+        assert out[2]["contamination"] == 0.0
+        assert out[2]["n_ngrams"] == 3  # 5 tokens -> 3 distinct 3-grams
+
+    def test_short_doc_zero_ngrams(self, spark):
+        docs = _docs(spark, [(1, "one two")])  # shorter than shingle_n
+        bench = _docs(spark, [(10, "a b c")])
+        row = contamination(docs, bench, "doc_id", "text").collect()[0]
+        assert row["n_ngrams"] == 0 and row["contamination"] == 0.0
+
+
+class TestRepetition:
+    def test_hand_counts(self, spark):
+        docs = _docs(spark, [(1, "a a a b"), (2, "x y x y")])
+        out = {r["doc_id"]: r for r in repetition_metrics(docs, "doc_id", "text").collect()}
+        # "a a a b": bigrams [a a, a a, a b] -> top 2, adjacent repeats 2
+        assert out[1]["n_bigrams"] == 3
+        assert out[1]["top_bigram_n"] == 2
+        assert out[1]["n_adjacent_repeats"] == 2
+        # "x y x y": bigrams [x y, y x, x y] -> top 2, no adjacent repeats
+        assert out[2]["top_bigram_n"] == 2
+        assert out[2]["n_adjacent_repeats"] == 0
+
+    def test_single_token_doc(self, spark):
+        row = repetition_metrics(_docs(spark, [(1, "solo")]), "doc_id", "text").collect()[0]
+        assert row["n_bigrams"] == 0
+        assert row["top_bigram_n"] == 0
+        assert row["top_bigram_frac"] == 0.0
+
+
+class TestPII:
+    def test_counts_and_redaction(self, spark):
+        text = (
+            "mail a@b.com and c.d+x@e.org, see https://ex.com/p?q=1"
+            " or call +14155551234 now"
+        )
+        df = _docs(spark, [(1, text)]).select(
+            pii.email_count(F.col("text")).alias("e"),
+            pii.url_count(F.col("text")).alias("u"),
+            pii.phone_count(F.col("text")).alias("p"),
+            pii.redact(F.col("text")).alias("red"),
+        )
+        row = df.collect()[0]
+        assert (row["e"], row["u"], row["p"]) == (2, 1, 1)
+        assert "@" not in row["red"].replace("<EMAIL>", "")
+        assert "<URL>" in row["red"] and "<PHONE>" in row["red"]
+
+    def test_clean_text_untouched(self, spark):
+        row = _docs(spark, [(1, "nothing sensitive here")]).select(
+            pii.redact(F.col("text")).alias("red")
+        ).collect()[0]
+        assert row["red"] == "nothing sensitive here"
