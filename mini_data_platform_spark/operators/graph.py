@@ -36,9 +36,16 @@ def connected_components(
     component = the minimum vertex id reachable through the undirected
     pair graph. Deterministic and engine-independent."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # PERSIST the symmetrized edge list: it is consumed once per
+    # propagation round, and its lineage is whatever produced ``pairs`` —
+    # for near-dup graphs that is the whole MinHash→LSH→Jaccard pipeline,
+    # which would otherwise be recomputed EVERY round (measured 10×
+    # slowdown at sf0.1). The edge frame itself is tiny relative to the
+    # corpus (one row per duplicate pair), so caching it is the 100 TB
+    # design too.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
@@ -65,6 +72,9 @@ def connected_components(
         if new_sum == cur_sum:
             break
         cur_sum = new_sum
+    # the final labels are materialized in cache (the convergence agg ran
+    # on them), so the edge cache is no longer needed by consumers
+    sym.unpersist()
     return labels.select(F.col("v"), F.col("comp"))
 
 
