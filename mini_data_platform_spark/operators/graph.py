@@ -23,6 +23,8 @@ labeling with a recursive reachability CTE + MIN.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -35,46 +37,63 @@ def connected_components(
     """(vertex, component) for every vertex appearing in ``pairs``, where
     component = the minimum vertex id reachable through the undirected
     pair graph. Deterministic and engine-independent."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # PERSIST the symmetrized edge list: it is consumed once per
-    # propagation round, and its lineage is whatever produced ``pairs`` —
-    # for near-dup graphs that is the whole MinHash→LSH→Jaccard pipeline,
-    # which would otherwise be recomputed EVERY round (measured 10×
-    # slowdown at sf0.1). The edge frame itself is tiny relative to the
-    # corpus (one row per duplicate pair), so caching it is the 100 TB
-    # design too.
+    # CHECKPOINT (not merely persist) the edge list: each propagation
+    # round builds a NEW plan on top of the previous round's labels, so
+    # without lineage truncation the plan tree doubles every round —
+    # whatever produced ``pairs`` (for near-dup graphs the whole
+    # MinHash→LSH→Jaccard pipeline) gets re-executed exponentially many
+    # times, and deep chains overflow the JVM stack just RENDERING the
+    # plan. ``localCheckpoint`` materializes to executor-local blocks and
+    # cuts the lineage, so every round's plan is one join + one aggregate
+    # over flat scans — the same reason GraphX/GraphFrames checkpoint
+    # every N Pregel rounds. The edge frame is tiny relative to the
+    # corpus (one row per duplicate pair), so this is the 100 TB design
+    # too (on a real cluster with lost-executor risk, swap for
+    # ``checkpoint()`` against a reliable store).
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
+    # union of two scans over the checkpointed blocks — shallow lineage,
+    # cheap to re-read each round, no extra storage needed
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    )
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("comp", F.col("v"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # labels only ever DECREASE, so the global sum is strictly monotone
     # until fixpoint: one 1-row aggregate per round detects convergence
+    # (bounded driver traffic). The agg doubles as the action that
+    # materializes each round's lazy checkpoint.
     cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep own label in the race
         msgs = sym.join(labels, sym["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == cur_sum:
+            converged = True
             break
         cur_sum = new_sum
-    # the final labels are materialized in cache (the convergence agg ran
-    # on them), so the edge cache is no longer needed by consumers
-    sym.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; labels may span partially-merged components. Raise "
+            "max_iter (rounds needed ~ graph diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("v"), F.col("comp"))
 
 
