@@ -23,18 +23,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver's correctness harness records only the
+    # FIRST 50 entries. llm + multimodal go before analytics so the
+    # queries with the least driver-verified history get CORRECTNESS
+    # rows; the analytics set has multiple rounds of green rows behind it.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(kpi.QUERIES)
-    out.update(analytics.QUERIES)
     out.update(llm.QUERIES)
     out.update(multimodal_q.QUERIES)
+    out.update(analytics.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(kpi.ORACLE)
-    out.update(analytics.ORACLE)
     out.update(llm.ORACLE)
     out.update(multimodal_q.ORACLE)
+    out.update(analytics.ORACLE)
     return out

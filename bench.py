@@ -41,25 +41,42 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, "/root/testdata/sf0.001", t).count()
 
+    # Per-query error isolation: one broken query must not abort the run
+    # (rounds 3+4 lost all bench signal to a single failing query). Errors
+    # are recorded in a parallel dict and the JSON line ALWAYS prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: query {name!r} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if errors:
+        out["errors"] = errors
+    # Stop the session BEFORE printing so no JVM/log4j output can land
+    # after the JSON line — it must be the LAST line on stdout, on its own
+    # line (the driver tail-parses it).
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

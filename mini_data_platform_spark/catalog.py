@@ -40,10 +40,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: - ANSI off: null-on-failure casts, required by the cleaning operators
 #: - nanosAsLong: the events table is INT64 TIMESTAMP(NANOS), which Spark's
 #:   parquet reader rejects otherwise (PARQUET_TYPE_ILLEGAL)
+#: - inferTimestampNTZ off: fixture parquet written with
+#:   isAdjustedToUTC=false (plain microsecond timestamps) must load as
+#:   TIMESTAMP (session-TZ) not TIMESTAMP_NTZ — the engine's time functions
+#:   (unix_micros, window, to_date under UTC session TZ) take TIMESTAMP, and
+#:   under UTC the two readings are value-identical.
 _REQUIRED_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -106,6 +112,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Belt-and-braces for sessions where inferTimestampNTZ was
+            # locked as a static conf before we could set it: under the
+            # UTC session TZ this cast is value-identical to the non-NTZ
+            # read, and downstream unix_micros/window require TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -28,6 +28,23 @@ import warnings
 from pyspark.sql import DataFrame, functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'ed frame's blocks.
+
+    A localCheckpoint materializes the frame as persisted RDD blocks whose
+    logical plan is a ``LogicalRDD``; ``DataFrame.unpersist`` does NOT free
+    those (it only touches the SQL cache manager), so superseded per-round
+    label frames would otherwise sit in executor storage until driver GC +
+    ContextCleaner got around to them — up to ``max_iter`` copies. Reach
+    the underlying RDD via py4j and unpersist it directly; swallow every
+    failure (a missed release degrades to the old GC behavior, never
+    correctness)."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup is advisory
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -67,21 +84,29 @@ def connected_components(
     # labels only ever DECREASE, so the global sum is strictly monotone
     # until fixpoint: one 1-row aggregate per round detects convergence
     # (bounded driver traffic). The agg doubles as the action that
-    # materializes each round's lazy checkpoint.
-    cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # materializes each round's lazy checkpoint. Sum over decimal(38,0):
+    # a long sum of vertex ids can overflow (ArithmeticException under
+    # Spark 4's ANSI default) on large graphs with large ids.
+    _sum_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
+    cur_sum = labels.agg(_sum_expr).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep own label in the race
         msgs = sym.join(labels, sym["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("comp")
         )
+        prev = labels
         labels = (
             labels.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        new_sum = labels.agg(_sum_expr).collect()[0][0]
+        # the agg above materialized this round's checkpoint, so the
+        # previous round's blocks are now dead — release them instead of
+        # letting up to max_iter label copies pile up in executor storage
+        _release_checkpoint(prev)
         if new_sum == cur_sum:
             converged = True
             break
@@ -94,6 +119,9 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # every round's agg materialized its checkpoint, so the edge blocks are
+    # no longer reachable from the final (checkpointed) labels frame
+    _release_checkpoint(edges)
     return labels.select(F.col("v"), F.col("comp"))
 
 

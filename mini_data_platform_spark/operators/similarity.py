@@ -136,13 +136,33 @@ def ann_neighbors_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def auto_block_count(
+    df: DataFrame, vec_col: str, mem_budget_bytes: int = 128 << 20
+) -> int:
+    """Statistics-driven block count for :func:`allpairs_cosine_blocked` —
+    the physical-planning decision AQE would make if it knew this
+    operator. Replication factor is ~n_blocks per row, so a small corpus
+    must NOT be over-split (r2 regression: 2k vectors × 8 blocks = 36
+    near-empty Arrow groups + 8× shuffle for zero memory benefit). Each
+    block matrix is budgeted at ``mem_budget_bytes`` (rows × dim × 8 B),
+    so blocks only multiply once a single block would no longer fit an
+    executor core — exactly when the replication starts buying parallel
+    O(n²) coverage. Cost: one metadata-cheap count + a 1-row dim probe —
+    bounded control-plane statistics, never vector data."""
+    n = df.count()
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(row["d"]) if row and row["d"] else 1
+    rows_per_block = max(1024, mem_budget_bytes // (dim * 8))
+    return max(1, -(-n // rows_per_block))
+
+
 def allpairs_cosine_blocked(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
     block: int = 512,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine (id_a < id_b, cos >= threshold), fully
     distributed via a block-pair equi-join + grouped numpy scoring.
@@ -175,6 +195,8 @@ def allpairs_cosine_blocked(
     import pandas as pd
 
     spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = auto_block_count(df, vec_col)
     base = df.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -201,7 +223,7 @@ def allpairs_cosine_blocked(
 
     out_schema = "id_a long, id_b long, cos_sim double"
 
-    def score(key, pdf: pd.DataFrame):
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         left = pdf[pdf["side"] == "L"].sort_values("vid")
         a_ids = left["vid"].to_numpy(dtype=np.int64)

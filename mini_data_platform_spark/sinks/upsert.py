@@ -132,8 +132,15 @@ def execute_merge(conn, statements: Sequence[str]) -> None:
     in one transaction, commit only after every statement succeeded, close
     unconditionally. Separated from :func:`upsert_jdbc` so the lifecycle
     (ordering, commit-after-drop, close-on-error) is testable with a stub
-    connection — the container has no JDBC jar to run the real thing."""
+    connection; the live path is exercised against embedded Derby in
+    tests/test_sinks.py."""
     try:
+        set_ac = getattr(conn, "setAutoCommit", None)
+        if set_ac is not None:
+            # DriverManager connections default to autocommit, under which
+            # java.sql defines commit() as an error — switch to an explicit
+            # transaction so all statements commit atomically.
+            set_ac(False)
         stmt = conn.createStatement()
         for s in statements:
             stmt.execute(s)
@@ -151,10 +158,13 @@ def upsert_jdbc(
     staging_table: str | None = None,
     batch_size: int = 1000,
     num_partitions: int = 8,
+    dialect: str = "postgres",
 ) -> None:
     """Staging-merge upsert over JDBC. Requires the JDBC driver jar on the
-    Spark classpath; raises a clear error when it is absent (this container
-    ships none — the strategy is exercised in production deployments)."""
+    Spark classpath (tests run it against the Derby jar Spark ships for
+    its Hive metastore; production passes the postgres jar). ``dialect``
+    picks the merge statement: ``'postgres'`` (INSERT..ON CONFLICT) or
+    ``'merge'`` (ANSI MERGE INTO — Derby/Iceberg/SQL Server)."""
     staging_table = staging_table or f"{table}_staging_{uuid.uuid4().hex[:8]}"
     props = dict(properties or {})
     props.setdefault("batchsize", str(batch_size))
@@ -168,7 +178,10 @@ def upsert_jdbc(
     jvm = spark._jvm  # noqa: SLF001 — driver-side merge statement
     conn = jvm.java.sql.DriverManager.getConnection(url)
     execute_merge(
-        conn, staging_merge_statements(table, df.columns, key_cols, staging_table)
+        conn,
+        staging_merge_statements(
+            table, df.columns, key_cols, staging_table, dialect=dialect
+        ),
     )
 
 

@@ -273,3 +273,87 @@ class TestEnsureBucket:
         assert os.path.isdir(target)
         ensure_bucket(target)  # idempotent
         assert os.path.isdir(target)
+
+
+class TestUpsertJdbcDerby:
+    """K1 against a LIVE JDBC engine (reference db.py:22-67 runs real
+    upserts against Postgres). Spark ships embedded Derby for its Hive
+    metastore, so the full staging-write + driver-side ANSI MERGE path
+    runs in-JVM with zero extra dependencies: ``df.write.jdbc`` into the
+    staging table, MERGE INTO the target, staging dropped — insert AND
+    conflict-update asserted on the final table state."""
+
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def _derby_missing(self, spark):
+        try:
+            spark._jvm.Class.forName(self.DRIVER)
+            return False
+        except Exception:
+            return True
+
+    def test_staging_merge_roundtrip(self, spark, tmp_path):
+        import pytest
+
+        from mini_data_platform_spark.sinks.upsert import upsert_jdbc
+
+        if self._derby_missing(spark):
+            pytest.skip("derby jar not on the Spark classpath")
+        url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE sales (sale_id VARCHAR(64) PRIMARY KEY, "
+            "quantity INT, amount DOUBLE)"
+        )
+        st.execute("INSERT INTO sales VALUES ('s1', 1, 10.0), ('s2', 2, 20.0)")
+        conn.close()  # autocommit on: rows are committed
+
+        # Spark's JDBC writer QUOTES column names when creating the staging
+        # table, so they must already be in the engine's unquoted-identifier
+        # normal form for the unquoted MERGE references to resolve: upper
+        # for Derby/Oracle (Postgres folds lower, where original names work)
+        df = spark.createDataFrame(
+            [("s2", 5, 99.0), ("s3", 3, 30.0)],
+            "SALE_ID string, QUANTITY int, AMOUNT double",
+        )
+        upsert_jdbc(
+            df,
+            url,
+            "sales",
+            ["SALE_ID"],
+            properties={
+                "driver": self.DRIVER,
+                # Derby can't compare CLOB (Spark's default string mapping)
+                # in a MERGE ON clause; force VARCHAR for the key
+                "createTableColumnTypes": "SALE_ID VARCHAR(64)",
+            },
+            dialect="merge",  # Derby speaks ANSI MERGE, not ON CONFLICT
+            num_partitions=2,
+        )
+
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", self.DRIVER)
+            .option("dbtable", "sales")
+            .load()
+        )
+        rows = {r["SALE_ID"]: (r["QUANTITY"], r["AMOUNT"]) for r in back.collect()}
+        assert rows == {
+            "s1": (1, 10.0),   # untouched
+            "s2": (5, 99.0),   # conflict-update won
+            "s3": (3, 30.0),   # inserted
+        }
+
+        # staging table dropped by the merge transaction
+        meta = jvm.java.sql.DriverManager.getConnection(url)
+        rs = meta.createStatement().executeQuery(
+            "SELECT tablename FROM sys.systables WHERE tabletype = 'T'"
+        )
+        tables = set()
+        while rs.next():
+            tables.add(rs.getString(1))
+        meta.close()
+        assert tables == {"SALES"}
