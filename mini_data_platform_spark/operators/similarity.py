@@ -137,23 +137,43 @@ def ann_neighbors_lsh(
 
 
 def auto_block_count(
-    df: DataFrame, vec_col: str, mem_budget_bytes: int = 128 << 20
+    df: DataFrame,
+    vec_col: str,
+    mem_budget_bytes: int = 128 << 20,
+    parallelism: int | None = None,
 ) -> int:
     """Statistics-driven block count for :func:`allpairs_cosine_blocked` —
     the physical-planning decision AQE would make if it knew this
-    operator. Replication factor is ~n_blocks per row, so a small corpus
-    must NOT be over-split (r2 regression: 2k vectors × 8 blocks = 36
-    near-empty Arrow groups + 8× shuffle for zero memory benefit). Each
-    block matrix is budgeted at ``mem_budget_bytes`` (rows × dim × 8 B),
-    so blocks only multiply once a single block would no longer fit an
-    executor core — exactly when the replication starts buying parallel
-    O(n²) coverage. Cost: one metadata-cheap count + a 1-row dim probe —
-    bounded control-plane statistics, never vector data."""
+    operator. Two forces, take the max:
+
+    - **memory floor**: each block matrix is budgeted at
+      ``mem_budget_bytes`` (rows × dim × 8 B), so blocks multiply once a
+      single block would no longer fit an executor core. Dominates for
+      big corpora (where it also guarantees ample parallelism).
+    - **parallelism target**: the O(n²) work lands on
+      n_blocks(n_blocks+1)/2 independent tasks, so for corpora far below
+      the memory floor ONE block serializes the whole square onto one
+      core (measured 7.8 s vs 1.8 s at 2k×64 on local[32]). Pick the
+      smallest n_blocks whose group count covers ``parallelism``
+      (default: the context's defaultParallelism), but never split below
+      ~128 rows/block — past that, per-group Arrow overhead exceeds the
+      compute being parallelized. Extra replication here is cheap by
+      construction: this branch only wins when total bytes are small.
+
+    Cost: one metadata-cheap count + a 1-row dim probe — bounded
+    control-plane statistics, never vector data."""
+    import math
+
     n = df.count()
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(row["d"]) if row and row["d"] else 1
     rows_per_block = max(1024, mem_budget_bytes // (dim * 8))
-    return max(1, -(-n // rows_per_block))
+    mem_floor = max(1, -(-n // rows_per_block))
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # smallest k with k(k+1)/2 >= parallelism
+    par_target = math.ceil((math.sqrt(8 * parallelism + 1) - 1) / 2)
+    return max(mem_floor, min(par_target, max(1, n // 128)))
 
 
 def allpairs_cosine_blocked(
@@ -161,7 +181,7 @@ def allpairs_cosine_blocked(
     id_col: str,
     vec_col: str,
     threshold: float,
-    block: int = 512,
+    block: int = 1024,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine (id_a < id_b, cos >= threshold), fully

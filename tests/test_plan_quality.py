@@ -96,19 +96,26 @@ class TestNoDriverDataPath:
         assert all(a < b for a, b in got)
 
     def test_allpairs_auto_block_sizing(self, spark):
-        """Auto block count is statistics-driven: a corpus whose whole
-        block matrix fits the memory budget gets ONE block (replication 1 —
-        the r2 8-block over-split was a 3.6× regression), and the budget
-        controls when blocks multiply."""
+        """Auto block count is statistics-driven: block-pair groups must
+        cover the available cores (1 block serializes the O(n²) square
+        onto one task — measured 4.3x slower at 2k vectors), but never
+        split below ~128 rows/block, and the memory floor takes over for
+        corpora whose block matrix would exceed the budget."""
         from mini_data_platform_spark.operators import similarity as SIM
 
-        emb = load_table(spark, SF, "embeddings")
-        assert SIM.auto_block_count(emb, "embedding") == 1
-        # shrink the budget so ~500 rows x dim 64 x 8B no longer fits
-        # one 1024-row block -> still computed from rows_per_block floor
+        emb = load_table(spark, SF, "embeddings")  # 500 rows, dim 64
         n = emb.count()
-        tiny = SIM.auto_block_count(emb, "embedding", mem_budget_bytes=1)
-        assert tiny == -(-n // 1024)  # floor kicks in at 1024 rows/block
+        # parallelism-bound: smallest k with k(k+1)/2 >= 32 is 8, capped
+        # by the 128-rows/block floor (500 // 128 = 3)
+        assert SIM.auto_block_count(emb, "embedding", parallelism=32) == 3
+        # single-core: no reason to replicate at all
+        assert SIM.auto_block_count(emb, "embedding", parallelism=1) == 1
+        # memory-bound: budget of one f64 per row forces rows_per_block
+        # to its 1024 floor; 500 rows still fit one block
+        assert (
+            SIM.auto_block_count(emb, "embedding", mem_budget_bytes=1, parallelism=1)
+            == -(-n // 1024)
+        )
 
 
 class TestShuffleBudget:
