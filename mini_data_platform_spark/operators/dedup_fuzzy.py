@@ -209,51 +209,46 @@ def jaccard_pairs_from(
 ) -> DataFrame:
     """Jaccard verification from a pre-staged shingle frame.
 
-    Only documents that appear in a candidate pair are exploded: the
-    semi-join below shrinks the shingle-explode volume from |corpus| to
-    |candidate docs| — at scale LSH admits a small fraction of the corpus
-    into candidates, so this is the difference between exploding 100 TB
-    of shingles and exploding the few TB under verification."""
-    from pyspark import StorageLevel
+    Only documents that appear in a candidate pair carry their shingle
+    set into the join: the semi-join below shrinks the verified volume
+    from |corpus| to |candidate docs| — at scale LSH admits a small
+    fraction of the corpus into candidates, so this is the difference
+    between shipping 100 TB of shingles and shipping the few TB under
+    verification.
 
+    Intersections are computed with ONE equi-join per pair side plus a
+    JVM ``array_intersect`` on the deduped shingle arrays — two shuffles
+    of (id, array) rows total. The alternative explode→composite-join→
+    count formulation shuffles every (id, shingle) row twice more and
+    re-aggregates; measured ~2× slower at sf0.1 with identical output
+    (array_intersect over array_distinct'ed arrays IS set intersection,
+    and both sides' set sizes come from the same arrays)."""
     involved = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # null-safe: explode_outer upstream means a no-shingle doc carries a
+    # null array; its set is EMPTY (size 0), never null-propagated
+    # (size(null) is -1 with ANSI off, which would corrupt the union size)
+    empty = F.array().cast("array<string>")
     sets = shingled.join(involved, id_col, "left_semi").select(
-        F.col(id_col), F.array_distinct(F.col(sh_col)).alias("sh")
+        F.col(id_col),
+        F.array_distinct(F.coalesce(F.col(sh_col), empty)).alias("sh"),
     )
-    sizes = sets.select(id_col, F.size("sh").alias("sz"))
-    # both sides of the intersection join scan the exploded shingles;
-    # persist so the explode runs once, not once per side
-    exploded = sets.select(id_col, F.explode("sh").alias("shingle")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    ea = exploded.toDF("id_a", "shingle")
-    eb = exploded.toDF("id_b2", "shingle_b")
-    inter = (
-        pairs.join(ea, "id_a")
-        .join(
-            eb,
-            (F.col("id_b") == F.col("id_b2")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
+        pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            n_inter.alias("n_inter"),
             (
-                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double")
+                n_inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_inter).cast("double")
             ).alias("jaccard"),
         )
     )
