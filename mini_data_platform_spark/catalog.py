@@ -103,21 +103,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan are Catalyst's job — callers should select/filter declaratively."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    from pyspark.sql import functions as F, types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanosAsLong surfaces ts as raw INT64 nanoseconds; convert to a
         # microsecond timestamp with integer division (a double division
         # would lose precision past 2^53 ns). DuckDB's ns->us cast truncates
         # identically.
-        from pyspark.sql import functions as F, types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            # Belt-and-braces for sessions where inferTimestampNTZ was
-            # locked as a static conf before we could set it: under the
-            # UTC session TZ this cast is value-identical to the non-NTZ
-            # read, and downstream unix_micros/window require TIMESTAMP.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces for sessions where inferTimestampNTZ was locked as a
+    # static conf before ensure_session_confs could disable it (the driver
+    # harness builds its own session): every fixture timestamp is UTC wall
+    # time, so under the UTC session TZ this cast is value-identical to the
+    # non-NTZ read, and the engine's time functions (unix_micros, window)
+    # require TIMESTAMP. Applied to ALL tables — a round-4 fixture
+    # regeneration flipped events.ts to NTZ and broke three queries; any
+    # column could drift the same way next regeneration.
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
