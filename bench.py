@@ -40,6 +40,17 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "events", "documents", "embeddings"):
         load_table(spark, "/root/testdata/sf0.001", t).count()
+    # spawn the Python worker pool + Arrow serializers once, so the first
+    # pandas-UDF query measures its plan, not worker startup
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(64)
+        .withColumn("g", F.col("id") % 8)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, "id long, g long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     # Per-query error isolation: one broken query must not abort the run
     # (rounds 3+4 lost all bench signal to a single failing query). Errors
