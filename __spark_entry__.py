@@ -24,13 +24,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness harness records only the
-    # FIRST 50 entries. llm + multimodal go before analytics so the
-    # queries with the least driver-verified history get CORRECTNESS
-    # rows; the analytics set has multiple rounds of green rows behind it.
+    # FIRST 50 entries. Priority inside the window: (1) llm + multimodal,
+    # driver-unverified since round 2; (2) the three queries that broke in
+    # round 4 (TIMESTAMP_NTZ) so their fix lands in CORRECTNESS_r05;
+    # (3) remaining analytics — the entries pushed past the window all
+    # have multiple rounds of green driver rows behind them.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(kpi.QUERIES)
     out.update(llm.QUERIES)
     out.update(multimodal_q.QUERIES)
+    for fixed in ("events_sessionize", "click_before_purchase", "errors_near_click"):
+        out[fixed] = analytics.QUERIES[fixed]
     out.update(analytics.QUERIES)
     return out
 
