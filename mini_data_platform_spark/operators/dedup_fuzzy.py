@@ -295,29 +295,59 @@ _HEX = "0123456789abcdef"
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens, emitted as a 16-char hex
     string. Bit j of token t = bit j of md5(t) (nibble-decoded portably via
-    strpos on the hex alphabet); the signature bit is the sign of the
-    ±1-vote sum over tokens.
+    conv on the hex digit); the signature bit is the sign of the ±1-vote
+    sum over tokens.
 
-    Implementation is explode → 64 conditional-sum aggregates → nibble
-    reassembly: one shuffle on the doc id, all JVM expressions.
-    """
+    Implementation is explode → 32 bit-packed count aggregates → lane
+    decode → nibble reassembly: one shuffle on the doc id, all JVM
+    expressions. The 64 per-bit set-counts are packed TWO per long in
+    31-bit lanes (set-votes are 0/1, so lanes never borrow; a lane
+    overflows only past 2^31 tokens ≈ 8 GB of text in ONE document),
+    halving both the aggregate state that shuffles per group and the
+    generated aggregate code vs one sum per bit (measured ~2× faster
+    first-run at sf0.1, identical output). The ±1-vote sign is recovered
+    as ``2*set_count > n_tokens`` (strictly-positive sum ⇔ set bits
+    outnumber unset); the DuckDB oracle (sql_simhash) keeps the plain
+    64-sum formulation, so the packing is cross-checked, not mirrored."""
     from mini_data_platform_spark.functions.text import tokens
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
-    aggs = []
-    for nib in range(16):
-        # hex char -> 0..15 via base conversion (JVM-side, no UDF)
-        val = F.conv(F.substring("h", nib + 1, 1), 16, 10).cast("int")
-        for bit in range(4):
-            vote = F.when(F.shiftright(val, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            aggs.append(F.sum(vote).alias(f"s_{nib}_{bit}"))
-    sums = tok.groupBy(id_col).agg(*aggs)
+    # stage the 16 nibble values so each is decoded once per token
+    # (CollapseProject keeps the stage: non-cheap aliases referenced 4×)
+    nib_vals = tok.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("h", nib + 1, 1), 16, 10).cast("long").alias(f"v_{nib}")
+            for nib in range(16)
+        ],
+    )
+
+    def bit_expr(i: int):
+        # bit i of the 64-bit signature = bit (i%4) of nibble (i//4)
+        return F.shiftright(F.col(f"v_{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+
+    LANE = 31
+    aggs = [F.count("*").alias("n_tok")]
+    for k in range(32):
+        packed = bit_expr(2 * k) + (bit_expr(2 * k + 1) * F.lit(1 << LANE))
+        aggs.append(F.sum(packed).alias(f"p_{k}"))
+    sums = nib_vals.groupBy(id_col).agg(*aggs)
+
+    def count_expr(i: int):
+        k, m = divmod(i, 2)
+        return F.shiftright(F.col(f"p_{k}"), m * LANE).bitwiseAND(
+            F.lit((1 << LANE) - 1)
+        )
+
     nib_chars = []
     for nib in range(16):
         nibble_val = None
         for bit in range(4):
-            b = F.when(F.col(f"s_{nib}_{bit}") > 0, F.lit(1)).otherwise(F.lit(0)) * (2**bit)
+            # vote sum > 0  ⇔  2 * set_count > n_tokens
+            b = F.when(
+                count_expr(nib * 4 + bit) * 2 > F.col("n_tok"), F.lit(1)
+            ).otherwise(F.lit(0)) * (2**bit)
             nibble_val = b if nibble_val is None else (nibble_val + b)
         nib_chars.append(F.substr(F.lit(_HEX), nibble_val + 1, F.lit(1)))
     return sums.select(F.col(id_col), F.concat(*nib_chars).alias("simhash"))
