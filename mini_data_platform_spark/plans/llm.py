@@ -352,6 +352,44 @@ def emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine duplicate CLUSTERS — the semantic-dedup endgame,
+    same shape as the text pipeline's doc_dup_clusters: exact cosine
+    pairs (>= COS_THRESHOLD) -> connected components -> every clustered
+    vector labeled with its canonical (min-id) survivor. At scale the
+    pair stage swaps to the LSH/IVF candidate path; the clustering is
+    identical either way."""
+    from mini_data_platform_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.near_dup_embeddings(
+        emb, "vec_id", "embedding", COS_THRESHOLD, exact=True
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("v").alias("vec_id"), F.col("comp").alias("canonical_vec_id")
+    )
+
+
+def emb_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving embedding corpus after cosine near-dup clustering:
+    per cluster only the canonical (min-id) vector remains, unclustered
+    vectors pass through — one anti-join over the corpus, mirroring
+    doc_dedup_final."""
+    from mini_data_platform_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.near_dup_embeddings(
+        emb, "vec_id", "embedding", COS_THRESHOLD, exact=True
+    )
+    dupes = (
+        connected_components(pairs)
+        .filter(F.col("v") != F.col("comp"))
+        .select(F.col("v").alias("vec_id"))
+    )
+    return emb.join(dupes, "vec_id", "left_anti").select("vec_id", "label")
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_language_guess": doc_language_guess,
@@ -376,6 +414,8 @@ QUERIES = {
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
+    "emb_dup_clusters": emb_dup_clusters,
+    "emb_dedup_final": emb_dedup_final,
 }
 
 
@@ -749,5 +789,46 @@ ORACLE = {
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_SQL_COS} >= {COS_THRESHOLD}
+    """,
+    "emb_dup_clusters": f"""
+        WITH RECURSIVE e AS ({_SQL_EMB}),
+        nd AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_SQL_COS} >= {COS_THRESHOLD}
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.c FROM reach r JOIN sym s ON s.src = r.v
+        )
+        SELECT v AS vec_id, MIN(c) AS canonical_vec_id
+        FROM reach GROUP BY v
+    """,
+    "emb_dedup_final": f"""
+        WITH RECURSIVE e AS ({_SQL_EMB}),
+        nd AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_SQL_COS} >= {COS_THRESHOLD}
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, r.c FROM reach r JOIN sym s ON s.src = r.v
+        ),
+        dupes AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(c))
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT v FROM dupes)
     """,
 }
