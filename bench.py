@@ -22,6 +22,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mini_data_platform_spark.session import get_spark  # noqa: E402
 
 
+def bench_ingest(spark, n: int = 100_000, files: int = 8) -> dict:
+    """End-to-end batch-ingest throughput: generate ``n`` synthetic sales
+    rows as ``files`` CSV files, run the full pipeline (validate -> clean/
+    coerce -> dedup -> parquet keyed upsert -> finalize moves), report
+    rows/min. Direct comparison point for the reference's published
+    10,000 rows/min single-node figure (BASELINE.md) — same workload
+    shape, measured end to end including validation and file moves.
+    Generation time is excluded; the clock covers ingestion only."""
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.generator import generate_sales_data
+    from mini_data_platform_spark.runner import run_batch_ingest
+    from mini_data_platform_spark.sinks.upsert import upsert_parquet
+
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        incoming = os.path.join(root, "incoming")
+        generate_sales_data(spark, n, seed=7, num_partitions=files).write.option(
+            "header", True
+        ).mode("overwrite").csv(incoming)
+        for fn in os.listdir(incoming):  # drop _SUCCESS/.crc marker noise
+            if not fn.endswith(".csv"):
+                os.remove(os.path.join(incoming, fn))
+        target = os.path.join(root, "sales")
+        t0 = time.perf_counter()
+        report = run_batch_ingest(
+            spark,
+            incoming,
+            os.path.join(root, "processed"),
+            os.path.join(root, "failed"),
+            sink=lambda df: upsert_parquet(spark, df, target, ["sale_id"]),
+        )
+        sec = time.perf_counter() - t0
+        return {
+            "rows": report.rows_upserted,
+            "files": len(report.outcomes),
+            "failed_files": len(report.failed),
+            "sec": round(sec, 3),
+            "rows_per_min": round(report.rows_upserted / sec * 60),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -77,6 +122,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    try:
+        out["ingest"] = bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001 — auxiliary metric, never fatal
+        out["ingest"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
     # Stop the session BEFORE printing so no JVM/log4j output can land
     # after the JSON line — it must be the LAST line on stdout, on its own
     # line (the driver tail-parses it).
