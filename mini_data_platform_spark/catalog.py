@@ -98,24 +98,6 @@ def _ship_package(spark: SparkSession) -> None:
         pass
 
 
-def _parquet_ts_unit(path: str, column: str) -> str | None:
-    """Time unit ('s'/'ms'/'us'/'ns') of a parquet timestamp column, read
-    from the file footer (driver-side, metadata-only). None when the
-    footer is unreadable or the column isn't a timestamp — callers fall
-    back to the historical fixture assumption."""
-    try:
-        import pyarrow.parquet as pq
-
-        if os.path.isdir(path):
-            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
-            if not parts:
-                return None
-            path = os.path.join(path, parts[0])
-        return getattr(pq.read_schema(path).field(column).type, "unit", None)
-    except Exception:  # noqa: BLE001 — metadata probe only, never fatal
-        return None
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown into the parquet
     scan are Catalyst's job — callers should select/filter declaratively."""
@@ -124,22 +106,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F, types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # nanosAsLong surfaces ts as raw INT64; the TRUE unit lives in the
-        # parquet footer's logical type (fixtures have already shipped as
-        # both TIMESTAMP(NANOS) and plain micros across regenerations), so
-        # read it from the footer instead of assuming — one driver-side
-        # metadata read. Conversion is integer division/multiplication (a
-        # double path would lose precision past 2^53). DuckDB's ns->us
-        # cast truncates identically.
-        unit = _parquet_ts_unit(os.path.join(sf_dir, f"{name}.parquet"), "ts")
-        if unit == "us":
-            df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
-        elif unit == "ms":
-            df = df.withColumn("ts", F.timestamp_millis(F.col("ts")))
-        elif unit == "s":
-            df = df.withColumn("ts", F.timestamp_seconds(F.col("ts")))
-        else:  # "ns", or footer unreadable — the historical fixture format
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # A LongType ts can only be TIMESTAMP(NANOS) surfaced by the
+        # nanosAsLong conf (every annotated non-nano unit loads as
+        # TIMESTAMP/TIMESTAMP_NTZ and is handled below): convert with
+        # integer division (a double division would lose precision past
+        # 2^53 ns). DuckDB's ns->us cast truncates identically.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Belt-and-braces for sessions where inferTimestampNTZ was locked as a
     # static conf before ensure_session_confs could disable it (the driver
     # harness builds its own session): every fixture timestamp is UTC wall

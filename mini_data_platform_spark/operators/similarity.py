@@ -161,7 +161,11 @@ def auto_block_count(
       construction: this branch only wins when total bytes are small.
 
     Cost: one metadata-cheap count + a 1-row dim probe — bounded
-    control-plane statistics, never vector data."""
+    control-plane statistics, never vector data. NOTE: both run EAGERLY
+    when the operator is composed, and ``df.count()`` executes the full
+    upstream plan — for a derived/expensive input, persist it first or
+    pass ``n_blocks`` explicitly (a raw table scan's count is
+    metadata-only and fine)."""
     import math
 
     n = df.count()

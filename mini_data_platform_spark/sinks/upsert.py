@@ -145,8 +145,20 @@ def execute_merge(conn, statements: Sequence[str]) -> None:
         for s in statements:
             stmt.execute(s)
         conn.commit()
+    except Exception:
+        # roll the open transaction back BEFORE close: some engines
+        # (Derby) refuse to close a connection with an active transaction,
+        # and that close error would mask the real SQL failure
+        try:
+            conn.rollback()
+        except Exception:  # noqa: BLE001 — surface the original error
+            pass
+        raise
     finally:
-        conn.close()
+        try:
+            conn.close()
+        except Exception:  # noqa: BLE001 — never mask the txn outcome
+            pass
 
 
 def upsert_jdbc(

@@ -236,6 +236,9 @@ class TestStagingMerge:
         def commit(self):
             self.calls.append("commit")
 
+        def rollback(self):
+            self.calls.append("rollback")
+
         def close(self):
             self.calls.append("close")
 
@@ -261,7 +264,24 @@ class TestStagingMerge:
         with pytest.raises(RuntimeError):
             execute_merge(conn, ["MERGE-SQL", "DROP TABLE stg"])
         assert "commit" not in conn.calls  # failed txn never commits
-        assert conn.calls[-1] == "close"   # connection always released
+        # rollback precedes close: engines like Derby refuse to close a
+        # connection with an active transaction, and that close error
+        # would otherwise mask the original SQL failure
+        assert conn.calls[-2:] == ["rollback", "close"]
+
+    def test_execute_merge_original_error_survives_failing_close(self):
+        import pytest
+
+        from mini_data_platform_spark.sinks.upsert import execute_merge
+
+        class BadClose(self._StubConn):
+            def close(self):
+                super().close()
+                raise RuntimeError("cannot close: transaction active")
+
+        conn = BadClose(fail_on="MERGE-SQL")
+        with pytest.raises(RuntimeError, match="boom"):  # real error, not close's
+            execute_merge(conn, ["MERGE-SQL", "DROP TABLE stg"])
 
 
 class TestEnsureBucket:
