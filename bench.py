@@ -2,11 +2,17 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+ "ingest": {"rows": ..., "rows_per_min": ...}}
 
 Each query is forced with a noop-format write (full plan execution, no
-driver-side collect cost). A small warmup query first absorbs JVM/codegen
-startup so per-query numbers reflect steady-state plan cost.
+driver-side collect cost); failures are isolated per query and recorded
+under "errors" so one broken query never sinks the run. A warmup absorbs
+JVM/codegen/Python-worker startup so per-query numbers reflect
+steady-state plan cost. The "ingest" block measures the end-to-end batch
+pipeline (validate -> clean -> dedup -> keyed upsert) in rows/min —
+directly comparable to the reference's published 10k rows/min
+(BASELINE.md). The JSON line is printed last, after spark.stop().
 """
 
 from __future__ import annotations

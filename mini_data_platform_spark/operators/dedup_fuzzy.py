@@ -19,6 +19,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from mini_data_platform_spark.functions.text import (
@@ -119,6 +121,53 @@ def minhash_signatures_from(
     )
     return sliced.groupBy(id_col).agg(
         *[F.min(f"_h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_signature_columns(
+    shingled: DataFrame, id_cols: Sequence[str], num_hashes: int = 16,
+    sh_col: str = "_sh",
+) -> DataFrame:
+    """Per-ROW MinHash signature as pure array expressions — no explode,
+    no aggregate, no shuffle: ``mh_i = array_min(transform(shingles,
+    s -> slice_of_md5))``. Same hash family as
+    :func:`minhash_signatures_from` (i-th component is an 8-hex slice of
+    ``md5((i div 4) || '#' || shingle)``), so the two formulations emit
+    interchangeable signatures. The explode/min-agg version amortizes
+    better over huge shingle sets in batch; this projection form is the
+    STREAMING fit — signatures materialize row-local inside a micro-batch
+    before any stateful stage. Empty/missing shingle arrays yield null
+    components, matching explode_outer + min(null) in the batch path.
+
+    The md5 arrays are staged in their own select so the four slice
+    references per md5 share one evaluation, mirroring the staged
+    projection in the batch pipeline."""
+    # NB: the transform lambdas MUST be single-argument — F.transform
+    # dispatches on lambda arity, and a second parameter (even a bound
+    # default) is silently fed the ELEMENT INDEX
+    def _md5_of(m: int):
+        prefix = f"{m}#"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def _slice_at(off: int):
+        return lambda h: F.substring(h, off, 8)
+
+    n_md5 = (num_hashes + 3) // 4
+    staged = shingled.select(
+        *[F.col(c) for c in id_cols],
+        *[
+            F.transform(F.col(sh_col), _md5_of(m)).alias(f"_md5a_{m}")
+            for m in range(n_md5)
+        ],
+    )
+    return staged.select(
+        *[F.col(c) for c in id_cols],
+        *[
+            F.array_min(
+                F.transform(F.col(f"_md5a_{i // 4}"), _slice_at((i % 4) * 8 + 1))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
     )
 
 

@@ -277,3 +277,136 @@ class TestStreamIntervalJoin:
         # purchase 20 at t=60: click 11 (t=50) is within 30 min, click 10 (t=0) is not;
         # purchase 21 at t=90: user 2's only click (t=0) is too old -> no match
         assert got == {(20, 11)}
+
+
+class TestNearDupStream:
+    """Streaming LSH near-dup candidates (streaming/neardup.py): the
+    star-shaped per-bucket edges must cluster identically to the batch
+    clique pairs, and the bucket state must link cross-micro-batch
+    duplicates to the FIRST-seen document."""
+
+    N_HASHES, BANDS, SHINGLE_N = 16, 4, 3
+
+    def _corpus_rows(self):
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight"
+        )
+        other = (
+            "completely different text about spark structured streaming "
+            "state stores and watermark semantics for late data"
+        )
+        rows = []
+        for i in range(6):  # near-identical family: one-word mutations
+            words = base.split()
+            words[i] = f"mut{i}"
+            rows.append((100 + i, _ts(i), " ".join(words)))
+        for i in range(4):  # second family
+            words = other.split()
+            words[-1 - i] = f"alt{i}"
+            rows.append((200 + i, _ts(10 + i), " ".join(words)))
+        rows.append((300, _ts(20), "tiny unrelated snippet entirely alone"))
+        return rows
+
+    def _docs_df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+
+    def _run_stream(self, spark, src, files_per_trigger=None):
+        from mini_data_platform_spark.streaming.neardup import (
+            near_dup_candidates_stream,
+        )
+
+        reader = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        )
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+        stream = reader.parquet(src)
+        edges = near_dup_candidates_stream(
+            stream, num_hashes=self.N_HASHES, bands=self.BANDS,
+            shingle_n=self.SHINGLE_N,
+        )
+        name = f"neardup_{int(time.time() * 1000)}"
+        q = (
+            edges.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    def test_star_edges_cluster_like_batch_cliques(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.dedup_fuzzy import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from mini_data_platform_spark.operators.graph import (
+            connected_components,
+        )
+
+        rows = self._corpus_rows()
+        docs = self._docs_df(spark, rows)
+        src = str(tmp_path / "docs")
+        docs.repartition(1).write.parquet(src)
+
+        got = self._run_stream(spark, src)
+        stream_edges = got.select(
+            F.col("doc_id").alias("id_a"), F.col("first_doc_id").alias("id_b")
+        ).distinct()
+        assert stream_edges.count() > 0
+
+        sigs = minhash_signatures(
+            docs, "doc_id", "text", self.N_HASHES, self.SHINGLE_N
+        )
+        batch_pairs = lsh_candidate_pairs(
+            sigs, "doc_id", self.N_HASHES, self.BANDS
+        )
+        # star vs clique: identical connected components
+        cc_stream = {
+            (r["v"], r["comp"])
+            for r in connected_components(stream_edges).collect()
+        }
+        cc_batch = {
+            (r["v"], r["comp"])
+            for r in connected_components(batch_pairs).collect()
+        }
+        assert cc_stream == cc_batch
+
+    def test_cross_batch_duplicates_link_to_first_seen(self, spark, tmp_path):
+        rows = self._corpus_rows()
+        first_file = [r for r in rows if r[0] in (100, 300)]
+        second_file = [r for r in rows if r[0] == 101]  # near-dup of 100
+        src = str(tmp_path / "docs")
+        self._docs_df(spark, first_file).repartition(1).write.parquet(src)
+        self._docs_df(spark, second_file).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        got = self._run_stream(spark, src, files_per_trigger=1)
+        links = {
+            (r["doc_id"], r["first_doc_id"]) for r in got.collect()
+        }
+        # 101 (later micro-batch) must link back to 100 via bucket state
+        assert (101, 100) in links
+        # the singleton never emits an edge
+        assert all(300 not in pair for pair in links)
+
+    def test_row_local_signatures_match_batch_aggregation(self, spark):
+        """minhash_signature_columns (array exprs) and
+        minhash_signatures_from (explode + min-agg) must emit identical
+        signatures — they share one hash family by construction."""
+        from mini_data_platform_spark.operators.dedup_fuzzy import (
+            _staged_shingles,
+            minhash_signature_columns,
+            minhash_signatures_from,
+        )
+
+        docs = self._docs_df(spark, self._corpus_rows()).drop("ts")
+        sh = _staged_shingles(docs, "doc_id", "text", self.SHINGLE_N)
+        row_local = minhash_signature_columns(sh, ["doc_id"], self.N_HASHES)
+        agg = minhash_signatures_from(sh, "doc_id", self.N_HASHES)
+        a = {tuple(r) for r in row_local.collect()}
+        b = {tuple(r) for r in agg.collect()}
+        assert a == b
