@@ -214,6 +214,46 @@ SAMPLE_RATES = {"en": 40, "de": 65, "fr": 85, "es": 20, "zh": 100}
 BENCH_SOURCE = "src0"
 
 
+#: curation funnel thresholds: minimum composite quality score and the
+#: accepted language set (guessed, not labeled — curation must work on
+#: unlabeled crawl data)
+CURATION_MIN_QUALITY = 0.75  # drops ~30% of the fixture corpus — a real gate
+CURATION_LANGS = ("en", "de")
+
+
+def doc_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation funnel as ONE query:
+    cheap per-row gates FIRST (quality score + guessed language — pure
+    projections, so the corpus is pruned at scan speed before anything
+    shuffles), THEN MinHash-LSH near-dup clustering over the survivors
+    with the canonical min-id document kept per cluster. That ordering is
+    the 100 TB shape: the expensive similarity stage only ever sees the
+    post-filter corpus. Output: the curated corpus with its curation
+    metadata (guessed language, quality, content hash)."""
+    from mini_data_platform_spark.operators.graph import connected_components
+
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    filtered = corpus.filter(
+        (TX.quality_score(t) >= CURATION_MIN_QUALITY)
+        & TX.language_guess(t).isin(*CURATION_LANGS)
+    )
+    pairs = DF_OPS.near_dup_pairs(
+        filtered, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+    )
+    dupes = (
+        connected_components(pairs)
+        .filter(F.col("v") != F.col("comp"))
+        .select(F.col("v").alias("doc_id"))
+    )
+    return filtered.join(dupes, "doc_id", "left_anti").select(
+        "doc_id",
+        TX.language_guess(t).alias("lang_guess"),
+        TX.quality_score(t).alias("quality"),
+        F.md5(t).alias("text_md5"),
+    )
+
+
 def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split (operators/corpus.py):
     md5-bucket assignment, stable under any repartitioning or corpus
@@ -402,6 +442,7 @@ QUERIES = {
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dedup_final": doc_dedup_final,
+    "doc_curated_corpus": doc_curated_corpus,
     "doc_split_assign": doc_split_assign,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_contamination": doc_contamination,
@@ -598,6 +639,13 @@ _SQL_IVF_TRAINED = f"""
         )
 """
 
+_SQL_CURATION_FILTERED = f"""
+        SELECT doc_id, text FROM ({_SQL_MUTATED})
+        WHERE {TX.sql_quality_score('text')} >= {CURATION_MIN_QUALITY}
+          AND {TX.sql_language_guess('text')} IN ('en', 'de')
+"""
+
+
 ORACLE = {
     "doc_token_stats": f"""
         SELECT doc_id,
@@ -670,6 +718,27 @@ ORACLE = {
         ),
         dupes AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(c))
         SELECT doc_id, md5(text) AS text_md5 FROM corpus
+        WHERE doc_id NOT IN (SELECT v FROM dupes)
+    """,
+    "doc_curated_corpus": f"""
+        WITH RECURSIVE filtered AS ({_SQL_CURATION_FILTERED}),
+        nd AS ({_sql_near_dups(_SQL_CURATION_FILTERED)}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT e.dst, r.c FROM reach r JOIN sym e ON e.src = r.v
+        ),
+        dupes AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(c))
+        SELECT doc_id,
+               {TX.sql_language_guess('text')} AS lang_guess,
+               {TX.sql_quality_score('text')} AS quality,
+               md5(text) AS text_md5
+        FROM filtered
         WHERE doc_id NOT IN (SELECT v FROM dupes)
     """,
     "doc_split_assign": f"""
