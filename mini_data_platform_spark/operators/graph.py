@@ -75,10 +75,16 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # initialize at the ROUND-1 state directly: v's label = min(v, its
+    # neighbors) needs no join from identity labels — one aggregation
+    # over the edge list replaces the first propagation round (one fewer
+    # join+checkpoint+collect cycle; matters when every near-dup query
+    # pays the loop's fixed cost)
     labels = (
-        sym.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("comp", F.col("v"))
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("comp"))
+        .unionByName(sym.select(F.col("src").alias("v"), F.col("src").alias("comp")))
+        .groupBy("v")
+        .agg(F.min("comp").alias("comp"))
         .localCheckpoint(eager=False)
     )
     # labels only ever DECREASE, so the global sum is strictly monotone
