@@ -40,6 +40,21 @@ def _release_checkpoint(df: DataFrame) -> None:
     failure (a missed release degrades to the old GC behavior, never
     correctness)."""
     try:
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        if not getattr(sc, "_mdp_ckpt_warn_muted", False):
+            # unpersisting a localCheckpoint'ed RDD logs a WARN per block
+            # ("lineage has been truncated...") — expected here by design
+            # (the released frame is dead), so mute that one logger rather
+            # than spam every CC round into the host's stderr capture
+            try:
+                jvm = spark._jvm
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    "org.apache.spark.rdd.MapPartitionsRDD",
+                    jvm.org.apache.logging.log4j.Level.ERROR,
+                )
+            finally:
+                sc._mdp_ckpt_warn_muted = True
         df._jdf.queryExecution().logical().rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — cleanup is advisory
         pass
