@@ -215,3 +215,56 @@ class TestSaltedAggDifferential:
             .collect()
         }
         assert got == want
+
+
+class TestJaccardProperties:
+    """jaccard_pairs_from (array_intersect formulation) vs a Python set
+    reference on random corpora: exact n_inter and jaccard for every
+    candidate pair, including empty-token docs and identical texts."""
+
+    _WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    _DOC = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+    @given(texts=st.lists(_DOC, min_size=2, max_size=8))
+    @_SETTINGS
+    def test_matches_python_set_reference(self, spark, texts):
+        from mini_data_platform_spark.operators.dedup_fuzzy import (
+            _staged_shingles,
+            jaccard_pairs_from,
+        )
+
+        n = 3
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        # all pairs as candidates — exercises the join fully
+        pairs = spark.createDataFrame(
+            [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))],
+            "id_a long, id_b long",
+        )
+        if pairs.count() == 0:
+            return
+        sh = _staged_shingles(docs, "doc_id", "text", n)
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+            for r in jaccard_pairs_from(sh, pairs, "doc_id").collect()
+        }
+
+        def shingle_set(t):
+            toks = t.split()
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            } if len(toks) >= n else set()
+
+        sets = [shingle_set(t) for t in texts]
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                want_j = inter / union if union else None
+                got_inter, got_j = got[(a, b)]
+                assert got_inter == inter
+                if want_j is None:
+                    assert got_j is None  # 0/0 -> null, ANSI off
+                else:
+                    assert abs(got_j - want_j) < 1e-12
