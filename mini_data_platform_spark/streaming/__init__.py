@@ -1,4 +1,5 @@
 from mini_data_platform_spark.streaming.ingest import start_streaming_ingest
+from mini_data_platform_spark.streaming.neardup import near_dup_candidates_stream
 from mini_data_platform_spark.streaming.windows import (
     dedup_stream,
     session_window_agg,
@@ -14,4 +15,5 @@ __all__ = [
     "session_window_agg",
     "stream_interval_join",
     "dedup_stream",
+    "near_dup_candidates_stream",
 ]
