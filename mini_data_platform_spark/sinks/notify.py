@@ -30,8 +30,11 @@ import json
 import logging
 import time
 from collections.abc import Callable
+from typing import TYPE_CHECKING
 
-from mini_data_platform_spark.runner import IngestReport
+if TYPE_CHECKING:  # annotation-only: a runtime import would be circular
+    # (runner imports sinks; this module ships in sinks.__init__)
+    from mini_data_platform_spark.runner import IngestReport
 
 logger = logging.getLogger(__name__)
 
