@@ -242,3 +242,37 @@ class TestFuzzyDedupRecall:
             return bin(a ^ b).count("1")
 
         assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+class TestLshHotBucketCap:
+    """``max_bucket`` (dedup_fuzzy.lsh_candidate_pairs) — the skew guard
+    for boilerplate explosions: a bucket with B members emits B(B-1)/2
+    pairs, so ONE hot bucket (B=200 -> ~20k pairs) dominates everything.
+    The cap must drop oversized buckets entirely while leaving
+    normal-sized buckets' pairs intact."""
+
+    def test_cap_drops_hot_bucket_keeps_normal_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.dedup_fuzzy import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        boiler = "identical boilerplate footer text repeated on every page of the site"
+        rows = [(i, boiler) for i in range(200)]  # one hot bucket, B=200
+        rows += [(1000, "rare original document first variant alpha beta gamma"),
+                 (1001, "rare original document first variant alpha beta delta")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(docs, "doc_id", "text", 16, 3)
+
+        uncapped = lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+        n_uncapped = uncapped.count()
+        assert n_uncapped >= 200 * 199 // 2  # the quadratic blow-up is real
+
+        capped = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=50)
+        capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        # hot bucket gone: no boilerplate pair survives
+        assert not any(a < 200 and b < 200 for a, b in capped_pairs)
+        # the small bucket's pair is untouched (the near-dup variant pair)
+        assert (1000, 1001) in capped_pairs
