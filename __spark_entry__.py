@@ -22,20 +22,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return kpi.revenue_by_day(spark, "/root/testdata/sf0.001")
 
 
+#: ROTATION POLICY (the driver's correctness harness records only the
+#: FIRST 50 entries; 71 queries exist, so 21 sit outside any given round):
+#:   1. Queries that went LONGEST without a driver row come first — every
+#:      query gets a driver-recorded check at least every other round.
+#:   2. Any query whose code path is touched by this round's diffs is
+#:      forced INTO the window regardless of staleness, so an infra
+#:      regression can never hide in a rotated-out query.
+#:   3. The rotated-out remainder must be all green in the PREVIOUS
+#:      round's CORRECTNESS file and untouched by the current diff.
+#: Round 6 window: the 21 analytics queries stale since r4 (rows 1-21),
+#: then every query over dedup_fuzzy/graph/similarity/llm-plan code
+#: touched this round (near-dup lifecycle, max_bucket, simhash, lazy
+#: block sizing), then kpi/multimodal/remaining-llm. Rotated out: 21
+#: r5-green queries with no r6 code changes (doc_quality, corpus-curation
+#: set, events trio, first 12 analytics).
+_ROUND6_WINDOW_FIRST = [
+    # (1) stale since round 4 — driver-unrecorded for 2 rounds
+    "order_stats_distinct", "priority_status_matrix", "price_quantiles",
+    "price_quantiles_approx", "order_priority_pivot", "lineitem_unpivot_stats",
+    "customer_deciles", "order_moments", "quantity_price_corr",
+    "nation_top_customer_names", "order_grouping_sets", "big_orders",
+    "promo_revenue_share", "cheapest_supplier_per_part", "orders_dq_report",
+    "events_distinct_users", "events_user_stats_salted", "events_hourly",
+    "events_json_value", "events_approx_users", "revenue_by_day_dense",
+    # (2) touched by round-6 diffs (dedup_fuzzy / graph / similarity / llm)
+    "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
+    "doc_dup_clusters", "doc_dedup_final", "doc_curated_corpus",
+    "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
+    "emb_dedup_final", "doc_exact_dedup", "doc_fingerprint",
+    "emb_knn", "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
+    "emb_norms",
+    # (3) flagship + cheap fill to 50
+    "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
+    "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
+    "kpi_revenue_by_customer",
+    "asset_binary_stats", "asset_features", "asset_frame_samples",
+    "doc_token_stats", "doc_hash_embedding", "doc_language_guess",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's correctness harness records only the
-    # FIRST 50 entries. Priority inside the window: (1) llm + multimodal,
-    # driver-unverified since round 2; (2) the three queries that broke in
-    # round 4 (TIMESTAMP_NTZ) so their fix lands in CORRECTNESS_r05;
-    # (3) remaining analytics — the entries pushed past the window all
-    # have multiple rounds of green driver rows behind them.
+    full: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    full.update(kpi.QUERIES)
+    full.update(llm.QUERIES)
+    full.update(multimodal_q.QUERIES)
+    full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(kpi.QUERIES)
-    out.update(llm.QUERIES)
-    out.update(multimodal_q.QUERIES)
-    for fixed in ("events_sessionize", "click_before_purchase", "errors_near_click"):
-        out[fixed] = analytics.QUERIES[fixed]
-    out.update(analytics.QUERIES)
+    for name in _ROUND6_WINDOW_FIRST:
+        out[name] = full[name]
+    for name, fn in full.items():
+        out.setdefault(name, fn)
     return out
 
 
