@@ -311,31 +311,44 @@ def near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: signatures → banded candidate
     pairs → exact Jaccard filter. The standard large-corpus dedup recipe.
 
+    ``max_bucket`` (default None = exact) is the production hot-bucket
+    cap, forwarded to :func:`lsh_candidate_pairs`: at 100 TB a boilerplate
+    band bucket with B members emits B(B-1)/2 candidate pairs, so one
+    pathological bucket can dominate the whole job; capping drops those
+    buckets at a documented recall cost (members can still pair through
+    their other, non-hot bands).
+
     The shingle frame feeds BOTH the signature stage and the Jaccard
-    verification; it is persisted for the duration of the plan so the
-    tokenize+shingle scan runs once, not once per consumer. (At 100 TB
-    persist serializes to local disk per executor — still far cheaper
-    than recomputing; callers doing their own lifecycle management can
-    compose the *_from stages directly.)"""
+    verification; it is persisted so the tokenize+shingle scan runs once,
+    not once per consumer, and the candidate pairs are persisted because
+    the Jaccard stage consumes them twice. (At 100 TB persist serializes
+    to local disk per executor — still far cheaper than recomputing.)
+
+    Persist lifecycle: both frames are ATTACHED to the returned plan
+    (operators/resources.py) — run the action, then call
+    ``resources.release_plan(result)`` to free the blocks. Eager consumers
+    (``connected_components``) release them on the caller's behalf.
+    Callers doing their own lifecycle management can compose the ``*_from``
+    stages directly."""
     from pyspark import StorageLevel
+
+    from mini_data_platform_spark.operators.resources import attach_plan
 
     shingled = _staged_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures_from(shingled, id_col, num_hashes)
-    # candidate pairs are consumed twice by the Jaccard stage (intersection
-    # join + final assembly); without persist each consumer would recompute
-    # the whole signature+LSH subplan. The pair set is small by construction
-    # (LSH's entire point), so this is cheap insurance at any scale.
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket=max_bucket
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     jac = jaccard_pairs_from(shingled, cands, id_col)
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    out = jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return attach_plan(out, shingled, cands)
 
 
 _HEX = "0123456789abcdef"

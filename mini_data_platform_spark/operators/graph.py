@@ -27,6 +27,8 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+from mini_data_platform_spark.operators.resources import release_plan
+
 
 def _release_checkpoint(df: DataFrame) -> None:
     """Best-effort release of a ``localCheckpoint``'ed frame's blocks.
@@ -41,21 +43,45 @@ def _release_checkpoint(df: DataFrame) -> None:
     correctness)."""
     try:
         spark = df.sparkSession
-        sc = spark.sparkContext
-        if not getattr(sc, "_mdp_ckpt_warn_muted", False):
-            # unpersisting a localCheckpoint'ed RDD logs a WARN per block
-            # ("lineage has been truncated...") — expected here by design
-            # (the released frame is dead), so mute that one logger rather
-            # than spam every CC round into the host's stderr capture
-            try:
-                jvm = spark._jvm
-                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                    "org.apache.spark.rdd.MapPartitionsRDD",
-                    jvm.org.apache.logging.log4j.Level.ERROR,
-                )
-            finally:
-                sc._mdp_ckpt_warn_muted = True
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
+        # unpersisting a localCheckpoint'ed RDD logs a WARN per block
+        # ("lineage has been truncated...") — expected here by design (the
+        # released frame is dead). Mute that logger ONLY around the
+        # unpersist call and restore its previous effective level after:
+        # nearly every Spark RDD is a MapPartitionsRDD, so a session-wide
+        # mute would also silence genuine warnings (block loss/recompute)
+        # from unrelated code for the rest of the session.
+        jvm = spark._jvm
+        logger_name = "org.apache.spark.rdd.MapPartitionsRDD"
+        prev_level = None
+        try:
+            prev_level = jvm.org.apache.logging.log4j.LogManager.getLogger(
+                logger_name
+            ).getLevel()
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger_name, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+        except Exception:  # noqa: BLE001 — logging cosmetics, never fatal
+            prev_level = None
+        try:
+            # the checkpointed RDD lives on a LogicalRDD LEAF; the frame
+            # handed in may wrap it in projections (connected_components
+            # returns labels.select(...)), so walk every leaf rather than
+            # assuming the root is the LogicalRDD itself
+            leaves = df._jdf.queryExecution().logical().collectLeaves().iterator()
+            while leaves.hasNext():
+                leaf = leaves.next()
+                try:
+                    leaf.rdd().unpersist(False)
+                except Exception:  # noqa: BLE001 — non-RDD leaf (scan etc.)
+                    pass
+        finally:
+            if prev_level is not None:
+                try:
+                    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                        logger_name, prev_level
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
     except Exception:  # noqa: BLE001 — cleanup is advisory
         pass
 
@@ -85,6 +111,12 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint()
+    # the input plan has now EXECUTED (localCheckpoint is eager): frames
+    # persisted on its behalf (near_dup_pairs' shingle/candidate caches —
+    # operators/resources.py) are dead weight from here on. Releasing is
+    # correctness-neutral; a caller reusing ``pairs`` afterwards merely
+    # recomputes without the cache.
+    release_plan(pairs)
     # union of two scans over the checkpointed blocks — shallow lineage,
     # cheap to re-read each round, no extra storage needed
     sym = edges.unionByName(

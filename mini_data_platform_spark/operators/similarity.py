@@ -218,8 +218,24 @@ def allpairs_cosine_blocked(
     import numpy as np
     import pandas as pd
 
+    from mini_data_platform_spark.operators.resources import attach_plan
+
     spark = df.sparkSession
+    persisted: list[DataFrame] = []
     if n_blocks is None:
+        # auto-sizing needs count+dim statistics, which EXECUTES the
+        # upstream plan at composition time. Persist the input first so
+        # that execution is paid once — the scoring plan below then reads
+        # the cached blocks instead of re-running a possibly-expensive
+        # derived input (round-5 advice: near_dup_embeddings(exact=True)
+        # over a filtered frame ran its upstream twice). The frame is
+        # attached to the returned plan for release_plan cleanup. Callers
+        # composing over huge inputs should pass n_blocks explicitly and
+        # keep composition fully lazy.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
         n_blocks = auto_block_count(df, vec_col)
     base = df.select(
         F.col(id_col).cast("long").alias("vid"),
@@ -309,7 +325,8 @@ def allpairs_cosine_blocked(
             out = out.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
         return out
 
-    return tagged.groupBy("bi", "bj").applyInPandas(score, out_schema)
+    out = tagged.groupBy("bi", "bj").applyInPandas(score, out_schema)
+    return attach_plan(out, *persisted) if persisted else out
 
 
 def _seq_norms(np, mat):

@@ -220,8 +220,20 @@ BENCH_SOURCE = "src0"
 CURATION_MIN_QUALITY = 0.75  # drops ~30% of the fixture corpus — a real gate
 CURATION_LANGS = ("en", "de")
 
+#: hot-bucket cap for the funnel's LSH stage (dedup_fuzzy.lsh_candidate_
+#: pairs ``max_bucket``). None = exact (every bucket expands; required for
+#: the DuckDB oracle to match). At 100 TB set a finite cap: one boilerplate
+#: band bucket with B members emits B(B-1)/2 candidate pairs, so a single
+#: hot bucket can dominate the whole job; capped buckets are dropped at a
+#: bounded recall cost (members still pair through their other bands).
+#: Funnel-level behavior is pinned in
+#: tests/test_similarity.py::TestLshHotBucketCap::test_funnel_cap_through_near_dup_pairs.
+CURATION_MAX_BUCKET: int | None = None
 
-def doc_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def doc_curated_corpus(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = CURATION_MAX_BUCKET
+) -> DataFrame:
     """The end-to-end training-corpus curation funnel as ONE query:
     cheap per-row gates FIRST (quality score + guessed language — pure
     projections, so the corpus is pruned at scan speed before anything
@@ -239,7 +251,8 @@ def doc_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & TX.language_guess(t).isin(*CURATION_LANGS)
     )
     pairs = DF_OPS.near_dup_pairs(
-        filtered, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+        filtered, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS,
+        SHINGLE_N, max_bucket=max_bucket,
     )
     dupes = (
         connected_components(pairs)

@@ -9,9 +9,12 @@ import pytest
 
 from pyspark.sql import Row, functions as F
 
+from mini_data_platform_spark.catalog import load_table
 from mini_data_platform_spark.functions import vectors as VX
 from mini_data_platform_spark.operators import dedup_fuzzy as DF_OPS
 from mini_data_platform_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -276,3 +279,99 @@ class TestLshHotBucketCap:
         assert not any(a < 200 and b < 200 for a, b in capped_pairs)
         # the small bucket's pair is untouched (the near-dup variant pair)
         assert (1000, 1001) in capped_pairs
+
+    def test_funnel_cap_through_near_dup_pairs(self, spark):
+        """``max_bucket`` must reach the LSH stage through the PRODUCTION
+        funnel entrypoint (near_dup_pairs), not just the raw operator —
+        at 100 TB the boilerplate bucket is hit via the funnel (round-5
+        verdict item 5). Planted hot bucket: 200 identical boilerplate
+        docs (one band bucket, ~20k pairs) + one genuine near-dup pair."""
+        from mini_data_platform_spark.operators.dedup_fuzzy import near_dup_pairs
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        boiler = "identical boilerplate footer text repeated on every page of the site"
+        rows = [(i, boiler) for i in range(200)]
+        rows += [(1000, "rare original document first variant alpha beta gamma epsilon"),
+                 (1001, "rare original document first variant alpha beta delta epsilon")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        capped = near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.1, max_bucket=50
+        )
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        release_plan(capped)
+        assert not any(a < 200 and b < 200 for a, b in got)
+        assert (1000, 1001) in got
+
+        uncapped = near_dup_pairs(docs, "doc_id", "text", threshold=0.1)
+        n = uncapped.count()
+        release_plan(uncapped)
+        assert n >= 200 * 199 // 2  # default stays exact
+
+
+class TestPersistLifecycle:
+    """near_dup_pairs persists its shingle + candidate frames for the
+    returned plan's benefit; the frames must be releasable so repeated
+    invocations show NO storage-block growth (round-5 verdict item 3)."""
+
+    @staticmethod
+    def _n_persistent(spark):
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def _corpus(self, spark):
+        rows = [
+            (i, f"document number {i} with some shared words alpha beta gamma "
+                f"delta epsilon zeta token{i % 7}")
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_release_plan_frees_near_dup_blocks(self, spark):
+        from mini_data_platform_spark.operators.dedup_fuzzy import near_dup_pairs
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        docs = self._corpus(spark)
+        before = self._n_persistent(spark)
+        out = near_dup_pairs(docs, "doc_id", "text", threshold=0.3)
+        out.count()  # materializes both persisted frames
+        assert self._n_persistent(spark) > before
+        assert release_plan(out) == 2
+        assert self._n_persistent(spark) == before
+        assert release_plan(out) == 0  # idempotent
+
+    def test_connected_components_releases_its_input(self, spark):
+        """Eager consumers own the release: after connected_components
+        returns, the input pipeline's persisted frames must be gone, and
+        repeated end-to-end invocations must not grow executor storage
+        (the final labels frame itself is checkpointed and released here
+        via the same helper CC uses internally)."""
+        from mini_data_platform_spark.operators import graph as graph_mod
+        from mini_data_platform_spark.operators.dedup_fuzzy import near_dup_pairs
+
+        docs = self._corpus(spark)
+        before = self._n_persistent(spark)
+        for _ in range(2):
+            pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.3)
+            comps = graph_mod.connected_components(pairs)
+            comps.count()
+            assert not getattr(pairs, "_mdp_persisted_frames", None)
+            graph_mod._release_checkpoint(comps)
+        assert self._n_persistent(spark) == before
+
+    def test_allpairs_auto_sizing_persists_and_releases(self, spark):
+        """The auto-block path persists its input (so the statistics count
+        does not double-execute a derived upstream — round-5 advice) and
+        attaches it for release."""
+        from mini_data_platform_spark.operators.resources import release_plan
+        from mini_data_platform_spark.operators.similarity import (
+            near_dup_embeddings,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        derived = emb.filter(F.col("vec_id") % 2 == 0)
+        before = self._n_persistent(spark)
+        out = near_dup_embeddings(derived, "vec_id", "embedding", 0.4, exact=True)
+        out.count()
+        assert self._n_persistent(spark) > before
+        assert release_plan(out) == 1
+        assert self._n_persistent(spark) == before
