@@ -5,14 +5,30 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
  "ingest": {"rows": ..., "rows_per_min": ...}}
 
+Output contract (two consumers, two artifacts):
+- The FINAL stdout line is a COMPACT summary (~500 bytes): totals, error
+  count, the 5 slowest queries, and the ingest block. The driver captures
+  only the last ~2000 chars of output, so the full 71-query dict can never
+  ride on that line (rounds 2-5 lost the official bench record to exactly
+  that truncation).
+- The full per-query detail (every timing, every error, the ingest and
+  streaming blocks) is written to BENCH_DETAIL.json next to this file.
+
+When any query errors, the headline "value" is null and "incomplete" is
+set: a round with a broken heavy query must never report a LOWER total
+than a healthy round (partial sums are not comparable).
+
 Each query is forced with a noop-format write (full plan execution, no
 driver-side collect cost); failures are isolated per query and recorded
-under "errors" so one broken query never sinks the run. A warmup absorbs
-JVM/codegen/Python-worker startup so per-query numbers reflect
-steady-state plan cost. The "ingest" block measures the end-to-end batch
-pipeline (validate -> clean -> dedup -> keyed upsert) in rows/min —
+under "n_errors"/detail "errors" so one broken query never sinks the run.
+A warmup absorbs JVM/codegen/Python-worker startup so per-query numbers
+reflect steady-state plan cost. The "ingest" block measures the end-to-end
+batch pipeline (validate -> clean -> dedup -> keyed upsert) in rows/min —
 directly comparable to the reference's published 10k rows/min
-(BASELINE.md). The JSON line is printed last, after spark.stop().
+(BASELINE.md). The "streaming" detail block times the two stateful
+streaming paths (LSH near-dup candidates, per-user sessionization) as
+availableNow micro-batch runs. The JSON line is printed last, after
+spark.stop().
 """
 
 from __future__ import annotations
@@ -23,7 +39,8 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
 
 from mini_data_platform_spark.session import get_spark  # noqa: E402
 
@@ -73,6 +90,69 @@ def bench_ingest(spark, n: int = 100_000, files: int = 8) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Time the stateful streaming operators as availableNow micro-batch
+    runs over the scale-factor fixtures: LSH near-dup candidate emission
+    (streaming/neardup.py — applyInPandasWithState keyed on band bucket)
+    and per-user 30-min-gap sessionization (streaming/windows.py). Both
+    write to the noop sink with a real checkpoint, so the numbers cover
+    source discovery, state-store commit, and Arrow state traffic —
+    a regression in any of those moves these timings."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_data_platform_spark.catalog import load_table
+    from mini_data_platform_spark.streaming.neardup import (
+        near_dup_candidates_stream,
+    )
+    from mini_data_platform_spark.streaming.run import run_available_now
+    from mini_data_platform_spark.streaming.windows import sessionize_stateful
+
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+
+    def _run(df, ckpt):
+        # run_available_now, NOT a plain availableNow start: both operators
+        # hold ProcessingTimeTimeout state, which otherwise spins no-data
+        # micro-batches forever (streaming/run.py)
+        run_available_now(df, os.path.join(root, ckpt))
+
+    try:
+        # near-dup candidates over documents (synthetic arrival ts: the
+        # fixture has no event time; ordering only breaks first-seen ties)
+        docs_src = os.path.join(root, "docs")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.timestamp_seconds(F.col("doc_id")).alias("ts"), "text"
+        ).write.parquet(docs_src)
+        schema = spark.read.parquet(docs_src).schema
+        t0 = time.perf_counter()
+        _run(
+            near_dup_candidates_stream(
+                spark.readStream.schema(schema).parquet(docs_src)
+            ),
+            "nd_ckpt",
+        )
+        out["neardup_candidates_sec"] = round(time.perf_counter() - t0, 3)
+
+        # stateful per-user sessionization over events
+        ev_src = os.path.join(root, "events")
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        ).write.parquet(ev_src)
+        schema = spark.read.parquet(ev_src).schema
+        t0 = time.perf_counter()
+        _run(
+            sessionize_stateful(spark.readStream.schema(schema).parquet(ev_src)),
+            "sess_ckpt",
+        )
+        out["sessionize_stateful_sec"] = round(time.perf_counter() - t0, 3)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,6 +161,8 @@ def main() -> None:
     spark = get_spark("bench")
 
     import __spark_entry__ as entry_mod
+
+    from mini_data_platform_spark.operators.resources import release_plan
 
     queries = entry_mod.queries()
 
@@ -111,27 +193,69 @@ def main() -> None:
     for name, fn in queries.items():
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: query {name!r} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # frames persisted on behalf of the returned plan (near-dup
+            # pipelines) are dead once the noop write finished
+            try:
+                release_plan(df)
+            except Exception:  # noqa: BLE001 — cleanup is advisory
+                pass
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "total_query_wall_seconds",
-        "value": total,
+        "value": None if errors else total,
+        "total_completed_sec": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": timings,
+        "errors": errors,
     }
     if errors:
-        out["errors"] = errors
+        detail["incomplete"] = True
     try:
-        out["ingest"] = bench_ingest(spark)
+        detail["ingest"] = bench_ingest(spark)
     except Exception as exc:  # noqa: BLE001 — auxiliary metric, never fatal
-        out["ingest"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        detail["ingest"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        detail["streaming"] = bench_streaming(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — auxiliary metric, never fatal
+        detail["streaming"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+
+    # COMPACT summary line (must fit the driver's ~2000-char tail capture;
+    # full per-query dict lives in BENCH_DETAIL.json): totals + the 5
+    # slowest queries only.
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "ingest": detail["ingest"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if errors:
+        out["incomplete"] = True
+    line = json.dumps(out)
+    if len(line) > 1600:  # belt-and-braces: never exceed the tail window
+        out.pop("queries", None)
+        line = json.dumps(out)
     # Stop the session BEFORE printing so no JVM/log4j output can land
     # after the JSON line — it must be the LAST line on stdout, on its own
     # line (the driver tail-parses it).
@@ -141,7 +265,7 @@ def main() -> None:
         pass
     sys.stderr.flush()
     sys.stdout.flush()
-    print(json.dumps(out))
+    print(line)
     sys.stdout.flush()
 
 

@@ -1,5 +1,6 @@
 from mini_data_platform_spark.streaming.ingest import start_streaming_ingest
 from mini_data_platform_spark.streaming.neardup import near_dup_candidates_stream
+from mini_data_platform_spark.streaming.run import run_available_now
 from mini_data_platform_spark.streaming.windows import (
     dedup_stream,
     session_window_agg,
@@ -16,4 +17,5 @@ __all__ = [
     "stream_interval_join",
     "dedup_stream",
     "near_dup_candidates_stream",
+    "run_available_now",
 ]

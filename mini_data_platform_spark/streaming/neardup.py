@@ -153,7 +153,12 @@ def near_dup_candidates_stream(
     ``(doc_id, first_doc_id, band_id)`` edge per band bucket a document
     shares with that bucket's first-ever member. See module docstring for
     semantics and the scale argument. ``id_col`` must be long-typed (the
-    fixture/document contract); rename upstream otherwise."""
+    fixture/document contract); rename upstream otherwise.
+
+    One-shot (availableNow) runs MUST go through
+    ``streaming.run.run_available_now``: the TTL's processing-time timeout
+    makes Spark schedule continuous no-data micro-batches, so a plain
+    availableNow query never terminates (streaming/run.py docstring)."""
     banded = banded_bucket_keys(
         docs, id_col, text_col, ts_col, num_hashes, bands, shingle_n
     ).select(

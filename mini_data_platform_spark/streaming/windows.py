@@ -236,7 +236,12 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user 30-minute-gap sessions
     via ``applyInPandasWithState`` (Arrow-batched state machine — the
     canonical escape hatch when built-in windowed aggs can't express the
-    semantics)."""
+    semantics).
+
+    One-shot (availableNow) runs MUST go through
+    ``streaming.run.run_available_now``: the processing-time timeout makes
+    Spark schedule continuous no-data micro-batches, so a plain
+    availableNow query never terminates (streaming/run.py docstring)."""
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

@@ -11,6 +11,7 @@ from pyspark.sql import Row, functions as F, types as T
 
 from mini_data_platform_spark.sinks.upsert import upsert_parquet
 from mini_data_platform_spark.streaming import (
+    run_available_now,
     sessionize_stateful,
     start_streaming_ingest,
     windowed_event_stats,
@@ -163,16 +164,17 @@ class TestSessionize:
         src = str(tmp_path / "sess_src")
         spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
         stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-        q = (
-            sessionize_stateful(stream)
-            .writeStream.format("memory")
-            .queryName("sessions")
-            .outputMode("append")
-            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        # run_available_now: ProcessingTimeTimeout state spins no-data
+        # micro-batches forever under a plain availableNow start, so this
+        # test used to burn its full 120 s awaitTermination AND leak a
+        # live query into the rest of the suite (streaming/run.py)
+        run_available_now(
+            sessionize_stateful(stream),
+            str(tmp_path / "sess_ckpt"),
+            fmt="memory",
+            query_name="sessions",
+            timeout_sec=120,
         )
-        q.awaitTermination(120)
         got = spark.sql("SELECT * FROM sessions").collect()
         assert len(got) == 1
         s = got[0]
@@ -327,14 +329,15 @@ class TestNearDupStream:
             shingle_n=self.SHINGLE_N,
         )
         name = f"neardup_{int(time.time() * 1000)}"
-        q = (
-            edges.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        # run_available_now: the bucket TTL's ProcessingTimeTimeout spins
+        # no-data micro-batches forever otherwise (streaming/run.py)
+        run_available_now(
+            edges,
+            f"{src}_ckpt_{name}",
+            fmt="memory",
+            query_name=name,
+            timeout_sec=120,
         )
-        q.awaitTermination(120)
         return spark.table(name)
 
     def test_star_edges_cluster_like_batch_cliques(self, spark, tmp_path):
