@@ -91,10 +91,28 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``pairs``, where
     component = the minimum vertex id reachable through the undirected
-    pair graph. Deterministic and engine-independent."""
+    pair graph. Deterministic and engine-independent.
+
+    ``algorithm``:
+    - ``"label"`` (default): min-label propagation — one join + one
+      min-aggregate per round, rounds = graph diameter. The right choice
+      for near-dup graphs (piles of small cliques, diameter ~2-3).
+    - ``"star"``: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      rounds = O(log² n) INDEPENDENT of diameter, at ~2 aggregates + 2
+      joins per round. The scale path when components can be long chains
+      (similarity graphs over sliding windows, record-linkage paths)
+      where label propagation's diameter-many rounds would dominate.
+    Both produce THE components (min reachable id), so they share the
+    SQL oracle."""
+    if algorithm == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # CHECKPOINT (not merely persist) the edge list: each propagation
     # round builds a NEW plan on top of the previous round's labels, so
     # without lineage truncation the plan tree doubles every round —
@@ -176,6 +194,121 @@ def connected_components(
     # no longer reachable from the final (checkpointed) labels frame
     _release_checkpoint(edges)
     return labels.select(F.col("v"), F.col("comp"))
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction.
+
+    One round:
+    - LARGE-STAR: per vertex u, every strictly-larger neighbor re-attaches
+      to m = min(neighborhood(u) ∪ {u}) — long chains fold toward their
+      minimum from every vertex at once, which is where the
+      diameter-independence comes from.
+    - SMALL-STAR: per vertex u, its smaller neighbors (and u itself)
+      re-attach to m = min of the smaller neighborhood — flattens partial
+      stars so large-star has fresh shortcuts next round.
+    Each phase is one groupBy-min plus one equi-join on the vertex id;
+    edges only ever move toward component minima, and at fixpoint the
+    graph IS a forest of stars centered at each component's minimum.
+    Convergence check: (edge count, xxhash64 checksum) 1-row aggregate —
+    bounded driver traffic, same doctrine as the label-prop variant.
+    Per-round ``localCheckpoint`` truncates lineage exactly as in
+    ``connected_components`` (the plan would otherwise double per round).
+    """
+    raw = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint()
+    release_plan(pairs)
+    # vertex universe up front: the contraction drops self-loops (and with
+    # them any vertex whose only pair was a self-pair), but the contract —
+    # "every vertex appearing in pairs" — must match the label variant
+    # eager checkpoint: round 1's block release walks the then-current
+    # edge frame's leaves and frees ``raw`` — vertices must already be
+    # materialized blocks of its own by then, not a lazy plan over raw
+    vertices = (
+        raw.select(F.col("a").alias("v"))
+        .unionByName(raw.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = raw.where(F.col("a") != F.col("b"))
+    _sig = [
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")
+        ).alias("s"),
+    ]
+
+    def _signature(df: DataFrame):
+        row = df.agg(*_sig).collect()[0]
+        return (row["n"], row["s"])
+
+    cur = _signature(edges)
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: symmetric view, min over Γ(u) ∪ {u}
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.min(F.least("a", "b")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: orient (max, min); m = min of smaller nbrs
+        oriented = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                smins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        new = _signature(small)  # materializes the lazy checkpoint
+        _release_checkpoint(edges)
+        edges = small
+        if new == cur:
+            converged = True
+            break
+        cur = new
+    if not converged:
+        warnings.warn(
+            f"connected_components(star): no fixpoint after max_iter="
+            f"{max_iter} rounds; labels may span partially-merged "
+            "components. Rounds needed ~ O(log^2 n).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # fixpoint edges form stars (leaf, center): leaves label with their
+    # center, centers label with themselves; vertices outside any star
+    # (self-pair-only or isolated after contraction) label themselves
+    star_labels = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("comp"))
+        .unionByName(
+            edges.select(F.col("b").alias("v"), F.col("b").alias("comp"))
+        )
+        .groupBy("v")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return vertices.join(star_labels, "v", "left").select(
+        F.col("v"), F.coalesce("comp", "v").alias("comp")
+    )
 
 
 def sql_connected_components(pairs_cte: str) -> str:

@@ -805,6 +805,32 @@ def click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators/bloomjoin.py): revenue by
+    ship mode for line items belonging to urgent orders. The urgent-order
+    key set compresses to a 128 KiB bit array; a map-side membership test
+    drops non-urgent line items BEFORE the verification semi-join, so the
+    shuffle carries candidates only. Result is exactly the plain
+    semi-join (the filter has no false negatives and the exact join kills
+    false positives) — which is what makes the SQL oracle possible. At
+    100 TB this is the pattern for selective joins whose key set outgrows
+    the broadcast threshold but not a few-hundred-MiB filter."""
+    from mini_data_platform_spark.operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    matched = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return (
+        matched.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            dsum(_revenue()).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "regional_revenue": regional_revenue,
@@ -842,6 +868,7 @@ QUERIES = {
     "revenue_by_day_dense": revenue_by_day_dense,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
+    "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
 }
 
 ORACLE = {
@@ -1253,5 +1280,15 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "lineitem_bloom_semijoin": f"""
+        SELECT l_returnflag AS returnflag,
+               {sql_dsum(_SQL_REVENUE)} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY 1
     """,
 }

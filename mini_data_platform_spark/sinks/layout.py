@@ -16,11 +16,25 @@ Discipline encoded here:
 - partition by a DERIVED day/month column while keeping the original
   timestamp intact — queries filter whichever is natural, and the
   double-write costs one string column per row.
+
+Z-ORDER (``write_zordered``) is the fourth leg: file-level min/max
+pruning across SEVERAL columns at once. Directory partitioning gives one
+pruning dimension; sorting the data gives row-group stats that prune a
+second — but a linear sort concentrates only its leading column, so a
+predicate on any other column still opens every file. Interleaving the
+bits of quantile-bucketed column values (the Z-/Morton curve) and
+range-partitioning + sorting on that key makes every file a small
+HYPER-RECTANGLE in the value space: each file's parquet min/max footer
+covers a narrow range of EVERY z-column, so a selective predicate on any
+of them skips most files at footer-read time — no index structure, just
+layout. This is the same design Delta/Iceberg expose as OPTIMIZE ZORDER.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 #: derived partition column name
 DAY_COL = "p_day"
@@ -43,3 +57,83 @@ def read_day_partitioned(spark: SparkSession, target_dir: str) -> DataFrame:
     anything Catalyst can fold to it) prune partitions at listing time —
     assert via ``PartitionFilters`` in the scan node."""
     return spark.read.parquet(target_dir)
+
+
+# ------------------------------------------------------------------ z-order
+
+def _bucket_expr(col: Column, cuts: list[float]) -> Column:
+    """Quantile-bucket ``col`` against driver-computed ``cuts`` (ascending):
+    bucket = number of cut points ≤ value. JVM-side fold over one array
+    literal — ≤ 2^bits comparisons per row inside codegen, no UDF."""
+    if not cuts:  # constant column — one bucket
+        return F.lit(0)
+    return F.aggregate(
+        F.lit([float(c) for c in cuts]),
+        F.lit(0),
+        lambda acc, c: acc + F.when(col.cast("double") >= c, 1).otherwise(0),
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> tuple[Column, dict[str, list[float]]]:
+    """Build the Morton interleave key for ``cols`` (numeric/castable).
+
+    Per column: ``approxQuantile`` yields 2^bits - 1 equi-depth cut
+    points (driver traffic = cuts only — hyperparameter-sized, like IVF
+    centroids), a fold over the cut array buckets each value, and a
+    Python-side loop emits the bit-interleave as shift/OR expressions
+    (shift amounts are plan-time constants, so the DSL ``shiftleft``
+    applies). Equi-depth (not equi-width) bucketing is what makes the
+    curve robust to skew: every bucket holds ~1/2^bits of the rows, so
+    files stay balanced even when the raw values are power-law."""
+    n_cuts = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_cuts)]
+    cuts_by_col: dict[str, list[float]] = {}
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    for c in cols:
+        cuts = casted.approxQuantile(c, probs, 0.001)
+        # dedupe non-strictly-increasing cuts (low-cardinality columns)
+        uniq: list[float] = []
+        for v in cuts:
+            if not uniq or v > uniq[-1]:
+                uniq.append(v)
+        cuts_by_col[c] = uniq
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for ci, c in enumerate(cols):
+            b = F.shiftright(_bucket_expr(F.col(c), cuts_by_col[c]), bit)
+            lane = bit * n + ci
+            z = z + F.shiftleft((b.bitwiseAND(F.lit(1))).cast("long"), lane)
+    return z, cuts_by_col
+
+
+def write_zordered(
+    df: DataFrame,
+    target_dir: str,
+    cols: Sequence[str],
+    num_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> dict[str, list[float]]:
+    """Write ``df`` as parquet clustered along the Z-curve of ``cols``:
+    range-partition into ``num_files`` tasks by the interleave key, sort
+    within each, drop the key. Each output file then spans a narrow
+    min/max range of every clustered column, so parquet footer stats
+    prune files for predicates on ANY of them. Returns the per-column
+    cut points (the curve's "index metadata" — persist them if readers
+    want to map predicates to z-ranges, though plain min/max skipping
+    needs nothing)."""
+    z, cuts = zorder_key(df, cols, bits)
+    (
+        df.withColumn("_zkey", z)
+        .repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(target_dir)
+    )
+    return cuts

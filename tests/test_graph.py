@@ -43,3 +43,59 @@ class TestConnectedComponents:
         a = connected_components(_pairs(spark, [(5, 3), (3, 9)])).collect()
         b = connected_components(_pairs(spark, [(3, 5), (9, 3)])).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestStarAlgorithm:
+    """Alternating large-star/small-star — same contract as label
+    propagation (component = min reachable id), diameter-independent
+    round count."""
+
+    def _label_equiv(self, spark, edges, star_iter=20):
+        ref = sorted(
+            map(tuple, connected_components(_pairs(spark, edges)).collect())
+        )
+        star = sorted(
+            map(
+                tuple,
+                connected_components(
+                    _pairs(spark, edges),
+                    max_iter=star_iter,
+                    algorithm="star",
+                ).collect(),
+            )
+        )
+        assert star == ref
+
+    def test_matches_label_on_cliques_and_chain(self, spark):
+        self._label_equiv(
+            spark,
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (7, 7)],
+        )
+
+    def test_matches_label_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+        ]
+        self._label_equiv(spark, edges)
+
+    def test_long_path_converges_in_few_rounds(self, spark):
+        # a 64-vertex path has diameter 63: label propagation needs ~
+        # diameter/2 rounds, star contraction O(log^2 n) — 8 rounds must
+        # suffice where label-prop's default 20 would not even finish 63
+        edges = [(i, i + 1) for i in range(1000, 1063)]
+        out = connected_components(
+            _pairs(spark, edges), max_iter=8, algorithm="star"
+        ).collect()
+        assert {r["comp"] for r in out} == {1000}
+        assert len(out) == 64
+
+    def test_unknown_algorithm_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            connected_components(
+                _pairs(spark, [(1, 2)]), algorithm="bogus"
+            )

@@ -1,0 +1,84 @@
+"""Z-order layout: data round-trips exactly, and every output file spans
+a narrow min/max box so footer stats prune files on EITHER clustered
+column — the property a linear sort can only provide for its leading
+column."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.sinks.layout import write_zordered, zorder_key
+
+
+def _two_dim(spark, n=40_000, domain=1024):
+    # decorrelated dims: x cycles, y is a Knuth-hash scramble of id
+    return spark.range(n).select(
+        (F.col("id") % domain).cast("long").alias("x"),
+        ((F.col("id") * 2654435761) % domain).cast("long").alias("y"),
+    )
+
+
+def _files_hit(target_dir, col, lo, hi):
+    """(files whose [min,max] for col intersects [lo,hi], total files) —
+    read straight from parquet footers, engine-agnostic."""
+    hit, total = 0, 0
+    for path in glob.glob(os.path.join(target_dir, "*.parquet")):
+        meta = pq.ParquetFile(path).metadata
+        idx = meta.schema.names.index(col)
+        fmin = min(
+            meta.row_group(g).column(idx).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        fmax = max(
+            meta.row_group(g).column(idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        total += 1
+        if not (fmax < lo or fmin > hi):
+            hit += 1
+    return hit, total
+
+
+class TestZOrder:
+    def test_roundtrip_exact(self, spark, tmp_path):
+        df = _two_dim(spark, n=5_000)
+        target = str(tmp_path / "z")
+        write_zordered(df, target, ["x", "y"], num_files=4, bits=4)
+        back = spark.read.parquet(target)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        assert back.columns == ["x", "y"]  # key column dropped
+
+    def test_cut_points_are_sketch_sized(self, spark):
+        df = _two_dim(spark, n=5_000)
+        _, cuts = zorder_key(df, ["x", "y"], bits=5)
+        assert set(cuts) == {"x", "y"}
+        assert all(len(c) <= 31 for c in cuts.values())
+
+    def test_prunes_both_dimensions(self, spark, tmp_path):
+        df = _two_dim(spark)
+        n_files = 16
+        zdir = str(tmp_path / "zorder")
+        ldir = str(tmp_path / "linear")
+        write_zordered(df, zdir, ["x", "y"], num_files=n_files, bits=5)
+        (
+            df.repartitionByRange(n_files, "x")
+            .sortWithinPartitions("x")
+            .write.parquet(ldir)
+        )
+        lo, hi = 100, 131  # ~3% of the y domain
+        z_hit, z_total = _files_hit(zdir, "y", lo, hi)
+        l_hit, l_total = _files_hit(ldir, "y", lo, hi)
+        # linear-by-x layout: every file covers ~the full y range
+        assert l_hit == l_total
+        # z-order: a 16-file layout tiles the plane ~4x4, so a narrow
+        # y band intersects ~one row of tiles
+        assert z_hit < l_hit
+        assert z_hit <= z_total // 2
+        # and the leading dimension still prunes too
+        zx_hit, _ = _files_hit(zdir, "x", lo, hi)
+        assert zx_hit <= z_total // 2
