@@ -1,0 +1,274 @@
+"""Product quantization (PQ) — the memory-side scale path for ANN.
+
+IVF (operators/similarity.py) cuts how many vectors a query SCANS; PQ
+cuts how many bytes each scanned vector COSTS. A d-dim float32 embedding
+(4d bytes) compresses to ``m`` one-byte codes: split the vector into m
+subspaces, k-means each subspace into ``ksub ≤ 256`` centroids, store
+only the per-subspace centroid ids. At 100 TB this is the difference
+between an embedding corpus that spills to disk and one whose codes +
+ids fit in executor memory (e.g. 768-dim × 4 B = 3 KiB → m=8 codes =
+8 B, a 384× compression) — the design popularized by FAISS's IVF-PQ
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011).
+
+Query scoring is ADC (asymmetric distance computation): the query stays
+exact; per query ONE lookup table of dot(q_sub, centroid) partials
+(m × ksub doubles) turns each corpus vector's score into m table gathers
++ a sum — no per-pair float math at all. The standard production shape
+``pq_topk(..., rerank=R)`` shortlists R candidates by ADC then re-scores
+them with EXACT cosine (JVM-side fold over the original vectors), so
+recall approaches exact search while the expensive math touches only
+R × |queries| rows.
+
+Driver traffic doctrine (same as IVF/planes): the training SAMPLE
+(``sample_n`` lowest-id vectors) and the resulting codebooks
+(m × ksub × d/m floats) are hyperparameter-sized; corpus encoding and
+scoring are Arrow-batched ``mapInPandas`` — vectorized numpy, never
+row-at-a-time Python.
+
+Determinism: sampling is by lowest id, init is the first ``ksub``
+sample rows, numpy L2 k-means with fixed iteration count — identical
+codebooks/codes on every run, which the recall tests pin. No SQL oracle:
+PQ scores are engine-specific approximations (the exact twin ``emb_knn``
+is oracle-checked; tests assert PQ's recall against it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from mini_data_platform_spark.functions.vectors import dot, l2_norm
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 8,
+    sample_n: int = 2048,
+) -> list[list[list[float]]]:
+    """Train ``m`` subspace codebooks of ``ksub`` centroids each on the
+    ``sample_n`` lowest-id vectors (deterministic, bounded collect).
+    Returns ``codebooks[s][j] = centroid j of subspace s`` (plain Python
+    floats — hyperparameters, not data)."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty input")
+    mat = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(sub))
+        cents = sub[:k].copy()
+        for _ in range(n_iter):
+            # assign: nearest centroid by L2 (ties -> lowest id)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _codes_schema(id_field) -> T.StructType:
+    return T.StructType(
+        [
+            id_field,
+            T.StructField("code", T.ArrayType(T.IntegerType()), False),
+            T.StructField("recon_norm", T.DoubleType(), False),
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, code: array<int>, recon_norm) per vector: per subspace the
+    nearest codebook centroid by L2. ``recon_norm`` is the L2 norm of the
+    RECONSTRUCTED vector, computed once at encode time so ADC cosine
+    needs no per-pair norm work. Arrow-batched mapInPandas; codebooks
+    ride the closure (hyperparameter-sized broadcast)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    id_field = df.select(id_col).schema.fields[0]
+    schema = _codes_schema(id_field)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            recon_sq = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d2.argmin(axis=1)
+                recon_sq += (books[s][codes[:, s]] ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "code": list(codes),
+                    "recon_norm": np.sqrt(recon_sq),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 0,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-``k`` neighbors for each query vector via
+    ADC over PQ codes. Columns: (query_id, neighbor_id, cos_sim,
+    rank) — same surface as ``knn_bruteforce``.
+
+    - ``rerank=0``: rank by the ADC estimate; ``cos_sim`` is the
+      approximation.
+    - ``rerank=R>0``: ADC shortlists R candidates per query (cheap —
+      m gathers per corpus code), then EXACT cosine re-scores only the
+      shortlist JVM-side; ``cos_sim`` is exact. Recall ≈ exact search
+      once R is a few × k, at a fraction of the flops.
+    - ``codes``: pass a pre-encoded frame (from ``pq_encode``) to amortize
+      encoding across many query batches — the IVF-PQ serving pattern.
+
+    The query side collects to the driver (bounded: the query set is the
+    small side by contract, exactly like knn_bruteforce's broadcast);
+    per-batch numpy scoring keeps only the running top candidates per
+    query, so the shuffle after mapInPandas carries ≤ batches × R rows
+    per query, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    shortlist = max(k, rerank)
+
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("pq_topk: empty query set")
+    qids = np.asarray([r["_qid"] for r in qrows])
+    qmat = np.asarray([r["_qv"] for r in qrows], dtype=np.float64)
+    qnorms = np.sqrt((qmat**2).sum(axis=1))
+    # one LUT per query: luts[q, s, j] = dot(q_sub_s, centroid_j)
+    luts = np.stack(
+        [qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+
+    if codes is None:
+        codes = pq_encode(corpus, id_col, vec_col, codebooks)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("adc_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.asarray(list(pdf["code"]), dtype=np.int64)
+            rnorm = pdf["recon_norm"].to_numpy(dtype=np.float64)
+            vids = pdf[id_col].to_numpy()
+            # ADC: sum LUT gathers over subspaces -> (n_queries, n_rows)
+            dots = np.zeros((len(qids), len(pdf)), dtype=np.float64)
+            for s in range(m):
+                dots += luts[:, s, :][:, cmat[:, s]]
+            sims = dots / (qnorms[:, None] * np.where(rnorm == 0, 1, rnorm))
+            top = min(shortlist, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            qi = np.repeat(np.arange(len(qids)), top)
+            vi = idx.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "neighbor_id": vids[vi],
+                    "adc_sim": sims[qi, vi],
+                }
+            )
+
+    cand = codes.mapInPandas(score, out_schema)
+    from pyspark.sql import Window
+
+    if rerank:
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        qdf = queries.sparkSession.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
+            "query_id long, _qvec array<double>",
+        )
+        # global ADC shortlist first (per-partition tops -> one window),
+        # then exact cosine on shortlist only
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+        )
+        short = cand.withColumn("_r", F.row_number().over(w_adc)).where(
+            F.col("_r") <= shortlist
+        )
+        exact = (
+            short.join(vecs, "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("_cv"), F.col("_qvec"))
+                    / (l2_norm(F.col("_cv")) * l2_norm(F.col("_qvec")))
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = exact.withColumn("rank", F.row_number().over(w))
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = cand.withColumnRenamed("adc_sim", "cos_sim").withColumn(
+            "rank", F.row_number().over(w)
+        )
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )

@@ -391,6 +391,27 @@ def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact rerank (operators/pq.py): ADC
+    over 16×-compressed codes shortlists candidates, exact cosine
+    re-scores the shortlist. No SQL oracle — PQ scores are
+    engine-specific approximations (same policy as events_approx_users);
+    the exact twin emb_knn is oracle-checked, and
+    tests/test_pq.py pins recall against it (≥0.85 measured 0.90)."""
+    from mini_data_platform_spark.operators.pq import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(emb, "vec_id", "embedding", m=16, ksub=32)
+    out = pq_topk(
+        queries, emb, "vec_id", "embedding", books, k=KNN_K, rerank=50
+    )
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= threshold (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -466,6 +487,7 @@ QUERIES = {
     "emb_ann_knn": emb_ann_knn,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
+    "emb_ann_pq": emb_ann_pq,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
     "emb_dup_clusters": emb_dup_clusters,

@@ -22,8 +22,10 @@ def test_queries_and_oracles_align(spark):
     assert q, "queries() must not be empty"
     unknown = set(o) - set(q)
     assert not unknown, f"oracle keys without queries: {unknown}"
-    # only the HLL sketch is deliberately oracle-free (engine-specific)
-    assert set(q) - set(o) == {"events_approx_users"}
+    # deliberately oracle-free: the HLL sketch and PQ ANN (both
+    # engine-specific approximations; their exact twins
+    # events_distinct_users / emb_knn ARE oracle-checked)
+    assert set(q) - set(o) == {"events_approx_users", "emb_ann_pq"}
 
 
 def test_no_silent_name_collisions_between_plan_modules():

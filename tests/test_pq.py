@@ -1,0 +1,117 @@
+"""Product quantization: deterministic codebooks/codes, compression
+shape, ADC recall against exact kNN, rerank recovers exactness."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.catalog import load_table
+from mini_data_platform_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+from mini_data_platform_spark.operators.similarity import knn_bruteforce
+
+SF = "/root/testdata/sf0.001"
+M, KSUB = 16, 32
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq_codebooks(emb, "vec_id", "embedding", m=M, ksub=KSUB)
+
+
+class TestTrainEncode:
+    def test_codebook_shape(self, emb, books):
+        dim = len(emb.first()["embedding"])
+        assert len(books) == M
+        for b in books:
+            assert len(b) == KSUB
+            assert all(len(c) == dim // M for c in b)
+
+    def test_training_deterministic(self, emb, books):
+        again = train_pq_codebooks(emb, "vec_id", "embedding", m=M, ksub=KSUB)
+        assert again == books
+
+    def test_codes_shape_and_range(self, emb, books):
+        codes = pq_encode(emb, "vec_id", "embedding", books)
+        row = codes.first()
+        assert len(row["code"]) == M
+        assert row["recon_norm"] > 0
+        bad = codes.where(
+            F.exists("code", lambda c: (c < 0) | (c >= KSUB))
+        ).count()
+        assert bad == 0
+        assert codes.count() == emb.count()
+
+    def test_dim_not_divisible_rejected(self, spark):
+        df = spark.range(20).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=1) for _ in range(10)]).alias("embedding"),
+        )
+        with pytest.raises(ValueError):
+            train_pq_codebooks(df, "vec_id", "embedding", m=4)
+
+
+class TestTopK:
+    K = 10
+
+    def _exact(self, queries, emb):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_bruteforce(
+                queries, emb, "vec_id", "embedding", k=self.K
+            ).collect()
+        }
+
+    def test_adc_recall_reasonable(self, emb, books):
+        queries = emb.filter(F.col("vec_id") < 8)
+        exact = self._exact(queries, emb)
+        adc = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                queries, emb, "vec_id", "embedding", books, k=self.K
+            ).collect()
+        }
+        recall = len(adc & exact) / len(exact)
+        assert recall >= 0.4  # raw 16x-compressed ADC, no rerank (0.50 measured)
+
+    def test_rerank_recovers_recall(self, emb, books):
+        queries = emb.filter(F.col("vec_id") < 8)
+        exact = self._exact(queries, emb)
+        rr = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                queries, emb, "vec_id", "embedding", books,
+                k=self.K, rerank=100,
+            ).collect()
+        }
+        recall = len(rr & exact) / len(exact)
+        assert recall >= 0.85
+        # and rerank's scores are EXACT cosines: the self-match must top
+        # each query's list with cos ~ 1.0
+        top = (
+            pq_topk(
+                queries, emb, "vec_id", "embedding", books,
+                k=1, rerank=100,
+            )
+            .collect()
+        )
+        for r in top:
+            assert r["neighbor_id"] == r["query_id"]
+            assert r["cos_sim"] == pytest.approx(1.0)
+
+    def test_precomputed_codes_reused(self, emb, books):
+        queries = emb.filter(F.col("vec_id") < 3)
+        codes = pq_encode(emb, "vec_id", "embedding", books)
+        a = pq_topk(
+            queries, emb, "vec_id", "embedding", books, k=5, codes=codes
+        ).collect()
+        b = pq_topk(queries, emb, "vec_id", "embedding", books, k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
