@@ -99,3 +99,32 @@ class TestStarAlgorithm:
             connected_components(
                 _pairs(spark, [(1, 2)]), algorithm="bogus"
             )
+
+    def test_star_releases_checkpoints(self, spark):
+        """Same storage doctrine as the label variant: superseded
+        per-round edge checkpoints are freed in-loop, and releasing the
+        returned frame leaves zero residual persistent RDDs."""
+        from mini_data_platform_spark.operators import graph as graph_mod
+
+        def ids():
+            # compare block SETS, not counts: other tests' dead blocks can
+            # be GC'd between the two snapshots and skew a count compare
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet()
+                .iterator()
+            )
+            out = set()
+            while it.hasNext():
+                out.add(it.next())
+            return out
+
+        before = ids()
+        edges = [(i, i + 1) for i in range(200, 230)]
+        out = connected_components(
+            _pairs(spark, edges), max_iter=10, algorithm="star"
+        )
+        out.count()
+        graph_mod._release_checkpoint(out)
+        leaked = ids() - before
+        assert not leaked
