@@ -831,6 +831,21 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/heavyhitters.py): users with ≥ 80
+    events, via a per-partition Misra-Gries candidate sketch + verified
+    exact counts. The result equals plain GROUP BY HAVING — the sketch
+    only prunes the tail BEFORE the shuffle — so the SQL oracle holds.
+    At 100 TB the groupBy-every-distinct-key plan shuffles billions of
+    tail keys that can never qualify; this one shuffles candidates."""
+    from mini_data_platform_spark.operators.heavyhitters import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    return heavy_hitters(events, "user_id", min_count=80, k_counters=2048)
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "regional_revenue": regional_revenue,
@@ -869,6 +884,7 @@ QUERIES = {
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
+    "events_heavy_users": events_heavy_users,
 }
 
 ORACLE = {
@@ -1290,5 +1306,12 @@ ORACLE = {
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
         GROUP BY 1
+    """,
+    "events_heavy_users": """
+        SELECT user_id, COUNT(*) AS n
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(*) >= 80
     """,
 }
