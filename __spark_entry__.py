@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round 6 window: the 21 analytics queries stale since r4 (rows 1-21),
 #: then every query over dedup_fuzzy/graph/similarity/llm-plan code
 #: touched this round (near-dup lifecycle, max_bucket, simhash, lazy
-#: block sizing), then kpi/multimodal/remaining-llm. Rotated out: 21
-#: r5-green queries with no r6 code changes (doc_quality, corpus-curation
-#: set, events trio, first 12 analytics).
+#: block sizing), then kpi/multimodal fill, then the three queries NEW in
+#: round 6 (bloom semi-join, PQ ANN, heavy hitters — rule 2). Rotated
+#: out: 24 r5-green queries whose code paths have no r6 changes
+#: (doc text/curation set, 12 analytics, events trio).
 _ROUND6_WINDOW_FIRST = [
     # (1) stale since round 4 — driver-unrecorded for 2 rounds
     "order_stats_distinct", "priority_status_matrix", "price_quantiles",
