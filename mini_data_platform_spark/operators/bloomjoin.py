@@ -125,14 +125,31 @@ def might_contain(
     )
 
 
+def size_bloom(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook Bloom sizing for ``n_keys`` at target false-positive rate
+    ``fpp``: m = -n·ln(p)/ln(2)² bits (rounded up to a 64-bit word
+    boundary, floor 2^12), k = round(m/n·ln 2) hashes. Returns
+    (num_bits, num_hashes)."""
+    import math
+
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    n = max(1, n_keys)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max(1 << 12, ((m + _WORD_BITS - 1) // _WORD_BITS) * _WORD_BITS)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,
     fact_key: str,
     dim_key: str | None = None,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = 1 << 20,
     num_hashes: int = 5,
     exact: bool = True,
+    fpp: float = 0.01,
 ) -> DataFrame:
     """``fact`` rows whose ``fact_key`` appears in ``keys[dim_key]``.
 
@@ -147,11 +164,20 @@ def bloom_semi_join(
     end) and returns a superset containing every true match — the right
     half of the trade when downstream is itself a join that re-verifies
     (e.g. enrichment lookups) or when fpp-rate overcount is acceptable.
+
+    ``num_bits=None`` auto-sizes: one distinct-count over the key side
+    (bounded driver traffic — a scalar), then ``size_bloom(n, fpp)``
+    picks bits/hashes for the target false-positive rate. Pass explicit
+    sizes when the key count is already known or composition must stay
+    fully lazy.
     """
     dim_key = dim_key or fact_key
     key_frame = keys.select(F.col(dim_key).alias(dim_key)).where(
         F.col(dim_key).isNotNull()
     )
+    if num_bits is None:
+        n_keys = key_frame.distinct().count()
+        num_bits, num_hashes = size_bloom(n_keys, fpp)
     words = build_bloom_words(key_frame, dim_key, num_bits, num_hashes)
     # bind the word array ONCE as a single-row broadcast relation — the
     # DataFrame spelling of a broadcast variable. A plan-literal array

@@ -9,6 +9,7 @@ from mini_data_platform_spark.operators.bloomjoin import (
     bloom_semi_join,
     build_bloom_words,
     might_contain,
+    size_bloom,
 )
 
 
@@ -48,6 +49,14 @@ class TestBloomFilter:
         keys = spark.range(10).select(F.col("id").alias("k"))
         with pytest.raises(ValueError):
             build_bloom_words(keys, "k", num_bits=100)
+
+    def test_size_bloom_formula(self):
+        m, k = size_bloom(1_000_000, fpp=0.01)
+        # ~9.6 bits/key and 7 hashes at 1% — the textbook optimum
+        assert 9_000_000 <= m <= 10_500_000 and m % 64 == 0
+        assert k == 7
+        with pytest.raises(ValueError):
+            size_bloom(100, fpp=1.5)
 
 
 class TestBloomSemiJoin:
@@ -98,6 +107,14 @@ class TestBloomSemiJoin:
             ).collect()
         }
         assert true_keys <= pre_keys
+
+    def test_auto_sized_equals_plain_semijoin(self, spark):
+        fact, dim = self._frames(spark)
+        expected = fact.join(dim, fact["fk"] == dim["dk"], "left_semi").count()
+        got = bloom_semi_join(
+            fact, dim, "fk", "dk", num_bits=None, fpp=0.001
+        ).count()
+        assert got == expected
 
     def test_null_fact_keys_never_match(self, spark):
         fact = spark.range(10).select(
