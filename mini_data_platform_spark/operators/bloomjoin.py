@@ -199,8 +199,22 @@ def bloom_semi_join(
     )
     if not exact:
         return pre
-    return pre.join(
-        key_frame.distinct(),
-        on=pre[fact_key] == key_frame[dim_key],
-        how="left_semi",
+    # verification as an INNER join against the DISTINCT key set (then
+    # dropping the key column) — semantically identical to a left-semi
+    # join, chosen deliberately: Catalyst's PushDownLeftSemiAntiJoin
+    # rewrites a LeftSemi ABOVE the prefilter into one BELOW it (pushed
+    # through the bits cross join into the fact side), which re-orders
+    # the plan to shuffle the UNFILTERED fact — the exact thing this
+    # operator exists to avoid. The rule does not apply to inner joins,
+    # and the membership predicate keeps the bits join "conditioned" so
+    # the join-reorder heuristic leaves the chain alone; the plan-quality
+    # gate (tests/test_plan_quality.py::TestBloomSemiJoinPlan) pins the
+    # verification join above the membership filter.
+    dedup_keys = key_frame.distinct()
+    joined = pre.join(
+        dedup_keys, on=pre[fact_key] == dedup_keys[dim_key], how="inner"
     )
+    if dim_key == fact_key:
+        # same-named key columns: drop the dim side's by reference
+        return joined.drop(dedup_keys[dim_key])
+    return joined.drop(dim_key)

@@ -224,3 +224,52 @@ class TestPartitionPruning:
             F.date_format("o_orderdate", "yyyy-MM-dd") == days[0]
         ).count()
         assert one_day.count() == want
+
+
+class TestBloomSemiJoinPlan:
+    def test_probe_is_codegen_prefilter_before_join(self, spark):
+        """The membership test must sit as a plain Filter on the fact scan
+        side (map-side, pre-shuffle) inside codegen, with zero Python
+        boundaries anywhere in the plan."""
+        from mini_data_platform_spark.operators.bloomjoin import bloom_semi_join
+
+        li = load_table(spark, SF, "lineitem")
+        urgent = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        assert not uses_python_eval(out)
+        plan = explain_str(out, "simple")
+        assert "getbit" in plan  # the prefilter survived optimization
+        # ORDER is the operator's whole value: the membership test must
+        # run on the scan side BELOW the verification join (tree renders
+        # top-down, so the verify join's line precedes the getbit line).
+        # Catalyst's PushDownLeftSemiAntiJoin would invert this for a
+        # left-semi verify — the inner-join formulation exists to stop
+        # that; this gate fails if a refactor reintroduces it.
+        verify_at = min(
+            i
+            for i, line in enumerate(plan.splitlines())
+            if "Join" in line and "getbit" not in line
+        )
+        bloom_at = min(
+            i for i, line in enumerate(plan.splitlines()) if "getbit" in line
+        )
+        assert verify_at < bloom_at
+
+
+class TestHeavyHittersPlan:
+    def test_verification_join_broadcasts_candidates(self, spark):
+        """Pass 2's candidate filter must broadcast (never sort-merge):
+        the whole point is that only candidate rows reach the shuffle."""
+        from mini_data_platform_spark.operators.heavyhitters import heavy_hitters
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        events = load_table(spark, SF, "events").where(
+            F.col("user_id").isNotNull()
+        )
+        out = heavy_hitters(events, "user_id", min_count=50, k_counters=512)
+        plan = explain_str(out, "simple")
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "SortMergeJoin" not in plan
+        release_plan(out)
