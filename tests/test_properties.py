@@ -268,3 +268,63 @@ class TestJaccardProperties:
                     assert got_j is None  # 0/0 -> null, ANSI off
                 else:
                     assert abs(got_j - want_j) < 1e-12
+
+
+class TestBloomProperties:
+    """Bloom filter invariant that must hold for ANY key set: zero false
+    negatives, whatever the values, types aside (long keys here; the
+    string path is unit-tested)."""
+
+    @_SETTINGS
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        num_bits=st.sampled_from([64, 256, 4096]),
+        num_hashes=st.integers(min_value=1, max_value=6),
+    )
+    def test_no_false_negatives_ever(self, spark, keys, num_bits, num_hashes):
+        from mini_data_platform_spark.operators.bloomjoin import (
+            build_bloom_words,
+            might_contain,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        words = build_bloom_words(df, "k", num_bits, num_hashes)
+        hits = df.where(
+            might_contain(words, F.col("k"), num_hashes)
+        ).count()
+        assert hits == len(keys)
+
+
+class TestHeavyHitterProperties:
+    @_SETTINGS
+    @given(
+        counts=st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=40),
+            min_size=1,
+            max_size=12,
+        ),
+        threshold=st.integers(min_value=2, max_value=30),
+    )
+    def test_exactly_group_by_having(self, spark, counts, threshold):
+        from mini_data_platform_spark.operators.heavyhitters import heavy_hitters
+        from pyspark.sql import functions as F
+
+        rows = [(k,) for k, n in counts.items() for _ in range(n)]
+        df = spark.createDataFrame(rows, "k string").repartition(4)
+        got = {
+            (r["k"], r["n"])
+            for r in heavy_hitters(
+                df, "k", min_count=threshold, k_counters=256
+            ).collect()
+        }
+        want = {
+            (k, n) for k, n in counts.items() if n >= threshold
+        }
+        assert got == want
