@@ -8,7 +8,7 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Output contract (two consumers, two artifacts):
 - The FINAL stdout line is a COMPACT summary (~500 bytes): totals, error
   count, the 5 slowest queries, and the ingest block. The driver captures
-  only the last ~2000 chars of output, so the full 71-query dict can never
+  only the last ~2000 chars of output, so the full per-query dict can never
   ride on that line (rounds 2-5 lost the official bench record to exactly
   that truncation).
 - The full per-query detail (every timing, every error, the ingest and

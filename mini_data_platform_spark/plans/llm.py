@@ -185,6 +185,25 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as doc_dup_clusters, computed with the alternating
+    large-star/small-star contraction (graph.py algorithm="star" —
+    diameter-independent round count). The components contract is
+    engine-independent, so the SAME recursive-CTE oracle verifies both
+    algorithms value-exactly — a driver-level equivalence proof, not just
+    the pytest one."""
+    from mini_data_platform_spark.operators.graph import connected_components
+
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = DF_OPS.near_dup_pairs(
+        corpus, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+    )
+    comps = connected_components(pairs, algorithm="star")
+    return comps.select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("canonical_doc_id")
+    )
+
+
 def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME materialized: the surviving corpus after near-dup
     clustering — per cluster only the canonical (min-id) document remains;
@@ -475,6 +494,7 @@ QUERIES = {
     "doc_near_dups": doc_near_dups,
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_dup_clusters_star": doc_dup_clusters_star,
     "doc_dedup_final": doc_dedup_final,
     "doc_curated_corpus": doc_curated_corpus,
     "doc_split_assign": doc_split_assign,
@@ -724,6 +744,21 @@ ORACLE = {
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
     "doc_dup_clusters": f"""
+        WITH RECURSIVE nd AS ({_sql_near_dups(_SQL_MUTATED)}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT e.dst, r.c FROM reach r JOIN sym e ON e.src = r.v
+        )
+        SELECT v AS doc_id, MIN(c) AS canonical_doc_id
+        FROM reach GROUP BY v
+    """,
+    "doc_dup_clusters_star": f"""
         WITH RECURSIVE nd AS ({_sql_near_dups(_SQL_MUTATED)}),
         sym AS (
             SELECT id_a AS src, id_b AS dst FROM nd
