@@ -1,3 +1,4 @@
+from mini_data_platform_spark.streaming.heavyhitters import heavy_hitters_stream
 from mini_data_platform_spark.streaming.ingest import start_streaming_ingest
 from mini_data_platform_spark.streaming.neardup import near_dup_candidates_stream
 from mini_data_platform_spark.streaming.run import run_available_now
@@ -17,5 +18,6 @@ __all__ = [
     "stream_interval_join",
     "dedup_stream",
     "near_dup_candidates_stream",
+    "heavy_hitters_stream",
     "run_available_now",
 ]

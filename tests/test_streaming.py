@@ -413,3 +413,85 @@ class TestNearDupStream:
         a = {tuple(r) for r in row_local.collect()}
         b = {tuple(r) for r in agg.collect()}
         assert a == b
+
+
+class TestHeavyHittersStream:
+    """Streaming MG heavy hitters (streaming/heavyhitters.py): emitted
+    keys are provably heavy (no false positives), state accumulates
+    across micro-batches, and each key alerts exactly once."""
+
+    def _write_batches(self, spark, tmp_path, batches):
+        src = str(tmp_path / "hh_events")
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                [(k,) for k in rows], "k string"
+            ).repartition(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(src)
+        return src
+
+    def _run(self, spark, src, min_count, k_counters=256, per_trigger=None):
+        from mini_data_platform_spark.streaming.heavyhitters import (
+            heavy_hitters_stream,
+        )
+
+        reader = spark.readStream.schema("k string")
+        if per_trigger:
+            reader = reader.option("maxFilesPerTrigger", per_trigger)
+        out = heavy_hitters_stream(
+            reader.parquet(src), "k", min_count,
+            n_shards=8, k_counters=k_counters,
+        )
+        name = f"hh_{int(time.time() * 1000)}"
+        run_available_now(
+            out, f"{src}_ckpt_{name}", fmt="memory",
+            query_name=name, timeout_sec=120,
+        )
+        return spark.table(name)
+
+    def test_emits_exactly_the_heavy_keys(self, spark, tmp_path):
+        # hot1 x 30, hot2 x 12, 40 singleton tail keys; threshold 10.
+        # k_counters=256 > distinct keys -> sketch is exact here.
+        batch = ["hot1"] * 30 + ["hot2"] * 12 + [f"t{i}" for i in range(40)]
+        src = self._write_batches(spark, tmp_path, [batch])
+        got = {
+            (r["key"], r["at_least"])
+            for r in self._run(spark, src, min_count=10).collect()
+        }
+        assert got == {("hot1", 30), ("hot2", 12)}
+
+    def test_accumulates_across_micro_batches_and_emits_once(
+        self, spark, tmp_path
+    ):
+        # 6 per batch, threshold 10: below threshold in EVERY batch,
+        # above it only across batches — state must carry the counts,
+        # and the key must alert exactly once (in the second batch)
+        batches = [
+            ["slow"] * 6 + [f"a{i}" for i in range(10)],
+            ["slow"] * 6 + [f"b{i}" for i in range(10)],
+            ["slow"] * 6 + [f"c{i}" for i in range(10)],
+        ]
+        src = self._write_batches(spark, tmp_path, batches)
+        rows = self._run(
+            spark, src, min_count=10, per_trigger=1
+        ).collect()
+        assert [(r["key"], r["at_least"]) for r in rows] == [("slow", 12)]
+
+    def test_no_false_positives_under_tight_sketch(self, spark, tmp_path):
+        # k_counters=4 over 50 distinct keys: heavy decrement pressure.
+        # Whatever gets emitted must be TRULY >= threshold.
+        import collections
+
+        batch = (
+            ["h1"] * 40 + ["h2"] * 25
+            + [f"t{i % 48}" for i in range(96)]  # 48 keys x 2
+        )
+        truth = collections.Counter(batch)
+        src = self._write_batches(spark, tmp_path, [batch])
+        rows = self._run(
+            spark, src, min_count=20, k_counters=4
+        ).collect()
+        assert rows  # the two hot keys dwarf the slack; they must alert
+        for r in rows:
+            assert truth[r["key"]] >= 20
+            assert truth[r["key"]] >= r["at_least"]
