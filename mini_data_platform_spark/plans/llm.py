@@ -134,6 +134,22 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed(docs, "doc_id", "text", dim=16)
 
 
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout (operators/packing.py): per document, the
+    global token start offset and chunk span under concat-and-chunk at
+    512 tokens, in doc_id order. Runs as a distributed two-phase prefix
+    sum; the oracle is the equivalent single-window SUM OVER (ORDER BY),
+    which is exactly the formulation the operator exists to avoid at
+    scale — the value equality IS the scale-refactor proof."""
+    from mini_data_platform_spark.operators.packing import pack_documents
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    counted = docs.select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe")
+    )
+    return pack_documents(counted, "doc_id", "n_bpe", chunk_tokens=512)
+
+
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a corpus with planted exact copies (documents ∪
     unmodified copies at id+20000): per content-hash keep min id."""
@@ -490,6 +506,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
     "doc_exact_dedup": doc_exact_dedup,
+    "doc_packing": doc_packing,
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
     "doc_simhash": doc_simhash,
@@ -710,6 +727,28 @@ ORACLE = {
                {TX.sql_type_token_ratio('text')} AS ttr,
                length(text) AS n_chars_observed
         FROM documents
+    """,
+    "doc_packing": f"""
+        WITH counted AS (
+            SELECT doc_id, {TX.sql_bpe_token_count('text')} AS n
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n,
+                   SUM(n) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n AS s
+            FROM counted
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(s AS BIGINT) AS start_offset,
+               CAST(floor(s / 512.0) AS BIGINT) AS first_chunk,
+               CAST(floor((s + greatest(n, 1) - 1) / 512.0) AS BIGINT)
+                   AS last_chunk,
+               CAST(floor((s + greatest(n, 1) - 1) / 512.0)
+                    - floor(s / 512.0) AS BIGINT) AS n_boundary_cuts
+        FROM cum
     """,
     "doc_language_guess": f"""
         SELECT doc_id, lang AS labeled_lang,
