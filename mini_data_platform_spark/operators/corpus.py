@@ -279,3 +279,70 @@ def sql_repetition_metrics(src: str, tokens_sql: str, bigrams_sql: str) -> str:
                         x -> x)) AS n_adjacent_repeats
         FROM staged
     """
+
+
+def epoch_shuffle_ranks(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch:
+    (id, epoch_rank) where rank 1..n follows ``md5(seed ":" id)`` — a
+    different, reproducible permutation per seed, identical across runs,
+    engines, and partitionings.
+
+    Why not ``ORDER BY rand(seed)`` + ``row_number``: Spark's rand is
+    partition-dependent (not stable under repartitioning) and a global
+    row_number window collapses to ONE partition. This is the
+    scale-correct formulation: range-partition by the hash key (ordered
+    partitions), row_number WITHIN each partition, then add
+    driver-prefix-summed partition row counts (one long per partition of
+    driver traffic) — the same two-phase scan as
+    ``operators/packing.pack_documents``. The SQL oracle is the
+    single-window ``ROW_NUMBER() OVER (ORDER BY md5(...))`` twin."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    base = (
+        df.select(F.col(id_col), key.alias("_ek"))
+        .repartitionByRange(n_parts, F.col("_ek"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("_ek", id_col)
+    local = base.withColumn("_rl", F.row_number().over(w))
+    counts = {
+        r["_pid"]: r["_c"]
+        for r in base.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            F.col(id_col),
+            (F.col("_off") + F.col("_rl")).alias("epoch_rank"),
+        )
+    )
+
+
+def sql_epoch_shuffle(src: str, id_expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`epoch_shuffle_ranks`: the single-window
+    formulation the distributed version must value-match."""
+    return f"""
+        SELECT {id_expr},
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{seed}:' || CAST({id_expr} AS VARCHAR)),
+                            {id_expr}
+               ) AS epoch_rank
+        FROM ({src})
+    """

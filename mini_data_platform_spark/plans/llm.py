@@ -150,6 +150,15 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(counted, "doc_id", "n_bpe", chunk_tokens=512)
 
 
+def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle permutation (operators/corpus.py
+    epoch_shuffle_ranks): a reproducible md5-keyed global ordering for
+    training epoch 7, computed with the two-phase distributed rank (no
+    single-partition window); oracle is the one-window ROW_NUMBER twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CORPUS.epoch_shuffle_ranks(docs, "doc_id", seed=7)
+
+
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a corpus with planted exact copies (documents ∪
     unmodified copies at id+20000): per content-hash keep min id."""
@@ -507,6 +516,7 @@ QUERIES = {
     "doc_hash_embedding": doc_hash_embedding,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_packing": doc_packing,
+    "doc_epoch_shuffle": doc_epoch_shuffle,
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
     "doc_simhash": doc_simhash,
@@ -750,6 +760,9 @@ ORACLE = {
                     - floor(s / 512.0) AS BIGINT) AS n_boundary_cuts
         FROM cum
     """,
+    "doc_epoch_shuffle": CORPUS.sql_epoch_shuffle(
+        "SELECT doc_id FROM documents", "doc_id", 7
+    ),
     "doc_language_guess": f"""
         SELECT doc_id, lang AS labeled_lang,
                {TX.sql_stopword_hits('text', 'en')} AS en_hits,

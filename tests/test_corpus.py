@@ -128,3 +128,53 @@ class TestPII:
             pii.redact(F.col("text")).alias("red")
         ).collect()[0]
         assert row["red"] == "nothing sensitive here"
+
+
+class TestEpochShuffle:
+    def test_valid_permutation_and_deterministic(self, spark):
+        from mini_data_platform_spark.operators.corpus import (
+            epoch_shuffle_ranks,
+        )
+
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = {
+            r["doc_id"]: r["epoch_rank"]
+            for r in epoch_shuffle_ranks(df, "doc_id", seed=1).collect()
+        }
+        assert sorted(a.values()) == list(range(1, 501))
+        again = {
+            r["doc_id"]: r["epoch_rank"]
+            for r in epoch_shuffle_ranks(df, "doc_id", seed=1).collect()
+        }
+        assert again == a
+
+    def test_seeds_give_different_orders(self, spark):
+        from mini_data_platform_spark.operators.corpus import (
+            epoch_shuffle_ranks,
+        )
+
+        df = spark.range(200).select(F.col("id").alias("doc_id"))
+        a = {
+            r["doc_id"]: r["epoch_rank"]
+            for r in epoch_shuffle_ranks(df, "doc_id", seed=1).collect()
+        }
+        b = {
+            r["doc_id"]: r["epoch_rank"]
+            for r in epoch_shuffle_ranks(df, "doc_id", seed=2).collect()
+        }
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert moved > 150  # a reseed must reshuffle nearly everything
+
+    def test_partition_invariant(self, spark):
+        from mini_data_platform_spark.operators.corpus import (
+            epoch_shuffle_ranks,
+        )
+
+        df = spark.range(300).select(F.col("id").alias("doc_id"))
+        a = sorted(
+            map(tuple, epoch_shuffle_ranks(df, "doc_id", 3, 1).collect())
+        )
+        b = sorted(
+            map(tuple, epoch_shuffle_ranks(df, "doc_id", 3, 16).collect())
+        )
+        assert a == b
