@@ -57,11 +57,11 @@ _ROUND6_WINDOW_FIRST = [
     # (3) flagship + cheap fill to 50
     "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
     "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
-    "kpi_revenue_by_customer",
     # (4) NEW this round (rotation rule 2: new/touched code must be in
     # the window on the round it lands)
     "lineitem_bloom_semijoin", "emb_ann_pq", "events_heavy_users",
     "doc_dup_clusters_star", "doc_packing", "doc_epoch_shuffle",
+    "events_cms_users",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mini_data_platform_spark.catalog import load_table
 from mini_data_platform_spark.operators.asof import asof_join
+from mini_data_platform_spark.operators.sketch import sql_cms_table
 from mini_data_platform_spark.plans._parity import davg, dsum, sql_davg, sql_dsum
 
 def _revenue():
@@ -846,6 +847,20 @@ def events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(events, "user_id", min_count=80, k_counters=2048)
 
 
+def events_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event user ids (operators/sketch.py): the
+    4×64 counter table whose min-over-rows cell gives an overcount-only
+    frequency estimate for ANY user in fixed memory. Build = explode +
+    one count aggregate; map-side partials collapse each partition to
+    ≤ depth×width cells, so the shuffle carries the sketch, not the
+    events. The md5 hash family is engine-independent, so the oracle
+    reproduces the table cell-for-cell."""
+    from mini_data_platform_spark.operators.sketch import cms_table
+
+    events = load_table(spark, sf_dir, "events")
+    return cms_table(events, "user_id", depth=4, width=64)
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "regional_revenue": regional_revenue,
@@ -885,6 +900,7 @@ QUERIES = {
     "errors_near_click": errors_near_click,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
     "events_heavy_users": events_heavy_users,
+    "events_cms_users": events_cms_users,
 }
 
 ORACLE = {
@@ -1314,4 +1330,7 @@ ORACLE = {
         GROUP BY user_id
         HAVING COUNT(*) >= 80
     """,
+    "events_cms_users": sql_cms_table(
+        "SELECT user_id FROM events", "user_id", 4, 64
+    ),
 }
