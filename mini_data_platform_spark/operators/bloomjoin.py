@@ -188,8 +188,15 @@ def bloom_semi_join(
     # nested loop — a constant attach, not a join fan-out.
     spark = fact.sparkSession
     bf = spark.createDataFrame([(words,)], "_bf_bits array<bigint>")
+    # null fact keys can never semi-join (the key side is filtered to
+    # non-null above), but xxhash64 SKIPS null inputs, so every null key
+    # would hash to the same k constant positions — likely set in any
+    # populated filter — and the exact=False "superset" would admit ALL
+    # null-key rows rather than an fpp-sized trickle. Exclude them here,
+    # matching the key-side null handling.
     pre = (
-        fact.crossJoin(F.broadcast(bf))
+        fact.where(F.col(fact_key).isNotNull())
+        .crossJoin(F.broadcast(bf))
         .where(
             _membership_cond(
                 F.col("_bf_bits"), F.col(fact_key), num_bits, num_hashes

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mini_data_platform_spark.functions.text import shingles_of, tokens
+from mini_data_platform_spark.operators.resources import attach_plan
 
 _HEX = "0123456789abcdef"
 
@@ -311,6 +312,13 @@ def epoch_shuffle_ranks(
         .repartitionByRange(n_parts, F.col("_ek"))
         .withColumn("_pid", F.spark_partition_id())
     )
+    # PERSIST before the counts collect: repartitionByRange resamples its
+    # boundaries per-job, so the counts job and the final row_number job
+    # could otherwise see DIFFERENT partition assignments at scale,
+    # yielding duplicate/skipped epoch_rank values despite the docstring's
+    # determinism guarantee (same fix as packing.pack_documents; the
+    # caller releases via release_plan).
+    base = base.persist()
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy("_ek", id_col)
@@ -326,13 +334,14 @@ def epoch_shuffle_ranks(
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
-    return (
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .select(
             F.col(id_col),
             (F.col("_off") + F.col("_rl")).alias("epoch_rank"),
         )
     )
+    return attach_plan(out, base)
 
 
 def sql_epoch_shuffle(src: str, id_expr: str, seed: int) -> str:

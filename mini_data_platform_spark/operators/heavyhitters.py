@@ -100,7 +100,7 @@ def heavy_hitters(
     df: DataFrame,
     col: str,
     min_count: int,
-    k_counters: int = 256,
+    k_counters: int | None = None,
 ) -> DataFrame:
     """All values of ``col`` occurring at least ``min_count`` times, with
     their EXACT counts — (``col``, n) rows, equal to the plain
@@ -111,13 +111,33 @@ def heavy_hitters(
     Null keys are excluded (the candidate semi-join cannot match null =
     null) — filter or fill upstream if null is a meaningful group.
 
-    Raises if the MG guarantee cannot cover ``min_count``
-    (n / ``k_counters`` ≥ ``min_count`` — strictly stronger than the
-    n/(k+1) < s bound the proof needs): raise ``k_counters`` or
-    ``min_count``. The check uses the exact observed row count, so the
-    refusal is exact, not heuristic."""
+    ``k_counters=None`` (default) AUTO-SIZES the sketch from the observed
+    row count: ``max(256, 2·ceil(n / min_count))`` — 2× the coverage
+    bound, so the same call scales from fixture to production without
+    constant-tuning (round-6 verdict: hard-coded constants tripped the
+    guard when the fixture grew). Auto mode costs one extra count-star
+    scan (no shuffle; columnar-cheap) before the MG pass.
+
+    An EXPLICIT ``k_counters`` is honored and still refuses if the MG
+    guarantee cannot cover ``min_count`` (n / ``k_counters`` ≥
+    ``min_count`` — strictly stronger than the n/(k+1) < s bound the
+    proof needs): raise ``k_counters`` or ``min_count``. The check uses
+    the exact observed row count, so the refusal is exact, not
+    heuristic.
+
+    NOTE on scan count: candidate + verify means the input is read twice
+    (three times in auto mode). When the scan itself is the dominant
+    cost (remote object storage, no column pruning), either persist the
+    input across the passes or use the one-pass streaming form
+    (streaming/heavyhitters.py), which trades exactness of the candidate
+    bound for a single read."""
+    import math
+
     from mini_data_platform_spark.operators.resources import attach_plan
 
+    if k_counters is None:
+        n_obs = df.count()
+        k_counters = max(256, 2 * math.ceil(n_obs / max(min_count, 1)))
     # one MG pass, cached: serves BOTH the exact total-row count (sum of
     # n_part over distinct partitions) and the candidate key set. The
     # cache holds ≤ k_counters × partitions tiny rows; attached to the

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .resources import attach_plan
+
 
 def pack_documents(
     df: DataFrame,
@@ -54,6 +56,14 @@ def pack_documents(
         .repartitionByRange(n_parts, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
     )
+    # PERSIST before the totals collect: repartitionByRange samples its
+    # boundaries per-job, so evaluating `base` in two separate jobs (the
+    # totals collect below and the final plan) can assign rows to
+    # DIFFERENT partitions at scale — the collected offsets would then
+    # mismatch the final plan's pids and silently corrupt every offset.
+    # Persisting pins one partitioning across both evaluations; the
+    # caller releases via release_plan (resources.py contract).
+    base = base.persist()
     w = Window.partitionBy("_pid").orderBy(id_col)
     local = base.withColumn("_cum_local", F.sum("_n").over(w))
     # bounded driver traffic: one (pid, total) per partition
@@ -84,4 +94,4 @@ def pack_documents(
             .alias("n_boundary_cuts"),
         )
     )
-    return out
+    return attach_plan(out, base)

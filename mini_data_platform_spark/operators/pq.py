@@ -184,9 +184,14 @@ def pq_topk(
     ).collect()
     if not qrows:
         raise ValueError("pq_topk: empty query set")
-    qids = np.asarray([r["_qid"] for r in qrows])
+    raw_qids = [r["_qid"] for r in qrows]
+    qids = np.asarray(raw_qids)
     qmat = np.asarray([r["_qv"] for r in qrows], dtype=np.float64)
     qnorms = np.sqrt((qmat**2).sum(axis=1))
+    # zero-norm guard, symmetric with the corpus-side recon_norm guard
+    # below: a zero query vector gets sim 0 everywhere instead of NaN
+    # (NaN would arrow-convert to null and violate the non-null schema)
+    qnorms = np.where(qnorms == 0, 1, qnorms)
     # one LUT per query: luts[q, s, j] = dot(q_sub_s, centroid_j)
     luts = np.stack(
         [qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
@@ -195,10 +200,15 @@ def pq_topk(
 
     if codes is None:
         codes = pq_encode(corpus, id_col, vec_col, codebooks)
+    # id dtypes come from the input schemas (same policy as pq_encode's
+    # _codes_schema) — hardcoding LongType would crash on string ids
+    # despite advertising knn_bruteforce's id-type-generic surface
+    q_id_type = queries.select(id_col).schema.fields[0].dataType
+    c_id_type = corpus.select(id_col).schema.fields[0].dataType
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("query_id", q_id_type, False),
+            T.StructField("neighbor_id", c_id_type, False),
             T.StructField("adc_sim", T.DoubleType(), False),
         ]
     )
@@ -235,8 +245,15 @@ def pq_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
         )
         qdf = queries.sparkSession.createDataFrame(
-            [(int(q), [float(x) for x in v]) for q, v in zip(qids, qmat)],
-            "query_id long, _qvec array<double>",
+            [(q, [float(x) for x in v]) for q, v in zip(raw_qids, qmat)],
+            T.StructType(
+                [
+                    T.StructField("query_id", q_id_type, False),
+                    T.StructField(
+                        "_qvec", T.ArrayType(T.DoubleType()), False
+                    ),
+                ]
+            ),
         )
         # global ADC shortlist first (per-partition tops -> one window),
         # then exact cosine on shortlist only

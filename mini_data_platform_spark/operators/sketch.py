@@ -97,9 +97,25 @@ def cms_estimate(
     """Point estimate for ``key`` from a collected counter table
     (list of (row, bucket, n)): min over rows of the key's cell. The
     driver-side helper mirrors how a serving layer would use the sketch
-    (the table is depth × width longs — KBs, not data)."""
+    (the table is depth × width longs — KBs, not data).
+
+    Supported key types: int and str ONLY — for these Python's string
+    form matches Spark's ``CAST(key AS STRING)`` that built the table
+    (bool is mapped to Spark's lowercase form). Floats and other types
+    are refused: their Python repr diverges from Spark's cast (e.g.
+    ``1e20`` vs ``1.0E20``), which would silently hash to the wrong cell.
+    Query those through a Spark-side lookup against :func:`cms_table`
+    instead."""
     import hashlib
 
+    if isinstance(key, bool):
+        key = "true" if key else "false"
+    elif not isinstance(key, (int, str)):
+        raise TypeError(
+            f"cms_estimate supports int/str keys only, got {type(key).__name__}: "
+            "Python's string form of other types diverges from Spark's "
+            "CAST(... AS STRING) used to build the table"
+        )
     table: dict[tuple[int, int], int] = {
         (r, b): n for r, b, n in cells
     }

@@ -844,7 +844,10 @@ def events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
-    return heavy_hitters(events, "user_id", min_count=80, k_counters=2048)
+    # k_counters auto-sizes from the observed row count, so the same
+    # query runs unchanged at sf0.01, sf0.1, sf1... (round-6 verdict:
+    # a hard-coded 2048 tripped the coverage guard above ~164k events)
+    return heavy_hitters(events, "user_id", min_count=80)
 
 
 def events_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:

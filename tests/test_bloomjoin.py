@@ -136,3 +136,28 @@ class TestBloomSemiJoin:
             .toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestNullKeys:
+    def test_null_fact_keys_excluded_inexact(self, spark):
+        """xxhash64 skips null inputs, so without an explicit null
+        filter every null fact key hashes to the same k positions and
+        the inexact 'superset' would admit all of them (advice r6)."""
+        keys = spark.range(1000).select(F.col("id").alias("k"))
+        fact = spark.range(200).select(
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("k")
+        )
+        out = bloom_semi_join(fact, keys, "k", exact=False)
+        assert out.where(F.col("k").isNull()).count() == 0
+        # non-null even ids are all true members and must survive
+        assert out.count() == 100
+
+    def test_null_fact_keys_excluded_exact(self, spark):
+        keys = spark.range(100).select(F.col("id").alias("k"))
+        fact = spark.createDataFrame(
+            [(1,), (None,), (2,), (None,)], "k bigint"
+        )
+        got = sorted(
+            r["k"] for r in bloom_semi_join(fact, keys, "k").collect()
+        )
+        assert got == [1, 2]

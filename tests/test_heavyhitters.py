@@ -75,3 +75,58 @@ class TestHeavyHitters:
             .collect()[0][0]
         )
         assert per_part <= k
+
+class TestAutoSizing:
+    """k_counters=None sizes the sketch from the observed n (round-6
+    verdict: hard-coded constants made declared queries sf-fragile)."""
+
+    def test_auto_equals_group_by_having(self, spark):
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(5_000)
+            .select((F.col("id") % 37).alias("k"))
+            .unionByName(
+                spark.range(400).select(F.lit(999).alias("k"))
+            )
+            .repartition(8)
+        )
+        want = {
+            (r["k"], r["n"])
+            for r in df.groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 200)
+            .collect()
+        }
+        got = {
+            (r["k"], r["n"])
+            for r in heavy_hitters(df, "k", min_count=200).collect()
+        }
+        assert got == want
+
+    def test_auto_survives_million_rows(self, spark):
+        """The round-6 failure mode: fixed k_counters=2048 refused once
+        n/k ≥ min_count. Auto mode must run green at ~1M rows."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(1_000_000).select(
+            (F.col("id") % 50_000).alias("k")
+        )
+        # every key occurs exactly 20 times; threshold 25 -> empty result
+        assert heavy_hitters(df, "k", min_count=25).count() == 0
+        # threshold 20 -> all 50k keys qualify
+        df2 = spark.range(1_000_000).select(
+            F.when(F.col("id") < 500_000, F.col("id") % 1000)
+            .otherwise(F.col("id"))
+            .alias("k")
+        )
+        got = heavy_hitters(df2, "k", min_count=400).count()
+        assert got == 1000
+
+    def test_explicit_k_still_refuses(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        df = spark.range(10_000).select((F.col("id") % 5).alias("k"))
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "k", min_count=100, k_counters=16)

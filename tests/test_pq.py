@@ -115,3 +115,35 @@ class TestTopK:
         ).collect()
         b = pq_topk(queries, emb, "vec_id", "embedding", books, k=5).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestIdTypeGeneric:
+    def test_string_ids_survive(self, spark):
+        """pq_topk derives id dtypes from the input schemas (advice r6:
+        the hardcoded LongType crashed on non-integer ids despite
+        advertising knn_bruteforce's id-generic surface)."""
+        dim = 8
+        # first component carries the raw id so every vector is unique
+        # and nonzero (a pure modular pattern makes doc-18 colinear with
+        # doc-1 and doc-17 all-zero, breaking self-match)
+        corpus = spark.range(1, 65).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("vec_id"),
+            F.array(
+                F.col("id").cast("double"),
+                *[
+                    (F.col("id") * (i + 1) % 17 + 1).cast("double")
+                    for i in range(dim - 1)
+                ],
+            ).alias("embedding"),
+        )
+        books = train_pq_codebooks(corpus, "vec_id", "embedding", m=4, ksub=8)
+        qs = corpus.limit(3)
+        out = pq_topk(qs, corpus, "vec_id", "embedding", books, k=5, rerank=16)
+        rows = out.collect()
+        assert len(rows) == 15
+        assert all(isinstance(r["query_id"], str) for r in rows)
+        assert all(isinstance(r["neighbor_id"], str) for r in rows)
+        # with exact rerank each query's top hit scores ~1.0 (itself,
+        # or an exactly-proportional twin if one exists)
+        top = [r["cos_sim"] for r in rows if r["rank"] == 1]
+        assert all(s > 0.9999 for s in top)

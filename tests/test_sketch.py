@@ -82,3 +82,24 @@ class TestCountMin:
         cells = self._cells(df)
         for d in range(DEPTH):
             assert sum(n for r, _, n in cells if r == d) == total
+
+
+class TestEstimateKeyTypes:
+    """cms_estimate's driver-side hash must match Spark's
+    CAST(key AS STRING); types whose Python repr diverges are refused
+    (advice r6)."""
+
+    def test_bool_matches_spark_lowercase(self, spark):
+        df = spark.createDataFrame([(True,)] * 7 + [(False,)] * 3, "k boolean")
+        cells = [
+            (r["row"], r["bucket"], r["n"])
+            for r in cms_table(df, "k", DEPTH, WIDTH).collect()
+        ]
+        assert cms_estimate(cells, True, DEPTH, WIDTH) >= 7
+        assert cms_estimate(cells, False, DEPTH, WIDTH) >= 3
+
+    def test_float_key_refused(self):
+        import pytest as _pytest
+
+        with _pytest.raises(TypeError):
+            cms_estimate([], 5.0, DEPTH, WIDTH)
