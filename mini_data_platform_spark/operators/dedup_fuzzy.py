@@ -185,6 +185,39 @@ def sql_minhash_signatures(
     return f"SELECT {', '.join(parts)} FROM {table}"
 
 
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Stacked band-key frame (id, band_id, band_key) from a signature
+    frame: the signature splits into ``bands`` bands of r = num_hashes /
+    bands components, each hashed to one md5 key. This is the shareable
+    HALF of LSH candidate generation — the self-join lives in
+    :func:`lsh_candidate_pairs`; the incremental index
+    (operators/incremental.py) persists this frame instead and joins new
+    batches against it."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -199,24 +232,7 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops pathological buckets (boilerplate explosion) —
     a recall/cost tradeoff knob for production; leave None for exactness.
     """
-    r = num_hashes // bands
-    assert bands * r == num_hashes, "bands must divide num_hashes"
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band_id", "bk.band_key")
+    stacked = lsh_band_keys(signatures, id_col, num_hashes, bands)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         stacked = stacked.withColumn("_bsz", F.count("*").over(w)).filter(

@@ -229,6 +229,46 @@ def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/incremental.py): batch 1 =
+    the raw documents, indexed once (MinHash band buckets + text persisted
+    as parquet); batch 2 = the mutated near-dup copies, deduped against
+    the INDEX — signatures computed for batch 2 only, corpus text read
+    candidate-bounded, never re-shingled. Returned pairs = within-batch-1
+    pairs ∪ the increment's pairs, which must equal the full-corpus
+    ``doc_near_dups`` recompute EXACTLY — so this runs against the very
+    same SQL oracle: a driver-level proof that the incremental path loses
+    nothing vs recomputing 100 TB per batch."""
+    import tempfile
+
+    from mini_data_platform_spark.operators.incremental import (
+        neardup_index_build,
+        neardup_index_increment,
+    )
+    from mini_data_platform_spark.operators.resources import carry_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = _spread(docs)
+    t = TX.tokens(F.col("text"))
+    b2 = _spread(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+        )
+    )
+    index_dir = tempfile.mkdtemp(prefix="mdp_ndidx_")
+    neardup_index_build(
+        b1, index_dir, "doc_id", "text",
+        JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
+    )
+    incr = neardup_index_increment(b2, index_dir)
+    within_b1 = DF_OPS.near_dup_pairs(
+        b1, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
+    )
+    out = within_b1.select("id_a", "id_b", "jaccard").unionByName(incr)
+    return carry_plan(out, within_b1)
+
+
 def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME materialized: the surviving corpus after near-dup
     clustering — per cluster only the canonical (min-id) document remains;
@@ -519,6 +559,7 @@ QUERIES = {
     "doc_epoch_shuffle": doc_epoch_shuffle,
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
+    "doc_neardup_incremental": doc_neardup_incremental,
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dup_clusters_star": doc_dup_clusters_star,
@@ -795,6 +836,9 @@ ORACLE = {
     """,
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
+    # the incremental path must reproduce the full-corpus recompute
+    # EXACTLY — same oracle as doc_near_dups is the equivalence proof
+    "doc_neardup_incremental": _sql_near_dups(_SQL_MUTATED),
     "doc_dup_clusters": f"""
         WITH RECURSIVE nd AS ({_sql_near_dups(_SQL_MUTATED)}),
         sym AS (

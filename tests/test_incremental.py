@@ -1,0 +1,195 @@
+"""Incremental near-dup index: increment pairs ∪ batch-1 pairs must
+equal the full-corpus recompute exactly; later increments must see
+earlier ones; verification must touch only candidate corpus docs (the
+index-reuse proof)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators.dedup_fuzzy import (
+    _staged_shingles,
+    lsh_band_keys,
+    minhash_signatures_from,
+    near_dup_pairs,
+)
+from mini_data_platform_spark.operators.incremental import (
+    neardup_index_build,
+    neardup_index_increment,
+    _read_meta,
+)
+from mini_data_platform_spark.operators.resources import release_plan
+
+NUM_HASHES, BANDS, SHINGLE_N, THRESH = 16, 4, 3, 0.5
+
+
+def _corpus(spark, start, n, seed_words=("alpha", "beta", "gamma", "delta")):
+    """n docs with ids [start, start+n): repeating token patterns so
+    shingles exist; text varies per id."""
+    w = " ".join(seed_words)
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(w),
+            F.concat(F.lit("tok"), F.col("id")),
+            F.concat(F.lit("word"), F.col("id") % 7),
+            F.lit(w),
+            F.concat(F.lit("x"), F.col("id") % 3),
+        ).alias("text"),
+    )
+
+
+def _mutated(docs, offset):
+    """Near-duplicate copies: drop the first token, shift ids."""
+    t = F.split(F.trim(F.col("text")), " +")
+    return docs.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+    )
+
+
+def _pairs_set(df):
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in df.collect()
+    }
+
+
+def _full_pairs(corpus):
+    out = near_dup_pairs(
+        corpus, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+    )
+    got = _pairs_set(out)
+    release_plan(out)
+    return got
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ndidx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestEquivalence:
+    def test_increment_union_equals_full_recompute(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 120)
+        b2 = _mutated(b1, 1000)  # near-dups of batch 1
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        within_b1 = _full_pairs(b1)
+        full = _full_pairs(b1.unionByName(b2))
+        assert incr | within_b1 == full
+        # the increment found the planted cross-batch near-dups
+        assert any(a < 1000 <= b for a, b, _ in incr)
+
+    def test_second_increment_sees_first(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 60)
+        b2 = _corpus(spark, 200, 60, seed_words=("omega", "psi", "chi", "phi"))
+        b3 = _mutated(b2, 1000)  # near-dups of BATCH 2, not batch 1
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        incr2 = _pairs_set(neardup_index_increment(b2, tmpdir))
+        incr3 = _pairs_set(neardup_index_increment(b3, tmpdir))
+        # batch 3's dups pair with batch 2 docs — only visible if the
+        # first increment appended batch 2 to the index
+        assert any(200 <= a < 300 and b >= 1000 for a, b, _ in incr3)
+        union = _full_pairs(b1) | incr2 | incr3
+        full = _full_pairs(b1.unionByName(b2).unionByName(b3))
+        assert union == full
+
+    def test_meta_tracks_batches(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        neardup_index_increment(_corpus(spark, 100, 20), tmpdir)
+        meta = _read_meta(tmpdir)
+        assert meta["n_docs"] == 50
+        assert meta["n_batches"] == 2
+
+    def test_build_refuses_existing_index(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 10)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        with pytest.raises(ValueError):
+            neardup_index_build(b1, tmpdir, "doc_id", "text")
+
+    def test_result_durable_after_restartish_reread(self, spark, tmpdir):
+        """The returned pairs come from persisted parquet: collecting
+        twice (and re-reading the path) is stable."""
+        b1 = _corpus(spark, 0, 40)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        out = neardup_index_increment(_mutated(b1, 1000), tmpdir)
+        first = _pairs_set(out)
+        assert first == _pairs_set(out)
+        reread = spark.read.parquet(os.path.join(tmpdir, "pairs", "batch=1"))
+        assert first == _pairs_set(reread)
+
+
+class TestIndexReuse:
+    def test_noncandidate_corpus_text_never_read(self, spark, tmpdir):
+        """THE index-reuse proof: garble the stored text of every corpus
+        doc that shares no LSH bucket with the new batch — if the
+        increment re-shingled the settled corpus, the garbled text would
+        change signatures/pairs; the output must be identical."""
+        b1 = _corpus(spark, 0, 120)
+        b2 = _mutated(b1.where(F.col("doc_id") < 40), 1000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+
+        # compute the candidate corpus ids exactly as the increment does
+        batch = b2.select(
+            F.col("doc_id").alias("id"), F.col("text").cast("string").alias("text")
+        )
+        sigs_new = minhash_signatures_from(
+            _staged_shingles(batch, "id", "text", SHINGLE_N), "id", NUM_HASHES
+        )
+        bands_new = lsh_band_keys(sigs_new, "id", NUM_HASHES, BANDS)
+        buckets = spark.read.parquet(os.path.join(tmpdir, "buckets"))
+        cand_old_ids = {
+            r["id"]
+            for r in buckets.alias("o")
+            .join(
+                bands_new.alias("n"),
+                (F.col("o.band_id") == F.col("n.band_id"))
+                & (F.col("o.band_key") == F.col("n.band_key")),
+            )
+            .select(F.col("o.id"))
+            .distinct()
+            .collect()
+        }
+        assert cand_old_ids, "fixture must produce candidates"
+        assert len(cand_old_ids) < 120, "fixture must leave non-candidates"
+
+        # garble non-candidate stored text (docs/ only; buckets untouched)
+        docs_path = os.path.join(tmpdir, "docs")
+        stored = spark.read.parquet(docs_path).collect()
+        garbled = [
+            (
+                r["id"],
+                r["text"] if r["id"] in cand_old_ids else "GARBLED GARBLED",
+            )
+            for r in stored
+        ]
+        tmp_out = docs_path + "_garbled"
+        spark.createDataFrame(garbled, "id long, text string").write.parquet(
+            tmp_out
+        )
+        shutil.rmtree(docs_path)
+        os.replace(tmp_out, docs_path)
+
+        got = _pairs_set(neardup_index_increment(b2, tmpdir))
+        want = {
+            p
+            for p in _full_pairs(
+                b1.unionByName(b2)
+            )
+            if p[0] >= 1000 or p[1] >= 1000
+        }
+        assert got == want
