@@ -44,6 +44,9 @@ sys.path.insert(0, REPO_ROOT)
 
 from mini_data_platform_spark.session import get_spark  # noqa: E402
 
+#: loadavg sampled at main() entry (contention metadata for BENCH_DETAIL)
+_LOAD0 = (0.0, 0.0, 0.0)
+
 
 def bench_ingest(spark, n: int = 100_000, files: int = 8) -> dict:
     """End-to-end batch-ingest throughput: generate ``n`` synthetic sales
@@ -104,6 +107,9 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from mini_data_platform_spark.catalog import load_table
+    from mini_data_platform_spark.streaming.heavyhitters import (
+        heavy_hitters_stream,
+    )
     from mini_data_platform_spark.streaming.neardup import (
         near_dup_candidates_stream,
     )
@@ -148,12 +154,27 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "sess_ckpt",
         )
         out["sessionize_stateful_sec"] = round(time.perf_counter() - t0, 3)
+
+        # streaming heavy hitters over the same events source (sharded
+        # Misra-Gries state — the third stateful path; r6 verdict item 5)
+        t0 = time.perf_counter()
+        _run(
+            heavy_hitters_stream(
+                spark.readStream.schema(schema).parquet(ev_src),
+                "user_id",
+                min_count=80,
+            ),
+            "hh_ckpt",
+        )
+        out["heavy_hitters_stream_sec"] = round(time.perf_counter() - t0, 3)
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
+    global _LOAD0
+    _LOAD0 = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -218,6 +239,14 @@ def main() -> None:
         "n_errors": len(errors),
         "queries": timings,
         "errors": errors,
+        # contention metadata: a driver run on a loaded machine inflates
+        # sub-second fixed-overhead queries uniformly (r6 verdict item 3)
+        # — loadavg at start/end makes that self-diagnosing
+        "load": {
+            "loadavg_start": [round(x, 2) for x in _LOAD0],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
     }
     if errors:
         detail["incomplete"] = True

@@ -101,12 +101,17 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: list[list[list[float]]],
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, code: array<int>, recon_norm) per vector: per subspace the
     nearest codebook centroid by L2. ``recon_norm`` is the L2 norm of the
     RECONSTRUCTED vector, computed once at encode time so ADC cosine
     needs no per-pair norm work. Arrow-batched mapInPandas; codebooks
-    ride the closure (hyperparameter-sized broadcast)."""
+    ride the closure (hyperparameter-sized broadcast).
+
+    ``carry`` names extra input columns to pass through unchanged (e.g.
+    the IVF ``cell`` id for the IVF-PQ composition) — avoids a join-back
+    on id after encoding."""
     import numpy as np
     import pandas as pd
 
@@ -115,6 +120,8 @@ def pq_encode(
     dsub = books[0].shape[1]
     id_field = df.select(id_col).schema.fields[0]
     schema = _codes_schema(id_field)
+    for c in carry:
+        schema = schema.add(df.select(c).schema.fields[0])
 
     def encode(batches):
         for pdf in batches:
@@ -132,15 +139,16 @@ def pq_encode(
                 )
                 codes[:, s] = d2.argmin(axis=1)
                 recon_sq += (books[s][codes[:, s]] ** 2).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "code": list(codes),
-                    "recon_norm": np.sqrt(recon_sq),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "code": list(codes),
+                "recon_norm": np.sqrt(recon_sq),
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+    return df.select(id_col, vec_col, *carry).mapInPandas(encode, schema)
 
 
 def pq_topk(
@@ -257,6 +265,198 @@ def pq_topk(
         )
         # global ADC shortlist first (per-partition tops -> one window),
         # then exact cosine on shortlist only
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+        )
+        short = cand.withColumn("_r", F.row_number().over(w_adc)).where(
+            F.col("_r") <= shortlist
+        )
+        exact = (
+            short.join(vecs, "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("_cv"), F.col("_qvec"))
+                    / (l2_norm(F.col("_cv")) * l2_norm(F.col("_qvec")))
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = exact.withColumn("rank", F.row_number().over(w))
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = cand.withColumnRenamed("adc_sim", "cos_sim").withColumn(
+            "rank", F.row_number().over(w)
+        )
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    rerank: int = 0,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × PQ — the FAISS IVF-PQ serving composition both halves'
+    docstrings invoke: the coarse quantizer cuts how many vectors a query
+    SCANS (only rows in its ``n_probe`` nearest cells are scored), PQ
+    cuts how many bytes each scanned vector COSTS (ADC over m one-byte
+    codes). The two multiply: scan-fraction × byte-compression, which is
+    the standard billion-scale ANN memory/latency shape (Jégou 2011 §V;
+    FAISS IndexIVFPQ).
+
+    Same surface as ``pq_topk``/``knn_bruteforce``: (query_id,
+    neighbor_id, cos_sim, rank); ``rerank=R`` re-scores the ADC shortlist
+    with exact cosine. ``centroids`` defaults to the deterministic
+    first-``n_cells`` seed (pass ``kmeans_centroids(...)`` for trained
+    cells); ``codes`` accepts a pre-encoded frame that MUST carry a
+    ``cell`` column (``pq_encode(..., carry=("cell",))`` over an
+    ``ivf_assign``-ed corpus — the offline index-build of the serving
+    pattern).
+
+    Plan shape: the probed-cell prefilter is a JVM ``isin`` on the codes
+    scan (partition/row-group pruning applies when the codes table is
+    laid out by cell), so unprobed cells never reach Python; scoring
+    masks each query to its own probe set inside the same vectorized
+    mapInPandas as ``pq_topk``. Recall rises with ``n_probe`` exactly as
+    in plain IVF; with rerank it is pinned ≥ the plain-PQ floor in
+    tests/test_pq.py::TestIvfPq.
+
+    No SQL oracle — like ``emb_ann_pq``, ADC scores are engine-specific;
+    the exact twin ``emb_knn`` is oracle-checked and recall is pinned
+    against it."""
+    import numpy as np
+    import pandas as pd
+
+    from mini_data_platform_spark.operators.similarity import (
+        ivf_assign,
+        planes_from_corpus,
+    )
+
+    if centroids is None:
+        centroids = list(
+            enumerate(planes_from_corpus(corpus, id_col, vec_col, n_cells))
+        )
+    m = len(codebooks)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    shortlist = max(k, rerank)
+
+    if codes is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        codes = pq_encode(assigned, id_col, vec_col, codebooks, carry=("cell",))
+    elif "cell" not in codes.columns:
+        raise ValueError(
+            "ivfpq_topk: pre-encoded codes must carry a 'cell' column "
+            "(pq_encode(..., carry=('cell',)) over an ivf_assign-ed corpus)"
+        )
+
+    # query side: n_probe nearest cells per query (exploded rows), plus
+    # the raw vector — bounded driver traffic (queries are the small side
+    # by contract, same as pq_topk/knn_bruteforce)
+    qcells = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe)
+    qrows = qcells.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"), "cell"
+    ).collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk: empty query set")
+    probe_sets: dict = {}
+    qvec: dict = {}
+    for r in qrows:
+        probe_sets.setdefault(r["_qid"], set()).add(r["cell"])
+        qvec[r["_qid"]] = r["_qv"]
+    raw_qids = sorted(probe_sets)
+    qmat = np.asarray([qvec[q] for q in raw_qids], dtype=np.float64)
+    qnorms = np.sqrt((qmat**2).sum(axis=1))
+    qnorms = np.where(qnorms == 0, 1, qnorms)
+    luts = np.stack(
+        [qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+    probe_lists = [np.asarray(sorted(probe_sets[q])) for q in raw_qids]
+    all_probed = sorted({c for s in probe_sets.values() for c in s})
+
+    q_id_type = queries.select(id_col).schema.fields[0].dataType
+    c_id_type = corpus.select(id_col).schema.fields[0].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_type, False),
+            T.StructField("neighbor_id", c_id_type, False),
+            T.StructField("adc_sim", T.DoubleType(), False),
+        ]
+    )
+
+    # JVM-side scan-fraction cut: unprobed cells never cross into Python
+    probed_codes = codes.where(F.col("cell").isin(all_probed))
+
+    def score(batches):
+        nq = len(raw_qids)
+        qid_arr = np.asarray(raw_qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.asarray(list(pdf["code"]), dtype=np.int64)
+            rnorm = pdf["recon_norm"].to_numpy(dtype=np.float64)
+            vids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            dots = np.zeros((nq, len(pdf)), dtype=np.float64)
+            for s in range(m):
+                dots += luts[:, s, :][:, cmat[:, s]]
+            sims = dots / (qnorms[:, None] * np.where(rnorm == 0, 1, rnorm))
+            # per-query cell mask: a row counts only for queries probing
+            # its cell (the prefilter above already dropped cells nobody
+            # probes; this handles per-query differences)
+            mask = np.stack([np.isin(cells, pl) for pl in probe_lists])
+            sims = np.where(mask, sims, -np.inf)
+            top = min(shortlist, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            qi = np.repeat(np.arange(nq), top)
+            vi = idx.ravel()
+            keep = np.isfinite(sims[qi, vi])
+            qi, vi = qi[keep], vi[keep]
+            if not len(qi):
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": qid_arr[qi],
+                    "neighbor_id": vids[vi],
+                    "adc_sim": sims[qi, vi],
+                }
+            )
+
+    cand = probed_codes.mapInPandas(score, out_schema)
+    from pyspark.sql import Window
+
+    if rerank:
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        qdf = queries.sparkSession.createDataFrame(
+            [(q, [float(x) for x in qvec[q]]) for q in raw_qids],
+            T.StructType(
+                [
+                    T.StructField("query_id", q_id_type, False),
+                    T.StructField(
+                        "_qvec", T.ArrayType(T.DoubleType()), False
+                    ),
+                ]
+            ),
+        )
         w_adc = Window.partitionBy("query_id").orderBy(
             F.col("adc_sim").desc(), F.col("neighbor_id").asc()
         )

@@ -496,6 +496,29 @@ def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ composed (operators/pq.ivfpq_topk): queries probe their
+    ``N_PROBE`` nearest coarse cells and ADC-score only those cells'
+    16×-compressed codes, then exact cosine reranks the shortlist — the
+    FAISS IVF-PQ serving shape where scan-fraction (IVF) multiplies
+    byte-compression (PQ). No SQL oracle (same policy as emb_ann_pq:
+    engine-specific ADC); recall vs the oracle-checked exact twin
+    emb_knn is pinned in tests/test_pq.py::TestIvfPq."""
+    from mini_data_platform_spark.operators.pq import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(emb, "vec_id", "embedding", m=16, ksub=32)
+    out = ivfpq_topk(
+        queries, emb, "vec_id", "embedding", books,
+        k=KNN_K, n_cells=N_CELLS, n_probe=N_PROBE, rerank=50,
+    )
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= threshold (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -576,6 +599,7 @@ QUERIES = {
     "emb_ann_ivf": emb_ann_ivf,
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_ann_pq": emb_ann_pq,
+    "emb_ann_ivfpq": emb_ann_ivfpq,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
     "emb_dup_clusters": emb_dup_clusters,

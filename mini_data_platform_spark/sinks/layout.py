@@ -32,6 +32,8 @@ layout. This is the same design Delta/Iceberg expose as OPTIMIZE ZORDER.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -111,6 +113,10 @@ def zorder_key(
     return z, cuts_by_col
 
 
+#: manifest file name written next to the parquet files
+ZORDER_MANIFEST = "_zorder_manifest.json"
+
+
 def write_zordered(
     df: DataFrame,
     target_dir: str,
@@ -118,15 +124,23 @@ def write_zordered(
     num_files: int = 16,
     bits: int = 8,
     mode: str = "overwrite",
+    manifest: bool = True,
 ) -> dict[str, list[float]]:
     """Write ``df`` as parquet clustered along the Z-curve of ``cols``:
     range-partition into ``num_files`` tasks by the interleave key, sort
     within each, drop the key. Each output file then spans a narrow
     min/max range of every clustered column, so parquet footer stats
     prune files for predicates on ANY of them. Returns the per-column
-    cut points (the curve's "index metadata" — persist them if readers
-    want to map predicates to z-ranges, though plain min/max skipping
-    needs nothing)."""
+    cut points.
+
+    With ``manifest=True`` (default) a ``_zorder_manifest.json`` is also
+    written: per file, the min/max of every clustered column — read once
+    from the parquet FOOTERS (driver-side metadata reads, one per file,
+    no data IO). This is the file-stats pattern Delta/Iceberg keep in
+    their transaction logs: ``read_zordered`` prunes against it at
+    LISTING time, before Spark opens anything — one step earlier than
+    footer min/max skipping, and the only pruning that also saves the
+    footer round-trips on remote object storage."""
     z, cuts = zorder_key(df, cols, bits)
     (
         df.withColumn("_zkey", z)
@@ -136,4 +150,110 @@ def write_zordered(
         .write.mode(mode)
         .parquet(target_dir)
     )
+    if manifest:
+        _write_manifest(target_dir, list(cols))
     return cuts
+
+
+def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """Per-column [min, max] of one parquet file from its footer
+    statistics only (no row reads). Columns without stats map to None
+    (never pruned)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    idx = {meta.row_group(0).column(i).path_in_schema: i
+           for i in range(meta.num_columns)} if meta.num_row_groups else {}
+    out: dict[str, list] = {}
+    for c in cols:
+        lo = hi = None
+        i = idx.get(c)
+        if i is not None:
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out[c] = None if lo is None else [lo, hi]
+    return out
+
+
+def _write_manifest(target_dir: str, cols: list[str]) -> None:
+    files = sorted(
+        f for f in os.listdir(target_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    entries = {
+        f: _file_stats(os.path.join(target_dir, f), cols) for f in files
+    }
+    with open(os.path.join(target_dir, ZORDER_MANIFEST), "w",
+              encoding="utf-8") as fh:
+        json.dump({"cols": cols, "files": entries}, fh, indent=1, default=str)
+
+
+def zorder_prune_files(
+    target_dir: str,
+    predicates: dict[str, tuple],
+) -> tuple[list[str], int]:
+    """File paths surviving ``predicates`` (col → inclusive (lo, hi);
+    either bound may be None for open-ended) against the manifest, plus
+    the total file count. A file survives only if EVERY predicated
+    column's [min, max] overlaps its range — the z-layout is what makes
+    these per-file ranges narrow on ALL clustered dims at once, so a
+    selective 2-column predicate skips most files where a linear sort
+    skips only on its leading column."""
+    with open(os.path.join(target_dir, ZORDER_MANIFEST),
+              encoding="utf-8") as fh:
+        man = json.load(fh)
+    kept = []
+    for fname, stats in man["files"].items():
+        ok = True
+        for col, (lo, hi) in predicates.items():
+            rng = stats.get(col)
+            if rng is None:
+                continue  # no stats — cannot prune this file on this col
+            fmin, fmax = rng
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                ok = False
+                break
+        if ok:
+            kept.append(os.path.join(target_dir, fname))
+    return kept, len(man["files"])
+
+
+def read_zordered(
+    spark: SparkSession,
+    target_dir: str,
+    predicates: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Read a z-ordered directory with manifest-level file skipping:
+    files whose per-column ranges cannot satisfy ``predicates`` are never
+    passed to the reader (skipped at LISTING time — zero IO, not even a
+    footer fetch), and the predicates are ALSO applied as row filters so
+    the result is exactly the predicate's rows regardless of pruning.
+    Without predicates (or without a manifest) this is a plain read."""
+    if not predicates or not os.path.exists(
+        os.path.join(target_dir, ZORDER_MANIFEST)
+    ):
+        df = spark.read.parquet(target_dir)
+    else:
+        kept, total = zorder_prune_files(target_dir, predicates)
+        if not kept:
+            # empty frame with the directory's schema
+            return (
+                spark.read.parquet(target_dir).limit(0)
+                if total
+                else spark.read.parquet(target_dir)
+            )
+        df = spark.read.parquet(*kept)
+    if predicates:
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+    return df

@@ -82,3 +82,64 @@ class TestZOrder:
         # and the leading dimension still prunes too
         zx_hit, _ = _files_hit(zdir, "x", lo, hi)
         assert zx_hit <= z_total // 2
+
+
+class TestZOrderReader:
+    def test_manifest_prunes_at_listing_time(self, spark, tmp_path):
+        """read_zordered skips files via the write-time manifest BEFORE
+        Spark lists them: a selective 2-column predicate reads a strict
+        subset of files yet returns exactly the predicate's rows."""
+        from mini_data_platform_spark.sinks.layout import (
+            read_zordered,
+            zorder_prune_files,
+        )
+
+        df = _two_dim(spark)
+        zdir = str(tmp_path / "z")
+        write_zordered(df, zdir, ["x", "y"], num_files=16, bits=5)
+        assert os.path.exists(os.path.join(zdir, "_zorder_manifest.json"))
+
+        preds = {"x": (100, 131), "y": (100, 131)}
+        kept, total = zorder_prune_files(zdir, preds)
+        assert total == 16
+        # a ~3% x ~3% box hits ~one tile of a 4x4-ish tiling
+        assert 0 < len(kept) <= total // 2
+
+        got = read_zordered(spark, zdir, preds)
+        want = df.where(
+            (F.col("x").between(100, 131)) & (F.col("y").between(100, 131))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # the pruned read touches only the kept files
+        files_read = {
+            r[0]
+            for r in got.select(
+                F.input_file_name()
+            ).distinct().collect()
+        }
+        assert len(files_read) <= len(kept)
+
+    def test_open_ended_and_no_predicate(self, spark, tmp_path):
+        from mini_data_platform_spark.sinks.layout import read_zordered
+
+        df = _two_dim(spark, n=4_000)
+        zdir = str(tmp_path / "z2")
+        write_zordered(df, zdir, ["x", "y"], num_files=4, bits=4)
+        # open-ended hi
+        got = read_zordered(spark, zdir, {"x": (1000, None)})
+        want = df.where(F.col("x") >= 1000)
+        assert got.count() == want.count()
+        # no predicates -> plain read
+        assert read_zordered(spark, zdir).count() == 4_000
+
+    def test_empty_prune_returns_empty_with_schema(self, spark, tmp_path):
+        from mini_data_platform_spark.sinks.layout import read_zordered
+
+        df = _two_dim(spark, n=2_000)
+        zdir = str(tmp_path / "z3")
+        write_zordered(df, zdir, ["x", "y"], num_files=4, bits=4)
+        got = read_zordered(spark, zdir, {"x": (99999, None)})
+        assert got.count() == 0
+        assert got.columns == ["x", "y"]
