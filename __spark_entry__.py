@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 71 queries exist, so 21 sit outside any given round):
+#: FIRST 50 entries; 80 queries exist, so 30 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -31,37 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #:      regression can never hide in a rotated-out query.
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
-#: Round 6 window: the 21 analytics queries stale since r4 (rows 1-21),
-#: then every query over dedup_fuzzy/graph/similarity/llm-plan code
-#: touched this round (near-dup lifecycle, max_bucket, simhash, lazy
-#: block sizing), then kpi/multimodal fill, then the three queries NEW in
-#: round 6 (bloom semi-join, PQ ANN, heavy hitters — rule 2). Rotated
-#: out: 24 r5-green queries whose code paths have no r6 changes
-#: (doc text/curation set, 12 analytics, events trio).
-_ROUND6_WINDOW_FIRST = [
-    # (1) stale since round 4 — driver-unrecorded for 2 rounds
-    "order_stats_distinct", "priority_status_matrix", "price_quantiles",
-    "price_quantiles_approx", "order_priority_pivot", "lineitem_unpivot_stats",
-    "customer_deciles", "order_moments", "quantity_price_corr",
-    "nation_top_customer_names", "order_grouping_sets", "big_orders",
-    "promo_revenue_share", "cheapest_supplier_per_part", "orders_dq_report",
-    "events_distinct_users", "events_user_stats_salted", "events_hourly",
-    "events_json_value", "events_approx_users", "revenue_by_day_dense",
-    # (2) touched by round-6 diffs (dedup_fuzzy / graph / similarity / llm)
+#: Round 7 window: the 28 queries rotated out of r6 (driver rows last
+#: from r5) first, then the two queries NEW this round (incremental
+#: near-dup dedup, IVF-PQ), then every query over code touched by the
+#: r7 diffs (dedup_fuzzy band-key refactor, packing/epoch-shuffle
+#: persist fix, heavy-hitters auto-sizing, bloom null-key filter + JVM
+#: build, pq id-type generics, cms key guard), then kpi fill. Rotated
+#: out: the 21 analytics queries driver-green in r6 plus 9 untouched
+#: emb/similarity queries (emb_knn/ann_knn/ann_ivf/ivf_trained/norms,
+#: emb_near_dups_*, emb_dup_clusters, emb_dedup_final — similarity.py
+#: has no r7 diff) and events_approx_users (r6 no-oracle-by-design).
+_ROUND7_WINDOW_FIRST = [
+    # (1) rotated out of r6 — driver rows stale since r5
+    "kpi_revenue_by_customer", "doc_token_stats", "doc_language_guess",
+    "doc_quality", "doc_hash_embedding", "doc_split_assign",
+    "doc_stratified_sample", "doc_contamination", "doc_repetition",
+    "doc_pii_scan", "asset_binary_stats", "asset_features",
+    "asset_frame_samples", "pricing_summary", "regional_revenue",
+    "top_building_orders", "region_nation_rollup", "status_priority_cube",
+    "customer_rank_in_nation", "daily_revenue_delta",
+    "monthly_running_revenue", "latest_order_per_customer",
+    "customers_with_orders", "customers_without_orders",
+    "wealthy_active_customers", "events_sessionize",
+    "click_before_purchase", "errors_near_click",
+    # (2) NEW this round (rotation rule 2)
+    "doc_neardup_incremental", "doc_exact_dedup_incremental", "emb_ann_ivfpq",
+    # (3) touched by round-7 diffs
+    "events_heavy_users", "doc_packing", "doc_epoch_shuffle",
+    "lineitem_bloom_semijoin", "events_cms_users", "emb_ann_pq",
     "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
-    "doc_dup_clusters", "doc_dedup_final", "doc_curated_corpus",
-    "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
-    "emb_dedup_final", "doc_exact_dedup", "doc_fingerprint",
-    "emb_knn", "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
-    "emb_norms",
-    # (3) flagship + cheap fill to 50
+    "doc_dup_clusters", "doc_dup_clusters_star", "doc_dedup_final",
+    "doc_curated_corpus", "doc_exact_dedup", "doc_fingerprint",
+    # (4) flagship kpi fill to 50 (kpi_failed_events_trend rotated out
+    # this round to make room — r6 driver-green, untouched by r7 diffs)
     "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
-    "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
-    # (4) NEW this round (rotation rule 2: new/touched code must be in
-    # the window on the round it lands)
-    "lineitem_bloom_semijoin", "emb_ann_pq", "events_heavy_users",
-    "doc_dup_clusters_star", "doc_packing", "doc_epoch_shuffle",
-    "events_cms_users",
+    "kpi_rolling_7d_revenue",
 ]
 
 
@@ -72,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND6_WINDOW_FIRST:
+    for name in _ROUND7_WINDOW_FIRST:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)

@@ -88,6 +88,66 @@ def build_bloom_words(
     return dense
 
 
+def build_bloom_bits_relation(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """The Bloom filter as a ONE-ROW DataFrame ``(_bf_bits
+    array<bigint>)`` built entirely JVM-side — the bits NEVER round-trip
+    driver Python. ``build_bloom_words``'s collect → createDataFrame is
+    fine at the 2^20 default (128 KiB through py4j) but serializes the
+    whole filter through the py4j text channel twice at 2^27+ bits
+    (16+ MiB): measured in SURVEY §6, the round-trip dominates build
+    time. Here the sparse (word, bits) aggregate rows collapse into a
+    map and a ``transform(sequence(...))`` densifies to the full word
+    array inside ONE task — no Python anywhere. The single row then
+    broadcasts like any dimension table.
+
+    The final densify runs in one task holding num_bits/8 bytes
+    (2^30 bits = 128 MiB — one comfortably-sized row); everything before
+    it is the same exploded bit_or aggregate as ``build_bloom_words``."""
+    if num_bits % _WORD_BITS:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    n_words = num_bits // _WORD_BITS
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("h")
+    )
+    words = (
+        positions.select(
+            (F.col("h") / _WORD_BITS).cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(h % {_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return (
+        words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("_m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+            ).alias("_bf_bits")
+        )
+    )
+
+
 def _membership_cond(
     bits: Column, key: Column, num_bits: int, num_hashes: int
 ) -> Column:
@@ -178,16 +238,18 @@ def bloom_semi_join(
     if num_bits is None:
         n_keys = key_frame.distinct().count()
         num_bits, num_hashes = size_bloom(n_keys, fpp)
-    words = build_bloom_words(key_frame, dim_key, num_bits, num_hashes)
     # bind the word array ONCE as a single-row broadcast relation — the
     # DataFrame spelling of a broadcast variable. A plan-literal array
     # would be copied into the tree once per hash condition (num_hashes ×
     # num_words expression nodes: analysis-time poison at 2^30 bits); the
     # broadcast ships the bits once per executor and the predicate
-    # references one attribute. The cross join is a 1-row broadcast
-    # nested loop — a constant attach, not a join fan-out.
-    spark = fact.sparkSession
-    bf = spark.createDataFrame([(words,)], "_bf_bits array<bigint>")
+    # references one attribute. The relation is built ENTIRELY JVM-side
+    # (build_bloom_bits_relation) — the bits never round-trip driver
+    # Python, so filter size is bounded by executor memory, not py4j
+    # payloads (r6 advice item 6; measured in SURVEY §6). The cross join
+    # is a 1-row broadcast nested loop — a constant attach, not a join
+    # fan-out.
+    bf = build_bloom_bits_relation(key_frame, dim_key, num_bits, num_hashes)
     # null fact keys can never semi-join (the key side is filtered to
     # non-null above), but xxhash64 SKIPS null inputs, so every null key
     # would hash to the same k constant positions — likely set in any

@@ -231,3 +231,112 @@ def neardup_index_increment(
         F.col("id_b").alias("id_b"),
         F.col("jaccard").alias("jaccard"),
     )
+
+
+# ------------------------------------------------------- exact-hash index
+
+_HASHES = "hashes"
+
+
+def exact_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    """Create an EXACT-dedup index (content-hash table) over ``docs`` at
+    ``index_dir`` — the cheap first stage every corpus pipeline runs
+    before near-dup: a new batch's exact copies of settled text are
+    dropped by one hash join, no shingling at all. Stores
+    (content_hash, id) per doc (sha2-256 over the normalized text, the
+    same canonicalization as ``dedup_fuzzy.exact_dedup``). The index is
+    hash+id only — corpus text is never stored or re-read here."""
+    from mini_data_platform_spark.functions.text import normalize_text
+
+    if os.path.exists(os.path.join(index_dir, _META)):
+        raise ValueError(f"index already exists at {index_dir}")
+    os.makedirs(index_dir, exist_ok=True)
+    hashed = docs.select(
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash"),
+        F.col(id_col).alias("id"),
+    )
+    hashed.write.parquet(os.path.join(index_dir, _HASHES))
+    meta = {
+        "kind": "exact",
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_docs": hashed.count(),
+        "n_batches": 1,
+    }
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def exact_index_increment(
+    new_docs: DataFrame,
+    index_dir: str,
+) -> DataFrame:
+    """Exact-dedup a new batch against the indexed corpus: returns
+    (id, content_hash, dup_of) for EVERY new doc — ``dup_of`` is the
+    smallest indexed-or-batch id sharing the content hash (itself when
+    the doc is the first of its content), so surviving docs are the rows
+    with ``dup_of = id``. Appends the batch's hashes to the index.
+
+    Scale shape: hash the batch (one scan, no shuffle), join against the
+    hash table on content_hash — the corpus side carries 64-byte hashes
+    + ids, never text, and only hash-equal rows survive the join. The
+    result is materialized to ``pairs/batch=N`` before the append (same
+    no-self-reading discipline as the near-dup increment)."""
+    from mini_data_platform_spark.functions.text import normalize_text
+
+    meta = _read_meta(index_dir)
+    if meta.get("kind") != "exact":
+        raise ValueError(f"{index_dir} is not an exact-dedup index")
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    spark: SparkSession = new_docs.sparkSession
+
+    batch = new_docs.select(
+        F.sha2(
+            normalize_text(F.col(text_col).cast("string")), 256
+        ).alias("content_hash"),
+        F.col(id_col).alias("id"),
+    ).persist()
+
+    old = spark.read.parquet(os.path.join(index_dir, _HASHES))
+    # min indexed id per hash, but ONLY for hashes present in the batch
+    # (semi-filter first: the aggregate shuffles batch-hash rows, not the
+    # whole index)
+    batch_hashes = batch.select("content_hash").distinct()
+    old_min = (
+        old.join(F.broadcast(batch_hashes), "content_hash", "left_semi")
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("_old_min"))
+    )
+    batch_min = batch.groupBy("content_hash").agg(
+        F.min("id").alias("_batch_min")
+    )
+    resolved = (
+        batch.join(F.broadcast(old_min), "content_hash", "left")
+        .join(F.broadcast(batch_min), "content_hash", "left")
+        .select(
+            "id",
+            "content_hash",
+            F.least(
+                F.coalesce(F.col("_old_min"), F.col("_batch_min")),
+                F.col("_batch_min"),
+            ).alias("dup_of"),
+        )
+    )
+
+    batch_no = meta["n_batches"]
+    out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
+    resolved.write.parquet(out_path)
+    batch.select("content_hash", "id").write.mode("append").parquet(
+        os.path.join(index_dir, _HASHES)
+    )
+    n_new = batch.count()
+    batch.unpersist(False)
+    meta["n_docs"] = meta["n_docs"] + n_new
+    meta["n_batches"] = batch_no + 1
+    _write_meta(index_dir, meta)
+    return spark.read.parquet(out_path)

@@ -171,6 +171,30 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DF_OPS.exact_dedup(corpus, "doc_id", "text")
 
 
+def doc_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup (operators/incremental.py exact_* —
+    the content-hash index): batch 1 = the raw documents, indexed as
+    (sha2(normalized text), id); batch 2 = unmodified copies at
+    id+20000, resolved against the index by one hash join — per new doc,
+    ``dup_of`` is the smallest id anywhere (corpus or batch) sharing its
+    content hash. The oracle recomputes the same resolution over the
+    full corpus in SQL: the incremental hash join must equal the global
+    min-per-hash, which is the exactness proof for the cheap first stage
+    of batched corpus ingestion."""
+    import tempfile
+
+    from mini_data_platform_spark.operators.incremental import (
+        exact_index_build,
+        exact_index_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b2 = docs.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    index_dir = tempfile.mkdtemp(prefix="mdp_exidx_")
+    exact_index_build(_spread(docs), index_dir, "doc_id", "text")
+    return exact_index_increment(_spread(b2), index_dir)
+
+
 def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over the mutated corpus."""
     corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
@@ -578,6 +602,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
     "doc_exact_dedup": doc_exact_dedup,
+    "doc_exact_dedup_incremental": doc_exact_dedup_incremental,
     "doc_packing": doc_packing,
     "doc_epoch_shuffle": doc_epoch_shuffle,
     "doc_minhash_candidates": doc_minhash_candidates,
@@ -857,6 +882,26 @@ ORACLE = {
                MIN(doc_id) AS keep_doc_id,
                COUNT(*) AS n_copies
         FROM corpus GROUP BY 1
+    """,
+    # incremental exact dedup ≡ global min-id per content hash over the
+    # full corpus, restricted to the new batch's rows
+    "doc_exact_dedup_incremental": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   sha256({TX.sql_normalize_text('text')}) AS content_hash
+            FROM corpus
+        ),
+        mins AS (
+            SELECT content_hash, MIN(doc_id) AS m FROM h GROUP BY 1
+        )
+        SELECT h.doc_id AS id, h.content_hash, mins.m AS dup_of
+        FROM h JOIN mins USING (content_hash)
+        WHERE h.doc_id >= 20000
     """,
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),

@@ -193,3 +193,76 @@ class TestIndexReuse:
             if p[0] >= 1000 or p[1] >= 1000
         }
         assert got == want
+
+
+class TestExactIndex:
+    def test_increment_resolves_to_global_min(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+        )
+
+        b1 = _corpus(spark, 0, 50)
+        # batch 2: exact copies of b1's first 20 docs (+ case/space noise
+        # the normalizer folds) + 10 genuinely new docs
+        copies = b1.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.upper(F.concat(F.col("text"), F.lit("  "))).alias("text"),
+        )
+        fresh = _corpus(spark, 2000, 10, seed_words=("zeta", "eta", "mu", "nu"))
+        b2 = copies.unionByName(fresh)
+        exact_index_build(b1, tmpdir, "doc_id", "text")
+        out = exact_index_increment(b2, tmpdir).collect()
+        by_id = {r["id"]: r["dup_of"] for r in out}
+        assert len(by_id) == 30
+        for i in range(20):
+            assert by_id[1000 + i] == i  # resolved to the indexed copy
+        for i in range(10):
+            assert by_id[2000 + i] == 2000 + i  # fresh docs survive
+
+    def test_second_increment_sees_first(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+        )
+
+        b1 = _corpus(spark, 0, 20)
+        b2 = _corpus(spark, 100, 20, seed_words=("aa", "bb", "cc", "dd"))
+        exact_index_build(b1, tmpdir, "doc_id", "text")
+        exact_index_increment(b2, tmpdir)
+        # batch 3 copies batch 2's text — dup_of must point into b2
+        b3 = b2.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        out = {r["id"]: r["dup_of"] for r in exact_index_increment(b3, tmpdir).collect()}
+        assert all(out[1000 + i] == i for i in range(100, 120))
+
+    def test_kind_mismatch_refused(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_increment,
+        )
+
+        b1 = _corpus(spark, 0, 10)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        with pytest.raises(ValueError):
+            exact_index_increment(b1, tmpdir)
+
+    def test_batch_internal_dups_resolve_within_batch(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+        )
+
+        b1 = _corpus(spark, 0, 10)
+        exact_index_build(b1, tmpdir, "doc_id", "text")
+        base = _corpus(spark, 500, 5, seed_words=("q", "r", "s", "t"))
+        dup_in_batch = base.select(
+            (F.col("doc_id") + 50).alias("doc_id"), "text"
+        )
+        out = {
+            r["id"]: r["dup_of"]
+            for r in exact_index_increment(
+                base.unionByName(dup_in_batch), tmpdir
+            ).collect()
+        }
+        for i in range(500, 505):
+            assert out[i] == i
+            assert out[i + 50] == i
