@@ -105,12 +105,18 @@ def build_bloom_bits_relation(
     array inside ONE task — no Python anywhere. The single row then
     broadcasts like any dimension table.
 
-    The final densify runs in one task holding num_bits/8 bytes
-    (2^30 bits = 128 MiB — one comfortably-sized row); everything before
-    it is the same exploded bit_or aggregate as ``build_bloom_words``."""
+    The densify is a LEFT JOIN of the full word-index range against the
+    sparse aggregate, collected into one sorted struct array — O(n log n)
+    JVM work. (NOT ``map_from_entries`` + per-index ``element_at``:
+    Spark's map lookup is a LINEAR scan over ArrayBasedMapData, which
+    makes that formulation O(n_words²) — measured as a multi-minute hang
+    at 2^24.) The final row holds num_bits/8 bytes (2^30 bits = 128 MiB —
+    one comfortably-sized row); everything before it is the same exploded
+    bit_or aggregate as ``build_bloom_words``."""
     if num_bits % _WORD_BITS:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     n_words = num_bits // _WORD_BITS
+    spark = keys.sparkSession
     positions = keys.select(
         F.explode(
             F.array(
@@ -133,18 +139,21 @@ def build_bloom_bits_relation(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    return (
-        words.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("_m")
-        )
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").cast("int").alias("word"))
+        .join(words, "word", "left")
         .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
-            ).alias("_bf_bits")
+            F.struct(
+                F.col("word").alias("w"),
+                F.coalesce(F.col("bits"), F.lit(0)).alias("b"),
+            ).alias("e")
         )
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list("e")).alias("_es")
+    ).select(
+        F.transform(F.col("_es"), lambda e: e["b"]).alias("_bf_bits")
     )
 
 

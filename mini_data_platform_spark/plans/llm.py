@@ -253,6 +253,18 @@ def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/chunking.py): 24-token
+    windows advancing by 16 (8-token overlap) — the pretraining/RAG
+    passage splitter. One projection + explode, zero shuffle, zero
+    Python: chunking runs at scan speed at any corpus size. The oracle
+    reproduces the chunk table with DuckDB list slicing."""
+    from mini_data_platform_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", 24, overlap=8)
+
+
 def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (operators/incremental.py): batch 1 =
     the raw documents, indexed once (MinHash band buckets + text persisted
@@ -601,6 +613,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
+    "doc_chunks": doc_chunks,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_exact_dedup_incremental": doc_exact_dedup_incremental,
     "doc_packing": doc_packing,
@@ -883,6 +896,9 @@ ORACLE = {
                COUNT(*) AS n_copies
         FROM corpus GROUP BY 1
     """,
+    "doc_chunks": __import__("mini_data_platform_spark.operators.chunking",
+        fromlist=["sql_chunk_documents"]).sql_chunk_documents(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 24, 8),
     # incremental exact dedup ≡ global min-id per content hash over the
     # full corpus, restricted to the new batch's rows
     "doc_exact_dedup_incremental": f"""

@@ -1,0 +1,106 @@
+"""Document chunking: window geometry, overlap sharing, full coverage,
+short/empty docs, and plan purity (no shuffle)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators.chunking import chunk_documents
+
+
+def _docs(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+        (2, " ".join(f"u{i}" for i in range(4))),    # 4 tokens (one chunk)
+        (3, "solo"),                                  # 1 token
+        (4, ""),                                      # empty -> no rows
+        (5, None),                                    # null -> no rows
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunking:
+    def test_geometry_no_overlap(self, spark):
+        out = chunk_documents(_docs(spark), "doc_id", "text", 4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == {1, 2, 3}
+        d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+        assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 2]
+        assert d1[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert d1[2]["chunk_text"] == "t8 t9"
+        assert by_doc[2][0]["chunk_text"] == "u0 u1 u2 u3"
+        assert by_doc[3][0]["chunk_text"] == "solo"
+
+    def test_overlap_shares_tokens(self, spark):
+        out = sorted(
+            chunk_documents(_docs(spark), "doc_id", "text", 4, overlap=2)
+            .where(F.col("doc_id") == 1)
+            .collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 2 over 10 tokens: ceil((10-2)/2) = 4 chunks (starts
+        # 0,2,4,6 — the minimal cover; a start at 8 would duplicate the
+        # chunk-at-6 tail)
+        assert len(out) == 4
+        for a, b in zip(out, out[1:]):
+            at = a["chunk_text"].split()
+            bt = b["chunk_text"].split()
+            assert at[2:] == bt[: len(at) - 2]  # shared overlap region
+
+    def test_every_token_covered_exactly(self, spark):
+        docs = spark.range(1, 40).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("id") % 37).cast("int")),
+                    lambda i: F.concat(F.lit("w"), i),
+                ),
+            ).alias("text"),
+        )
+        chunks = chunk_documents(docs, "doc_id", "text", 8, overlap=3)
+        # reconstruct: union of all chunk tokens == original token set,
+        # and stride-aligned first tokens
+        joined = (
+            chunks.groupBy("doc_id")
+            .agg(
+                F.sum("n_chunk_tokens").alias("sum_n"),
+                F.count("*").alias("n_chunks"),
+            )
+            .join(
+                docs.select(
+                    "doc_id",
+                    F.size(F.split(F.trim("text"), " +")).alias("n_toks"),
+                ),
+                "doc_id",
+            )
+            .collect()
+        )
+        for r in joined:
+            n, k = r["n_toks"], r["n_chunks"]
+            import math
+
+            assert k == max(1, math.ceil((n - 3) / 5))
+            # total tokens = n + overlap re-counted per extra chunk,
+            # minus the tail chunk's truncation
+            starts = [i * 5 for i in range(k)]
+            expect = sum(min(8, n - s) for s in starts)
+            assert r["sum_n"] == expect
+
+    def test_bad_params_rejected(self, spark):
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark), "doc_id", "text", 0)
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark), "doc_id", "text", 4, overlap=4)
+
+    def test_no_shuffle_in_plan(self, spark):
+        plan = (
+            chunk_documents(_docs(spark), "doc_id", "text", 4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
