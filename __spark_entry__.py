@@ -55,18 +55,19 @@ _ROUND7_WINDOW_FIRST = [
     "wealthy_active_customers", "events_sessionize",
     "click_before_purchase", "errors_near_click",
     # (2) NEW this round (rotation rule 2)
-    "doc_neardup_incremental", "doc_exact_dedup_incremental", "emb_ann_ivfpq",
-    "doc_chunks",
+    "doc_neardup_incremental", "doc_exact_dedup_incremental",
+    "emb_neardup_incremental", "emb_ann_ivfpq", "doc_chunks",
     # (3) touched by round-7 diffs
     "events_heavy_users", "doc_packing", "doc_epoch_shuffle",
     "lineitem_bloom_semijoin", "events_cms_users", "emb_ann_pq",
     "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
     "doc_dup_clusters", "doc_dup_clusters_star", "doc_dedup_final",
     "doc_curated_corpus", "doc_exact_dedup", "doc_fingerprint",
-    # (4) flagship kpi fill to 50 (kpi_rolling_7d_revenue and
-    # kpi_failed_events_trend rotated out this round to make room —
-    # both r6 driver-green, untouched by r7 diffs)
-    "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
+    # (4) flagship kpi fill to 50 (kpi_product_performance,
+    # kpi_rolling_7d_revenue and kpi_failed_events_trend rotated out
+    # this round to make room — all r6 driver-green, untouched by r7
+    # diffs)
+    "kpi_revenue_by_day", "kpi_top_customers",
 ]
 
 

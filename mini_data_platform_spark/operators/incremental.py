@@ -340,3 +340,166 @@ def exact_index_increment(
     meta["n_batches"] = batch_no + 1
     _write_meta(index_dir, meta)
     return spark.read.parquet(out_path)
+
+
+# --------------------------------------------------- embedding-LSH index
+
+_EBUCKETS = "ebuckets"
+_EVECS = "evecs"
+
+
+def embdup_index_build(
+    vecs: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    planes: list[list[float]] | None = None,
+) -> dict:
+    """Create an embedding near-dup index: hyperplane-LSH bucket per
+    vector (operators/similarity.lsh_bucket) + the vectors themselves
+    (needed for exact-cosine verification, read candidate-bounded on
+    increment). The PLANES are frozen into ``meta.json`` — every future
+    batch buckets with the same planes, which is what makes incremental
+    candidates ≡ full-recompute candidates (the same argument as the
+    MinHash index: signatures from different hyperparameters are
+    incomparable)."""
+    from mini_data_platform_spark.functions.vectors import l2_norm
+    from mini_data_platform_spark.operators.similarity import (
+        lsh_bucket,
+        planes_from_corpus,
+    )
+
+    if os.path.exists(os.path.join(index_dir, _META)):
+        raise ValueError(f"index already exists at {index_dir}")
+    os.makedirs(index_dir, exist_ok=True)
+    if planes is None:
+        planes = planes_from_corpus(vecs, id_col, vec_col, n_planes)
+    base = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    lsh_bucket(base, planes, "id", "vec").select("id", "bucket").write.parquet(
+        os.path.join(index_dir, _EBUCKETS)
+    )
+    base.write.parquet(os.path.join(index_dir, _EVECS))
+    n = base.count()
+    base.unpersist(False)
+    meta = {
+        "kind": "embdup",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "threshold": threshold,
+        "planes": [[float(x) for x in p] for p in planes],
+        "n_docs": n,
+        "n_batches": 1,
+    }
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def embdup_index_increment(
+    new_vecs: DataFrame,
+    index_dir: str,
+) -> DataFrame:
+    """Near-dup a new vector batch against the indexed corpus: every
+    same-bucket pair involving the new batch with exact cosine ≥ the
+    index threshold — (id_a, id_b, cos_sim), id_a < id_b — then append
+    the batch. Same scale/durability shape as the MinHash increment:
+    bucket the batch with the FROZEN planes, stream the corpus bucket
+    table against a broadcast of the batch's buckets (no index shuffle),
+    verify with candidate-bounded vector reads, materialize to
+    ``pairs/batch=N`` before appending."""
+    from mini_data_platform_spark.functions.vectors import cosine, l2_norm
+    from mini_data_platform_spark.operators.similarity import lsh_bucket
+
+    meta = _read_meta(index_dir)
+    if meta.get("kind") != "embdup":
+        raise ValueError(f"{index_dir} is not an embedding near-dup index")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    threshold, planes = meta["threshold"], meta["planes"]
+    spark: SparkSession = new_vecs.sparkSession
+
+    batch = new_vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    bucketed_new = (
+        lsh_bucket(batch, planes, "id", "vec")
+        .select("id", "bucket")
+        .persist()
+    )
+
+    buckets_old = spark.read.parquet(os.path.join(index_dir, _EBUCKETS))
+    cand_cross = (
+        buckets_old.alias("o")
+        .join(
+            F.broadcast(bucketed_new).alias("n"),
+            (F.col("o.bucket") == F.col("n.bucket"))
+            & (F.col("o.id") != F.col("n.id")),
+        )
+        .select(
+            F.least(F.col("o.id"), F.col("n.id")).alias("id_a"),
+            F.greatest(F.col("o.id"), F.col("n.id")).alias("id_b"),
+        )
+    )
+    nn_a = bucketed_new.select(
+        F.col("id").alias("id_a"), F.col("bucket").alias("_bk")
+    )
+    nn_b = bucketed_new.select(
+        F.col("id").alias("id_b"), F.col("bucket").alias("_bk")
+    )
+    cand_self = (
+        nn_a.join(nn_b, "_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cands = cand_cross.unionByName(cand_self).distinct().persist()
+
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    vecs_old = spark.read.parquet(os.path.join(index_dir, _EVECS)).join(
+        F.broadcast(cand_ids), "id", "left_semi"
+    )
+    all_vecs = batch.unionByName(vecs_old)
+    va = all_vecs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    vb = all_vecs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    verified = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+    batch_no = meta["n_batches"]
+    out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
+    verified.write.parquet(out_path)
+    bucketed_new.write.mode("append").parquet(
+        os.path.join(index_dir, _EBUCKETS)
+    )
+    batch.write.mode("append").parquet(os.path.join(index_dir, _EVECS))
+    n_new = batch.count()
+    for f in (cands, bucketed_new, batch):
+        f.unpersist(False)
+    meta["n_docs"] = meta["n_docs"] + n_new
+    meta["n_batches"] = batch_no + 1
+    _write_meta(index_dir, meta)
+    return spark.read.parquet(out_path)

@@ -555,6 +555,45 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup (operators/incremental.py embdup_*):
+    batch 1 = the embeddings (cast double), indexed once with frozen
+    hyperplane-LSH planes; batch 2 = direction-preserving scaled copies
+    (×0.5, vec_id+10000) deduped against the index — bucketed with the
+    FROZEN planes, candidates from the persisted bucket table, exact
+    cosine on candidate-bounded vector reads. Returned pairs =
+    within-batch-1 LSH pairs ∪ the increment's pairs, which must equal
+    the full-union LSH recompute — the oracle recomputes exactly that in
+    SQL (scaling by 0.5 is IEEE-exact in both engines)."""
+    import tempfile
+
+    from mini_data_platform_spark.operators.incremental import (
+        embdup_index_build,
+        embdup_index_increment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b1 = emb.select("vec_id", as_double.alias("embedding"))
+    b2 = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(0.5)
+        ).alias("embedding"),
+    )
+    planes = SIM.planes_from_corpus(b1, "vec_id", "embedding", N_PLANES)
+    index_dir = tempfile.mkdtemp(prefix="mdp_embidx_")
+    embdup_index_build(
+        b1, index_dir, "vec_id", "embedding",
+        threshold=COS_THRESHOLD, planes=planes,
+    )
+    incr = embdup_index_increment(b2, index_dir)
+    within_b1 = SIM.near_dup_embeddings(
+        b1, "vec_id", "embedding", COS_THRESHOLD, n_planes=N_PLANES
+    )
+    return within_b1.unionByName(incr)
+
+
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= threshold (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -640,6 +679,7 @@ QUERIES = {
     "emb_ann_ivfpq": emb_ann_ivfpq,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
+    "emb_neardup_incremental": emb_neardup_incremental,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
 }
@@ -1100,6 +1140,37 @@ ORACLE = {
         WITH e AS ({_SQL_EMB})
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS} AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= {COS_THRESHOLD}
+    """,
+    "emb_neardup_incremental": f"""
+        WITH corpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5) AS embedding
+            FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id, embedding, {VX.sql_l2_norm('embedding')} AS nrm
+            FROM corpus
+        ),
+        p AS (
+            SELECT vec_id, embedding FROM corpus WHERE vec_id < {N_PLANES}
+        ),
+        bucketed AS (
+            SELECT e.vec_id, e.embedding, e.nrm,
+                   string_agg(
+                       CASE WHEN {VX.sql_dot('e.embedding', 'p.embedding')} >= 0
+                            THEN '1' ELSE '0' END,
+                       '' ORDER BY p.vec_id) AS bucket
+            FROM e, p
+            GROUP BY e.vec_id, e.embedding, e.nrm
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS} AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_SQL_COS} >= {COS_THRESHOLD}
     """,
     "emb_near_dups_lsh": f"""

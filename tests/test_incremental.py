@@ -266,3 +266,97 @@ class TestExactIndex:
         for i in range(500, 505):
             assert out[i] == i
             assert out[i + 50] == i
+
+
+class TestEmbIndex:
+    def _vecs(self, spark, start, n, dim=8):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("double") + 1.0,
+                *[
+                    (F.col("id") * (i + 1) % 13 - 6).cast("double")
+                    for i in range(dim - 1)
+                ],
+            ).alias("embedding"),
+        )
+
+    def test_increment_union_equals_full_lsh_recompute(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_increment,
+        )
+        from mini_data_platform_spark.operators.similarity import (
+            near_dup_embeddings,
+            planes_from_corpus,
+        )
+
+        b1 = self._vecs(spark, 0, 100)
+        # batch 2: positively-scaled copies -> same direction, same
+        # bucket, cosine exactly 1.0 with their originals
+        b2 = b1.select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 0.5).alias(
+                "embedding"
+            ),
+        )
+        planes = planes_from_corpus(b1, "vec_id", "embedding", 4)
+        embdup_index_build(
+            b1, tmpdir, "vec_id", "embedding", threshold=0.8, planes=planes
+        )
+        incr = {
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 12))
+            for r in embdup_index_increment(b2, tmpdir).collect()
+        }
+        union = b1.unionByName(b2)
+        full = {
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 12))
+            for r in near_dup_embeddings(
+                union, "vec_id", "embedding", 0.8, n_planes=4
+            ).collect()
+        }
+        within_b1 = {
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 12))
+            for r in near_dup_embeddings(
+                b1, "vec_id", "embedding", 0.8, n_planes=4
+            ).collect()
+        }
+        assert incr | within_b1 == full
+        # every original pairs with its scaled copy at cos 1.0
+        assert sum(1 for a, b, c in incr if b == a + 1000 and c == 1.0) == 100
+
+    def test_second_increment_sees_first(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_increment,
+        )
+
+        b1 = self._vecs(spark, 0, 40)
+        b2 = self._vecs(spark, 200, 40)
+        b3 = b2.select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 2.0).alias(
+                "embedding"
+            ),
+        )
+        embdup_index_build(b1, tmpdir, "vec_id", "embedding", threshold=0.95)
+        embdup_index_increment(b2, tmpdir)
+        out = embdup_index_increment(b3, tmpdir).collect()
+        # scaled copies of batch 2 must resolve against batch-2 rows
+        # (cos(v, 2v) is 1 +- ulp: s/sqrt(s)^2 is not exactly 1.0)
+        hits = {
+            (r["id_a"], r["id_b"]) for r in out if r["cos_sim"] > 0.999999
+        }
+        assert all((a + 1000) == b for a, b in hits if 200 <= a < 240)
+        assert sum(1 for a, b in hits if 200 <= a < 240 and b == a + 1000) == 40
+
+    def test_kind_guard(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_increment,
+            exact_index_build,
+        )
+
+        docs = _corpus(spark, 0, 5)
+        exact_index_build(docs, tmpdir, "doc_id", "text")
+        with pytest.raises(ValueError):
+            embdup_index_increment(docs, tmpdir)
