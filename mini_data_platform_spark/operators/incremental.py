@@ -503,3 +503,27 @@ def embdup_index_increment(
     meta["n_batches"] = batch_no + 1
     _write_meta(index_dir, meta)
     return spark.read.parquet(out_path)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
+    """Compact an incremental index's appended parquet directories
+    (every increment appends one batch of files; after many batches the
+    bucket/doc tables fragment into small files — each one a scan task
+    and an object-store request). Rewrites each table dir to
+    healthy-sized files via sinks/compact.compact_parquet (write-temp +
+    atomic swap, so a failed compaction never corrupts the index).
+    Returns {table: n_files_after}. Past increments' ``pairs/batch=N``
+    outputs are left untouched (immutable results)."""
+    from mini_data_platform_spark.sinks.compact import compact_parquet
+
+    meta = _read_meta(index_dir)  # validates this IS an index
+    tables = {
+        "exact": [_HASHES],
+        "embdup": [_EBUCKETS, _EVECS],
+    }.get(meta.get("kind"), [_BUCKETS, _DOCS])
+    out: dict[str, int] = {}
+    for t in tables:
+        path = os.path.join(index_dir, t)
+        if os.path.isdir(path):
+            out[t] = compact_parquet(spark, path)
+    return out

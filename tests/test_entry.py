@@ -22,10 +22,13 @@ def test_queries_and_oracles_align(spark):
     assert q, "queries() must not be empty"
     unknown = set(o) - set(q)
     assert not unknown, f"oracle keys without queries: {unknown}"
-    # deliberately oracle-free: the HLL sketch and PQ ANN (both
-    # engine-specific approximations; their exact twins
-    # events_distinct_users / emb_knn ARE oracle-checked)
-    assert set(q) - set(o) == {"events_approx_users", "emb_ann_pq"}
+    # deliberately oracle-free: the HLL sketch and the PQ/IVF-PQ ANN
+    # paths (engine-specific approximations; their exact twins
+    # events_distinct_users / emb_knn ARE oracle-checked, and recall is
+    # pinned in tests/test_pq.py)
+    assert set(q) - set(o) == {
+        "events_approx_users", "emb_ann_pq", "emb_ann_ivfpq",
+    }
 
 
 def test_no_silent_name_collisions_between_plan_modules():

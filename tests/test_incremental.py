@@ -360,3 +360,32 @@ class TestEmbIndex:
         exact_index_build(docs, tmpdir, "doc_id", "text")
         with pytest.raises(ValueError):
             embdup_index_increment(docs, tmpdir)
+
+
+class TestCompaction:
+    def test_compact_preserves_results(self, spark, tmpdir):
+        """After several appends the index fragments; compaction must
+        shrink file counts without changing any future increment's
+        output."""
+        from mini_data_platform_spark.operators.incremental import (
+            compact_index,
+        )
+        from mini_data_platform_spark.sinks.compact import dir_parquet_stats
+
+        b1 = _corpus(spark, 0, 40)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        for i in range(3):
+            neardup_index_increment(
+                _corpus(spark, 100 * (i + 1), 20,
+                        seed_words=(f"s{i}", "b", "c", "d")),
+                tmpdir,
+            )
+        before, _ = dir_parquet_stats(os.path.join(tmpdir, "buckets"))
+        counts = compact_index(spark, tmpdir)
+        after, _ = dir_parquet_stats(os.path.join(tmpdir, "buckets"))
+        assert after < before
+        assert counts["buckets"] == after
+        # an increment after compaction still finds its cross-batch dups
+        b5 = _mutated(b1, 9000)
+        incr = _pairs_set(neardup_index_increment(b5, tmpdir))
+        assert any(a < 40 and b >= 9000 for a, b, _ in incr)
