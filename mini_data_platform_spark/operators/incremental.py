@@ -527,3 +527,55 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
         if os.path.isdir(path):
             out[t] = compact_parquet(spark, path)
     return out
+
+
+def neardup_index_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All verified near-dup pairs WITHIN the indexed corpus AS OF NOW,
+    computed from the index's own artifacts: candidate pairs from a
+    self-join of the persisted band-bucket table (no re-signing of
+    anything), then exact-Jaccard verification with candidate-bounded
+    doc reads. With ``neardup_index_increment`` this completes the index
+    algebra: pairs(full corpus) = index_pairs(after build) ∪ every
+    increment's pairs — at no point is the corpus re-shingled wholesale.
+
+    The result is MATERIALIZED to ``pairs/snapshot=N_batches`` and
+    returned as a parquet read (the same durability discipline as the
+    increments): the returned plan is a stable snapshot — future appends
+    cannot leak into it, which is what makes
+    ``index_pairs(build) ∪ increment`` safe to compose lazily."""
+    meta = _read_meta(index_dir)
+    threshold, shingle_n = meta["threshold"], meta["shingle_n"]
+    buckets = spark.read.parquet(os.path.join(index_dir, _BUCKETS))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs = spark.read.parquet(os.path.join(index_dir, _DOCS)).join(
+        F.broadcast(cand_ids), "id", "left_semi"
+    )
+    shingled = _staged_shingles(docs, "id", "text", shingle_n)
+    out = (
+        jaccard_pairs_from(shingled, cands, "id")
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    snap = os.path.join(
+        index_dir, _PAIRS, f"snapshot={meta['n_batches']}"
+    )
+    out.write.mode("overwrite").parquet(snap)
+    cands.unpersist(False)
+    return spark.read.parquet(snap)

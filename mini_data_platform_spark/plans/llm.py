@@ -280,6 +280,7 @@ def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_data_platform_spark.operators.incremental import (
         neardup_index_build,
         neardup_index_increment,
+        neardup_index_pairs,
     )
     from mini_data_platform_spark.operators.resources import carry_plan
 
@@ -297,11 +298,12 @@ def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1, index_dir, "doc_id", "text",
         JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
     )
+    # within-batch-1 pairs from the index's OWN artifacts (persisted
+    # buckets + candidate-bounded text reads) — batch 1 is shingled and
+    # signed exactly once, at build time; nothing is recomputed
+    within_b1 = neardup_index_pairs(spark, index_dir)
     incr = neardup_index_increment(b2, index_dir)
-    within_b1 = DF_OPS.near_dup_pairs(
-        b1, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
-    )
-    out = within_b1.select("id_a", "id_b", "jaccard").unionByName(incr)
+    out = within_b1.unionByName(incr)
     return carry_plan(out, within_b1)
 
 

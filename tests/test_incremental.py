@@ -389,3 +389,29 @@ class TestCompaction:
         b5 = _mutated(b1, 9000)
         incr = _pairs_set(neardup_index_increment(b5, tmpdir))
         assert any(a < 40 and b >= 9000 for a, b, _ in incr)
+
+
+class TestIndexPairs:
+    def test_index_algebra_snapshot_isolated(self, spark, tmpdir):
+        """index_pairs(build) ∪ increment == full recompute, and the
+        snapshot taken BEFORE the increment is immune to the append
+        (future batches cannot leak into an earlier snapshot)."""
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_pairs,
+        )
+
+        b1 = _corpus(spark, 0, 80).unionByName(
+            _mutated(_corpus(spark, 0, 20), 500)  # within-b1 near-dups
+        )
+        b2 = _mutated(_corpus(spark, 30, 30), 2000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        within = neardup_index_pairs(spark, tmpdir)
+        snap_before = _pairs_set(within)
+        assert any(b >= 500 for _, b, _ in snap_before)  # found b1's dups
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        # the lazy plan re-reads its SNAPSHOT, not the appended buckets
+        assert _pairs_set(within) == snap_before
+        full = _full_pairs(b1.unionByName(b2))
+        assert snap_before | incr == full
