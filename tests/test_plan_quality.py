@@ -273,3 +273,53 @@ class TestHeavyHittersPlan:
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
         assert "SortMergeJoin" not in plan
         release_plan(out)
+
+
+class TestIncrementalIndexPlan:
+    def test_increment_broadcasts_batch_side(self, spark, tmp_path):
+        """The new-vs-corpus candidate join must BROADCAST the batch's
+        band keys (the corpus-sized bucket table streams map-side): a
+        shuffle of the index would defeat the operator's purpose at
+        100 TB. Pinned on the physical plan of the candidate join."""
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.dedup_fuzzy import (
+            _staged_shingles,
+            lsh_band_keys,
+            minhash_signatures_from,
+        )
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_build,
+        )
+
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.lit("alpha beta gamma"),
+                F.concat(F.lit("t"), F.col("id")),
+                F.lit("delta eps zeta"),
+            ).alias("text"),
+        )
+        d = str(tmp_path / "idx")
+        neardup_index_build(docs, d, "doc_id", "text")
+        batch = docs.select(
+            (F.col("doc_id") + 1000).alias("id"),
+            F.col("text").cast("string").alias("text"),
+        )
+        sigs = minhash_signatures_from(
+            _staged_shingles(batch, "id", "text", 3), "id", 16
+        )
+        bands_new = lsh_band_keys(sigs, "id", 16, 4)
+        buckets_old = spark.read.parquet(f"{d}/buckets")
+        joined = buckets_old.alias("o").join(
+            F.broadcast(bands_new).alias("n"),
+            (F.col("o.band_id") == F.col("n.band_id"))
+            & (F.col("o.band_key") == F.col("n.band_key")),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the index side must reach the join without an Exchange above
+        # its scan (only the broadcast side exchanges)
+        scan_side = plan.split("BroadcastHashJoin", 1)[1]
+        first_branch = scan_side.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in first_branch
