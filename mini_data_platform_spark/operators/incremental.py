@@ -53,6 +53,17 @@ exactly as in the batch pipeline — which is what makes the equivalence
 exact rather than "incremental-flavored" (greedy drop-on-match would
 diverge from full-recompute clustering on chains that span batches).
 
+Restartability: each increment's verified pairs land in
+``pairs/batch=N`` (overwrite mode) BEFORE the index appends, so a crash
+before the appends is retryable as-is — rerun the increment and the
+same batch number is recomputed and rewritten. A crash BETWEEN the two
+appends (bucket table written, doc table not, or vice versa) leaves the
+index inconsistent; that window is one parquet commit wide, and closing
+it fully needs a transactional table format (Delta/Iceberg — whose
+commit log is exactly this) rather than plain parquet dirs. Production
+deployments should point the index at such a format; the operator logic
+is unchanged.
+
 No reference-repo counterpart (the reference ingests files, it has no
 similarity ops); part of the §2.8 LLM-pipeline extension surface.
 """
@@ -212,7 +223,7 @@ def neardup_index_increment(
     # materialize pairs BEFORE appending the batch to the index
     batch_no = meta["n_batches"]
     pairs_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
-    verified.write.parquet(pairs_path)
+    verified.write.mode("overwrite").parquet(pairs_path)
 
     bands_new.write.mode("append").parquet(os.path.join(index_dir, _BUCKETS))
     batch.write.mode("append").parquet(os.path.join(index_dir, _DOCS))
@@ -330,7 +341,7 @@ def exact_index_increment(
 
     batch_no = meta["n_batches"]
     out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
-    resolved.write.parquet(out_path)
+    resolved.write.mode("overwrite").parquet(out_path)
     batch.select("content_hash", "id").write.mode("append").parquet(
         os.path.join(index_dir, _HASHES)
     )
@@ -491,7 +502,7 @@ def embdup_index_increment(
 
     batch_no = meta["n_batches"]
     out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
-    verified.write.parquet(out_path)
+    verified.write.mode("overwrite").parquet(out_path)
     bucketed_new.write.mode("append").parquet(
         os.path.join(index_dir, _EBUCKETS)
     )
