@@ -57,17 +57,17 @@ _ROUND7_WINDOW_FIRST = [
     # (2) NEW this round (rotation rule 2)
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "emb_ann_ivfpq", "doc_chunks",
+    "doc_window_dups", "doc_segment_dups",
     # (3) touched by round-7 diffs
     "events_heavy_users", "doc_packing", "doc_epoch_shuffle",
     "lineitem_bloom_semijoin", "events_cms_users", "emb_ann_pq",
     "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
     "doc_dup_clusters", "doc_dup_clusters_star", "doc_dedup_final",
     "doc_curated_corpus", "doc_exact_dedup", "doc_fingerprint",
-    # (4) flagship kpi fill to 50 (kpi_product_performance,
-    # kpi_rolling_7d_revenue and kpi_failed_events_trend rotated out
-    # this round to make room — all r6 driver-green, untouched by r7
-    # diffs)
-    "kpi_revenue_by_day", "kpi_top_customers",
+    # (4) no fill needed — seven new queries this round consumed the
+    # remaining slots. All five kpi queries rotate out (r6 driver-green,
+    # untouched by r7 diffs; kpi_revenue_by_day still runs every round
+    # as the entry() smoke).
 ]
 
 

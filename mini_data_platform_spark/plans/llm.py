@@ -265,6 +265,39 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", 24, overlap=8)
 
 
+def doc_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride window-level duplication (operators/spans.py): the
+    per-document fraction of 16-token windows (stride 8) whose hash
+    repeats anywhere in the corpus — run over documents ∪ EXACT copies
+    (id+20000), where every window is stride-aligned with its twin so
+    the cheap fixed-stride form sees full overlap. Alignment sensitivity
+    is the documented trade — the shifted-span case belongs to
+    doc_segment_dups."""
+    from mini_data_platform_spark.operators.spans import doc_window_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = _spread(
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        )
+    )
+    return doc_window_overlap(corpus, "doc_id", "text", window=16, stride=8)
+
+
+def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined segment duplication (operators/spans.py): split
+    each document at md5-anchor tokens (shift-INVARIANT — the CDC trick
+    from dedup storage) and count segments shared across documents. Run
+    over the MUTATED corpus (first token dropped, id+10000): the 1-token
+    shift defeats every fixed-stride window, but content-defined anchors
+    cut identical segments out of the shared suffix — exactly the
+    substring-leakage case (Lee et al. 2022) doc-level dedup misses."""
+    from mini_data_platform_spark.operators.spans import doc_segment_overlap
+
+    corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
+    return doc_segment_overlap(corpus, "doc_id", "text", avg_tokens=8, min_tokens=4)
+
+
 def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (operators/incremental.py): batch 1 =
     the raw documents, indexed once (MinHash band buckets + text persisted
@@ -655,6 +688,8 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
     "doc_chunks": doc_chunks,
+    "doc_window_dups": doc_window_dups,
+    "doc_segment_dups": doc_segment_dups,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_exact_dedup_incremental": doc_exact_dedup_incremental,
     "doc_packing": doc_packing,
@@ -961,6 +996,15 @@ ORACLE = {
         FROM h JOIN mins USING (content_hash)
         WHERE h.doc_id >= 20000
     """,
+    "doc_window_dups": __import__("mini_data_platform_spark.operators.spans",
+        fromlist=["sql_doc_window_overlap"]).sql_doc_window_overlap(
+        """SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000 AS doc_id, text FROM documents""",
+        "doc_id", "text", 16, 8),
+    "doc_segment_dups": __import__("mini_data_platform_spark.operators.spans",
+        fromlist=["sql_doc_segment_overlap"]).sql_doc_segment_overlap(
+        _SQL_MUTATED, "doc_id", "text", 8, 4),
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
     # the incremental path must reproduce the full-corpus recompute
