@@ -21,6 +21,10 @@ to do per-row arithmetic).
 Engine-independent semantics (whitespace tokens, arithmetic on counts)
 make the DuckDB oracle exact: list slicing + range unnest reproduce the
 chunk table row-for-row.
+
+No reference-repo counterpart (the reference — see SURVEY.md — is an
+ingest/clean/upsert pipeline with no text analytics); part of the
+§2.8 LLM-pipeline extension surface mandated by the driver brief.
 """
 
 from __future__ import annotations

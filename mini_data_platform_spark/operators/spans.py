@@ -27,6 +27,10 @@ of md5 keeps hash traffic to 8 bytes + the doc id.
 
 Engine-independent (whitespace tokens, md5), so the DuckDB oracle
 reproduces the table exactly.
+
+No reference-repo counterpart (the reference — see SURVEY.md — is an
+ingest/clean/upsert pipeline with no text analytics); part of the
+§2.8 LLM-pipeline extension surface mandated by the driver brief.
 """
 
 from __future__ import annotations
