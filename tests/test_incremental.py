@@ -415,3 +415,59 @@ class TestIndexPairs:
         assert _pairs_set(within) == snap_before
         full = _full_pairs(b1.unionByName(b2))
         assert snap_before | incr == full
+
+
+class TestIncrementalProperty:
+    """Property: for ANY corpus and ANY 2-way batch split, incremental
+    pairs ∪ within-batch-1 pairs == full-corpus recompute, exactly.
+    Random texts exercise shingle-set edge cases (repeats, short docs,
+    shared vocab) no fixture plants deliberately."""
+
+    def test_random_corpora_random_splits(self, spark):
+        import random
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        word = st.sampled_from(
+            ["red", "blue", "green", "fox", "dog", "run", "jump",
+             "alpha", "beta", "gamma", "delta", "zig", "zag"]
+        )
+        text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+        @given(
+            texts=st.lists(text, min_size=2, max_size=14),
+            seed=st.integers(min_value=0, max_value=10**6),
+        )
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        def prop(texts, seed):
+            rng = random.Random(seed)
+            rows = [(i, t) for i, t in enumerate(texts)]
+            cut = rng.randint(1, len(rows) - 1)
+            b1 = spark.createDataFrame(rows[:cut], "doc_id long, text string")
+            b2 = spark.createDataFrame(rows[cut:], "doc_id long, text string")
+            d = tempfile.mkdtemp(prefix="prop_ndidx_")
+            try:
+                neardup_index_build(
+                    b1, d, "doc_id", "text",
+                    THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+                )
+                from mini_data_platform_spark.operators.incremental import (
+                    neardup_index_pairs,
+                )
+
+                within = _pairs_set(neardup_index_pairs(b1.sparkSession, d))
+                incr = _pairs_set(neardup_index_increment(b2, d))
+                full = _full_pairs(b1.unionByName(b2))
+                assert within | incr == full, (texts, cut)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        prop()
