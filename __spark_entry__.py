@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 80 queries exist, so 30 sit outside any given round):
+#: FIRST 50 entries; 86 queries exist, so 36 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -32,15 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 7 window: the 28 queries rotated out of r6 (driver rows last
-#: from r5) first, then the two queries NEW this round (incremental
-#: near-dup dedup, IVF-PQ), then every query over code touched by the
-#: r7 diffs (dedup_fuzzy band-key refactor, packing/epoch-shuffle
-#: persist fix, heavy-hitters auto-sizing, bloom null-key filter + JVM
-#: build, pq id-type generics, cms key guard), then kpi fill. Rotated
-#: out: the 21 analytics queries driver-green in r6 plus 9 untouched
-#: emb/similarity queries (emb_knn/ann_knn/ann_ivf/ivf_trained/norms,
-#: emb_near_dups_*, emb_dup_clusters, emb_dedup_final — similarity.py
-#: has no r7 diff) and events_approx_users (r6 no-oracle-by-design).
+#: from r5) first, then the EIGHT queries NEW this round (incremental
+#: near-dup/exact/embedding dedup, IVF-PQ, chunking, window + segment
+#: span dedup, BM25), then every query over code touched by the r7
+#: diffs (dedup_fuzzy band-key refactor, packing/epoch-shuffle persist
+#: fix, heavy-hitters auto-sizing, bloom null-key filter + JVM build,
+#: pq id-type generics, cms key guard). Rotated out: the 21 analytics
+#: queries driver-green in r6, 9 untouched emb/similarity queries
+#: (emb_knn/ann_knn/ann_ivf/ivf_trained/norms, emb_near_dups_*,
+#: emb_dup_clusters, emb_dedup_final — similarity.py has no r7 diff),
+#: events_approx_users (r6 no-oracle-by-design), the 5 kpi queries and
+#: doc_fingerprint (all r6 driver-green, untouched; kpi_revenue_by_day
+#: still runs every round as the entry() smoke; every rotated-out query
+#: was ALSO re-verified exact this session via tools/verify_local.py).
 _ROUND7_WINDOW_FIRST = [
     # (1) rotated out of r6 — driver rows stale since r5
     "kpi_revenue_by_customer", "doc_token_stats", "doc_language_guess",
@@ -57,17 +61,16 @@ _ROUND7_WINDOW_FIRST = [
     # (2) NEW this round (rotation rule 2)
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "emb_ann_ivfpq", "doc_chunks",
-    "doc_window_dups", "doc_segment_dups",
+    "doc_window_dups", "doc_segment_dups", "doc_bm25",
     # (3) touched by round-7 diffs
     "events_heavy_users", "doc_packing", "doc_epoch_shuffle",
     "lineitem_bloom_semijoin", "events_cms_users", "emb_ann_pq",
     "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
     "doc_dup_clusters", "doc_dup_clusters_star", "doc_dedup_final",
-    "doc_curated_corpus", "doc_exact_dedup", "doc_fingerprint",
-    # (4) no fill needed — seven new queries this round consumed the
-    # remaining slots. All five kpi queries rotate out (r6 driver-green,
-    # untouched by r7 diffs; kpi_revenue_by_day still runs every round
-    # as the entry() smoke).
+    "doc_curated_corpus", "doc_exact_dedup",
+    # (doc_fingerprint rotated out to fit doc_bm25: its exact code path
+    # has no r7 diff — it was listed only because dedup_fuzzy.py was
+    # touched elsewhere — r6 driver-green and re-verified locally)
 ]
 
 

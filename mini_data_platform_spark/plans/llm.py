@@ -298,6 +298,27 @@ def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_segment_overlap(corpus, "doc_id", "text", avg_tokens=8, min_tokens=4)
 
 
+#: BM25 query terms for doc_bm25 (fixture vocabulary: "vector" and
+#: "hash" are mid-frequency, "join" near-ubiquitous — exercises the idf
+#: spread)
+BM25_TERMS = ["vector", "hash", "join"]
+
+
+def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scores (operators/ranking.py) for every
+    document against a fixed 3-term query: one corpus-stats aggregate
+    pass (N, avgdl, per-term df — scalars to the driver), idf computed
+    in PYTHON and injected as plan literals, then a pure scoring
+    projection (zero shuffle, zero Python). The oracle recomputes the
+    integer counts with DuckDB and the SAME math.log in Python, so both
+    engines fold bit-identical constants and the score arithmetic is
+    IEEE-equal."""
+    from mini_data_platform_spark.operators.ranking import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", BM25_TERMS)
+
+
 def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (operators/incremental.py): batch 1 =
     the raw documents, indexed once (MinHash band buckets + text persisted
@@ -687,6 +708,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
+    "doc_bm25": doc_bm25,
     "doc_chunks": doc_chunks,
     "doc_window_dups": doc_window_dups,
     "doc_segment_dups": doc_segment_dups,
@@ -908,6 +930,37 @@ _SQL_CURATION_FILTERED = f"""
 """
 
 
+def _sql_bm25_for_sf001() -> str:
+    """Construct the doc_bm25 oracle for the sf0.01 fixture: integer
+    corpus stats via DuckDB + Python math.log — the same constants the
+    Spark plan folds (see operators/ranking.py docstring)."""
+    import math
+
+    import duckdb
+
+    from mini_data_platform_spark.operators.ranking import sql_bm25_scores
+
+    src = "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet'"
+    toks = "string_split_regex(trim(text), ' +')"
+    flags = ", ".join(
+        f"SUM(CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END)"
+        for t in BM25_TERMS
+    )
+    row = duckdb.sql(
+        f"SELECT count(*), SUM(len({toks})), {flags} FROM ({src})"
+    ).fetchone()
+    n, dl_sum = int(row[0]), int(row[1])
+    avgdl = dl_sum / n
+    idf = {
+        t: math.log((n - int(row[2 + i]) + 0.5) / (int(row[2 + i]) + 0.5) + 1.0)
+        for i, t in enumerate(BM25_TERMS)
+    }
+    return sql_bm25_scores(
+        "SELECT doc_id, text FROM documents", "doc_id", "text",
+        BM25_TERMS, n, avgdl, idf,
+    )
+
+
 ORACLE = {
     "doc_token_stats": f"""
         SELECT doc_id,
@@ -1005,6 +1058,11 @@ ORACLE = {
     "doc_segment_dups": __import__("mini_data_platform_spark.operators.spans",
         fromlist=["sql_doc_segment_overlap"]).sql_doc_segment_overlap(
         _SQL_MUTATED, "doc_id", "text", 8, 4),
+    # NOTE: the bm25 oracle bakes in constants derived from the sf0.01
+    # fixture (the driver's correctness scale) — the integer counts come
+    # from DuckDB, the ln() from Python's math.log, exactly as the Spark
+    # plan computes them, so the folded literals are bit-identical.
+    "doc_bm25": _sql_bm25_for_sf001(),
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
     # the incremental path must reproduce the full-corpus recompute
