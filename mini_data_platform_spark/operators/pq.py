@@ -489,3 +489,53 @@ def ivfpq_topk(
     return ranked.where(F.col("rank") <= k).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+def ivfpq_index_save(
+    index_dir: str,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    """Persist an IVF-PQ serving index: the cell-carrying codes frame as
+    parquet (partitioned BY CELL, so a query's probed-cell prefilter
+    becomes directory-level partition pruning — unprobed cells are never
+    even listed) plus the codebooks/centroids as JSON (hyperparameter-
+    sized). With ``ivfpq_index_load`` this closes the offline-build /
+    online-serve loop that ``ivfpq_topk(codes=...)`` models in-session:
+    encode once, answer query batches forever."""
+    import json
+    import os
+
+    if "cell" not in codes.columns:
+        raise ValueError("ivfpq_index_save: codes must carry a 'cell' column")
+    os.makedirs(index_dir, exist_ok=True)
+    codes.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    with open(os.path.join(index_dir, "ann_meta.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(
+            {
+                "codebooks": codebooks,
+                "centroids": [[cid, list(vec)] for cid, vec in centroids],
+            },
+            f,
+        )
+
+
+def ivfpq_index_load(spark, index_dir: str):
+    """(codes DataFrame, codebooks, centroids) from a saved index — feed
+    straight into ``ivfpq_topk(..., codebooks=books, centroids=cents,
+    codes=codes)``. The codes read is partition-pruned on ``cell`` by
+    the probed-cell ``isin`` filter inside ivfpq_topk."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ann_meta.json"),
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    centroids = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in meta["centroids"]]
+    return codes, meta["codebooks"], centroids

@@ -104,3 +104,56 @@ class TestChunking:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestChunkingProperty:
+    def test_reconstruction_property_random_docs(self, spark):
+        """Property over random docs/params: the minimal-cover geometry
+        holds — chunk 0 starts at token 0, consecutive chunks advance by
+        stride, the last chunk reaches the final token, and stitching
+        chunk texts (dropping each chunk's overlap prefix) reproduces
+        the document exactly."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        word = st.sampled_from([f"w{i}" for i in range(30)])
+
+        @given(
+            toks=st.lists(word, min_size=1, max_size=40),
+            chunk=st.integers(min_value=2, max_value=12),
+            overlap=st.integers(min_value=0, max_value=11),
+        )
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        def prop(toks, chunk, overlap):
+            if overlap >= chunk:
+                overlap = chunk - 1
+            stride = chunk - overlap
+            docs = spark.createDataFrame(
+                [(1, " ".join(toks))], "doc_id long, text string"
+            )
+            rows = sorted(
+                chunk_documents(docs, "doc_id", "text", chunk, overlap)
+                .collect(),
+                key=lambda r: r["chunk_id"],
+            )
+            n = len(toks)
+            import math
+
+            assert len(rows) == max(1, math.ceil((n - overlap) / stride))
+            stitched = rows[0]["chunk_text"].split()
+            for r in rows[1:]:
+                ct = r["chunk_text"].split()
+                start = r["chunk_id"] * stride
+                # overlap region agrees with what's already stitched
+                assert stitched[start:] == ct[: len(stitched) - start]
+                stitched = stitched[:start] + ct
+            assert stitched == toks
+
+        prop()

@@ -253,3 +253,78 @@ class TestIvfPq:
             k=5, n_cells=8, n_probe=2, centroids=cents,
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestAnnIndexPersistence:
+    def test_save_load_roundtrip_same_results(self, spark, emb, books, tmp_path):
+        from mini_data_platform_spark.operators.pq import (
+            ivfpq_index_load,
+            ivfpq_index_save,
+            ivfpq_topk,
+        )
+        from mini_data_platform_spark.operators.similarity import (
+            ivf_assign,
+            planes_from_corpus,
+        )
+
+        cents = list(
+            enumerate(planes_from_corpus(emb, "vec_id", "embedding", 8))
+        )
+        assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+        codes = pq_encode(
+            assigned, "vec_id", "embedding", books, carry=("cell",)
+        )
+        d = str(tmp_path / "annidx")
+        ivfpq_index_save(d, codes, books, cents)
+        codes2, books2, cents2 = ivfpq_index_load(spark, d)
+        assert books2 == books
+        assert cents2 == cents
+        queries = emb.filter(F.col("vec_id") < 3)
+        live = ivfpq_topk(
+            queries, emb, "vec_id", "embedding", books,
+            k=5, n_probe=2, centroids=cents, codes=codes,
+        ).collect()
+        loaded = ivfpq_topk(
+            queries, emb, "vec_id", "embedding", books2,
+            k=5, n_probe=2, centroids=cents2, codes=codes2,
+        ).collect()
+        assert sorted(map(tuple, live)) == sorted(map(tuple, loaded))
+
+    def test_cell_partitioned_layout(self, spark, emb, books, tmp_path):
+        """Codes persist partitioned by cell: the probed-cell filter
+        prunes PARTITIONS at listing time (PartitionFilters, no data
+        IO for unprobed cells)."""
+        import os
+
+        from mini_data_platform_spark.operators.pq import (
+            ivfpq_index_load,
+            ivfpq_index_save,
+        )
+        from mini_data_platform_spark.operators.similarity import (
+            ivf_assign,
+            planes_from_corpus,
+        )
+
+        cents = list(
+            enumerate(planes_from_corpus(emb, "vec_id", "embedding", 8))
+        )
+        codes = pq_encode(
+            ivf_assign(emb, cents, "vec_id", "embedding"),
+            "vec_id", "embedding", books, carry=("cell",),
+        )
+        d = str(tmp_path / "annidx2")
+        ivfpq_index_save(d, codes, books, cents)
+        subdirs = [
+            f for f in os.listdir(os.path.join(d, "codes"))
+            if f.startswith("cell=")
+        ]
+        assert len(subdirs) >= 2
+        loaded, _, _ = ivfpq_index_load(spark, d)
+        plan = (
+            loaded.where(F.col("cell").isin([0, 1]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in plan
+        assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
