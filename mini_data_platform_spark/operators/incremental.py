@@ -110,6 +110,7 @@ def neardup_index_build(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> dict:
     """Create a near-dup index over ``docs`` at ``index_dir`` (must not
     already hold an index). Writes the band-bucket table and the doc text
@@ -141,6 +142,7 @@ def neardup_index_build(
         "num_hashes": num_hashes,
         "bands": bands,
         "shingle_n": shingle_n,
+        "max_bucket": max_bucket,
         "n_docs": n_docs,
         "n_batches": 1,
     }
@@ -170,6 +172,7 @@ def neardup_index_increment(
     id_col, text_col = meta["id_col"], meta["text_col"]
     num_hashes, bands = meta["num_hashes"], meta["bands"]
     shingle_n, threshold = meta["shingle_n"], meta["threshold"]
+    max_bucket = meta.get("max_bucket")
     spark: SparkSession = new_docs.sparkSession
 
     batch = new_docs.select(
@@ -183,10 +186,44 @@ def neardup_index_increment(
     # BROADCAST of the batch's band keys — no shuffle of the index, no
     # re-signing of the corpus
     buckets_old = spark.read.parquet(os.path.join(index_dir, _BUCKETS))
+    if max_bucket is not None:
+        # hot-bucket cap with FULL-corpus semantics: a bucket's size is
+        # its OLD occupancy + the batch's — the same total the batch
+        # pipeline's max_bucket sees, so capped-incremental ≡ capped-
+        # recompute. Old occupancy is counted only for buckets the batch
+        # touches (semi-filter first — cost ∝ matched buckets, never the
+        # index), and the count aggregate's shuffle carries one row per
+        # matched bucket.
+        new_keys = bands_new.select("band_id", "band_key").distinct()
+        old_sizes = (
+            buckets_old.join(
+                F.broadcast(new_keys), ["band_id", "band_key"], "left_semi"
+            )
+            .groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_n_old"))
+        )
+        new_sizes = bands_new.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("_n_new")
+        )
+        ok_buckets = (
+            new_sizes.join(old_sizes, ["band_id", "band_key"], "left")
+            .where(
+                F.coalesce(F.col("_n_old"), F.lit(0)) + F.col("_n_new")
+                <= max_bucket
+            )
+            .select("band_id", "band_key")
+            .persist()
+        )
+        bands_eff = bands_new.join(
+            F.broadcast(ok_buckets), ["band_id", "band_key"], "left_semi"
+        )
+    else:
+        ok_buckets = None
+        bands_eff = bands_new
     cand_cross = (
         buckets_old.alias("o")
         .join(
-            F.broadcast(bands_new).alias("n"),
+            F.broadcast(bands_eff).alias("n"),
             (F.col("o.band_id") == F.col("n.band_id"))
             & (F.col("o.band_key") == F.col("n.band_key"))
             & (F.col("o.id") != F.col("n.id")),
@@ -197,8 +234,23 @@ def neardup_index_increment(
         )
         .distinct()
     )
-    # new-vs-new: the ordinary within-batch LSH self-join
-    cand_self = lsh_candidate_pairs(sigs_new, "id", num_hashes, bands)
+    # new-vs-new: the ordinary within-batch LSH self-join over the same
+    # surviving buckets
+    if ok_buckets is not None:
+        nn_a = bands_eff.select(
+            F.col("id").alias("id_a"), "band_id", "band_key"
+        )
+        nn_b = bands_eff.select(
+            F.col("id").alias("id_b"), "band_id", "band_key"
+        )
+        cand_self = (
+            nn_a.join(nn_b, ["band_id", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        cand_self = lsh_candidate_pairs(sigs_new, "id", num_hashes, bands)
     cands = cand_cross.unionByName(cand_self).distinct().persist()
 
     # verification shingles: the new batch's are already staged; the
@@ -231,6 +283,8 @@ def neardup_index_increment(
 
     for frame in (cands, bands_new, shingled_new, batch):
         frame.unpersist(False)
+    if ok_buckets is not None:
+        ok_buckets.unpersist(False)
 
     meta["n_docs"] = meta["n_docs"] + n_new
     meta["n_batches"] = batch_no + 1

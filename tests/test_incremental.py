@@ -471,3 +471,54 @@ class TestIncrementalProperty:
                 shutil.rmtree(d, ignore_errors=True)
 
         prop()
+
+
+class TestMaxBucket:
+    def test_capped_increment_equals_capped_recompute(self, spark, tmpdir):
+        """Hot-bucket cap with FULL-corpus semantics: the increment's
+        drop decision uses old+new occupancy, so capped-incremental
+        pairs (new-involved) == capped full-recompute pairs
+        (new-involved). Hot bucket = exact copies of one text (identical
+        signatures -> all bands collide)."""
+        CAP = 10
+        normal = _corpus(spark, 0, 60)
+        hot_old = spark.range(500, 520).select(
+            F.col("id").alias("doc_id"),
+            F.lit("common boilerplate header repeated verbatim everywhere").alias("text"),
+        )
+        b1 = normal.unionByName(hot_old)
+        # batch: near-dups of normal docs + MORE copies of the hot text
+        hot_new = spark.range(1500, 1510).select(
+            F.col("id").alias("doc_id"),
+            F.lit("common boilerplate header repeated verbatim everywhere").alias("text"),
+        )
+        b2 = _mutated(normal.where(F.col("doc_id") < 20), 1000).unionByName(
+            hot_new
+        )
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N, max_bucket=CAP,
+        )
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        capped_full = near_dup_pairs(
+            b1.unionByName(b2), "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N, max_bucket=CAP,
+        )
+        want = {
+            p for p in _pairs_set(capped_full)
+            if p[0] >= 1000 or p[1] >= 1000
+        }
+        release_plan(capped_full)
+        assert incr == want
+        # the cap actually bit: hot-bucket pairs are absent...
+        assert not any(a >= 1500 or b >= 1500 for a, b, _ in incr)
+        # ...while normal near-dups survive
+        assert any(b >= 1000 for _, b, _ in incr)
+
+    def test_uncapped_default_unchanged(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 40)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        incr = _pairs_set(neardup_index_increment(_mutated(b1, 1000), tmpdir))
+        full = _full_pairs(b1.unionByName(_mutated(b1, 1000)))
+        within = _full_pairs(b1)
+        assert incr | within == full
