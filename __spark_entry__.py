@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 86 queries exist, so 36 sit outside any given round):
+#: FIRST 50 entries; 87 queries exist, so 37 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -32,9 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 7 window: the 28 queries rotated out of r6 (driver rows last
-#: from r5) first, then the EIGHT queries NEW this round (incremental
+#: from r5) first, then the NINE queries NEW this round (incremental
 #: near-dup/exact/embedding dedup, IVF-PQ, chunking, window + segment
-#: span dedup, BM25), then every query over code touched by the r7
+#: span dedup, BM25, edit-distance join), then every query over code
+#: touched by the r7
 #: diffs (dedup_fuzzy band-key refactor, packing/epoch-shuffle persist
 #: fix, heavy-hitters auto-sizing, bloom null-key filter + JVM build,
 #: pq id-type generics, cms key guard). Rotated out: the 21 analytics
@@ -62,15 +63,17 @@ _ROUND7_WINDOW_FIRST = [
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "emb_ann_ivfpq", "doc_chunks",
     "doc_window_dups", "doc_segment_dups", "doc_bm25",
+    "doc_title_editjoin",
     # (3) touched by round-7 diffs
     "events_heavy_users", "doc_packing", "doc_epoch_shuffle",
     "lineitem_bloom_semijoin", "events_cms_users", "emb_ann_pq",
     "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
     "doc_dup_clusters", "doc_dup_clusters_star", "doc_dedup_final",
-    "doc_curated_corpus", "doc_exact_dedup",
-    # (doc_fingerprint rotated out to fit doc_bm25: its exact code path
-    # has no r7 diff — it was listed only because dedup_fuzzy.py was
-    # touched elsewhere — r6 driver-green and re-verified locally)
+    "doc_curated_corpus",
+    # (doc_fingerprint and doc_exact_dedup rotated out to fit doc_bm25
+    # and doc_title_editjoin: their exact code paths have no r7 diff —
+    # listed only because dedup_fuzzy.py was touched elsewhere — both
+    # r6 driver-green and re-verified exact locally this session)
 ]
 
 

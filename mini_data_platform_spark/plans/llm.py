@@ -319,6 +319,26 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, "doc_id", "text", BM25_TERMS)
 
 
+def doc_title_editjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance similarity join (operators/editjoin.py)
+    over derived document titles (first 3 tokens): all pairs within
+    Levenshtein distance 3 via q-gram prefix filtering + JVM
+    verification — the entity-resolution dedup class where token-set
+    similarity is the wrong metric. The oracle is the NAIVE all-pairs
+    predicate: since the filter is a proven superset and every candidate
+    is verified, the filtered plan must equal it row-for-row."""
+    from mini_data_platform_spark.operators.editjoin import (
+        edit_distance_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    titles = docs.select(
+        "doc_id", F.concat_ws(" ", F.slice(t, 1, 3)).alias("title")
+    )
+    return edit_distance_pairs(titles, "doc_id", "title", max_dist=3)
+
+
 def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (operators/incremental.py): batch 1 =
     the raw documents, indexed once (MinHash band buckets + text persisted
@@ -709,6 +729,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
     "doc_bm25": doc_bm25,
+    "doc_title_editjoin": doc_title_editjoin,
     "doc_chunks": doc_chunks,
     "doc_window_dups": doc_window_dups,
     "doc_segment_dups": doc_segment_dups,
@@ -1063,6 +1084,13 @@ ORACLE = {
     # from DuckDB, the ln() from Python's math.log, exactly as the Spark
     # plan computes them, so the folded literals are bit-identical.
     "doc_bm25": _sql_bm25_for_sf001(),
+    "doc_title_editjoin": __import__(
+        "mini_data_platform_spark.operators.editjoin",
+        fromlist=["sql_edit_distance_pairs"]).sql_edit_distance_pairs(
+        """SELECT doc_id,
+                  array_to_string((string_split_regex(trim(text), ' +'))[1:3], ' ') AS title
+           FROM documents""",
+        "doc_id", "title", 3),
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
     # the incremental path must reproduce the full-corpus recompute
