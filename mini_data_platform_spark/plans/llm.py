@@ -321,22 +321,29 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_title_editjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded edit-distance similarity join (operators/editjoin.py)
-    over derived document titles (first 3 tokens): all pairs within
-    Levenshtein distance 3 via q-gram prefix filtering + JVM
-    verification — the entity-resolution dedup class where token-set
-    similarity is the wrong metric. The oracle is the NAIVE all-pairs
-    predicate: since the filter is a proven superset and every candidate
-    is verified, the filtered plan must equal it row-for-row."""
+    over derived document titles (first 3 tokens, doc_id < 2000): all
+    pairs within Levenshtein distance 2 via q=3-gram prefix filtering +
+    JVM verification — the entity-resolution dedup class where
+    token-set similarity is the wrong metric. The oracle is the NAIVE
+    all-pairs predicate: since the filter is a proven superset and
+    every candidate is verified, the filtered plan must equal it
+    row-for-row. The fixture's ~50-word vocabulary is the operator's
+    measured WORST case (hot-gram regime — SURVEY §6 probe: at sf0.1
+    the filter loses to brute force, exactly like bloom/MG at fixture
+    scale); the declared query caps the input so the bench pays the
+    demonstration, not the pathology."""
     from mini_data_platform_spark.operators.editjoin import (
         edit_distance_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 2000
+    )
     t = TX.tokens(F.col("text"))
     titles = docs.select(
         "doc_id", F.concat_ws(" ", F.slice(t, 1, 3)).alias("title")
     )
-    return edit_distance_pairs(titles, "doc_id", "title", max_dist=3)
+    return edit_distance_pairs(titles, "doc_id", "title", max_dist=2, q=3)
 
 
 def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,8 +1096,8 @@ ORACLE = {
         fromlist=["sql_edit_distance_pairs"]).sql_edit_distance_pairs(
         """SELECT doc_id,
                   array_to_string((string_split_regex(trim(text), ' +'))[1:3], ' ') AS title
-           FROM documents""",
-        "doc_id", "title", 3),
+           FROM documents WHERE doc_id < 2000""",
+        "doc_id", "title", 2),
     "doc_minhash_candidates": _sql_candidate_pairs(_SQL_MUTATED),
     "doc_near_dups": _sql_near_dups(_SQL_MUTATED),
     # the incremental path must reproduce the full-corpus recompute
