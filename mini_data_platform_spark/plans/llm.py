@@ -958,17 +958,30 @@ _SQL_CURATION_FILTERED = f"""
 """
 
 
-def _sql_bm25_for_sf001() -> str:
-    """Construct the doc_bm25 oracle for the sf0.01 fixture: integer
-    corpus stats via DuckDB + Python math.log — the same constants the
-    Spark plan folds (see operators/ranking.py docstring)."""
+def _sql_bm25_for_sf001(sf_dir: str | None = None) -> str:
+    """Construct the doc_bm25 oracle for the verification fixture:
+    integer corpus stats via DuckDB + Python math.log — the same
+    constants the Spark plan folds (see operators/ranking.py docstring).
+
+    LAZY by design (round-7 advice): this function touches duckdb and
+    the fixture parquet, so it must only run when a verification harness
+    actually asks for the doc_bm25 oracle — never at module import. The
+    ORACLE dict therefore stores the CALLABLE; ``__spark_entry__.
+    oracle_sql()`` evaluates it (and drops the entry if the fixture or
+    duckdb is unavailable, degrading doc_bm25 to a rows-only check
+    instead of breaking the import of all queries)."""
     import math
+    import os
 
     import duckdb
 
     from mini_data_platform_spark.operators.ranking import sql_bm25_scores
 
-    src = "SELECT doc_id, text FROM '/root/testdata/sf0.01/documents.parquet'"
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src = f"SELECT doc_id, text FROM '{docs_path}'"
     toks = "string_split_regex(trim(text), ' +')"
     flags = ", ".join(
         f"SUM(CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END)"
@@ -1090,7 +1103,7 @@ ORACLE = {
     # fixture (the driver's correctness scale) — the integer counts come
     # from DuckDB, the ln() from Python's math.log, exactly as the Spark
     # plan computes them, so the folded literals are bit-identical.
-    "doc_bm25": _sql_bm25_for_sf001(),
+    "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
     "doc_title_editjoin": __import__(
         "mini_data_platform_spark.operators.editjoin",
         fromlist=["sql_edit_distance_pairs"]).sql_edit_distance_pairs(
