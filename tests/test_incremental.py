@@ -151,7 +151,13 @@ class TestIndexReuse:
             _staged_shingles(batch, "id", "text", SHINGLE_N), "id", NUM_HASHES
         )
         bands_new = lsh_band_keys(sigs_new, "id", NUM_HASHES, BANDS)
-        buckets = spark.read.parquet(os.path.join(tmpdir, "buckets"))
+        from mini_data_platform_spark.operators.incremental import (
+            _read_table,
+            _segment_paths,
+        )
+
+        meta = _read_meta(tmpdir)
+        buckets = _read_table(spark, tmpdir, "buckets", meta)
         cand_old_ids = {
             r["id"]
             for r in buckets.alias("o")
@@ -167,8 +173,9 @@ class TestIndexReuse:
         assert cand_old_ids, "fixture must produce candidates"
         assert len(cand_old_ids) < 120, "fixture must leave non-candidates"
 
-        # garble non-candidate stored text (docs/ only; buckets untouched)
-        docs_path = os.path.join(tmpdir, "docs")
+        # garble non-candidate stored text (docs/ only; buckets
+        # untouched) — rewrite the single committed docs segment
+        (docs_path,) = _segment_paths(tmpdir, "docs", meta)
         stored = spark.read.parquet(docs_path).collect()
         garbled = [
             (
@@ -522,3 +529,177 @@ class TestMaxBucket:
         full = _full_pairs(b1.unionByName(_mutated(b1, 1000)))
         within = _full_pairs(b1)
         assert incr | within == full
+
+
+class TestBroadcastGuard:
+    """MDP_INCR_BROADCAST_MAX_ROWS=0 forces every batch-side frame to
+    lose its broadcast hint (the plan shape is pinned in
+    test_plan_quality.TestIncrementalIndexPlan); results must be
+    IDENTICAL on the shuffle path — the guard changes strategy, never
+    semantics."""
+
+    def test_neardup_shuffle_path_results_identical(
+        self, spark, tmpdir, monkeypatch
+    ):
+        b1 = _corpus(spark, 0, 80)
+        b2 = _mutated(b1, 1000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        monkeypatch.setenv("MDP_INCR_BROADCAST_MAX_ROWS", "0")
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        within = _full_pairs(b1)
+        full = _full_pairs(b1.unionByName(b2))
+        assert incr | within == full
+
+    def test_capped_neardup_shuffle_path_identical(
+        self, spark, tmpdir, monkeypatch
+    ):
+        CAP = 10
+        b1 = _corpus(spark, 0, 40)
+        b2 = _mutated(b1, 1000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N, max_bucket=CAP,
+        )
+        monkeypatch.setenv("MDP_INCR_BROADCAST_MAX_ROWS", "0")
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        capped_full = near_dup_pairs(
+            b1.unionByName(b2), "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N, max_bucket=CAP,
+        )
+        want = {
+            p for p in _pairs_set(capped_full)
+            if p[0] >= 1000 or p[1] >= 1000
+        }
+        release_plan(capped_full)
+        assert incr == want
+
+    def test_exact_index_shuffle_path_identical(
+        self, spark, tmpdir, monkeypatch
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+        )
+
+        b1 = _corpus(spark, 0, 30)
+        copies = b1.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        exact_index_build(b1, tmpdir, "doc_id", "text")
+        monkeypatch.setenv("MDP_INCR_BROADCAST_MAX_ROWS", "0")
+        out = {
+            r["id"]: r["dup_of"]
+            for r in exact_index_increment(copies, tmpdir).collect()
+        }
+        assert all(out[1000 + i] == i for i in range(10))
+
+    def test_embdup_shuffle_path_identical(self, spark, tmpdir, monkeypatch):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_increment,
+        )
+
+        b1 = spark.range(0, 50).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("double") + 1.0,
+                (F.col("id") % 7 - 3).cast("double"),
+                (F.col("id") % 5 - 2).cast("double"),
+            ).alias("embedding"),
+        )
+        b2 = b1.select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 0.5).alias(
+                "embedding"
+            ),
+        )
+        embdup_index_build(b1, tmpdir, "vec_id", "embedding", threshold=0.9)
+        monkeypatch.setenv("MDP_INCR_BROADCAST_MAX_ROWS", "0")
+        incr = {
+            (r["id_a"], r["id_b"])
+            for r in embdup_index_increment(b2, tmpdir).collect()
+            if r["cos_sim"] > 0.999999
+        }
+        assert all(b == a + 1000 for a, b in incr if a < 1000)
+        assert sum(1 for a, b in incr if b == a + 1000) == 50
+
+
+class TestAtomicCommit:
+    """The per-batch segment commit (round-7 verdict item 2): a crash
+    ANYWHERE between the segment writes and the meta swap must leave the
+    index serving exactly its pre-increment state, and a plain retry
+    must land the batch exactly once."""
+
+    @pytest.mark.parametrize("crash_table", ["buckets", "docs"])
+    def test_crash_between_writes_never_serves_half_batch(
+        self, spark, tmpdir, monkeypatch, crash_table
+    ):
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 60)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        meta_before = _read_meta(tmpdir)
+        b2 = _mutated(b1, 1000)
+
+        real = inc._write_segment
+
+        def crashing(df, index_dir, table, seg):
+            real(df, index_dir, table, seg)
+            if table == crash_table and seg == "batch-1":
+                raise RuntimeError("injected crash after segment write")
+
+        monkeypatch.setattr(inc, "_write_segment", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            neardup_index_increment(b2, tmpdir)
+        monkeypatch.setattr(inc, "_write_segment", real)
+
+        # the commit log is untouched: orphan segment dirs are invisible
+        assert _read_meta(tmpdir) == meta_before
+
+        # plain retry: recomputes batch 1, overwrites the orphans, and
+        # the equivalence oracle holds — the batch landed exactly once
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        within = _full_pairs(b1)
+        full = _full_pairs(b1.unionByName(b2))
+        assert incr | within == full
+        meta_after = _read_meta(tmpdir)
+        assert meta_after["n_batches"] == 2
+        assert meta_after["segments"]["buckets"] == ["batch-0", "batch-1"]
+        assert meta_after["segments"]["docs"] == ["batch-0", "batch-1"]
+
+        # and a LATER increment sees the retried batch exactly once
+        b3 = _mutated(b1.where(F.col("doc_id") < 10), 5000)
+        incr3 = _pairs_set(neardup_index_increment(b3, tmpdir))
+        full3 = _full_pairs(b1.unionByName(b2).unionByName(b3))
+        assert within | incr | incr3 == full3
+
+
+class TestLookup:
+    def test_lookup_equals_increment_and_commits_nothing(
+        self, spark, tmpdir
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 60)
+        b2 = _mutated(b1, 1000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        meta_before = _read_meta(tmpdir)
+        looked = neardup_index_lookup(b2, tmpdir)
+        got = _pairs_set(looked)
+        release_plan(looked)
+        # read-only: meta unchanged, idempotent on repeat
+        assert _read_meta(tmpdir) == meta_before
+        looked2 = neardup_index_lookup(b2, tmpdir)
+        assert _pairs_set(looked2) == got
+        release_plan(looked2)
+        # equals what the committing increment returns
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        assert got == incr

@@ -276,18 +276,8 @@ class TestHeavyHittersPlan:
 
 
 class TestIncrementalIndexPlan:
-    def test_increment_broadcasts_batch_side(self, spark, tmp_path):
-        """The new-vs-corpus candidate join must BROADCAST the batch's
-        band keys (the corpus-sized bucket table streams map-side): a
-        shuffle of the index would defeat the operator's purpose at
-        100 TB. Pinned on the physical plan of the candidate join."""
-        from pyspark.sql import functions as F
-
-        from mini_data_platform_spark.operators.dedup_fuzzy import (
-            _staged_shingles,
-            lsh_band_keys,
-            minhash_signatures_from,
-        )
+    @staticmethod
+    def _fixture(spark, tmp_path):
         from mini_data_platform_spark.operators.incremental import (
             neardup_index_build,
         )
@@ -303,23 +293,53 @@ class TestIncrementalIndexPlan:
         d = str(tmp_path / "idx")
         neardup_index_build(docs, d, "doc_id", "text")
         batch = docs.select(
-            (F.col("doc_id") + 1000).alias("id"),
-            F.col("text").cast("string").alias("text"),
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
         )
-        sigs = minhash_signatures_from(
-            _staged_shingles(batch, "id", "text", 3), "id", 16
+        return d, batch
+
+    def test_increment_broadcasts_batch_side(self, spark, tmp_path):
+        """The new-vs-corpus candidate join must BROADCAST the batch's
+        band keys (the corpus-sized bucket table streams map-side): a
+        shuffle of the index would defeat the operator's purpose at
+        100 TB. Pinned on the REAL serving plan (neardup_index_lookup —
+        the same candidate join the committing increment builds)."""
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
         )
-        bands_new = lsh_band_keys(sigs, "id", 16, 4)
-        buckets_old = spark.read.parquet(f"{d}/buckets")
-        joined = buckets_old.alias("o").join(
-            F.broadcast(bands_new).alias("n"),
-            (F.col("o.band_id") == F.col("n.band_id"))
-            & (F.col("o.band_key") == F.col("n.band_key")),
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        d, batch = self._fixture(spark, tmp_path)
+        out = neardup_index_lookup(batch, d)
+        plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
-        # the index side must reach the join without an Exchange above
-        # its scan (only the broadcast side exchanges)
-        scan_side = plan.split("BroadcastHashJoin", 1)[1]
-        first_branch = scan_side.split("BroadcastExchange")[0]
-        assert "Exchange hashpartitioning" not in first_branch
+        assert "SortMergeJoin" not in plan
+        release_plan(out)
+
+    def test_broadcast_guard_degrades_to_shuffle_join(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """F.broadcast is a HARD hint — an oversized batch must LOSE it
+        and degrade to a shuffle join instead of OOM-ing the driver
+        (round-7 verdict item 1). Force the guard threshold to 0 and pin
+        that the candidate join plans as a shuffle join, with identical
+        results asserted in tests/test_incremental.py."""
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
+        )
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        d, batch = self._fixture(spark, tmp_path)
+        monkeypatch.setenv("MDP_INCR_BROADCAST_MAX_ROWS", "0")
+        # disable auto-broadcast too: the guard only controls the HARD
+        # hint; on fixture-sized stats the planner would still choose
+        # broadcast on its own (which at real scale it would not)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = neardup_index_lookup(batch, d)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            release_plan(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
