@@ -264,6 +264,26 @@ def main() -> None:
             f.write("\n")
     except Exception as exc:  # noqa: BLE001
         print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+    # Round-stamped copy so per-query numbers survive across rounds
+    # (BENCH_DETAIL.json is overwritten every run — r7 verdict item 8).
+    # Round = env override, else 1 + the highest driver-recorded
+    # BENCH_r{N}.json (the driver writes that AFTER running us).
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            seen = [
+                int(m.group(1))
+                for fn in os.listdir(REPO_ROOT)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        with open(
+            os.path.join(REPO_ROOT, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: could not write round-stamped detail: {exc}", file=sys.stderr)
 
     # COMPACT summary line (must fit the driver's ~2000-char tail capture;
     # full per-query dict lives in BENCH_DETAIL.json): totals + the 5

@@ -30,12 +30,13 @@ Free", VLDB 2001; Xiao et al., Ed-Join, VLDB 2008) answers
   superset; verification makes it exact).
 
 Scale shape: grams explode to ≤ (q·d + 1) rows per string; the
-candidate join is bucketed by gram (hot grams are the skew knob — the
-universal-order prefix keeps common grams out of most prefixes only
-under frequency order, so a production deployment would plug document
-frequencies into the order; the md5 order keeps the oracle
-deterministic instead, the documented trade); verification cost ∝
-candidates × |s|², never corpus².
+candidate join is bucketed by gram (hot grams are the skew knob —
+``gram_order="freq"`` orders prefixes rarest-first from a one-pass
+document-frequency aggregate, keeping common grams out of every prefix
+— the Ed-Join production order; the default md5 order is
+corpus-independent and keeps the declared query's oracle deterministic,
+the documented trade); verification cost ∝ candidates × |s|², never
+corpus².
 
 No reference-repo counterpart; §2.8 extension surface.
 """
@@ -49,21 +50,88 @@ from pyspark.sql import DataFrame, functions as F
 _SHORT = "s:short"
 
 
+def _grams(text: F.Column, q: int) -> F.Column:
+    """DISTINCT q-grams of ``text``; empty array when len(text) < q
+    (guarded explicitly — an unguarded ``F.sequence(1, len-q+1)``
+    defaults to step −1 when the stop is below 1 and would emit
+    spurious [1, 0] index pairs for sub-``q`` strings)."""
+    idx = F.when(
+        F.length(text) >= q,
+        F.sequence(F.lit(1), F.length(text) - q + 1, F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substr(text, i, F.lit(q)))
+    )
+
+
 def _prefix_grams(text: F.Column, q: int, d: int) -> F.Column:
     """First ``q·d + 1`` q-grams of ``text`` in md5 order (the universal
     total order), as an array; empty array when len(text) < q."""
     n_prefix = q * d + 1
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - q + 1, F.lit(0)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.substr(text, i, F.lit(q)))
-    )
     ordered = F.transform(
         F.array_sort(
-            F.transform(grams, lambda g: F.struct(F.md5(g).alias("h"), g.alias("g")))
+            F.transform(
+                _grams(text, q),
+                lambda g: F.struct(F.md5(g).alias("h"), g.alias("g")),
+            )
         ),
         lambda s: F.concat(F.lit("g:"), s["g"]),
     )
     return F.slice(ordered, 1, n_prefix)
+
+
+def _freq_prefix_keyed(base: DataFrame, q: int, d: int) -> DataFrame:
+    """(id, s, k) join keys with FREQUENCY-ordered prefixes (the
+    Ed-Join production order): one aggregate pass computes each gram's
+    document frequency, every string keeps its ``q·d + 1`` RAREST grams
+    (ties broken by md5 then the gram itself, so the order stays a
+    universal total order — the soundness requirement). Rare-gram
+    prefixes collapse the hot-gram pathology: under a tiny gram
+    alphabet the md5 order admits nearly everything (the SURVEY §6
+    measured worst case), while rarest-first keeps common grams out of
+    every prefix, shrinking both candidate count and per-gram skew.
+    Costs two extra shuffles (gram-frequency aggregate + regroup by id)
+    — noise against the candidate-join savings in hot regimes."""
+    n_prefix = q * d + 1
+    short_len = q * (d + 1)
+    grams = base.select(
+        "id", "s", F.explode(_grams(F.col("s"), q)).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    pref = (
+        grams.join(freq, "g")
+        .groupBy("id", "s")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_df").alias("f"),
+                            F.md5("g").alias("h"),
+                            F.col("g").alias("g"),
+                        )
+                    )
+                ),
+                1,
+                n_prefix,
+            ).alias("_pg")
+        )
+        .select(
+            "id",
+            "s",
+            F.explode(
+                F.transform(
+                    F.col("_pg"), lambda t: F.concat(F.lit("g:"), t["g"])
+                )
+            ).alias("k"),
+        )
+    )
+    # strings below the guarantee length ALSO meet in the short block;
+    # sub-q strings have no grams at all and appear ONLY here
+    short = base.where(F.length("s") < short_len).select(
+        "id", "s", F.lit(_SHORT).alias("k")
+    )
+    return pref.unionByName(short)
 
 
 def edit_distance_pairs(
@@ -72,14 +140,22 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 2,
     q: int = 2,
+    gram_order: str = "md5",
 ) -> DataFrame:
     """All pairs with ``levenshtein(text_a, text_b) ≤ max_dist`` —
     (id_a, id_b, dist), id_a < id_b, null texts excluded. EXACT: the
     q-gram prefix filter is a proven superset and every candidate is
     verified; equal strings pair at dist 0 (exact-dup detection included
-    for free)."""
+    for free).
+
+    ``gram_order``: ``"md5"`` (default — corpus-independent, keeps the
+    oracle's constant-free determinism) or ``"freq"`` (rarest-first
+    prefixes — the Ed-Join production order; same exact output, far
+    fewer candidates when the gram alphabet is small/hot)."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if gram_order not in ("md5", "freq"):
+        raise ValueError(f"gram_order must be 'md5' or 'freq', got {gram_order!r}")
     d = max_dist
     base = df.select(
         F.col(id_col).alias("id"),
@@ -88,20 +164,23 @@ def edit_distance_pairs(
     # SHORT threshold: the prefix guarantee needs the longer side to
     # have >= q*d + 1 grams, i.e. length >= q*(d+1)
     short_len = q * (d + 1)
-    keyed = base.select(
-        "id",
-        "s",
-        F.explode(
-            # additive keys: grams ALWAYS (empty array when len < q),
-            # plus the SHORT block key for strings below the guarantee
-            F.concat(
-                _prefix_grams(F.col("s"), q, d),
-                F.when(
-                    F.length("s") < short_len, F.array(F.lit(_SHORT))
-                ).otherwise(F.array().cast("array<string>")),
-            )
-        ).alias("k"),
-    )
+    if gram_order == "freq":
+        keyed = _freq_prefix_keyed(base, q, d)
+    else:
+        keyed = base.select(
+            "id",
+            "s",
+            F.explode(
+                # additive keys: grams ALWAYS (empty array when len < q),
+                # plus the SHORT block key for strings below the guarantee
+                F.concat(
+                    _prefix_grams(F.col("s"), q, d),
+                    F.when(
+                        F.length("s") < short_len, F.array(F.lit(_SHORT))
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            ).alias("k"),
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     cands = (

@@ -388,6 +388,53 @@ def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_plan(out, within_b1)
 
 
+def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of incremental dedup (round-7 verdict item 4):
+    ``doc_neardup_incremental`` is the equivalence PROOF and pays index
+    construction inside the query by design; this query measures what a
+    serving loop actually runs — a read-only ``neardup_index_lookup`` of
+    the mutated batch against a PREBUILT index of the raw documents
+    (sign the batch, probe the committed bucket segments, verify
+    candidate-bounded; nothing committed, so repeat invocations are
+    idempotent). The index is built once per fixture and cached on disk
+    keyed by (sf_dir, LSH params, fixture mtime+size) — exactly the
+    offline-build / online-serve split a production pipeline uses.
+    Oracle: the full-recompute near-dup SQL restricted to pairs
+    involving the batch (id_b ≥ 10000 — batch ids are +10000)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mini_data_platform_spark.operators.incremental import (
+        neardup_index_build,
+        neardup_index_lookup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = TX.tokens(F.col("text"))
+    batch = _spread(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+        )
+    )
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(fixture)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{JACCARD_THRESHOLD}|{NUM_HASHES}|"
+        f"{BANDS}|{SHINGLE_N}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"mdp_serveidx_{key}"
+    )
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        neardup_index_build(
+            _spread(docs), index_dir, "doc_id", "text",
+            JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+    return neardup_index_lookup(batch, index_dir)
+
+
 def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME materialized: the surviving corpus after near-dup
     clustering — per cluster only the canonical (min-id) document remains;
@@ -747,6 +794,7 @@ QUERIES = {
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
     "doc_neardup_incremental": doc_neardup_incremental,
+    "doc_neardup_serve": doc_neardup_serve,
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dup_clusters_star": doc_dup_clusters_star,
@@ -1116,6 +1164,13 @@ ORACLE = {
     # the incremental path must reproduce the full-corpus recompute
     # EXACTLY — same oracle as doc_near_dups is the equivalence proof
     "doc_neardup_incremental": _sql_near_dups(_SQL_MUTATED),
+    # serving lookup = the same full-recompute oracle restricted to
+    # pairs involving the batch (batch ids are +10000; id_a < id_b so a
+    # pair touches the batch iff id_b >= 10000)
+    "doc_neardup_serve": f"""
+        SELECT id_a, id_b, jaccard FROM ({_sql_near_dups(_SQL_MUTATED)})
+        WHERE id_b >= 10000
+    """,
     "doc_dup_clusters": f"""
         WITH RECURSIVE nd AS ({_sql_near_dups(_SQL_MUTATED)}),
         sym AS (

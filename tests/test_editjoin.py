@@ -92,3 +92,65 @@ class TestEditJoin:
             .toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestFreqOrder:
+    """gram_order='freq' (rarest-first prefixes, the Ed-Join production
+    order) must be EXACTLY equal to the md5 order — any universal total
+    order is sound; the order only changes candidate counts."""
+
+    def test_exactness_on_random_strings(self, spark):
+        import random
+
+        rng = random.Random(23)
+        alpha = "abcd"  # tiny alphabet = hot-gram regime on purpose
+        rows = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        for d in (0, 1, 2):
+            got = {
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in edit_distance_pairs(
+                    df, "id", "s", max_dist=d, gram_order="freq"
+                ).collect()
+            }
+            assert got == _naive(rows, d), f"max_dist={d}"
+
+    def test_matches_md5_order_and_rejects_unknown(self, spark):
+        rows = [
+            (1, "spark engine"), (2, "spark enginee"), (3, "sp"),
+            (4, ""), (5, "spark engine"), (6, "flink"),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        md5 = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, "id", "s", 2).collect()
+        }
+        freq = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(
+                df, "id", "s", 2, gram_order="freq"
+            ).collect()
+        }
+        assert md5 == freq == _naive(rows, 2)
+        with pytest.raises(ValueError):
+            edit_distance_pairs(df, "id", "s", 2, gram_order="rand")
+
+    def test_subq_strings_emit_no_gram_keys(self, spark):
+        """len(s) < q must produce an EMPTY gram array (advice fix: the
+        unguarded descending F.sequence emitted whole-string keys)."""
+        from mini_data_platform_spark.operators.editjoin import _grams
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, ""), (3, "ab"), (4, "abc")], "id long, s string"
+        )
+        got = {
+            r["id"]: r["g"]
+            for r in df.select(
+                "id", _grams(F.col("s"), 3).alias("g")
+            ).collect()
+        }
+        assert got[1] == [] and got[2] == [] and got[3] == []
+        assert got[4] == ["abc"]
