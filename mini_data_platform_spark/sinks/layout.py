@@ -155,10 +155,19 @@ def write_zordered(
     return cuts
 
 
+#: stat value types the manifest records. Anything else (date/timestamp/
+#: decimal/bytes footer stats) maps to None — "never prune" — instead of
+#: being silently stringified by a json default and later compared
+#: against the caller's TYPED predicate bounds (str-vs-date TypeError,
+#: or worse, a lexicographic comparison that prunes wrong).
+_JSONABLE_STATS = (bool, int, float, str)
+
+
 def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
     """Per-column [min, max] of one parquet file from its footer
-    statistics only (no row reads). Columns without stats map to None
-    (never pruned)."""
+    statistics only (no row reads). Columns without stats — or whose
+    stat values aren't JSON-native (see ``_JSONABLE_STATS``) — map to
+    None (never pruned)."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata
@@ -170,12 +179,23 @@ def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
         i = idx.get(c)
         if i is not None:
             for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(i).statistics
-                if st is None or not st.has_min_max:
+                try:
+                    st = meta.row_group(rg).column(i).statistics
+                    has = st is not None and st.has_min_max
+                    smin, smax = (st.min, st.max) if has else (None, None)
+                except Exception:  # noqa: BLE001 — pyarrow raises
+                    # ArrowNotImplementedError for stat types it cannot
+                    # extract (e.g. some logical types) — treat as no stats
+                    has = False
+                if not has:
                     lo = hi = None
                     break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                lo = smin if lo is None else min(lo, smin)
+                hi = smax if hi is None else max(hi, smax)
+        if not (
+            isinstance(lo, _JSONABLE_STATS) and isinstance(hi, _JSONABLE_STATS)
+        ):
+            lo = hi = None
         out[c] = None if lo is None else [lo, hi]
     return out
 
@@ -190,7 +210,8 @@ def _write_manifest(target_dir: str, cols: list[str]) -> None:
     }
     with open(os.path.join(target_dir, ZORDER_MANIFEST), "w",
               encoding="utf-8") as fh:
-        json.dump({"cols": cols, "files": entries}, fh, indent=1, default=str)
+        # no json default: _file_stats guarantees JSON-native stat values
+        json.dump({"cols": cols, "files": entries}, fh, indent=1)
 
 
 def zorder_prune_files(

@@ -143,3 +143,51 @@ class TestZOrderReader:
         got = read_zordered(spark, zdir, {"x": (99999, None)})
         assert got.count() == 0
         assert got.columns == ["x", "y"]
+
+
+class TestManifestStatTypes:
+    def test_non_json_native_stats_record_none_not_strings(
+        self, spark, tmp_path
+    ):
+        """Date/timestamp/decimal footer stats must be recorded as None
+        (never prune), not silently stringified — a string min/max
+        compared against a typed predicate bound raises TypeError or
+        prunes lexicographically (advice fix, round 7)."""
+        import datetime
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.sinks.layout import (
+            ZORDER_MANIFEST,
+            _write_manifest,
+            zorder_prune_files,
+        )
+
+        d = str(tmp_path / "zt")
+        df = spark.range(100).select(
+            F.col("id"),
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("dt"),
+            F.col("id").cast("decimal(10,2)").alias("amt"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+        df.coalesce(2).write.parquet(d)
+        _write_manifest(d, ["id", "dt", "amt", "x"])
+        man = json.load(open(os.path.join(d, ZORDER_MANIFEST)))
+        for stats in man["files"].values():
+            assert stats["dt"] is None          # date -> no pruning
+            assert stats["amt"] is None         # decimal -> no pruning
+            assert stats["id"] is not None      # ints keep stats
+            assert isinstance(stats["id"][0], int)
+            assert stats["x"] is not None and isinstance(stats["x"][0], float)
+        # typed predicate bounds on the stat-less columns never raise
+        # and never prune (all files kept on those dims)
+        kept, total = zorder_prune_files(
+            d,
+            {
+                "dt": (datetime.date(2024, 1, 5), datetime.date(2024, 1, 9)),
+                "id": (None, 10**9),
+            },
+        )
+        assert len(kept) == total
