@@ -51,10 +51,44 @@ from mini_data_platform_spark.operators.dedup_fuzzy import (
 
 #: (doc_id, first_doc_id, band_id) candidate edges
 CANDIDATE_SCHEMA = "doc_id long, first_doc_id long, band_id int"
-_STATE_SCHEMA = "first_id long, first_ts_ms long"
+_STATE_SCHEMA = "first_id long, first_ts_ms long, first_seed boolean"
 
 #: default bucket-state TTL: buckets idle this long are evicted
 DEFAULT_TTL_MS = 6 * 3_600_000
+
+
+def export_index_seed(spark, index_dir: str, seed_dir: str) -> dict:
+    """BRIDGE, batch → stream (round-7 verdict item 7): export a
+    persisted near-dup index's committed band-bucket table
+    (operators/incremental.py) as a SEED parquet directory the streaming
+    operator can bootstrap from (``near_dup_candidates_stream(...,
+    seed_dir=...)``). Seed rows carry ts = epoch 0, so every seeded
+    bucket's first member IS the settled corpus member — a streaming doc
+    that near-dups a corpus doc links to the CORPUS id, exactly as a
+    batch increment would resolve it, and the corpus text is never
+    re-shingled (the index's band keys are reused as-is; batch and
+    stream share the same signature/band construction, see
+    ``banded_bucket_keys``).
+
+    Returns the index meta dict — the stream MUST run with the same
+    num_hashes/bands/shingle_n or the bucket keys are incomparable
+    (same rule as the index itself)."""
+    from mini_data_platform_spark.operators.incremental import (
+        _read_meta,
+        _read_table,
+    )
+
+    meta = _read_meta(index_dir)
+    buckets = _read_table(spark, index_dir, "buckets", meta)
+    (
+        buckets.select(
+            F.col("id").alias("doc_id"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+            "band_id",
+            "band_key",
+        ).write.mode("overwrite").parquet(seed_dir)
+    )
+    return meta
 
 
 def banded_bucket_keys(
@@ -114,18 +148,34 @@ def _make_bucket_fn(ttl_ms: int):
         if state.hasTimedOut:
             state.remove()
             return
-        rows: list[tuple[int, int]] = []  # (ts_ms, doc_id)
+        rows: list[tuple[int, int, bool]] = []  # (ts_ms, doc_id, is_seed)
         for pdf in pdfs:
             ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows.extend(zip(ts_ms, pdf["doc_id"].tolist()))
-        rows.sort()
+            seeds = (
+                pdf["_seed"].astype(bool).tolist()
+                if "_seed" in pdf.columns
+                else [False] * len(pdf)
+            )
+            rows.extend(zip(ts_ms, pdf["doc_id"].tolist(), seeds))
+        rows.sort(key=lambda r: (r[0], r[1]))
         if state.exists:
-            first_id, first_ts = state.get
+            first_id, first_ts, first_seed = state.get
+            # a SEED arriving after a live doc claimed the bucket
+            # displaces it (seeds carry ts 0 — the settled corpus is
+            # always "first"); the displaced live doc is re-emitted as a
+            # candidate against the seed, so out-of-order seed delivery
+            # never loses an edge
+            if rows and (rows[0][0], rows[0][1]) < (first_ts, first_id):
+                new_ts, new_id, new_seed = rows[0]
+                if not first_seed:
+                    rows.append((first_ts, first_id, False))
+                first_ts, first_id, first_seed = new_ts, new_id, new_seed
         else:
-            first_ts, first_id = rows[0]
-            rows = rows[1:]
-        later = [int(d) for _, d in rows if d != first_id]
-        state.update((int(first_id), int(first_ts)))
+            first_ts, first_id, first_seed = rows[0]
+        later = sorted(
+            {int(d) for _, d, s in rows if not s and d != first_id}
+        )
+        state.update((int(first_id), int(first_ts), bool(first_seed)))
         state.setTimeoutDuration(ttl_ms)
         if later:
             yield pd.DataFrame(
@@ -148,12 +198,22 @@ def near_dup_candidates_stream(
     bands: int = 4,
     shingle_n: int = 3,
     state_ttl_ms: int = DEFAULT_TTL_MS,
+    seed_dir: str | None = None,
 ) -> DataFrame:
     """Streaming LSH near-dup candidates: emits one
     ``(doc_id, first_doc_id, band_id)`` edge per band bucket a document
     shares with that bucket's first-ever member. See module docstring for
     semantics and the scale argument. ``id_col`` must be long-typed (the
     fixture/document contract); rename upstream otherwise.
+
+    ``seed_dir`` bootstraps the bucket state from a persisted batch
+    index exported by ``export_index_seed``: the seed's PRE-BANDED rows
+    (ts = epoch 0, flagged ``_seed``) stream in alongside the live
+    documents, claim first-member for their buckets, and emit NO edges
+    themselves — so streamed docs link against the settled corpus ids
+    without the corpus ever being re-shingled, and corpus-corpus pairs
+    stay a batch concern (``neardup_index_pairs``). The stream's
+    hyperparameters must equal the index's (export returns the meta).
 
     One-shot (availableNow) runs MUST go through
     ``streaming.run.run_available_now``: the TTL's processing-time timeout
@@ -163,8 +223,17 @@ def near_dup_candidates_stream(
         docs, id_col, text_col, ts_col, num_hashes, bands, shingle_n
     ).select(
         F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"),
-        "band_id", "band_key",
+        "band_id", "band_key", F.lit(False).alias("_seed"),
     )
+    if seed_dir is not None:
+        seed = (
+            docs.sparkSession.readStream.schema(
+                "doc_id long, ts timestamp, band_id int, band_key string"
+            )
+            .parquet(seed_dir)
+            .withColumn("_seed", F.lit(True))
+        )
+        banded = banded.unionByName(seed)
     return banded.groupBy("band_id", "band_key").applyInPandasWithState(
         _make_bucket_fn(state_ttl_ms),
         outputStructType=CANDIDATE_SCHEMA,
