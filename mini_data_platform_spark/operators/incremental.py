@@ -449,6 +449,72 @@ def neardup_index_lookup(
 _HASHES = "hashes"
 
 
+def _exact_batch_resolved(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    batch: DataFrame,
+    n_new: int,
+) -> DataFrame:
+    """The shared exact-dedup resolution plan over a hashed ``batch``
+    ((content_hash, id), persisted, ``n_new`` rows): per new doc the
+    smallest indexed-or-batch id sharing its content hash. Pure read;
+    used by the committing increment and the serving lookup."""
+    old = _read_table(spark, index_dir, _HASHES, meta)
+    # min indexed id per hash, but ONLY for hashes present in the batch
+    # (semi-filter first: the aggregate shuffles batch-hash rows, not the
+    # whole index)
+    batch_hashes = batch.select("content_hash").distinct()
+    old_min = (
+        old.join(_hinted(batch_hashes, n_new), "content_hash", "left_semi")
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("_old_min"))
+    )
+    batch_min = batch.groupBy("content_hash").agg(
+        F.min("id").alias("_batch_min")
+    )
+    return (
+        batch.join(_hinted(old_min, n_new), "content_hash", "left")
+        .join(_hinted(batch_min, n_new), "content_hash", "left")
+        .select(
+            "id",
+            "content_hash",
+            F.least(
+                F.coalesce(F.col("_old_min"), F.col("_batch_min")),
+                F.col("_batch_min"),
+            ).alias("dup_of"),
+        )
+    )
+
+
+def exact_index_lookup(
+    new_docs: DataFrame,
+    index_dir: str,
+) -> DataFrame:
+    """SERVING lookup against an exact-dedup index: the same
+    (id, content_hash, dup_of) resolution ``exact_index_increment``
+    returns, WITHOUT committing the batch — read-only, idempotent (the
+    same query/commit split as ``neardup_index_lookup``)."""
+    from mini_data_platform_spark.functions.text import normalize_text
+    from mini_data_platform_spark.operators.resources import attach_plan
+
+    meta = _read_meta(index_dir)
+    if meta.get("kind") != "exact":
+        raise ValueError(f"{index_dir} is not an exact-dedup index")
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    spark: SparkSession = new_docs.sparkSession
+    batch = new_docs.select(
+        F.sha2(
+            normalize_text(F.col(text_col).cast("string")), 256
+        ).alias("content_hash"),
+        F.col(id_col).alias("id"),
+    ).persist()
+    n_new = batch.count()
+    return attach_plan(
+        _exact_batch_resolved(spark, index_dir, meta, batch, n_new), batch
+    )
+
+
 def exact_index_build(
     docs: DataFrame,
     index_dir: str,
@@ -519,32 +585,7 @@ def exact_index_increment(
         F.col(id_col).alias("id"),
     ).persist()
     n_new = batch.count()
-
-    old = _read_table(spark, index_dir, _HASHES, meta)
-    # min indexed id per hash, but ONLY for hashes present in the batch
-    # (semi-filter first: the aggregate shuffles batch-hash rows, not the
-    # whole index)
-    batch_hashes = batch.select("content_hash").distinct()
-    old_min = (
-        old.join(_hinted(batch_hashes, n_new), "content_hash", "left_semi")
-        .groupBy("content_hash")
-        .agg(F.min("id").alias("_old_min"))
-    )
-    batch_min = batch.groupBy("content_hash").agg(
-        F.min("id").alias("_batch_min")
-    )
-    resolved = (
-        batch.join(_hinted(old_min, n_new), "content_hash", "left")
-        .join(_hinted(batch_min, n_new), "content_hash", "left")
-        .select(
-            "id",
-            "content_hash",
-            F.least(
-                F.coalesce(F.col("_old_min"), F.col("_batch_min")),
-                F.col("_batch_min"),
-            ).alias("dup_of"),
-        )
-    )
+    resolved = _exact_batch_resolved(spark, index_dir, meta, batch, n_new)
 
     batch_no = meta["n_batches"]
     out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
@@ -621,35 +662,22 @@ def embdup_index_build(
     return meta
 
 
-def embdup_index_increment(
-    new_vecs: DataFrame,
+def _embdup_batch_pairs(
+    spark: SparkSession,
     index_dir: str,
-) -> DataFrame:
-    """Near-dup a new vector batch against the indexed corpus: every
-    same-bucket pair involving the new batch with exact cosine ≥ the
-    index threshold — (id_a, id_b, cos_sim), id_a < id_b — then commit
-    the batch. Same scale/durability shape as the MinHash increment:
-    bucket the batch with the FROZEN planes, stream the corpus bucket
-    table against the batch's buckets (guarded broadcast — hint dropped
-    above the row threshold), verify with candidate-bounded vector
-    reads, materialize to ``pairs/batch=N`` before the atomic segment
-    commit."""
-    from mini_data_platform_spark.functions.vectors import cosine, l2_norm
+    meta: dict,
+    batch: DataFrame,
+    n_new: int,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """The shared embedding-lookup plan over a normalized ``batch``
+    ((id, vec, nrm), persisted, ``n_new`` rows): every same-bucket pair
+    involving the batch with exact cosine ≥ the index threshold, using
+    the FROZEN planes. Pure read; used by the committing increment and
+    the serving lookup. Returns (verified, bucketed_new, pinned)."""
+    from mini_data_platform_spark.functions.vectors import cosine
     from mini_data_platform_spark.operators.similarity import lsh_bucket
 
-    meta = _read_meta(index_dir)
-    if meta.get("kind") != "embdup":
-        raise ValueError(f"{index_dir} is not an embedding near-dup index")
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
     threshold, planes = meta["threshold"], meta["planes"]
-    spark: SparkSession = new_vecs.sparkSession
-
-    batch = new_vecs.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
-    n_new = batch.count()
     bucketed_new = (
         lsh_bucket(batch, planes, "id", "vec")
         .select("id", "bucket")
@@ -712,6 +740,67 @@ def embdup_index_increment(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    return verified, bucketed_new, [cands, bucketed_new]
+
+
+def embdup_index_lookup(
+    new_vecs: DataFrame,
+    index_dir: str,
+) -> DataFrame:
+    """SERVING lookup against an embedding near-dup index: the same
+    verified (id_a, id_b, cos_sim) pairs ``embdup_index_increment``
+    returns, WITHOUT committing the batch — read-only, idempotent (the
+    same query/commit split as ``neardup_index_lookup``)."""
+    from mini_data_platform_spark.functions.vectors import l2_norm
+    from mini_data_platform_spark.operators.resources import attach_plan
+
+    meta = _read_meta(index_dir)
+    if meta.get("kind") != "embdup":
+        raise ValueError(f"{index_dir} is not an embedding near-dup index")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark: SparkSession = new_vecs.sparkSession
+    batch = new_vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    n_new = batch.count()
+    verified, _bucketed, pinned = _embdup_batch_pairs(
+        spark, index_dir, meta, batch, n_new
+    )
+    return attach_plan(verified, batch, *pinned)
+
+
+def embdup_index_increment(
+    new_vecs: DataFrame,
+    index_dir: str,
+) -> DataFrame:
+    """Near-dup a new vector batch against the indexed corpus: every
+    same-bucket pair involving the new batch with exact cosine ≥ the
+    index threshold — (id_a, id_b, cos_sim), id_a < id_b — then commit
+    the batch. Same scale/durability shape as the MinHash increment:
+    bucket the batch with the FROZEN planes, stream the corpus bucket
+    table against the batch's buckets (guarded broadcast — hint dropped
+    above the row threshold), verify with candidate-bounded vector
+    reads, materialize to ``pairs/batch=N`` before the atomic segment
+    commit."""
+    from mini_data_platform_spark.functions.vectors import l2_norm
+
+    meta = _read_meta(index_dir)
+    if meta.get("kind") != "embdup":
+        raise ValueError(f"{index_dir} is not an embedding near-dup index")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark: SparkSession = new_vecs.sparkSession
+
+    batch = new_vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    n_new = batch.count()
+    verified, bucketed_new, pinned = _embdup_batch_pairs(
+        spark, index_dir, meta, batch, n_new
+    )
 
     batch_no = meta["n_batches"]
     out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
@@ -719,7 +808,7 @@ def embdup_index_increment(
     seg = f"batch-{batch_no}"
     _write_segment(bucketed_new, index_dir, _EBUCKETS, seg)
     _write_segment(batch, index_dir, _EVECS, seg)
-    for f in (cands, bucketed_new, batch):
+    for f in (*pinned, batch):
         f.unpersist(False)
     meta["segments"][_EBUCKETS].append(seg)
     meta["segments"][_EVECS].append(seg)

@@ -703,3 +703,82 @@ class TestLookup:
         # equals what the committing increment returns
         incr = _pairs_set(neardup_index_increment(b2, tmpdir))
         assert got == incr
+
+
+class TestLookupTwins:
+    def test_exact_lookup_equals_increment_and_commits_nothing(
+        self, spark, tmpdir
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+            exact_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 30)
+        copies = b1.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        exact_index_build(b1, tmpdir, "doc_id", "text")
+        meta_before = _read_meta(tmpdir)
+        looked = exact_index_lookup(copies, tmpdir)
+        got = {(r["id"], r["dup_of"]) for r in looked.collect()}
+        release_plan(looked)
+        assert _read_meta(tmpdir) == meta_before
+        incr = {
+            (r["id"], r["dup_of"])
+            for r in exact_index_increment(copies, tmpdir).collect()
+        }
+        assert got == incr
+        assert all(d == i - 1000 for i, d in got)
+
+    def test_embdup_lookup_equals_increment_and_commits_nothing(
+        self, spark, tmpdir
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_increment,
+            embdup_index_lookup,
+        )
+
+        b1 = spark.range(0, 40).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("double") + 1.0,
+                (F.col("id") % 7 - 3).cast("double"),
+                (F.col("id") % 5 - 2).cast("double"),
+            ).alias("embedding"),
+        )
+        b2 = b1.select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 0.5).alias(
+                "embedding"
+            ),
+        )
+        embdup_index_build(b1, tmpdir, "vec_id", "embedding", threshold=0.9)
+        meta_before = _read_meta(tmpdir)
+        looked = embdup_index_lookup(b2, tmpdir)
+        got = {
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 12))
+            for r in looked.collect()
+        }
+        release_plan(looked)
+        assert _read_meta(tmpdir) == meta_before
+        incr = {
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 12))
+            for r in embdup_index_increment(b2, tmpdir).collect()
+        }
+        assert got == incr
+
+    def test_lookup_kind_guards(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_lookup,
+            exact_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 5)
+        neardup_index_build(b1, tmpdir, "doc_id", "text")
+        with pytest.raises(ValueError):
+            exact_index_lookup(b1, tmpdir)
+        with pytest.raises(ValueError):
+            embdup_index_lookup(b1, tmpdir)
