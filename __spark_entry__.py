@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 87 queries exist, so 37 sit outside any given round):
+#: FIRST 50 entries; 89 queries exist, so 39 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -31,49 +31,46 @@ def entry(spark: SparkSession) -> DataFrame:
 #:      regression can never hide in a rotated-out query.
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
-#: Round 7 window: the 28 queries rotated out of r6 (driver rows last
-#: from r5) first, then the NINE queries NEW this round (incremental
-#: near-dup/exact/embedding dedup, IVF-PQ, chunking, window + segment
-#: span dedup, BM25, edit-distance join), then every query over code
-#: touched by the r7
-#: diffs (dedup_fuzzy band-key refactor, packing/epoch-shuffle persist
-#: fix, heavy-hitters auto-sizing, bloom null-key filter + JVM build,
-#: pq id-type generics, cms key guard). Rotated out: the 21 analytics
-#: queries driver-green in r6, 9 untouched emb/similarity queries
-#: (emb_knn/ann_knn/ann_ivf/ivf_trained/norms, emb_near_dups_*,
-#: emb_dup_clusters, emb_dedup_final — similarity.py has no r7 diff),
-#: events_approx_users (r6 no-oracle-by-design), the 5 kpi queries and
-#: doc_fingerprint (all r6 driver-green, untouched; kpi_revenue_by_day
-#: still runs every round as the entry() smoke; every rotated-out query
-#: was ALSO re-verified exact this session via tools/verify_local.py).
-_ROUND7_WINDOW_FIRST = [
-    # (1) rotated out of r6 — driver rows stale since r5
-    "kpi_revenue_by_customer", "doc_token_stats", "doc_language_guess",
-    "doc_quality", "doc_hash_embedding", "doc_split_assign",
-    "doc_stratified_sample", "doc_contamination", "doc_repetition",
-    "doc_pii_scan", "asset_binary_stats", "asset_features",
-    "asset_frame_samples", "pricing_summary", "regional_revenue",
-    "top_building_orders", "region_nation_rollup", "status_priority_cube",
-    "customer_rank_in_nation", "daily_revenue_delta",
-    "monthly_running_revenue", "latest_order_per_customer",
-    "customers_with_orders", "customers_without_orders",
-    "wealthy_active_customers", "events_sessionize",
-    "click_before_purchase", "errors_near_click",
+#: Round 8 window: the 37 queries rotated out of r7 (driver rows last
+#: from r6) first, then the TWO queries NEW this round
+#: (doc_neardup_serve — the read-only serving lookup against a prebuilt
+#: index; doc_title_editjoin_freq — frequency-ordered prefixes), then
+#: every query over code touched by the r8 diffs: the incremental-index
+#: restructure (broadcast guards + atomic per-batch segment commits +
+#: serving lookups) forces the three incremental equivalence proofs in;
+#: editjoin's sequence guard + freq order forces doc_title_editjoin;
+#: the lazy-oracle refactor forces doc_bm25; pq.py's ivfpq_index_add
+#: forces emb_ann_pq/emb_ann_ivfpq. The 4 remaining slots go to the
+#: near-dup batch family (doc_minhash_candidates, doc_near_dups,
+#: doc_dedup_final, doc_curated_corpus) whose plans consume the
+#: dedup_fuzzy helpers the incremental module shares. Rotated out: 39
+#: queries, all driver-green in r7 and untouched by the r8 diffs (the
+#: remaining analytics/emb/kpi/doc rows with fresh r7 hashes;
+#: kpi_revenue_by_day still runs every round as the entry() smoke).
+_ROUND8_WINDOW_FIRST = [
+    # (1) rotated out of r7 — driver rows last from r6
+    "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
+    "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
+    "doc_fingerprint", "doc_exact_dedup", "emb_norms", "emb_knn",
+    "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
+    "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
+    "emb_dedup_final", "order_stats_distinct", "priority_status_matrix",
+    "price_quantiles", "price_quantiles_approx", "order_priority_pivot",
+    "lineitem_unpivot_stats", "customer_deciles", "order_moments",
+    "quantity_price_corr", "nation_top_customer_names",
+    "order_grouping_sets", "big_orders", "promo_revenue_share",
+    "cheapest_supplier_per_part", "orders_dq_report",
+    "events_distinct_users", "events_user_stats_salted", "events_hourly",
+    "events_json_value", "events_approx_users", "revenue_by_day_dense",
     # (2) NEW this round (rotation rule 2)
+    "doc_neardup_serve", "doc_title_editjoin_freq",
+    # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
-    "emb_neardup_incremental", "emb_ann_ivfpq", "doc_chunks",
-    "doc_window_dups", "doc_segment_dups", "doc_bm25",
-    "doc_title_editjoin",
-    # (3) touched by round-7 diffs
-    "events_heavy_users", "doc_packing", "doc_epoch_shuffle",
-    "lineitem_bloom_semijoin", "events_cms_users", "emb_ann_pq",
-    "doc_minhash_candidates", "doc_near_dups", "doc_simhash",
-    "doc_dup_clusters", "doc_dup_clusters_star", "doc_dedup_final",
+    "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",
+    "emb_ann_pq", "emb_ann_ivfpq",
+    # (4) shared-helper near-dup family (fills the window to 50)
+    "doc_minhash_candidates", "doc_near_dups", "doc_dedup_final",
     "doc_curated_corpus",
-    # (doc_fingerprint and doc_exact_dedup rotated out to fit doc_bm25
-    # and doc_title_editjoin: their exact code paths have no r7 diff —
-    # listed only because dedup_fuzzy.py was touched elsewhere — both
-    # r6 driver-green and re-verified exact locally this session)
 ]
 
 
@@ -84,7 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND7_WINDOW_FIRST:
+    for name in _ROUND8_WINDOW_FIRST:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)

@@ -421,11 +421,15 @@ def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mutated batch against a PREBUILT index of the raw documents
     (sign the batch, probe the committed bucket segments, verify
     candidate-bounded; nothing committed, so repeat invocations are
-    idempotent). The index is built once per fixture and cached on disk
-    keyed by (sf_dir, LSH params, fixture mtime+size) — exactly the
+    idempotent). The batch is 10% of the corpus (mutated copies of the
+    doc_id % 10 == 0 docs) — the batch ≪ corpus regime serving actually
+    runs in, where the batch-side broadcast keeps the index unshuffled.
+    The index is built once per fixture and cached on disk keyed by
+    (sf_dir, LSH params, fixture mtime+size) — exactly the
     offline-build / online-serve split a production pipeline uses.
-    Oracle: the full-recompute near-dup SQL restricted to pairs
-    involving the batch (id_b ≥ 10000 — batch ids are +10000)."""
+    Oracle: the near-dup recompute over documents ∪ the 10% batch,
+    restricted to pairs involving the batch (id_b ≥ 10000 — batch ids
+    are the only +10000 ids in that corpus)."""
     import hashlib
     import os
     import tempfile
@@ -438,7 +442,7 @@ def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = TX.tokens(F.col("text"))
     batch = _spread(
-        docs.select(
+        docs.where(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 10000).alias("doc_id"),
             F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
         )
@@ -1199,11 +1203,18 @@ ORACLE = {
     # the incremental path must reproduce the full-corpus recompute
     # EXACTLY — same oracle as doc_near_dups is the equivalence proof
     "doc_neardup_incremental": _sql_near_dups(_SQL_MUTATED),
-    # serving lookup = the same full-recompute oracle restricted to
-    # pairs involving the batch (batch ids are +10000; id_a < id_b so a
-    # pair touches the batch iff id_b >= 10000)
+    # serving lookup: near-dup recompute over documents ∪ the 10% batch
+    # (mutated copies of doc_id % 10 == 0), restricted to pairs
+    # involving the batch — batch ids are the only ids >= 10000 in this
+    # corpus and id_a < id_b, so involvement reduces to id_b >= 10000
     "doc_neardup_serve": f"""
-        SELECT id_a, id_b, jaccard FROM ({_sql_near_dups(_SQL_MUTATED)})
+        SELECT id_a, id_b, jaccard FROM ({_sql_near_dups('''
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+        ''')})
         WHERE id_b >= 10000
     """,
     "doc_dup_clusters": f"""
