@@ -430,10 +430,6 @@ def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the near-dup recompute over documents ∪ the 10% batch,
     restricted to pairs involving the batch (id_b ≥ 10000 — batch ids
     are the only +10000 ids in that corpus)."""
-    import hashlib
-    import os
-    import tempfile
-
     from mini_data_platform_spark.operators.incremental import (
         neardup_index_build,
         neardup_index_lookup,
@@ -447,21 +443,54 @@ def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
         )
     )
-    fixture = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(fixture)
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{JACCARD_THRESHOLD}|{NUM_HASHES}|"
-        f"{BANDS}|{SHINGLE_N}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
-    ).hexdigest()[:12]
-    index_dir = os.path.join(
-        tempfile.gettempdir(), f"mdp_serveidx_{key}"
-    )
-    if not os.path.exists(os.path.join(index_dir, "meta.json")):
-        neardup_index_build(
-            _spread(docs), index_dir, "doc_id", "text",
+    index_dir = _cached_index(
+        sf_dir,
+        f"nd|{JACCARD_THRESHOLD}|{NUM_HASHES}|{BANDS}|{SHINGLE_N}",
+        lambda d: neardup_index_build(
+            _spread(docs), d, "doc_id", "text",
             JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
-        )
+        ),
+    )
     return neardup_index_lookup(batch, index_dir)
+
+
+def _cached_index(
+    sf_dir: str, params: str, build, fixture: str = "documents.parquet"
+) -> str:
+    """Disk-cached index for the serving-shaped queries: built once per
+    (fixture identity, params) under a temp path and reused across
+    invocations/processes. RACE-SAFE: the build lands in a unique temp
+    dir and is published with one atomic ``os.rename``; a concurrent
+    builder that loses the race discards its copy and uses the winner's
+    (the build is deterministic, so the copies are interchangeable)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    st = os.stat(os.path.join(sf_dir, fixture))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{params}|"
+        f"{st.st_mtime_ns}|{st.st_size}|v1".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"mdp_serveidx_{key}")
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return index_dir
+    staging = f"{index_dir}.build-{uuid.uuid4().hex[:8]}"
+    build(staging)
+    try:
+        os.rename(staging, index_dir)
+    except OSError:
+        # lost the publish race (or a half-built dir squats the target
+        # path from a crashed pre-v1 run): keep the existing winner if
+        # it is complete, else replace it
+        if not os.path.exists(os.path.join(index_dir, "meta.json")):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            os.rename(staging, index_dir)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+    return index_dir
 
 
 def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +782,68 @@ def emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within_b1.unionByName(incr)
 
 
+def doc_exact_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving shape of incremental EXACT dedup: a read-only
+    ``exact_index_lookup`` of a 10% batch of unmodified copies
+    (doc_id % 10 == 0, +20000) against a disk-cached prebuilt content-
+    hash index of the raw documents — one hash join against 64-byte
+    hashes, nothing committed. Oracle: global min-id-per-hash over
+    documents ∪ the batch, restricted to batch rows."""
+    from mini_data_platform_spark.operators.incremental import (
+        exact_index_build,
+        exact_index_lookup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    index_dir = _cached_index(
+        sf_dir,
+        "exact|sha256",
+        lambda d: exact_index_build(_spread(docs), d, "doc_id", "text"),
+    )
+    return exact_index_lookup(_spread(batch), index_dir)
+
+
+def emb_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving shape of incremental EMBEDDING near-dup: a read-only
+    ``embdup_index_lookup`` of a 10% batch of direction-preserving
+    scaled copies (vec_id % 10 == 0, +10000, ×0.5) against a
+    disk-cached prebuilt hyperplane-LSH index of the embeddings —
+    bucket the batch with the index's FROZEN planes, probe the
+    committed bucket segments, exact cosine on candidate-bounded vector
+    reads, nothing committed. Oracle: the full LSH recompute over
+    embeddings ∪ the batch, restricted to batch-involving pairs."""
+    from mini_data_platform_spark.operators.incremental import (
+        embdup_index_build,
+        embdup_index_lookup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b1 = emb.select("vec_id", as_double.alias("embedding"))
+    batch = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * F.lit(0.5)
+        ).alias("embedding"),
+    )
+
+    def build(d):
+        planes = SIM.planes_from_corpus(b1, "vec_id", "embedding", N_PLANES)
+        embdup_index_build(
+            b1, d, "vec_id", "embedding",
+            threshold=COS_THRESHOLD, planes=planes,
+        )
+
+    index_dir = _cached_index(
+        sf_dir, f"embdup|{COS_THRESHOLD}|{N_PLANES}", build,
+        fixture="embeddings.parquet",
+    )
+    return embdup_index_lookup(batch, index_dir)
+
+
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= threshold (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -845,6 +936,8 @@ QUERIES = {
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
     "emb_neardup_incremental": emb_neardup_incremental,
+    "emb_neardup_serve": emb_neardup_serve,
+    "doc_exact_dedup_serve": doc_exact_dedup_serve,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
 }
@@ -1425,6 +1518,61 @@ ORACLE = {
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_SQL_COS} >= {COS_THRESHOLD}
+    """,
+    # embedding serving lookup: same frozen-plane LSH recompute over
+    # embeddings ∪ the 10% scaled batch, batch-involving pairs only
+    # (batch ids are the only ids >= 10000 in this corpus)
+    "emb_neardup_serve": f"""
+        WITH corpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5) AS embedding
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        e AS (
+            SELECT vec_id, embedding, {VX.sql_l2_norm('embedding')} AS nrm
+            FROM corpus
+        ),
+        p AS (
+            SELECT vec_id, embedding FROM corpus WHERE vec_id < {N_PLANES}
+        ),
+        bucketed AS (
+            SELECT e.vec_id, e.embedding, e.nrm,
+                   string_agg(
+                       CASE WHEN {VX.sql_dot('e.embedding', 'p.embedding')} >= 0
+                            THEN '1' ELSE '0' END,
+                       '' ORDER BY p.vec_id) AS bucket
+            FROM e, p
+            GROUP BY e.vec_id, e.embedding, e.nrm
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS} AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= {COS_THRESHOLD} AND b.vec_id >= 10000
+    """,
+    # exact-dedup serving lookup: global min-id-per-hash over
+    # documents ∪ the 10% copy batch, batch rows only
+    "doc_exact_dedup_serve": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        h AS (
+            SELECT doc_id,
+                   sha256({TX.sql_normalize_text('text')}) AS content_hash
+            FROM corpus
+        ),
+        mins AS (
+            SELECT content_hash, MIN(doc_id) AS m FROM h GROUP BY 1
+        )
+        SELECT h.doc_id AS id, h.content_hash, mins.m AS dup_of
+        FROM h JOIN mins USING (content_hash)
+        WHERE h.doc_id >= 20000
     """,
     "emb_near_dups_lsh": f"""
         WITH e AS ({_SQL_EMB}),
