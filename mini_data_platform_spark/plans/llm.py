@@ -782,6 +782,64 @@ def emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within_b1.unionByName(incr)
 
 
+#: unigram-LM vocabulary size for the declared query — deliberately
+#: SMALLER than the fixture's ~50-token vocabulary so the OOV floor
+#: path is exercised with real rows, not just in tests
+LM_VOCAB_SIZE = 32
+
+
+def doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model scoring (operators/lm.py):
+    estimate the corpus unigram table, keep the top-32 vocabulary,
+    score every document as the decimal-exact mean of its per-token
+    quantized log10 probabilities with a half-count OOV floor — the
+    model-based quality gate that complements the heuristic ones
+    (doc_quality). The oracle consumes the SAME Python-computed logp
+    literals (probed off the fixture lazily, BM25-style), so libm
+    never enters the hash comparison."""
+    from mini_data_platform_spark.operators.lm import unigram_logprob
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return unigram_logprob(docs, "doc_id", "text", vocab_size=LM_VOCAB_SIZE)
+
+
+def _sql_unigram_lm_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle builder (evaluated by oracle_sql(), never at import):
+    probe the fixture with DuckDB for the integer token counts, compute
+    the quantized logp literals with the same Python code the operator
+    uses, emit the VALUES-table SQL twin."""
+    import os
+
+    import duckdb
+
+    from mini_data_platform_spark.operators.lm import (
+        sql_unigram_logprob,
+        vocab_logprobs,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    toks = TX.sql_tokens("text")
+    rows = duckdb.sql(f"""
+        WITH t AS (
+            SELECT unnest({toks}) AS tok FROM '{docs_path}'
+        ),
+        c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+        SELECT tok, cnt, SUM(cnt) OVER () AS total FROM c
+        ORDER BY cnt DESC, tok ASC
+    """).fetchall()
+    total = int(rows[0][2]) if rows else 0
+    table, oov_logp = vocab_logprobs(
+        [(tok, int(cnt)) for tok, cnt, _ in rows[:LM_VOCAB_SIZE]], total
+    )
+    return sql_unigram_logprob(
+        "SELECT doc_id, text FROM documents", "doc_id", toks,
+        table, oov_logp,
+    )
+
+
 def doc_exact_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving shape of incremental EXACT dedup: a read-only
     ``exact_index_lookup`` of a 10% batch of unmodified copies
@@ -938,6 +996,7 @@ QUERIES = {
     "emb_neardup_incremental": emb_neardup_incremental,
     "emb_neardup_serve": emb_neardup_serve,
     "doc_exact_dedup_serve": doc_exact_dedup_serve,
+    "doc_unigram_lm": doc_unigram_lm,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
 }
@@ -1275,6 +1334,7 @@ ORACLE = {
     # from DuckDB, the ln() from Python's math.log, exactly as the Spark
     # plan computes them, so the folded literals are bit-identical.
     "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
+    "doc_unigram_lm": _sql_unigram_lm_oracle,  # callable: lazy, BM25-style
     "doc_title_editjoin": __import__(
         "mini_data_platform_spark.operators.editjoin",
         fromlist=["sql_edit_distance_pairs"]).sql_edit_distance_pairs(
