@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 92 queries exist, so 42 sit outside any given round):
+#: FIRST 50 entries; 93 queries exist, so 43 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -32,11 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 8 window: the 37 queries rotated out of r7 (driver rows last
-#: from r6) first, then the FIVE queries NEW this round (the read-only
+#: from r6) first, then the SIX queries NEW this round (the read-only
 #: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
 #: emb_neardup_serve against disk-cached prebuilt indexes,
-#: doc_title_editjoin_freq — frequency-ordered prefixes, and
-#: doc_unigram_lm — CCNet-style unigram-LM quality scoring), then
+#: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
+#: — CCNet-style unigram-LM quality scoring, and doc_source_mix —
+#: deterministic pretraining mixture sampling), then
 #: every query over code touched by the r8 diffs: the incremental-index
 #: restructure (broadcast guards + atomic per-batch segment commits +
 #: serving lookups) forces the three incremental equivalence proofs in;
@@ -67,15 +68,14 @@ _ROUND8_WINDOW_FIRST = [
     # (2) NEW this round (rotation rule 2)
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
+    "doc_source_mix",
     # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",
     "emb_ann_pq", "emb_ann_ivfpq",
-    # (4) shared-helper near-dup family (fills the window to 50;
-    # doc_dedup_final/doc_curated_corpus/doc_minhash_candidates ceded
-    # their fill slots to the extra new queries — all r7 driver-green,
-    # untouched)
-    "doc_near_dups",
+    # (no fill slots left: doc_dedup_final/doc_curated_corpus/
+    # doc_minhash_candidates/doc_near_dups ceded theirs to the six new
+    # queries — all r7 driver-green, untouched by the r8 diffs)
 ]
 
 

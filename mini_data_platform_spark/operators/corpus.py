@@ -355,3 +355,90 @@ def sql_epoch_shuffle(src: str, id_expr: str, seed: int) -> str:
                ) AS epoch_rank
         FROM ({src})
     """
+
+
+MIX_SALT = "mix"
+MIX_BUCKETS = 65536
+
+
+def source_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    counts: dict[str, int] | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Deterministic SOURCE-MIXTURE sampling — the pretraining data-mix
+    dial: given target mixture ``weights`` (relative proportions over
+    sources), keep a per-source deterministic subset so the OUTPUT
+    approximates the target mix while keeping as much data as possible
+    (the binding source — the one whose availability limits the mix —
+    keeps ~100%; every other source downsamples to match). Sources
+    absent from ``weights`` are dropped.
+
+    The keep decision is a per-source integer threshold over the
+    16-bit md5 bucket (``hash_bucket(buckets=65536)`` — the full hash
+    range, so thresholds are exact with zero mod bias): stable under
+    reruns, appends, and re-partitioning, same guarantee as
+    ``split_assign``/``stratified_sample``. Thresholds are computed
+    DRIVER-SIDE from one per-source count aggregate (rows ∝ #sources —
+    hyperparameter-sized) with plain Python arithmetic, so an SQL
+    oracle folding the same integers reproduces the selection exactly.
+
+    Returns ``(selected_rows_with_bucket, thresholds)`` so callers (and
+    the oracle builder) can reuse the fold. Pass ``counts`` to skip the
+    aggregate (serving path / oracle parity)."""
+    if counts is None:
+        counts = {
+            r[0]: r[1]
+            for r in df.groupBy(source_col).count().collect()
+        }
+    thresholds = mixture_thresholds(weights, counts)
+    b = hash_bucket(F.col(id_col), MIX_SALT, MIX_BUCKETS)
+    thr = F.lit(0)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    out = df.withColumn("bucket", b).filter(F.col("bucket") < thr)
+    return out, thresholds
+
+
+def mixture_thresholds(
+    weights: dict[str, float], counts: dict[str, int]
+) -> dict[str, int]:
+    """Per-source integer keep thresholds over the 16-bit hash range:
+    normalize the weights, find the largest output total T with
+    norm_s·T ≤ count_s for every weighted source that exists (the
+    BINDING source keeps ~100%), threshold_s = round(min(1,
+    norm_s·T/count_s)·65536). Plain Python so the SQL oracle can fold
+    the identical integers. Sources with zero availability get
+    threshold 0 (absent from the output, never bind the scale)."""
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("source_mixture: weights must sum > 0")
+    norm = {s: w / total_w for s, w in weights.items()}
+    avail = {s: counts.get(s, 0) for s in norm}
+    binding = [c / norm[s] for s, c in avail.items() if norm[s] > 0 and c > 0]
+    if not binding:
+        raise ValueError("source_mixture: no weighted source has rows")
+    scale = min(binding)
+    return {
+        s: (
+            round(min(1.0, (norm[s] * scale) / c) * MIX_BUCKETS)
+            if c
+            else 0
+        )
+        for s, c in avail.items()
+    }
+
+
+def sql_source_mixture_pred(
+    id_expr: str, source_expr: str, thresholds: dict[str, int]
+) -> str:
+    """DuckDB twin of the :func:`source_mixture` selection predicate —
+    fold the SAME integer thresholds the operator computed."""
+    b = sql_hash_bucket(id_expr, MIX_SALT, MIX_BUCKETS)
+    cases = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN {t}"
+        for s, t in sorted(thresholds.items())
+    )
+    return f"({b} < (CASE {cases} ELSE 0 END))"

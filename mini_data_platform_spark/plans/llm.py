@@ -590,6 +590,60 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CORPUS.stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES)
 
 
+#: target pretraining mixture for doc_source_mix (relative weights) —
+#: deliberately unequal over the fixture's uniform 20-source corpus so
+#: the binding-source math and three distinct thresholds are exercised
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling (operators/corpus.py
+    ``source_mixture``) — the pretraining data-mix dial: per-source
+    16-bit-hash thresholds solved driver-side from one per-source count
+    aggregate so the output approximates the target mix (4:2:1:1 over
+    src0..src3 here) while the binding source keeps ~100%. Stable under
+    reruns/appends/partitioning like every hash op in corpus.py. The
+    oracle folds the SAME integer thresholds (lazy builder probes the
+    fixture counts with DuckDB and runs the same Python arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    out, _ = CORPUS.source_mixture(docs, "doc_id", "source", MIX_WEIGHTS)
+    return out
+
+
+def _sql_source_mix_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle builder: probe per-source counts off the fixture,
+    compute the same thresholds, emit the folded predicate."""
+    import os
+
+    import duckdb
+
+    from mini_data_platform_spark.operators.corpus import (
+        mixture_thresholds,
+        sql_source_mixture_pred,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    counts = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(*) FROM '{docs_path}' GROUP BY 1"
+        ).fetchall()
+    )
+    thresholds = mixture_thresholds(
+        MIX_WEIGHTS, {s: int(c) for s, c in counts.items()}
+    )
+    pred = sql_source_mixture_pred("doc_id", "source", thresholds)
+    bucket = CORPUS.sql_hash_bucket("doc_id", "mix", 65536)
+    return f"""
+        SELECT doc_id, source, {bucket} AS bucket
+        FROM documents WHERE {pred}
+    """
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: fraction of each document's distinct
     3-grams that appear in the benchmark set (source == BENCH_SOURCE).
@@ -997,6 +1051,7 @@ QUERIES = {
     "emb_neardup_serve": emb_neardup_serve,
     "doc_exact_dedup_serve": doc_exact_dedup_serve,
     "doc_unigram_lm": doc_unigram_lm,
+    "doc_source_mix": doc_source_mix,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
 }
@@ -1335,6 +1390,7 @@ ORACLE = {
     # plan computes them, so the folded literals are bit-identical.
     "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
     "doc_unigram_lm": _sql_unigram_lm_oracle,  # callable: lazy, BM25-style
+    "doc_source_mix": _sql_source_mix_oracle,  # callable: lazy count fold
     "doc_title_editjoin": __import__(
         "mini_data_platform_spark.operators.editjoin",
         fromlist=["sql_edit_distance_pairs"]).sql_edit_distance_pairs(
