@@ -31,13 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:      regression can never hide in a rotated-out query.
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
-#: Round 8 window: the 37 queries rotated out of r7 (driver rows last
-#: from r6) first, then the SIX queries NEW this round (the read-only
+#: Round 8 window: the queries rotated out of r7 (driver rows last
+#: from r6) first, then the EIGHT queries NEW this round (the read-only
 #: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
 #: emb_neardup_serve against disk-cached prebuilt indexes,
 #: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
-#: — CCNet-style unigram-LM quality scoring, and doc_source_mix —
-#: deterministic pretraining mixture sampling), then
+#: — CCNet-style unigram-LM quality scoring, doc_source_mix —
+#: deterministic pretraining mixture sampling, emb_semdedup — SemDeDup
+#: semantic dedup over trained cells, and kpi_revenue_by_day_ivm —
+#: incremental view maintenance ≡ full recompute), then
 #: every query over code touched by the r8 diffs: the incremental-index
 #: restructure (broadcast guards + atomic per-batch segment commits +
 #: serving lookups) forces the three incremental equivalence proofs in;
@@ -46,13 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: forces emb_ann_pq/emb_ann_ivfpq. The 4 remaining slots go to the
 #: near-dup batch family (doc_minhash_candidates, doc_near_dups,
 #: doc_dedup_final, doc_curated_corpus) whose plans consume the
-#: dedup_fuzzy helpers the incremental module shares. Rotated out: 39
-#: queries, all driver-green in r7 and untouched by the r8 diffs (the
-#: remaining analytics/emb/kpi/doc rows with fresh r7 hashes;
-#: kpi_revenue_by_day still runs every round as the entry() smoke).
+#: dedup_fuzzy helpers the incremental module shares. Two stale-first
+#: slots ceded to the new queries: kpi_revenue_by_day (it runs EVERY
+#: round as the entry() smoke, so a driver signal exists regardless)
+#: and events_approx_users (no-oracle HLL — its driver row is rows-only;
+#: the exact twin events_distinct_users keeps its slot). Rotated out:
+#: the remaining queries, all driver-green in r7 (or locally
+#: re-verified) and untouched by the r8 diffs.
 _ROUND8_WINDOW_FIRST = [
     # (1) rotated out of r7 — driver rows last from r6
-    "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
+    "kpi_top_customers", "kpi_product_performance",
     "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
     "doc_fingerprint", "doc_exact_dedup", "emb_norms", "emb_knn",
     "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
@@ -64,11 +69,11 @@ _ROUND8_WINDOW_FIRST = [
     "order_grouping_sets", "big_orders", "promo_revenue_share",
     "cheapest_supplier_per_part", "orders_dq_report",
     "events_distinct_users", "events_user_stats_salted", "events_hourly",
-    "events_json_value", "events_approx_users", "revenue_by_day_dense",
+    "events_json_value", "revenue_by_day_dense",
     # (2) NEW this round (rotation rule 2)
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
-    "doc_source_mix",
+    "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",
     # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",

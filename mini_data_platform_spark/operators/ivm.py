@@ -1,0 +1,220 @@
+"""Incremental view maintenance (IVM) for keyed aggregates.
+
+The KPI surface (plans/kpi.py — revenue by day/customer, product
+performance; reference README.md:132-146) is recomputed from scratch on
+every dashboard refresh. At 100 TB the recompute bill is the full fact
+scan; the classic fix — maintained materialized views over append-only
+facts (Gupta & Mumick, "Maintenance of Materialized Views", IEEE Data
+Eng. Bull. 1995) — makes each refresh cost O(delta) instead: aggregate
+the NEW rows only and merge into the persisted view.
+
+Restricted, deliberately, to the self-mergeable aggregate algebra —
+``sum`` / ``count`` / ``min`` / ``max`` (avg = sum/count at read) —
+whose merge is the same operation on partial states, so maintenance
+needs no base-table access at all. Deletions/updates would need
+retraction support (sum/count subtract fine; min/max do NOT without the
+base table); this module is append-only by contract, matching the
+library's ingest model (files land, rows append).
+
+Storage = the commit-log layout of operators/incremental.py: per-batch
+parquet segment dirs under ``<view>/agg/<segment>/``, registered in
+``meta.json``'s ``segments`` list by one atomic ``os.replace`` swap.
+A crash between the segment write and the meta swap leaves an orphan
+dir readers never see, and a retried increment overwrites it — the same
+exactly-once contract, plus explicit ``batch_id`` replay protection
+(an already-committed batch id is a no-op, so an at-least-once
+orchestrator like the reference's Airflow retries can call blindly).
+
+Two maintenance shapes, both exact:
+- ``mode="delta"`` (default): each increment APPENDS its delta's
+  partial aggregate — an O(delta) write with NO view read; serving
+  reads merge the segments (merge-on-read), and ``compact_view`` folds
+  them back to one segment when the log grows. This is the write path
+  that stays O(delta) at any view size — the Druid/Pinot rollup-segment
+  shape.
+- ``mode="snapshot"``: each increment merges delta + current view and
+  rewrites one consolidated segment — reads are single-segment scans,
+  writes cost O(view). The read-optimized shape for small dashboard
+  views.
+
+Determinism: ``sum`` states are stored as DECIMAL(30,6) (the
+plans/_parity.py recipe) — decimal addition is exact and associative,
+so ANY segmentation of the facts into batches merges to bit-identical
+totals, which is what lets a plain GROUP BY SQL oracle hash-match the
+maintained view (tested, and declared as ``kpi_revenue_by_day_ivm``).
+
+Scale: every aggregate here is partial-agg friendly (map-side combine
+collapses each input partition to |keys| rows before the shuffle); the
+merge-on-read union shuffles only segment rows — view-sized, not
+fact-sized. For very large views, bucket the segment writes on the keys
+to make the merge co-located (sinks/bucketed.py composes).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_data_platform_spark.operators.incremental import (
+    _read_meta,
+    _write_meta,
+    _write_segment,
+)
+from mini_data_platform_spark.plans._parity import DEC
+
+_AGG = "agg"
+_KINDS = {"sum", "count", "min", "max"}
+
+
+def _partial_agg(
+    df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Aggregate raw fact rows into one mergeable state row per key."""
+    aggs = []
+    for name, (kind, src) in measures.items():
+        if kind not in _KINDS:
+            raise ValueError(f"unsupported measure kind {kind!r} for {name!r}")
+        if kind == "sum":
+            aggs.append(F.sum(F.col(src).cast(DEC)).cast(DEC).alias(name))
+        elif kind == "count":
+            col = F.count("*") if src in (None, "*") else F.count(src)
+            aggs.append(col.alias(name))
+        elif kind == "min":
+            aggs.append(F.min(src).alias(name))
+        else:
+            aggs.append(F.max(src).alias(name))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def _merge_agg(
+    df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Merge partial-state rows (the same key may appear once per
+    segment): sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes."""
+    aggs = []
+    for name, (kind, _src) in measures.items():
+        if kind == "sum":
+            aggs.append(F.sum(F.col(name)).cast(DEC).alias(name))
+        elif kind == "count":
+            aggs.append(F.sum(F.col(name)).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(name).alias(name))
+        else:
+            aggs.append(F.max(name).alias(name))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def view_build(
+    df: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    mode: str = "delta",
+    batch_id: str = "batch-0",
+) -> dict:
+    """Create a maintained aggregate view over the initial facts ``df``.
+
+    ``measures`` maps output column → ``(kind, source_col)`` with kind in
+    sum/count/min/max (count's source may be ``"*"``). Returns meta.
+    """
+    if mode not in ("delta", "snapshot"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if os.path.exists(os.path.join(view_dir, "meta.json")):
+        raise ValueError(f"view already exists at {view_dir}")
+    os.makedirs(view_dir, exist_ok=True)
+    seg = "seg-0"
+    _write_segment(_partial_agg(df, keys, measures), view_dir, _AGG, seg)
+    meta = {
+        "keys": list(keys),
+        "measures": {n: list(m) for n, m in measures.items()},
+        "mode": mode,
+        "n_batches": 1,
+        "batches": [batch_id],
+        "segments": {_AGG: [seg]},
+    }
+    _write_meta(view_dir, meta)
+    return meta
+
+
+def view_increment(
+    delta: DataFrame, view_dir: str, batch_id: str | None = None
+) -> dict:
+    """Fold an append-only fact delta into the view. O(delta) in delta
+    mode (one partial aggregate, zero view reads); O(view + delta) in
+    snapshot mode (consolidating rewrite). Replaying an
+    already-committed ``batch_id`` is a no-op — retries are safe."""
+    spark = delta.sparkSession
+    meta = _read_meta(view_dir)
+    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
+    if bid in meta["batches"]:
+        return meta
+    keys = meta["keys"]
+    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+    part = _partial_agg(delta, keys, measures)
+    seg = f"seg-{meta['n_batches']}"
+    if meta["mode"] == "snapshot":
+        current = _read_segments(spark, view_dir, meta)
+        merged = _merge_agg(current.unionByName(part), keys, measures)
+        _write_segment(merged, view_dir, _AGG, seg)
+        meta["segments"][_AGG] = [seg]
+    else:
+        _write_segment(part, view_dir, _AGG, seg)
+        meta["segments"][_AGG].append(seg)
+    # COMMIT: segment dirs become visible in one atomic meta swap
+    meta["batches"].append(bid)
+    meta["n_batches"] += 1
+    _write_meta(view_dir, meta)
+    return meta
+
+
+def _read_segments(
+    spark: SparkSession, view_dir: str, meta: dict
+) -> DataFrame:
+    paths = [
+        os.path.join(view_dir, _AGG, s) for s in meta["segments"][_AGG]
+    ]
+    return spark.read.parquet(*paths)
+
+
+def view_read(
+    spark: SparkSession, view_dir: str, finalize: bool = True
+) -> DataFrame:
+    """Serve the view: merge committed segments (a view-sized shuffle,
+    never fact-sized; a compacted or snapshot view is one segment and
+    the merge collapses to a scan-shaped aggregate). ``finalize`` casts
+    decimal sum states back to DOUBLE — the user-facing schema; pass
+    False to read raw mergeable states (e.g. to union two views)."""
+    meta = _read_meta(view_dir)
+    keys = meta["keys"]
+    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+    out = _merge_agg(_read_segments(spark, view_dir, meta), keys, measures)
+    if finalize:
+        cols = [F.col(k) for k in keys]
+        for name, (kind, _src) in measures.items():
+            c = F.col(name)
+            cols.append(c.cast("double").alias(name) if kind == "sum" else c)
+        out = out.select(*cols)
+    return out
+
+
+def compact_view(spark: SparkSession, view_dir: str) -> dict:
+    """Fold a delta-mode view's segment log back to one segment: read
+    the union, merge, write a ``compact-N`` segment, commit the
+    single-entry segment list in one meta swap, then best-effort delete
+    the superseded dirs (a crash before the deletes leaves readable
+    garbage, never a wrong view)."""
+    meta = _read_meta(view_dir)
+    keys = meta["keys"]
+    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+    old = list(meta["segments"][_AGG])
+    merged = _merge_agg(_read_segments(spark, view_dir, meta), keys, measures)
+    seg = f"compact-{meta['n_batches']}"
+    _write_segment(merged, view_dir, _AGG, seg)
+    meta["segments"][_AGG] = [seg]
+    _write_meta(view_dir, meta)
+    for s in old:
+        if s != seg:
+            shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
+    return meta

@@ -133,6 +133,43 @@ def revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q1 maintained INCREMENTALLY (operators/ivm.py): the orders
+    facts arrive as three deterministic batches (o_orderkey % 3); each
+    increment folds only its delta's partial aggregate into the
+    persisted view (O(delta), zero view reads in delta mode), and the
+    serve read merges the segment log. The oracle is the plain full
+    GROUP BY — decimal sum states make the maintained totals
+    bit-identical to the recompute no matter how the facts were
+    batched, which is the IVM correctness contract."""
+    import tempfile
+
+    from mini_data_platform_spark.operators.ivm import (
+        view_build,
+        view_increment,
+        view_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    view_dir = tempfile.mkdtemp(prefix="ivm_rev_")
+    measures = {
+        "revenue": ("sum", "o_totalprice"),
+        "n_orders": ("count", "*"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    view_build(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        view_dir, ["day"], measures,
+    )
+    view_increment(orders.filter(F.col("o_orderkey") % 3 == 1), view_dir)
+    view_increment(orders.filter(F.col("o_orderkey") % 3 == 2), view_dir)
+    return view_read(spark, view_dir)
+
+
 QUERIES = {
     "kpi_revenue_by_day": revenue_by_day,
     "kpi_top_customers": top_customers,
@@ -140,6 +177,7 @@ QUERIES = {
     "kpi_rolling_7d_revenue": rolling_7d_revenue,
     "kpi_failed_events_trend": failed_events_trend,
     "kpi_revenue_by_customer": revenue_by_customer,
+    "kpi_revenue_by_day_ivm": revenue_by_day_ivm,
 }
 
 _REV = sql_dsum("o_totalprice")
@@ -198,6 +236,15 @@ ORACLE = {
     """,
     "kpi_revenue_by_customer": f"""
         SELECT o_custkey AS custkey, {_REV} AS revenue, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    # the maintained view must equal the from-scratch GROUP BY exactly,
+    # however the facts were batched — the IVM correctness contract
+    "kpi_revenue_by_day_ivm": f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_REV} AS revenue,
+               COUNT(*) AS n_orders,
+               MAX(o_totalprice) AS max_price
         FROM orders GROUP BY 1
     """,
 }

@@ -1008,6 +1008,27 @@ def emb_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dupes, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py, Abbas et al. 2023): k-means the
+    embeddings into N_CELLS clusters (one Lloyd's iteration from the
+    deterministic first-k seed — the same trained quantizer as
+    emb_ann_ivf_trained) and mark within-cell semantic duplicates at
+    COS_THRESHOLD with the min-id survivor rule. The oracle replays the
+    identical decision in SQL: the unrolled training iteration's
+    integer-quantized means make every cell assignment bit-reproducible,
+    and the cosine folds are the engine-parity doubles — so kept/dropped
+    flags hash-match exactly."""
+    from mini_data_platform_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(
+        emb, "vec_id", "embedding", k=N_CELLS, n_iter=1
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding", COS_THRESHOLD, centroids=cents
+    )
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_language_guess": doc_language_guess,
@@ -1054,6 +1075,7 @@ QUERIES = {
     "doc_source_mix": doc_source_mix,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
+    "emb_semdedup": emb_semdedup,
 }
 
 
@@ -1597,6 +1619,23 @@ ORACLE = {
                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS knn_rank
         FROM scored
         QUALIFY knn_rank <= {KNN_K}
+    """,
+    # SemDeDup: the trained-cell fragment (one unrolled Lloyd's
+    # iteration) reproduces the Spark clustering exactly; a vector is
+    # dropped iff a smaller-id SAME-CELL neighbor has cosine >= τ.
+    "emb_semdedup": f"""
+        WITH e AS ({_SQL_EMB}),
+        {_SQL_IVF_TRAINED},
+        dups AS (
+            SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+            FROM tr_cells a JOIN tr_cells b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE {_SQL_COS} >= {COS_THRESHOLD}
+            GROUP BY a.vec_id
+        )
+        SELECT c.vec_id, c.cell, d.dup_of,
+               CAST(d.dup_of IS NULL AS INT) AS kept
+        FROM tr_cells c LEFT JOIN dups d USING (vec_id)
     """,
     "emb_near_dups_exact": f"""
         WITH e AS ({_SQL_EMB})

@@ -1,0 +1,191 @@
+"""Incremental view maintenance (operators/ivm.py): batched maintenance
+must equal the from-scratch aggregate exactly, increments must be
+atomic and replay-safe, compaction must be a pure representation
+change."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators.ivm import (
+    compact_view,
+    view_build,
+    view_increment,
+    view_read,
+)
+
+MEASURES = {
+    "revenue": ("sum", "amount"),
+    "n": ("count", "*"),
+    "n_amounts": ("count", "amount"),
+    "lo": ("min", "amount"),
+    "hi": ("max", "amount"),
+}
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, amount double"
+    )
+
+
+_ROWS = [
+    ("a", 10.25), ("a", 1.50), ("b", 3.75), ("b", None),
+    ("c", 100.00), ("a", -2.25), ("b", 0.50), ("c", 7.00),
+]
+
+
+def _expected(rows):
+    out = {}
+    for k, a in rows:
+        s = out.setdefault(k, {"revenue": 0.0, "n": 0, "n_amounts": 0,
+                               "lo": None, "hi": None})
+        s["n"] += 1
+        if a is not None:
+            s["revenue"] += a
+            s["n_amounts"] += 1
+            s["lo"] = a if s["lo"] is None else min(s["lo"], a)
+            s["hi"] = a if s["hi"] is None else max(s["hi"], a)
+    return out
+
+
+def _as_dict(df):
+    return {
+        r["k"]: {c: r[c] for c in ("revenue", "n", "n_amounts", "lo", "hi")}
+        for r in df.collect()
+    }
+
+
+class TestMaintenanceEquivalence:
+    @pytest.mark.parametrize("mode", ["delta", "snapshot"])
+    def test_batched_equals_recompute(self, spark, tmpdir, mode):
+        d = str(tmpdir.join(mode))
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], MEASURES, mode=mode)
+        view_increment(_facts(spark, _ROWS[3:6]), d)
+        view_increment(_facts(spark, _ROWS[6:]), d)
+        got = _as_dict(view_read(spark, d))
+        want = _expected(_ROWS)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k]["n"] == want[k]["n"]
+            assert got[k]["n_amounts"] == want[k]["n_amounts"]
+            assert got[k]["lo"] == want[k]["lo"]
+            assert got[k]["hi"] == want[k]["hi"]
+            assert got[k]["revenue"] == pytest.approx(want[k]["revenue"], abs=1e-9)
+
+    def test_batching_invariance(self, spark, tmpdir):
+        """Any segmentation of the same facts merges to IDENTICAL bytes
+        (decimal sum states are associative) — one batch vs row-by-row."""
+        d1, d2 = str(tmpdir.join("one")), str(tmpdir.join("many"))
+        view_build(_facts(spark, _ROWS), d1, ["k"], MEASURES)
+        view_build(_facts(spark, _ROWS[:1]), d2, ["k"], MEASURES)
+        for i in range(1, len(_ROWS)):
+            view_increment(_facts(spark, _ROWS[i:i + 1]), d2)
+        a = sorted(view_read(spark, d1).collect())
+        b = sorted(view_read(spark, d2).collect())
+        assert a == b
+
+    def test_new_keys_appear_via_increment(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, [("a", 1.0)]), d, ["k"], MEASURES)
+        view_increment(_facts(spark, [("z", 5.0)]), d)
+        got = _as_dict(view_read(spark, d))
+        assert got["z"]["revenue"] == 5.0 and got["z"]["n"] == 1
+
+
+class TestCommitSemantics:
+    def test_replayed_batch_id_is_noop(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:4]), d, ["k"], MEASURES)
+        view_increment(_facts(spark, _ROWS[4:]), d, batch_id="day-2")
+        before = sorted(view_read(spark, d).collect())
+        # an at-least-once orchestrator redelivers the same batch
+        view_increment(_facts(spark, _ROWS[4:]), d, batch_id="day-2")
+        assert sorted(view_read(spark, d).collect()) == before
+
+    def test_crash_before_meta_swap_serves_old_view(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import mini_data_platform_spark.operators.ivm as ivm
+
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:4]), d, ["k"], MEASURES)
+        before = sorted(view_read(spark, d).collect())
+
+        real = ivm._write_meta
+
+        def crashing(view_dir, meta):
+            raise RuntimeError("injected crash before commit")
+
+        monkeypatch.setattr(ivm, "_write_meta", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            view_increment(_facts(spark, _ROWS[4:]), d)
+        monkeypatch.setattr(ivm, "_write_meta", real)
+
+        # orphan segment invisible: the view serves its old state
+        assert sorted(view_read(spark, d).collect()) == before
+        # plain retry lands the batch exactly once
+        view_increment(_facts(spark, _ROWS[4:]), d)
+        want = _expected(_ROWS)
+        got = _as_dict(view_read(spark, d))
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: v["n"] for k, v in want.items()
+        }
+
+    def test_build_refuses_existing(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:2]), d, ["k"], MEASURES)
+        with pytest.raises(ValueError, match="already exists"):
+            view_build(_facts(spark, _ROWS), d, ["k"], MEASURES)
+
+    def test_bad_kind_and_mode_rejected(self, spark, tmpdir):
+        with pytest.raises(ValueError, match="unknown mode"):
+            view_build(_facts(spark, _ROWS), str(tmpdir.join("m")),
+                       ["k"], MEASURES, mode="merge")
+        with pytest.raises(ValueError, match="unsupported measure kind"):
+            view_build(_facts(spark, _ROWS), str(tmpdir.join("x")),
+                       ["k"], {"m": ("median", "amount")})
+
+
+class TestCompaction:
+    def test_compact_preserves_view(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], MEASURES)
+        view_increment(_facts(spark, _ROWS[3:6]), d)
+        view_increment(_facts(spark, _ROWS[6:]), d)
+        before = sorted(view_read(spark, d).collect())
+        meta = compact_view(spark, d)
+        assert meta["segments"]["agg"] == ["compact-3"]
+        assert sorted(view_read(spark, d).collect()) == before
+        # superseded segment dirs are gone
+        assert sorted(os.listdir(os.path.join(d, "agg"))) == ["compact-3"]
+        # the log keeps accepting increments after compaction
+        view_increment(_facts(spark, [("a", 1.0)]), d)
+        got = _as_dict(view_read(spark, d))
+        assert got["a"]["n"] == _expected(_ROWS)["a"]["n"] + 1
+
+
+class TestPlanShape:
+    def test_delta_increment_never_reads_view(self, spark, tmpdir, monkeypatch):
+        """Delta-mode increments are O(delta): the plan must not touch
+        the existing segments (merge-on-read pays that at serve time)."""
+        import mini_data_platform_spark.operators.ivm as ivm
+
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:4]), d, ["k"], MEASURES)
+
+        def boom(*a, **kw):
+            raise AssertionError("delta increment read the view")
+
+        monkeypatch.setattr(ivm, "_read_segments", boom)
+        view_increment(_facts(spark, _ROWS[4:]), d)  # must not raise
+
+    def test_no_python_boundary(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS), d, ["k"], MEASURES)
+        plan = (
+            view_read(spark, d)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
