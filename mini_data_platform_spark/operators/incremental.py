@@ -145,6 +145,73 @@ def _write_meta(index_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, _META))
 
 
+def _meta_as_of(meta: dict, as_of: int | None) -> dict:
+    """TIME TRAVEL over the commit log: a meta snapshot restricted to
+    the state after the first ``as_of`` committed batches. Segment lists
+    are append-ordered, one entry per batch (plus at most one leading
+    ``compact-*`` entry covering every batch up to
+    ``meta['compacted_through']``), so an as-of state is a list PREFIX —
+    no data copies, no tombstones; history is simply which suffix you
+    ignore. Compaction collapses the batches it folds: ``as_of`` older
+    than ``compacted_through`` is gone and raises (the Delta/Iceberg
+    VACUUM-vs-time-travel trade, made explicit)."""
+    if as_of is None:
+        return meta
+    n = meta["n_batches"]
+    if not 1 <= as_of <= n:
+        raise ValueError(f"as_of must be in [1, {n}], got {as_of}")
+    if as_of == n:
+        return meta
+    ct = meta.get("compacted_through", 0)
+    if as_of < ct:
+        raise ValueError(
+            f"history before batch {ct} was compacted away; "
+            f"as_of={as_of} is not reconstructible"
+        )
+    out = dict(meta)
+    out["segments"] = {}
+    for t, segs in meta["segments"].items():
+        # per-table: a crash between compact_index's per-table swaps can
+        # leave one table compacted and another not; the leading
+        # compact-* entry is the authoritative marker
+        folded = segs and segs[0].startswith("compact-")
+        keep = 1 + (as_of - ct) if folded else as_of
+        if keep > len(segs):
+            raise ValueError(
+                f"segment log for {t!r} has {len(segs)} entries; cannot "
+                f"take {keep} (log shape does not match the batch count)"
+            )
+        out["segments"][t] = segs[:keep]
+    out["n_batches"] = as_of
+    return out
+
+
+def vacuum_index(index_dir: str) -> list[str]:
+    """Delete ORPHAN segment dirs — leftovers of crashed increments and
+    compactions whose best-effort deletes failed. Anything not in the
+    committed segment log is invisible to every reader, so removal never
+    changes any result; ``pairs/`` outputs (immutable materialized
+    results, not log segments) are untouched. Single-writer discipline
+    applies (the same contract as increments): do not vacuum while an
+    increment is mid-flight, or its not-yet-committed segments get
+    swept. Returns the removed paths."""
+    import shutil
+
+    meta = _read_meta(index_dir)
+    removed: list[str] = []
+    for table, segs in meta["segments"].items():
+        tdir = os.path.join(index_dir, table)
+        if not os.path.isdir(tdir):
+            continue
+        committed = set(segs)
+        for name in sorted(os.listdir(tdir)):
+            p = os.path.join(tdir, name)
+            if os.path.isdir(p) and name not in committed:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+    return removed
+
+
 def _segment_paths(index_dir: str, table: str, meta: dict) -> list[str]:
     """Absolute paths of ``table``'s COMMITTED segments (meta is the
     commit log: uncommitted/orphaned dirs on disk are invisible)."""
@@ -416,6 +483,7 @@ def neardup_index_increment(
 def neardup_index_lookup(
     new_docs: DataFrame,
     index_dir: str,
+    as_of: int | None = None,
 ) -> DataFrame:
     """SERVING lookup: the same verified pairs an increment would return
     for ``new_docs`` — new-vs-corpus ∪ new-vs-new — WITHOUT committing
@@ -426,8 +494,12 @@ def neardup_index_lookup(
     pinned). This is the query-path twin of ``neardup_index_increment``
     (build/commit offline, look up online), and what a latency-sensitive
     caller should run — the equivalence-proof query keeps paying the
-    build cost by design; this one measures the serving shape."""
-    meta = _read_meta(index_dir)
+    build cost by design; this one measures the serving shape.
+
+    ``as_of`` looks up against the index as it stood after that many
+    committed batches (``_meta_as_of``) — reproduce yesterday's dedup
+    decision, audit what an increment saw, or diff two index states."""
+    meta = _meta_as_of(_read_meta(index_dir), as_of)
     id_col, text_col = meta["id_col"], meta["text_col"]
     spark: SparkSession = new_docs.sparkSession
     batch = new_docs.select(
@@ -490,15 +562,17 @@ def _exact_batch_resolved(
 def exact_index_lookup(
     new_docs: DataFrame,
     index_dir: str,
+    as_of: int | None = None,
 ) -> DataFrame:
     """SERVING lookup against an exact-dedup index: the same
     (id, content_hash, dup_of) resolution ``exact_index_increment``
     returns, WITHOUT committing the batch — read-only, idempotent (the
-    same query/commit split as ``neardup_index_lookup``)."""
+    same query/commit split as ``neardup_index_lookup``, including its
+    ``as_of`` time travel)."""
     from mini_data_platform_spark.functions.text import normalize_text
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    meta = _read_meta(index_dir)
+    meta = _meta_as_of(_read_meta(index_dir), as_of)
     if meta.get("kind") != "exact":
         raise ValueError(f"{index_dir} is not an exact-dedup index")
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -746,15 +820,17 @@ def _embdup_batch_pairs(
 def embdup_index_lookup(
     new_vecs: DataFrame,
     index_dir: str,
+    as_of: int | None = None,
 ) -> DataFrame:
     """SERVING lookup against an embedding near-dup index: the same
     verified (id_a, id_b, cos_sim) pairs ``embdup_index_increment``
     returns, WITHOUT committing the batch — read-only, idempotent (the
-    same query/commit split as ``neardup_index_lookup``)."""
+    same query/commit split as ``neardup_index_lookup``, including its
+    ``as_of`` time travel)."""
     from mini_data_platform_spark.functions.vectors import l2_norm
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    meta = _read_meta(index_dir)
+    meta = _meta_as_of(_read_meta(index_dir), as_of)
     if meta.get("kind") != "embdup":
         raise ValueError(f"{index_dir} is not an embedding near-dup index")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -862,6 +938,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
         df = spark.read.parquet(*paths)
         _write_segment(df.repartition(want), index_dir, t, new_seg)
         meta["segments"][t] = [new_seg]
+        # time-travel boundary: batches folded into the compact segment
+        # are no longer reconstructible (_meta_as_of refuses them)
+        meta["compacted_through"] = meta["n_batches"]
         _write_meta(index_dir, meta)
         for seg in old_segs:
             if seg != new_seg:
@@ -872,7 +951,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
     return out
 
 
-def neardup_index_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
+def neardup_index_pairs(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> DataFrame:
     """All verified near-dup pairs WITHIN the indexed corpus AS OF NOW,
     computed from the index's own artifacts: candidate pairs from a
     self-join of the persisted band-bucket table (no re-signing of
@@ -889,8 +970,12 @@ def neardup_index_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
     returned as a parquet read (the same durability discipline as the
     increments): the returned plan is a stable snapshot — future appends
     cannot leak into it, which is what makes
-    ``index_pairs(build) ∪ increment`` safe to compose lazily."""
-    meta = _read_meta(index_dir)
+    ``index_pairs(build) ∪ increment`` safe to compose lazily.
+
+    ``as_of`` restricts to the corpus after that many committed batches
+    (the snapshot file is keyed by the as-of batch count, so snapshots
+    of different eras coexist)."""
+    meta = _meta_as_of(_read_meta(index_dir), as_of)
     threshold, shingle_n = meta["threshold"], meta["shingle_n"]
     max_bucket = meta.get("max_bucket")
     buckets = _read_table(spark, index_dir, _BUCKETS, meta)

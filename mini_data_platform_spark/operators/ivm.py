@@ -58,9 +58,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_data_platform_spark.operators.incremental import (
+    _meta_as_of,
     _read_meta,
     _write_meta,
     _write_segment,
+    vacuum_index,
 )
 from mini_data_platform_spark.plans._parity import DEC
 
@@ -179,14 +181,29 @@ def _read_segments(
 
 
 def view_read(
-    spark: SparkSession, view_dir: str, finalize: bool = True
+    spark: SparkSession,
+    view_dir: str,
+    finalize: bool = True,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Serve the view: merge committed segments (a view-sized shuffle,
     never fact-sized; a compacted or snapshot view is one segment and
     the merge collapses to a scan-shaped aggregate). ``finalize`` casts
     decimal sum states back to DOUBLE — the user-facing schema; pass
-    False to read raw mergeable states (e.g. to union two views)."""
+    False to read raw mergeable states (e.g. to union two views).
+
+    ``as_of`` serves the view as of that many committed batches — free
+    in delta mode (segments are per-batch partial states, history is a
+    log prefix; see incremental._meta_as_of). Snapshot mode consolidates
+    on every increment and therefore keeps no history."""
     meta = _read_meta(view_dir)
+    if as_of is not None:
+        if meta["mode"] == "snapshot":
+            raise ValueError(
+                "snapshot-mode views keep no history (each increment "
+                "consolidates); build with mode='delta' for time travel"
+            )
+        meta = _meta_as_of(meta, as_of)
     keys = meta["keys"]
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
     out = _merge_agg(_read_segments(spark, view_dir, meta), keys, measures)
@@ -213,8 +230,16 @@ def compact_view(spark: SparkSession, view_dir: str) -> dict:
     seg = f"compact-{meta['n_batches']}"
     _write_segment(merged, view_dir, _AGG, seg)
     meta["segments"][_AGG] = [seg]
+    # time-travel boundary, same as compact_index
+    meta["compacted_through"] = meta["n_batches"]
     _write_meta(view_dir, meta)
     for s in old:
         if s != seg:
             shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
     return meta
+
+
+def vacuum_view(view_dir: str) -> list[str]:
+    """Delete orphan (uncommitted) segment dirs — the view shares the
+    index commit-log layout, so this is incremental.vacuum_index."""
+    return vacuum_index(view_dir)

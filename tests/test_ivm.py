@@ -189,3 +189,74 @@ class TestPlanShape:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestTimeTravel:
+    def test_as_of_serves_historical_states(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], MEASURES)
+        view_increment(_facts(spark, _ROWS[3:6]), d)
+        view_increment(_facts(spark, _ROWS[6:]), d)
+        for k, upto in ((1, 3), (2, 6), (3, 8)):
+            got = _as_dict(view_read(spark, d, as_of=k))
+            want = _expected(_ROWS[:upto])
+            assert {x: v["n"] for x, v in got.items()} == {
+                x: v["n"] for x, v in want.items()
+            }, f"as_of={k}"
+            for x in want:
+                assert got[x]["revenue"] == pytest.approx(
+                    want[x]["revenue"], abs=1e-9
+                )
+        # as_of = n ≡ the default read
+        assert sorted(view_read(spark, d, as_of=3).collect()) == sorted(
+            view_read(spark, d).collect()
+        )
+
+    def test_snapshot_mode_has_no_history(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:4]), d, ["k"], MEASURES,
+                   mode="snapshot")
+        view_increment(_facts(spark, _ROWS[4:]), d)
+        with pytest.raises(ValueError, match="no history"):
+            view_read(spark, d, as_of=1)
+
+    def test_compaction_is_the_history_boundary(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], MEASURES)
+        view_increment(_facts(spark, _ROWS[3:6]), d)
+        compact_view(spark, d)
+        view_increment(_facts(spark, _ROWS[6:]), d)
+        with pytest.raises(ValueError, match="compacted"):
+            view_read(spark, d, as_of=1)
+        # post-compaction states remain addressable
+        got = _as_dict(view_read(spark, d, as_of=2))
+        want = _expected(_ROWS[:6])
+        assert {x: v["n"] for x, v in got.items()} == {
+            x: v["n"] for x, v in want.items()
+        }
+
+
+class TestVacuumView:
+    def test_vacuum_after_crash(self, spark, tmpdir, monkeypatch):
+        import mini_data_platform_spark.operators.ivm as ivm
+        from mini_data_platform_spark.operators.ivm import vacuum_view
+
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:4]), d, ["k"], MEASURES)
+        real = ivm._write_meta
+        monkeypatch.setattr(
+            ivm, "_write_meta",
+            lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
+        )
+        with pytest.raises(RuntimeError):
+            view_increment(_facts(spark, _ROWS[4:]), d)
+        monkeypatch.setattr(ivm, "_write_meta", real)
+        orphan = os.path.join(d, "agg", "seg-1")
+        assert os.path.isdir(orphan)
+        removed = vacuum_view(d)
+        assert removed == [orphan] and not os.path.exists(orphan)
+        view_increment(_facts(spark, _ROWS[4:]), d)
+        got = _as_dict(view_read(spark, d))
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: v["n"] for k, v in _expected(_ROWS).items()
+        }
