@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, functions as F
 from mini_data_platform_spark.functions.vectors import cosine
 from mini_data_platform_spark.operators.similarity import (
     ivf_assign,
+    ivf_assign_frame,
     kmeans_centroids,
 )
 
@@ -61,11 +62,17 @@ def semantic_dedup(
     threshold: float,
     k: int = 8,
     n_iter: int = 1,
-    centroids: list[tuple[int, list[float]]] | None = None,
+    centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup over ``df``: cluster into ``k`` cells (or assign to the
-    caller's ``centroids`` — pass the same list to make two runs share a
+    caller's ``centroids`` — pass the same ones to make two runs share a
     clustering), mark within-cell semantic duplicates at ``threshold``.
+
+    ``centroids`` as a list rides the plan as literals (zero-shuffle
+    assignment — right for small k); as a ``(cent_id, cvec)`` DataFrame
+    it broadcast-joins (O(1) plan size — REQUIRED for SemDeDup-scale k,
+    where thousands of cells as literals blow up codegen; see
+    ``similarity.ivf_assign_frame``). Both orders are bit-identical.
 
     Returns one row per input row: ``(id_col, cell, dup_of, kept)``
     where ``dup_of`` is the SMALLEST same-cell id with cosine >=
@@ -75,7 +82,10 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = kmeans_centroids(df, id_col, vec_col, k=k, n_iter=n_iter)
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    if isinstance(centroids, DataFrame):
+        assigned = ivf_assign_frame(df, centroids, id_col, vec_col)
+    else:
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),

@@ -393,6 +393,69 @@ def ivf_assign(
     ).select(id_col, vec_col, "nrm", F.col("_c.cent_id").alias("cell"))
 
 
+def ivf_assign_frame(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cell assignment for LARGE centroid sets: ``centroids`` is a
+    ``(cent_id, cvec)`` DataFrame, broadcast-joined to every row, argmax
+    via one ``max(struct(cos, -cent_id, cent_id))`` partial aggregate.
+
+    Why a second formulation: ``ivf_assign`` rides the k centroids as
+    PLAN LITERALS — a pure zero-shuffle projection, unbeatable for IVF's
+    k ≤ ~64, but the plan grows O(k·dim): measured at k=256/d=64 the
+    task binary passes 1 MiB and wall time triples on 5k rows, and
+    SemDeDup's regime is THOUSANDS of cells (the paper uses 50k). Here
+    the expression tree is O(1): centroids travel once per executor in
+    the broadcast, the n×k expansion is pipelined straight into the
+    map-side partial max (never shuffled — the shuffle carries one row
+    per input vector), and ``any_value`` rides the vector along.
+
+    The argmax comparison is EXACTLY ``ivf_assign``'s lexicographic
+    struct order (cos DESC, cent_id ASC) over the same sequential-fold
+    cosine doubles, so both formulations produce identical assignments
+    — pinned in tests/test_semdedup.py."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm")
+    )
+    c = centroids.select(
+        F.col("cent_id").cast("int").alias("cent_id"),
+        F.col("cvec"),
+        l2_norm(F.col("cvec")).alias("cnrm"),
+    )
+    cos = dot(F.col(vec_col), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    best = F.max(
+        F.struct(
+            cos.alias("cent_cos"),
+            (-F.col("cent_id")).alias("neg_id"),
+            F.col("cent_id").alias("cent_id"),
+        )
+    )
+    return (
+        base.join(F.broadcast(c))
+        .groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.any_value(F.col("nrm")).alias("nrm"),
+            best["cent_id"].alias("cell"),
+        )
+        .select(id_col, vec_col, "nrm", "cell")
+    )
+
+
+def centroids_to_frame(
+    spark, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Lift a centroid list into the ``(cent_id, cvec)`` frame
+    ``ivf_assign_frame`` takes."""
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cent_id int, cvec array<double>",
+    )
+
+
 #: centroid quantization factor (2^20). Powers of two make x*Q and /Q
 #: EXACT IEEE operations, so the quantize-sum-divide mean below is
 #: bit-deterministic in any engine and under any aggregation order.

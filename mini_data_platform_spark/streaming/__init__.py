@@ -1,5 +1,6 @@
 from mini_data_platform_spark.streaming.heavyhitters import heavy_hitters_stream
 from mini_data_platform_spark.streaming.ingest import start_streaming_ingest
+from mini_data_platform_spark.streaming.ivm import maintain_view_stream
 from mini_data_platform_spark.streaming.neardup import near_dup_candidates_stream
 from mini_data_platform_spark.streaming.run import run_available_now
 from mini_data_platform_spark.streaming.windows import (
@@ -19,5 +20,6 @@ __all__ = [
     "dedup_stream",
     "near_dup_candidates_stream",
     "heavy_hitters_stream",
+    "maintain_view_stream",
     "run_available_now",
 ]

@@ -1,0 +1,59 @@
+"""Streaming maintenance of IVM views: exactly-once keyed aggregates.
+
+``foreachBatch`` is Spark's transactional escape hatch for sinks without
+native streaming support — but it is only AT-LEAST-ONCE: a crashed
+micro-batch is replayed under the SAME epoch id. The IVM store
+(operators/ivm.py) turns that into exactly-once for free, because
+``view_increment`` is idempotent per batch id:
+
+- first attempt committed, replay arrives  → batch id already in the
+  commit log, no-op;
+- first attempt crashed before the meta swap → orphan segment dir,
+  replay overwrites it and commits once.
+
+So ``epoch-{epoch_id}`` as the batch id is the whole protocol — the
+same idempotence contract the keyed JDBC upsert (sinks/upsert.py) uses
+for the reference pipeline's restart safety, applied to aggregate
+state. This closes the loop with the batch side: a view bootstrapped
+from historical facts (``view_build``) keeps itself current from the
+stream, and the serving read (``view_read``) is identical either way —
+the batch/streaming unification the near-dup bridge
+(streaming/neardup.py) established for dedup state, here for KPIs.
+
+Scale: each micro-batch costs one partial aggregate of the batch
+(O(micro-batch), map-side combined) + one segment write; nothing reads
+or rewrites the view on the hot path (delta mode). Run
+``compact_view`` periodically from a maintenance job to fold the
+segment log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from mini_data_platform_spark.operators.ivm import view_increment
+
+
+def maintain_view_stream(
+    facts: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Keep the (already-built) view at ``view_dir`` current from the
+    streaming ``facts`` frame. Exactly-once under micro-batch replays —
+    the epoch id is the commit-log batch id. ``available_now=True``
+    drains what's there and stops (the one-shot/batch-parity mode)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        view_increment(batch, view_dir, batch_id=f"epoch-{epoch_id}")
+
+    writer = (
+        facts.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

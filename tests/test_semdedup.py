@@ -134,3 +134,73 @@ class TestSemanticDedupPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestFrameAssignment:
+    def test_frame_path_identical_to_literal_path(self, spark):
+        """ivf_assign_frame (broadcast-join argmax, the large-k path)
+        must produce bit-identical assignments and dedup decisions to
+        the literal-centroid projection."""
+        import random
+
+        from mini_data_platform_spark.operators.similarity import (
+            centroids_to_frame,
+            ivf_assign,
+            ivf_assign_frame,
+        )
+        from pyspark.sql import functions as F
+
+        random.seed(11)
+        d = 16
+        df = spark.range(0, 400).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) - 0.5 for i in range(d)]).alias(
+                "embedding"
+            ),
+        )
+        cents = [
+            (i, [random.random() - 0.5 for _ in range(d)]) for i in range(24)
+        ]
+        lit = {
+            r["vec_id"]: r["cell"]
+            for r in ivf_assign(df, cents, "vec_id", "embedding").collect()
+        }
+        frame = {
+            r["vec_id"]: r["cell"]
+            for r in ivf_assign_frame(
+                df, centroids_to_frame(spark, cents), "vec_id", "embedding"
+            ).collect()
+        }
+        assert lit == frame
+        # and end-to-end through semantic_dedup
+        a = sorted(
+            semantic_dedup(
+                df, "vec_id", "embedding", 0.8, centroids=cents
+            ).collect()
+        )
+        b = sorted(
+            semantic_dedup(
+                df, "vec_id", "embedding", 0.8,
+                centroids=centroids_to_frame(spark, cents),
+            ).collect()
+        )
+        assert a == b
+
+    def test_frame_path_no_python_and_broadcast(self, spark):
+        from mini_data_platform_spark.operators.similarity import (
+            centroids_to_frame,
+            ivf_assign_frame,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 50).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+        )
+        cents = centroids_to_frame(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+        plan = (
+            ivf_assign_frame(df, cents, "vec_id", "embedding")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
+        assert "Broadcast" in plan

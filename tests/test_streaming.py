@@ -665,3 +665,87 @@ class TestNearDupBridge:
         b3p = pairs(neardup_index_increment(b3, idx_b))
         assert a2 == b2p
         assert a3 == b3p
+
+
+class TestStreamingViewMaintenance:
+    """streaming/ivm.py: a view bootstrapped in batch stays current from
+    a stream, exactly-once across checkpointed restarts."""
+
+    MEASURES = {
+        "revenue": ("sum", "amount"),
+        "n": ("count", "*"),
+        "hi": ("max", "amount"),
+    }
+
+    def _facts(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, amount double")
+
+    def test_stream_equals_batch_aggregate(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            view_build,
+            view_read,
+        )
+        from mini_data_platform_spark.streaming.ivm import (
+            maintain_view_stream,
+        )
+
+        hist = [("a", 1.0), ("b", 2.0)]
+        live1 = [("a", 3.5), ("c", 10.0)]
+        live2 = [("b", 0.5), ("c", 1.0), ("a", -1.0)]
+
+        view_dir = str(tmp_path / "view")
+        view_build(self._facts(spark, hist), view_dir, ["k"], self.MEASURES)
+
+        src = str(tmp_path / "facts")
+        ckpt = str(tmp_path / "ckpt")
+        self._facts(spark, live1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k string, amount double").parquet(src)
+        q = maintain_view_stream(stream, view_dir, ckpt, available_now=True)
+        q.awaitTermination(180)
+
+        got = {
+            r["k"]: (r["revenue"], r["n"], r["hi"])
+            for r in view_read(spark, view_dir).collect()
+        }
+        assert got == {
+            "a": (4.5, 2, 3.5), "b": (2.0, 1, 2.0), "c": (10.0, 1, 10.0)
+        }
+
+        # restart from the checkpoint with MORE files: only the new
+        # files apply (processed epochs are not re-applied — the
+        # batch-id guard would also swallow them if they were)
+        self._facts(spark, live2).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(
+            "k string, amount double"
+        ).parquet(src)
+        q2 = maintain_view_stream(stream2, view_dir, ckpt, available_now=True)
+        q2.awaitTermination(180)
+
+        got2 = {
+            r["k"]: (r["revenue"], r["n"], r["hi"])
+            for r in view_read(spark, view_dir).collect()
+        }
+        assert got2 == {
+            "a": (3.5, 3, 3.5), "b": (2.5, 2, 2.0), "c": (11.0, 2, 10.0)
+        }
+
+    def test_replayed_epoch_applies_once(self, spark, tmp_path):
+        """Simulate Spark replaying a crashed micro-batch: the same
+        epoch id delivered twice lands once (the foreachBatch
+        at-least-once → exactly-once upgrade)."""
+        from mini_data_platform_spark.operators.ivm import (
+            view_build,
+            view_read,
+        )
+        from mini_data_platform_spark.operators import ivm
+
+        view_dir = str(tmp_path / "view")
+        view_build(
+            self._facts(spark, [("a", 1.0)]), view_dir, ["k"], self.MEASURES
+        )
+        batch = self._facts(spark, [("a", 2.0)])
+        # what maintain_view_stream's process() does, twice with one id
+        ivm.view_increment(batch, view_dir, batch_id="epoch-7")
+        ivm.view_increment(batch, view_dir, batch_id="epoch-7")
+        got = {r["k"]: r["n"] for r in view_read(spark, view_dir).collect()}
+        assert got == {"a": 2}
