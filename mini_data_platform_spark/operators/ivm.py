@@ -24,6 +24,11 @@ dir readers never see, and a retried increment overwrites it — the same
 exactly-once contract, plus explicit ``batch_id`` replay protection
 (an already-committed batch id is a no-op, so an at-least-once
 orchestrator like the reference's Airflow retries can call blindly).
+Single-WRITER discipline, like the indexes: the meta read-modify-write
+is not a CAS, so two concurrent increments can drop one commit —
+serialize writers (the reference's ``max_active_runs=1`` shape);
+readers are unrestricted (they pin the committed snapshot their meta
+read saw).
 
 Two maintenance shapes, both exact:
 - ``mode="delta"`` (default): each increment APPENDS its delta's

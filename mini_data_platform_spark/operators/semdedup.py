@@ -80,12 +80,20 @@ def semantic_dedup(
     curation keeps ``kept = 1`` — exactly the D2 survivor contract,
     lifted to semantic space.
     """
+    from mini_data_platform_spark.operators.resources import attach_plan
+
     if centroids is None:
         centroids = kmeans_centroids(df, id_col, vec_col, k=k, n_iter=n_iter)
     if isinstance(centroids, DataFrame):
         assigned = ivf_assign_frame(df, centroids, id_col, vec_col)
     else:
         assigned = ivf_assign(df, centroids, id_col, vec_col)
+    # the assignment feeds both self-join sides AND the final projection;
+    # unpersisted, Spark would recompute the n×k scoring pass three times
+    # (measured 3× at 105k×256 — no ReusedExchange across the differently
+    # aliased branches). Standard operator contract: persist + attach,
+    # action-runner releases.
+    assigned = assigned.persist()
     a = assigned.select(
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),
@@ -108,7 +116,7 @@ def semantic_dedup(
         .groupBy(F.col("_id_a").alias(id_col))
         .agg(F.min("_id_b").alias("dup_of"))
     )
-    return (
+    out = (
         assigned.select(id_col, "cell")
         .join(dup_of, id_col, "left")
         .select(
@@ -118,3 +126,4 @@ def semantic_dedup(
             F.col("dup_of").isNull().cast("int").alias("kept"),
         )
     )
+    return attach_plan(out, assigned)
