@@ -175,6 +175,16 @@ def _meta_as_of(meta: dict, as_of: int | None) -> dict:
         # leave one table compacted and another not; the leading
         # compact-* entry is the authoritative marker
         folded = segs and segs[0].startswith("compact-")
+        if folded and ct == 0:
+            # compacted by a pre-`compacted_through` version of this
+            # module: the fold boundary is unrecorded, so NO historical
+            # state is reconstructible — refuse rather than guess and
+            # silently serve the wrong corpus
+            raise ValueError(
+                f"{t!r} was compacted without a recorded boundary; "
+                "history is not reconstructible (re-run compaction with "
+                "this version to record it)"
+            )
         keep = 1 + (as_of - ct) if folded else as_of
         if keep > len(segs):
             raise ValueError(

@@ -26,9 +26,14 @@ exactly-once contract, plus explicit ``batch_id`` replay protection
 orchestrator like the reference's Airflow retries can call blindly).
 Single-WRITER discipline, like the indexes: the meta read-modify-write
 is not a CAS, so two concurrent increments can drop one commit —
-serialize writers (the reference's ``max_active_runs=1`` shape);
-readers are unrestricted (they pin the committed snapshot their meta
-read saw).
+serialize writers (the reference's ``max_active_runs=1`` shape).
+Readers are unrestricted against DELTA increments (appends never touch
+existing segments; a reader's lazy plan over its pinned meta stays
+valid), but operations that DELETE superseded dirs — ``compact_view``
+and snapshot-mode increments — can invalidate an in-flight reader's
+plan between its meta read and its action (FileNotFound on collect):
+run those in a maintenance window, or on object storage lean on
+delayed deletion (the Delta VACUUM retention-period pattern).
 
 Two maintenance shapes, both exact:
 - ``mode="delta"`` (default): each increment APPENDS its delta's
@@ -161,10 +166,12 @@ def view_increment(
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
     part = _partial_agg(delta, keys, measures)
     seg = f"seg-{meta['n_batches']}"
+    superseded: list[str] = []
     if meta["mode"] == "snapshot":
         current = _read_segments(spark, view_dir, meta)
         merged = _merge_agg(current.unionByName(part), keys, measures)
         _write_segment(merged, view_dir, _AGG, seg)
+        superseded = [s for s in meta["segments"][_AGG] if s != seg]
         meta["segments"][_AGG] = [seg]
     else:
         _write_segment(part, view_dir, _AGG, seg)
@@ -173,6 +180,12 @@ def view_increment(
     meta["batches"].append(bid)
     meta["n_batches"] += 1
     _write_meta(view_dir, meta)
+    # snapshot mode: best-effort delete of the superseded consolidated
+    # copy AFTER the swap (otherwise each refresh leaks a full view
+    # copy) — the same post-commit delete compact_view does, with the
+    # same maintenance-window caveat (module docstring)
+    for s in superseded:
+        shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
     return meta
 
 

@@ -416,10 +416,13 @@ def ivf_assign_frame(
     The argmax comparison is EXACTLY ``ivf_assign``'s lexicographic
     struct order (cos DESC, cent_id ASC) over the same sequential-fold
     cosine doubles, so both formulations produce identical assignments
-    — pinned in tests/test_semdedup.py."""
+    — pinned in tests/test_semdedup.py. Row-faithful like the
+    projection: the aggregation groups on a per-row surrogate (not
+    ``id_col``), so duplicate — or null — ids still yield one output
+    row each instead of being silently merged."""
     base = df.select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm")
-    )
+    ).withColumn("_row", F.monotonically_increasing_id())
     c = centroids.select(
         F.col("cent_id").cast("int").alias("cent_id"),
         F.col("cvec"),
@@ -435,8 +438,9 @@ def ivf_assign_frame(
     )
     return (
         base.join(F.broadcast(c))
-        .groupBy(id_col)
+        .groupBy("_row")
         .agg(
+            F.any_value(F.col(id_col)).alias(id_col),
             F.any_value(F.col(vec_col)).alias(vec_col),
             F.any_value(F.col("nrm")).alias("nrm"),
             best["cent_id"].alias("cell"),

@@ -141,7 +141,14 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve read merges the segment log. The oracle is the plain full
     GROUP BY — decimal sum states make the maintained totals
     bit-identical to the recompute no matter how the facts were
-    batched, which is the IVM correctness contract."""
+    batched, which is the IVM correctness contract.
+
+    The scratch view lives at ONE per-process path (rebuilt wholesale
+    each invocation, removed at exit) — repeated bench/driver runs must
+    not accumulate orphan view dirs in the temp root."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     from mini_data_platform_spark.operators.ivm import (
@@ -155,7 +162,11 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    view_dir = tempfile.mkdtemp(prefix="ivm_rev_")
+    view_dir = os.path.join(
+        tempfile.gettempdir(), f"mdp_ivmview_{os.getpid()}"
+    )
+    shutil.rmtree(view_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, view_dir, ignore_errors=True)
     measures = {
         "revenue": ("sum", "o_totalprice"),
         "n_orders": ("count", "*"),

@@ -29,6 +29,8 @@ segment log.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -43,11 +45,25 @@ def maintain_view_stream(
 ) -> StreamingQuery:
     """Keep the (already-built) view at ``view_dir`` current from the
     streaming ``facts`` frame. Exactly-once under micro-batch replays —
-    the epoch id is the commit-log batch id. ``available_now=True``
-    drains what's there and stops (the one-shot/batch-parity mode)."""
+    the commit-log batch id is ``{checkpoint-identity}-{epoch_id}``, so
+    a replay of the SAME checkpoint's epoch no-ops while a NEW
+    checkpoint (whose epoch counter restarts at 0) gets a fresh id
+    space and its batches land. The one unsupported move is wiping a
+    checkpoint dir but reusing its exact path: the restarted epoch 0
+    collides with the old epoch 0 and is swallowed — migrate to a fresh
+    checkpoint path instead (cheap; the view itself carries the state).
+    ``available_now=True`` drains what's there and stops (the
+    one-shot/batch-parity mode)."""
+    import hashlib
+
+    ckpt_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        view_increment(batch, view_dir, batch_id=f"epoch-{epoch_id}")
+        view_increment(
+            batch, view_dir, batch_id=f"epoch-{ckpt_key}-{epoch_id}"
+        )
 
     writer = (
         facts.writeStream.foreachBatch(process)

@@ -260,3 +260,39 @@ class TestVacuumView:
         assert {k: v["n"] for k, v in got.items()} == {
             k: v["n"] for k, v in _expected(_ROWS).items()
         }
+
+
+class TestReviewRegressions:
+    def test_snapshot_increment_removes_superseded_copy(self, spark, tmpdir):
+        """Snapshot mode must not leak one full view copy per refresh."""
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], MEASURES,
+                   mode="snapshot")
+        view_increment(_facts(spark, _ROWS[3:6]), d)
+        view_increment(_facts(spark, _ROWS[6:]), d)
+        assert sorted(os.listdir(os.path.join(d, "agg"))) == ["seg-2"]
+        got = _as_dict(view_read(spark, d))
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: v["n"] for k, v in _expected(_ROWS).items()
+        }
+
+    def test_pre_versioned_compaction_refuses_time_travel(self, spark, tmpdir):
+        """A leading compact-* segment with no recorded boundary (an
+        index compacted by the pre-round-8 code) must refuse as_of
+        rather than silently serve the wrong state."""
+        import json
+
+        from mini_data_platform_spark.operators.incremental import (
+            _meta_as_of,
+        )
+
+        meta = {
+            "n_batches": 3,
+            "segments": {"agg": ["compact-2", "seg-2"]},
+        }
+        with pytest.raises(ValueError, match="without a recorded boundary"):
+            _meta_as_of(meta, 1)
+        with pytest.raises(ValueError, match="without a recorded boundary"):
+            _meta_as_of(meta, 2)
+        # as_of == n short-circuits (current state is always readable)
+        assert _meta_as_of(meta, 3) is meta

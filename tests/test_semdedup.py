@@ -204,3 +204,36 @@ class TestFrameAssignment:
         )
         assert "EvalPython" not in plan
         assert "Broadcast" in plan
+
+
+class TestDuplicateIds:
+    def test_frame_path_row_faithful_under_duplicate_ids(self, spark):
+        """Duplicate ids must yield one output row each on BOTH
+        assignment paths (the frame path groups on a per-row surrogate,
+        never on the id)."""
+        from mini_data_platform_spark.operators.similarity import (
+            centroids_to_frame,
+            ivf_assign,
+            ivf_assign_frame,
+        )
+
+        rows = [
+            (7, [1.0, 0.0]),
+            (7, [0.0, 1.0]),   # same id, different vector/cell
+            (8, [1.0, 0.1]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        lit = sorted(
+            (r["vec_id"], r["cell"])
+            for r in ivf_assign(df, cents, "vec_id", "embedding").collect()
+        )
+        frame = sorted(
+            (r["vec_id"], r["cell"])
+            for r in ivf_assign_frame(
+                df, centroids_to_frame(spark, cents), "vec_id", "embedding"
+            ).collect()
+        )
+        assert lit == frame == [(7, 0), (7, 1), (8, 0)]

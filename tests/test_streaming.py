@@ -749,3 +749,38 @@ class TestStreamingViewMaintenance:
         ivm.view_increment(batch, view_dir, batch_id="epoch-7")
         got = {r["k"]: r["n"] for r in view_read(spark, view_dir).collect()}
         assert got == {"a": 2}
+
+    def test_fresh_checkpoint_gets_fresh_id_space(self, spark, tmp_path):
+        """A NEW checkpoint dir restarts Spark's epoch counter at 0; its
+        batches must land instead of colliding with the old checkpoint's
+        epoch-0 commit (batch ids are keyed by checkpoint identity)."""
+        from mini_data_platform_spark.operators.ivm import (
+            view_build,
+            view_read,
+        )
+        from mini_data_platform_spark.streaming.ivm import (
+            maintain_view_stream,
+        )
+
+        view_dir = str(tmp_path / "view")
+        view_build(
+            self._facts(spark, [("a", 1.0)]), view_dir, ["k"], self.MEASURES
+        )
+        src1 = str(tmp_path / "s1")
+        self._facts(spark, [("a", 2.0)]).write.parquet(src1)
+        q = maintain_view_stream(
+            spark.readStream.schema("k string, amount double").parquet(src1),
+            view_dir, str(tmp_path / "ckpt1"), available_now=True,
+        )
+        q.awaitTermination(180)
+        # second PIPELINE: different source, FRESH checkpoint — its
+        # epoch 0 must not be swallowed
+        src2 = str(tmp_path / "s2")
+        self._facts(spark, [("a", 4.0)]).write.parquet(src2)
+        q2 = maintain_view_stream(
+            spark.readStream.schema("k string, amount double").parquet(src2),
+            view_dir, str(tmp_path / "ckpt2"), available_now=True,
+        )
+        q2.awaitTermination(180)
+        got = {r["k"]: r["n"] for r in view_read(spark, view_dir).collect()}
+        assert got == {"a": 3}
