@@ -66,3 +66,46 @@ def salted_agg(
         .agg(*partial_cols)
     )
     return partial.groupBy(*keys).agg(*merge_cols)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed fact-dim equi-join without broadcast: each FACT row gets
+    one random salt, the DIM side is replicated across all ``n_salts``,
+    and the join runs on ``keys + [_salt]`` — a hot fact key's rows
+    spread over ``n_salts`` reducers instead of funneling into one.
+    Result ≡ ``facts.join(dim, keys, how)`` exactly (every fact row
+    still meets every matching dim row, under exactly one salt).
+
+    When to use: the dim side is too big to broadcast (else broadcast
+    and there is no shuffle to skew) AND AQE's skew-join splitting is
+    unavailable or defeated (e.g. the skew hides behind an exchange
+    reuse, or the engine is pinned pre-AQE). The price is shuffling
+    ``n_salts×`` the dim side — right when facts ≫ dim, wrong when the
+    sides are comparable. AQE remains the first resort; this is the
+    explicit dial (same doctrine as ``salted_agg`` vs map-side combine).
+
+    ``how``: 'inner' or 'left' (fact-preserving). Dim-preserving joins
+    ('right'/'full') would need the REPLICATED dim deduped back —
+    unsupported rather than subtly wrong.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = set(facts.columns) & set(dim.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; "
+            "rename before joining (salting cannot disambiguate them)"
+        )
+    f = facts.withColumn(
+        "_salt", (F.rand(seed=0) * n_salts).cast("int")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [*keys, "_salt"], how).drop("_salt")

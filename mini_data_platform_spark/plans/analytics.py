@@ -359,6 +359,29 @@ def events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_purchase_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-dim equi-join through the SALTED join
+    (operators/skew.salted_join): purchase events (fact side, power-law
+    user keys) joined to the customer dim replicated across 8 salts —
+    each hot user's rows spread over 8 reducers instead of one. The
+    plain-join SQL oracle proves the salt never changes the result
+    (every fact row meets every matching dim row under exactly one
+    salt); salted_agg is the aggregate half of the same doctrine."""
+    from mini_data_platform_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("custkey"), "value"
+    )
+    dim = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return salted_join(facts, dim, ["custkey"], n_salts=8)
+
+
 def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT operator: order counts per status × priority as a wide matrix.
     The pivot value list is explicit (TPC-H's five fixed priorities), so no
@@ -894,6 +917,7 @@ QUERIES = {
     "orders_dq_report": orders_dq_report,
     "events_distinct_users": events_distinct_users,
     "events_user_stats_salted": events_user_stats_salted,
+    "events_purchase_join_salted": events_purchase_join_salted,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_json_value": events_json_value,
@@ -1231,6 +1255,13 @@ ORACLE = {
                COUNT(*) AS n_events,
                {sql_dsum('value')} AS total_value
         FROM events GROUP BY 1
+    """,
+    # salting must be invisible in the result: the oracle is the PLAIN join
+    "events_purchase_join_salted": """
+        SELECT e.event_id, e.user_id AS custkey, e.value,
+               c.c_name AS name, c.c_nationkey AS nationkey
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
     """,
     "events_hourly": f"""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

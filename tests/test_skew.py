@@ -59,3 +59,49 @@ class TestSaltedAgg:
         df = self._skewed(spark)
         out = salted_agg(df, ["k"], {"n": ("count", "*")}, n_salts=4)
         assert count_exchanges(out) == 2
+
+
+class TestSaltedJoin:
+    def _sides(self, spark):
+        facts = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(200)] + [(999, 7, 1.0)],
+            "event_id long, k long, v double",
+        )  # k=7 has no dim match
+        dim = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "k long, name string"
+        )
+        return facts, dim
+
+    def test_inner_equals_plain_join(self, spark):
+        from mini_data_platform_spark.operators.skew import salted_join
+
+        facts, dim = self._sides(spark)
+        got = sorted(
+            salted_join(facts, dim, ["k"], n_salts=5).collect(),
+            key=lambda r: r["event_id"],
+        )
+        want = sorted(
+            facts.join(dim, ["k"]).collect(), key=lambda r: r["event_id"]
+        )
+        assert [tuple(sorted(r.asDict().items())) for r in got] == [
+            tuple(sorted(r.asDict().items())) for r in want
+        ]
+
+    def test_left_preserves_unmatched_facts(self, spark):
+        from mini_data_platform_spark.operators.skew import salted_join
+
+        facts, dim = self._sides(spark)
+        got = salted_join(facts, dim, ["k"], n_salts=4, how="left")
+        rows = {r["event_id"]: r["name"] for r in got.collect()}
+        assert len(rows) == 201  # every fact row exactly once
+        assert rows[999] is None  # unmatched key survives as null
+
+    def test_guards(self, spark):
+        from mini_data_platform_spark.operators.skew import salted_join
+
+        facts, dim = self._sides(spark)
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(facts, dim, ["k"], how="right")
+        clash = dim.withColumnRenamed("name", "v")  # collides with facts.v
+        with pytest.raises(ValueError, match="both sides"):
+            salted_join(facts, clash, ["k"])
