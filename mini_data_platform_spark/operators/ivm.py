@@ -11,10 +11,11 @@ the NEW rows only and merge into the persisted view.
 Restricted, deliberately, to the self-mergeable aggregate algebra —
 ``sum`` / ``count`` / ``min`` / ``max`` (avg = sum/count at read) —
 whose merge is the same operation on partial states, so maintenance
-needs no base-table access at all. Deletions/updates would need
-retraction support (sum/count subtract fine; min/max do NOT without the
-base table); this module is append-only by contract, matching the
-library's ingest model (files land, rows append).
+needs no base-table access at all. ``view_increment`` is append-only;
+``view_apply_changes`` additionally accepts CDC-style ±1-tagged change
+batches (the Z-set algebra — what a keyed UPSERT emits as
+delete-old/insert-new) for views whose measures all retract
+(sum/count; min/max do NOT without the base table and are refused).
 
 Storage = the commit-log layout of operators/incremental.py: per-batch
 parquet segment dirs under ``<view>/agg/<segment>/``, registered in
@@ -225,6 +226,17 @@ def view_read(
     keys = meta["keys"]
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
     out = _merge_agg(_read_segments(spark, view_dir, meta), keys, measures)
+    # CDC multiplicity: a group whose count(*) retracted to zero has
+    # been fully deleted and must vanish (a no-op filter for append-only
+    # views, where every group's count is >= 1). Views maintained via
+    # view_apply_changes should carry a count(*) measure for exactly
+    # this reason — without one, fully-deleted groups linger as zeros.
+    star = [
+        n for n, (kind, src) in measures.items()
+        if kind == "count" and src in (None, "*")
+    ]
+    if star:
+        out = out.filter(F.col(star[0]) > 0)
     if finalize:
         cols = [F.col(k) for k in keys]
         for name, (kind, _src) in measures.items():
@@ -232,6 +244,75 @@ def view_read(
             cols.append(c.cast("double").alias(name) if kind == "sum" else c)
         out = out.select(*cols)
     return out
+
+
+def view_apply_changes(
+    changes: DataFrame, view_dir: str, batch_id: str | None = None
+) -> dict:
+    """Fold a CHANGE batch — rows tagged ``_op`` = +1 (insert) / -1
+    (delete) — into the view: the Z-set/CDC algebra (each measure's
+    partial state is the signed sum of its per-row contributions), which
+    is what maintaining a view over the reference pipeline's keyed
+    UPSERT takes: re-ingesting a sale emits (-1 old row, +1 new row),
+    an aggregate-eligible retraction.
+
+    Only ``sum`` and ``count`` measures retract (their states form a
+    group: x + (-x) = 0). ``min``/``max`` do NOT — deleting the current
+    minimum needs the base table to find the runner-up — so a view with
+    min/max measures REFUSES change batches rather than corrupting
+    state; keep such views append-only or recompute them.
+
+    Keys whose counts retract to zero are dropped at serve time (a
+    fully-deleted group must vanish, not linger as a zero row).
+    Same O(delta) segment append, commit, and ``batch_id`` replay
+    contract as :func:`view_increment`."""
+    meta = _read_meta(view_dir)
+    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+    bad = [n for n, (kind, _s) in measures.items() if kind in ("min", "max")]
+    if bad:
+        raise ValueError(
+            f"measures {bad} are min/max — not retractable without the "
+            "base table; this view cannot accept change batches"
+        )
+    if "_op" not in changes.columns:
+        raise ValueError("change batches need an _op column (+1/-1)")
+    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
+    if bid in meta["batches"]:
+        return meta
+    keys = meta["keys"]
+    op = F.col("_op").cast("int")
+    aggs = []
+    for name, (kind, src) in measures.items():
+        if kind == "sum":
+            aggs.append(
+                F.sum(op.cast(DEC) * F.col(src).cast(DEC)).cast(DEC).alias(name)
+            )
+        else:  # count: signed count of rows (or of non-null src)
+            contrib = (
+                op
+                if src in (None, "*")
+                else F.when(F.col(src).isNotNull(), op).otherwise(F.lit(0))
+            )
+            aggs.append(F.sum(contrib).cast("long").alias(name))
+    part = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    seg = f"seg-{meta['n_batches']}"
+    if meta["mode"] == "snapshot":
+        spark = changes.sparkSession
+        current = _read_segments(spark, view_dir, meta)
+        merged = _merge_agg(current.unionByName(part), keys, measures)
+        _write_segment(merged, view_dir, _AGG, seg)
+        superseded = [s for s in meta["segments"][_AGG] if s != seg]
+        meta["segments"][_AGG] = [seg]
+    else:
+        _write_segment(part, view_dir, _AGG, seg)
+        meta["segments"][_AGG].append(seg)
+        superseded = []
+    meta["batches"].append(bid)
+    meta["n_batches"] += 1
+    _write_meta(view_dir, meta)
+    for s in superseded:
+        shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
+    return meta
 
 
 def compact_view(spark: SparkSession, view_dir: str) -> dict:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from mini_data_platform_spark.operators.ivm import (
     compact_view,
+    view_apply_changes,
     view_build,
     view_increment,
     view_read,
@@ -296,3 +297,89 @@ class TestReviewRegressions:
             _meta_as_of(meta, 2)
         # as_of == n short-circuits (current state is always readable)
         assert _meta_as_of(meta, 3) is meta
+
+
+CDC_MEASURES = {
+    "revenue": ("sum", "amount"),
+    "n": ("count", "*"),
+    "n_amounts": ("count", "amount"),
+}
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k string, amount double, _op int")
+
+
+class TestApplyChanges:
+    def test_upsert_as_delete_insert_equals_recompute(self, spark, tmpdir):
+        """The reference-pipeline shape: a keyed upsert re-ingests a row
+        with a new amount — the view gets (-1 old, +1 new) and must land
+        on the recompute of the FINAL state."""
+        d = str(tmpdir)
+        view_build(
+            _facts(spark, [("a", 10.0), ("a", 2.0), ("b", 5.0)]),
+            d, ["k"], CDC_MEASURES,
+        )
+        # upsert: the ("a", 2.0) sale is corrected to ("a", 7.5)
+        view_apply_changes(
+            _changes(spark, [("a", 2.0, -1), ("a", 7.5, 1)]), d
+        )
+        got = _as_dict_cdc(view_read(spark, d))
+        assert got == {
+            "a": {"revenue": 17.5, "n": 2, "n_amounts": 2},
+            "b": {"revenue": 5.0, "n": 1, "n_amounts": 1},
+        }
+
+    def test_full_deletion_drops_the_group(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(
+            _facts(spark, [("a", 1.0), ("b", 5.0)]), d, ["k"], CDC_MEASURES
+        )
+        view_apply_changes(_changes(spark, [("b", 5.0, -1)]), d)
+        got = _as_dict_cdc(view_read(spark, d))
+        assert set(got) == {"a"}  # b retracted to zero: vanished
+
+    def test_null_amount_counts_match_semantics(self, spark, tmpdir):
+        """Deleting a null-amount row decrements n but not n_amounts —
+        signed counts must mirror count(*) vs count(col)."""
+        d = str(tmpdir)
+        view_build(
+            _facts(spark, [("a", 1.0), ("a", None)]), d, ["k"], CDC_MEASURES
+        )
+        view_apply_changes(_changes(spark, [("a", None, -1)]), d)
+        got = _as_dict_cdc(view_read(spark, d))
+        assert got == {"a": {"revenue": 1.0, "n": 1, "n_amounts": 1}}
+
+    def test_minmax_views_refuse_changes(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], MEASURES)  # has lo/hi
+        with pytest.raises(ValueError, match="not retractable"):
+            view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+
+    def test_missing_op_column_rejected(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], CDC_MEASURES)
+        with pytest.raises(ValueError, match="_op"):
+            view_apply_changes(_facts(spark, [("a", 1.0)]), d)
+
+    def test_replay_and_mixed_with_increments(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, [("a", 1.0)]), d, ["k"], CDC_MEASURES)
+        view_apply_changes(
+            _changes(spark, [("a", 1.0, -1), ("a", 3.0, 1)]), d,
+            batch_id="fix-1",
+        )
+        view_apply_changes(  # replay: must be a no-op
+            _changes(spark, [("a", 1.0, -1), ("a", 3.0, 1)]), d,
+            batch_id="fix-1",
+        )
+        view_increment(_facts(spark, [("a", 4.0)]), d)  # plain append mixes
+        got = _as_dict_cdc(view_read(spark, d))
+        assert got == {"a": {"revenue": 7.0, "n": 2, "n_amounts": 2}}
+
+
+def _as_dict_cdc(df):
+    return {
+        r["k"]: {c: r[c] for c in ("revenue", "n", "n_amounts")}
+        for r in df.collect()
+    }
