@@ -42,6 +42,7 @@ def maintain_view_stream(
     view_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    changes: bool = False,
 ) -> StreamingQuery:
     """Keep the (already-built) view at ``view_dir`` current from the
     streaming ``facts`` frame. Exactly-once under micro-batch replays —
@@ -53,17 +54,24 @@ def maintain_view_stream(
     collides with the old epoch 0 and is swallowed — migrate to a fresh
     checkpoint path instead (cheap; the view itself carries the state).
     ``available_now=True`` drains what's there and stops (the
-    one-shot/batch-parity mode)."""
+    one-shot/batch-parity mode).
+
+    ``changes=True`` treats the stream as a CDC feed — rows tagged
+    ``_op`` = ±1 fold through :func:`~...ivm.view_apply_changes`
+    (retraction algebra; the view's measures must all retract) — the
+    streaming half of maintaining KPIs over a keyed-upsert pipeline:
+    the upsert sink's delete-old/insert-new change rows flow here."""
     import hashlib
+
+    from mini_data_platform_spark.operators.ivm import view_apply_changes
 
     ckpt_key = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:8]
+    fold = view_apply_changes if changes else view_increment
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        view_increment(
-            batch, view_dir, batch_id=f"epoch-{ckpt_key}-{epoch_id}"
-        )
+        fold(batch, view_dir, batch_id=f"epoch-{ckpt_key}-{epoch_id}")
 
     writer = (
         facts.writeStream.foreachBatch(process)

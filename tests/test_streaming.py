@@ -784,3 +784,40 @@ class TestStreamingViewMaintenance:
         q2.awaitTermination(180)
         got = {r["k"]: r["n"] for r in view_read(spark, view_dir).collect()}
         assert got == {"a": 3}
+
+    def test_cdc_change_stream(self, spark, tmp_path):
+        """changes=True: a streamed upsert (delete-old/insert-new pair)
+        retracts through view_apply_changes exactly once."""
+        from mini_data_platform_spark.operators.ivm import (
+            view_build,
+            view_read,
+        )
+        from mini_data_platform_spark.streaming.ivm import (
+            maintain_view_stream,
+        )
+
+        view_dir = str(tmp_path / "cdcview")
+        view_build(
+            self._facts(spark, [("a", 10.0), ("b", 3.0)]),
+            view_dir, ["k"],
+            {"revenue": ("sum", "amount"), "n": ("count", "*")},
+        )
+        src = str(tmp_path / "cdc")
+        spark.createDataFrame(
+            [("a", 10.0, -1), ("a", 12.5, 1), ("b", 3.0, -1)],
+            "k string, amount double, _op int",
+        ).write.parquet(src)
+        q = maintain_view_stream(
+            spark.readStream.schema(
+                "k string, amount double, _op int"
+            ).parquet(src),
+            view_dir, str(tmp_path / "cdcckpt"),
+            available_now=True, changes=True,
+        )
+        q.awaitTermination(180)
+        got = {
+            r["k"]: (r["revenue"], r["n"])
+            for r in view_read(spark, view_dir).collect()
+        }
+        # a upserted to 12.5; b fully deleted -> vanished
+        assert got == {"a": (12.5, 1)}
