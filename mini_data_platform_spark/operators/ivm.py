@@ -9,9 +9,12 @@ Eng. Bull. 1995) — makes each refresh cost O(delta) instead: aggregate
 the NEW rows only and merge into the persisted view.
 
 Restricted, deliberately, to the self-mergeable aggregate algebra —
-``sum`` / ``count`` / ``min`` / ``max`` (avg = sum/count at read) —
-whose merge is the same operation on partial states, so maintenance
-needs no base-table access at all. ``view_increment`` is append-only;
+``sum`` / ``count`` / ``min`` / ``max`` (avg = sum/count at read) plus
+``approx_distinct`` (a Datasketches HLL state per key — sketch UNION is
+an exact merge, so "distinct users per day" maintains incrementally,
+the aggregate exact distinct-count fundamentally cannot: it would need
+the full value set per key) — whose merge is the same operation on
+partial states, so maintenance needs no base-table access at all. ``view_increment`` is append-only;
 ``view_apply_changes`` additionally accepts CDC-style ±1-tagged change
 batches (the Z-set algebra — what a keyed UPSERT emits as
 delete-old/insert-new) for views whose measures all retract
@@ -78,7 +81,7 @@ from mini_data_platform_spark.operators.incremental import (
 from mini_data_platform_spark.plans._parity import DEC
 
 _AGG = "agg"
-_KINDS = {"sum", "count", "min", "max"}
+_KINDS = {"sum", "count", "min", "max", "approx_distinct"}
 
 
 def _partial_agg(
@@ -96,8 +99,14 @@ def _partial_agg(
             aggs.append(col.alias(name))
         elif kind == "min":
             aggs.append(F.min(src).alias(name))
-        else:
+        elif kind == "max":
             aggs.append(F.max(src).alias(name))
+        else:  # approx_distinct: Datasketches HLL state (binary column)
+            if src in (None, "*"):
+                raise ValueError(
+                    f"approx_distinct measure {name!r} needs a column"
+                )
+            aggs.append(F.hll_sketch_agg(F.col(src)).alias(name))
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
 
@@ -114,8 +123,10 @@ def _merge_agg(
             aggs.append(F.sum(F.col(name)).alias(name))
         elif kind == "min":
             aggs.append(F.min(name).alias(name))
-        else:
+        elif kind == "max":
             aggs.append(F.max(name).alias(name))
+        else:  # approx_distinct: sketch union is the exact merge
+            aggs.append(F.hll_union_agg(F.col(name)).alias(name))
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
 
@@ -241,7 +252,12 @@ def view_read(
         cols = [F.col(k) for k in keys]
         for name, (kind, _src) in measures.items():
             c = F.col(name)
-            cols.append(c.cast("double").alias(name) if kind == "sum" else c)
+            if kind == "sum":
+                cols.append(c.cast("double").alias(name))
+            elif kind == "approx_distinct":
+                cols.append(F.hll_sketch_estimate(c).alias(name))
+            else:
+                cols.append(c)
         out = out.select(*cols)
     return out
 
@@ -268,11 +284,15 @@ def view_apply_changes(
     contract as :func:`view_increment`."""
     meta = _read_meta(view_dir)
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
-    bad = [n for n, (kind, _s) in measures.items() if kind in ("min", "max")]
+    bad = [
+        n for n, (kind, _s) in measures.items()
+        if kind in ("min", "max", "approx_distinct")
+    ]
     if bad:
         raise ValueError(
-            f"measures {bad} are min/max — not retractable without the "
-            "base table; this view cannot accept change batches"
+            f"measures {bad} are min/max/approx_distinct — not "
+            "retractable without the base table (HLL registers only "
+            "grow); this view cannot accept change batches"
         )
     if "_op" not in changes.columns:
         raise ValueError("change batches need an _op column (+1/-1)")

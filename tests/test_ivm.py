@@ -383,3 +383,69 @@ def _as_dict_cdc(df):
         r["k"]: {c: r[c] for c in ("revenue", "n", "n_amounts")}
         for r in df.collect()
     }
+
+
+class TestApproxDistinct:
+    MEAS = {
+        "n": ("count", "*"),
+        "users": ("approx_distinct", "user"),
+    }
+
+    def _f(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, user long")
+
+    def test_incremental_estimate_matches_exact(self, spark, tmpdir):
+        """HLL union across increments ≡ the sketch of the union; at
+        these cardinalities (far under lgK=12 capacity) the estimate is
+        exact, so we can assert equality with the true distinct count —
+        including users re-seen across batches (the case a per-batch
+        exact count cannot merge)."""
+        d = str(tmpdir)
+        b1 = [("a", u) for u in range(100)] + [("b", u) for u in range(7)]
+        b2 = [("a", u) for u in range(50, 150)]  # 50 users overlap b1
+        view_build(self._f(spark, b1), d, ["k"], self.MEAS)
+        view_increment(self._f(spark, b2), d)
+        got = {
+            r["k"]: (r["n"], r["users"])
+            for r in view_read(spark, d).collect()
+        }
+        assert got == {"a": (200, 150), "b": (7, 7)}
+
+    def test_batching_invariance(self, spark, tmpdir):
+        d1, d2 = str(tmpdir.join("one")), str(tmpdir.join("many"))
+        rows = [("a", u % 37) for u in range(200)]
+        view_build(self._f(spark, rows), d1, ["k"], self.MEAS)
+        view_build(self._f(spark, rows[:50]), d2, ["k"], self.MEAS)
+        view_increment(self._f(spark, rows[50:120]), d2)
+        view_increment(self._f(spark, rows[120:]), d2)
+        a = {r["k"]: r["users"] for r in view_read(spark, d1).collect()}
+        b = {r["k"]: r["users"] for r in view_read(spark, d2).collect()}
+        assert a == b == {"a": 37}
+
+    def test_sketch_views_refuse_changes_and_star(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(self._f(spark, [("a", 1)]), d, ["k"], self.MEAS)
+        with pytest.raises(ValueError, match="not\\s+retractable"):
+            view_apply_changes(
+                spark.createDataFrame(
+                    [("a", 1, -1)], "k string, user long, _op int"
+                ),
+                d,
+            )
+        with pytest.raises(ValueError, match="needs a column"):
+            view_build(
+                self._f(spark, [("a", 1)]), str(tmpdir.join("x")),
+                ["k"], {"u": ("approx_distinct", "*")},
+            )
+
+    def test_raw_read_keeps_mergeable_state(self, spark, tmpdir):
+        """finalize=False returns the binary sketch so two views can be
+        unioned downstream."""
+        d = str(tmpdir)
+        view_build(self._f(spark, [("a", 1), ("a", 2)]), d, ["k"], self.MEAS)
+        raw = view_read(spark, d, finalize=False)
+        assert dict(raw.dtypes)["users"] == "binary"
+        est = raw.select(
+            "k", F.hll_sketch_estimate("users").alias("users")
+        ).collect()
+        assert est[0]["users"] == 2
