@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: slots ceded to the new queries: kpi_revenue_by_day (it runs EVERY
 #: round as the entry() smoke, so a driver signal exists regardless),
 #: events_approx_users (no-oracle HLL — its driver row is rows-only;
-#: the exact twin events_distinct_users keeps its slot), and emb_norms
-#: (a trivial stable projection). Rotated out: the remaining queries,
+#: the exact twin events_distinct_users keeps its slot), emb_norms and
+#: doc_fingerprint (trivial stable projections). Rotated out: the
+#: remaining queries,
 #: all driver-green in r7 (or locally re-verified) and untouched by the
 #: r8 diffs; ALL 95 queries were additionally verified exact-multiset
 #: by tools/verify_local.py this round (92 ok / 3 no-oracle-by-design).
@@ -63,7 +64,7 @@ _ROUND8_WINDOW_FIRST = [
     # (1) rotated out of r7 — driver rows last from r6
     "kpi_top_customers", "kpi_product_performance",
     "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
-    "doc_fingerprint", "doc_exact_dedup", "emb_knn",
+    "doc_exact_dedup", "emb_knn",
     "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
     "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
     "emb_dedup_final", "order_stats_distinct", "priority_status_matrix",
@@ -78,7 +79,7 @@ _ROUND8_WINDOW_FIRST = [
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",
-    "events_purchase_join_salted",
+    "events_purchase_join_salted", "doc_chunk_knn",
     # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",

@@ -1008,6 +1008,54 @@ def emb_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dupes, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def doc_chunk_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval loop composed end-to-end from this library's
+    own pieces, each already oracle-proven in isolation: chunk the
+    corpus (operators/chunking.py — 24-token windows, 8 overlap, scan
+    speed), featurize every chunk with the hashing-trick embedding
+    (operators/embed.py — md5-bucket counts, engine-portable), then
+    retrieve the global top-10 chunks for a query document (doc_id 0's
+    full text) by exact cosine, excluding the query doc's own chunks.
+    Top-k compiles to TakeOrderedAndProject (per-partition top-10,
+    driver merges 10×P rows — no global sort); the rank window then
+    orders 10 rows. The count vectors are small integers, so every
+    cosine is the exact same IEEE double in both engines and the oracle
+    hash-matches the full composition."""
+    from mini_data_platform_spark.operators.chunking import chunk_documents
+    from mini_data_platform_spark.operators.embed import HEX, hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", 24, overlap=8)
+    ck = chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("ckey"),
+        "chunk_text",
+    )
+    harr = F.array(*[F.col(f"h_{b}").cast("double") for b in HEX])
+    cvec = (
+        hash_embed(ck, "ckey", "chunk_text", dim=16)
+        .join(ck.select("ckey", "doc_id", "chunk_id"), "ckey")
+        .select("doc_id", "chunk_id", harr.alias("v"))
+    )
+    qvec = hash_embed(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text", dim=16
+    ).select(harr.alias("qv"))
+    scored = (
+        cvec.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            "chunk_id",
+            VX.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    order = [F.col("cos_sim").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc()]
+    top = scored.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
+    return top.withColumn("knn_rank", F.row_number().over(w))
+
+
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py, Abbas et al. 2023): k-means the
     embeddings into N_CELLS clusters (one Lloyd's iteration from the
@@ -1076,6 +1124,7 @@ QUERIES = {
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
     "emb_semdedup": emb_semdedup,
+    "doc_chunk_knn": doc_chunk_knn,
 }
 
 
@@ -1190,6 +1239,48 @@ _SQL_IVF_CELLS = f"""
             FROM scored_cents WHERE rn <= {N_PROBE}
         )
 """
+
+def _sql_chunk_knn() -> str:
+    """doc_chunk_knn oracle: the chunking twin feeds the hash-embed
+    twin feeds the cosine twin — the same composition the Spark plan
+    runs, so the full pipeline hash-matches end-to-end."""
+    from mini_data_platform_spark.operators.chunking import (
+        sql_chunk_documents,
+    )
+
+    chunk_sql = sql_chunk_documents(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 24, 8
+    )
+    arr = ", ".join(f"CAST(h_{b} AS DOUBLE)" for b in EMB_OPS.HEX)
+    cemb = EMB_OPS.sql_hash_embed("ck", "ckey", "chunk_text", 16)
+    qemb = EMB_OPS.sql_hash_embed(
+        "(SELECT doc_id, text FROM documents WHERE doc_id = 0)",
+        "doc_id", "text", 16,
+    )
+    return f"""
+        WITH ck AS (
+            SELECT doc_id, chunk_id,
+                   doc_id * 10000 + chunk_id AS ckey, chunk_text
+            FROM ({chunk_sql})
+        ),
+        cemb AS ({cemb}),
+        cvec AS (SELECT ckey, [{arr}] AS v FROM cemb),
+        qe AS ({qemb}),
+        qv AS (SELECT [{arr}] AS qv FROM qe),
+        scored AS (
+            SELECT k.doc_id, k.chunk_id,
+                   {VX.sql_dot('c.v', 'q.qv')}
+                   / ({VX.sql_l2_norm('c.v')} * {VX.sql_l2_norm('q.qv')}) AS cos_sim
+            FROM cvec c JOIN ck k USING (ckey), qv q
+            WHERE k.doc_id <> 0
+        )
+        SELECT doc_id, chunk_id, cos_sim,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id, chunk_id)
+                   AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= 10
+    """
+
 
 def _sql_cos_vs_cent(vec: str, cvec: str) -> str:
     return (
@@ -1620,6 +1711,9 @@ ORACLE = {
         FROM scored
         QUALIFY knn_rank <= {KNN_K}
     """,
+    # RAG retrieval composition: chunk -> hash-embed -> cosine top-10,
+    # every stage the already-proven SQL twin of its Spark operator
+    "doc_chunk_knn": _sql_chunk_knn(),
     # SemDeDup: the trained-cell fragment (one unrolled Lloyd's
     # iteration) reproduces the Spark clustering exactly; a vector is
     # dropped iff a smaller-id SAME-CELL neighbor has cosine >= τ.

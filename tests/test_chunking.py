@@ -157,3 +157,24 @@ class TestChunkingProperty:
             assert stitched == toks
 
         prop()
+
+
+class TestChunkKnn:
+    """The composed RAG retrieval query (plans/llm.doc_chunk_knn)."""
+
+    def test_topk_shape_and_plan(self, spark):
+        from mini_data_platform_spark.plans.llm import doc_chunk_knn
+
+        out = doc_chunk_knn(spark, "/root/testdata/sf0.001")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # global top-k must compile to TakeOrderedAndProject, never a
+        # full sort; the whole composition stays JVM-side
+        assert "TakeOrderedAndProject" in plan
+        assert "EvalPython" not in plan
+        rows = out.collect()
+        assert len(rows) == 10
+        assert [r["knn_rank"] for r in rows] == list(range(1, 11))
+        # ranked by similarity, query doc excluded
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["doc_id"] != 0 for r in rows)
