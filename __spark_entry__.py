@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 93 queries exist, so 43 sit outside any given round):
+#: FIRST 50 entries; 97 queries exist, so 47 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -32,14 +32,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 8 window: the queries rotated out of r7 (driver rows last
-#: from r6) first, then the EIGHT queries NEW this round (the read-only
+#: from r6) first, then the TEN queries NEW this round (the read-only
 #: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
 #: emb_neardup_serve against disk-cached prebuilt indexes,
 #: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
 #: — CCNet-style unigram-LM quality scoring, doc_source_mix —
 #: deterministic pretraining mixture sampling, emb_semdedup — SemDeDup
-#: semantic dedup over trained cells, and kpi_revenue_by_day_ivm —
-#: incremental view maintenance ≡ full recompute), then
+#: semantic dedup over trained cells, kpi_revenue_by_day_ivm —
+#: incremental view maintenance ≡ full recompute,
+#: events_purchase_join_salted — salted skew join ≡ plain join, and
+#: doc_chunk_knn — the chunk→hash-embed→cosine RAG composition), then
 #: every query over code touched by the r8 diffs: the incremental-index
 #: restructure (broadcast guards + atomic per-batch segment commits +
 #: serving lookups) forces the three incremental equivalence proofs in;
@@ -48,18 +50,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: forces emb_ann_pq/emb_ann_ivfpq. The 4 remaining slots go to the
 #: near-dup batch family (doc_minhash_candidates, doc_near_dups,
 #: doc_dedup_final, doc_curated_corpus) whose plans consume the
-#: dedup_fuzzy helpers the incremental module shares. Three stale-first
+#: dedup_fuzzy helpers the incremental module shares. FOUR stale-first
 #: slots ceded to the new queries: kpi_revenue_by_day (it runs EVERY
 #: round as the entry() smoke, so a driver signal exists regardless),
 #: events_approx_users (no-oracle HLL — its driver row is rows-only;
-#: the exact twin events_distinct_users keeps its slot), emb_norms and
-#: doc_fingerprint (trivial stable projections). Rotated out: the
-#: remaining queries,
-#: all driver-green in r7 (or locally re-verified) and untouched by the
-#: r8 diffs; ALL 95 queries were additionally verified exact-multiset
-#: by tools/verify_local.py this round (92 ok / 3 no-oracle-by-design).
-#: events_user_stats_salted stays in the window because skew.py gained
-#: salted_join this round (rule 2: touched file).
+#: the exact twin events_distinct_users keeps its slot), and
+#: emb_norms + doc_fingerprint (trivial stable projections). Rotated
+#: out: the remaining 47 queries, all driver-green in r7 (or locally
+#: re-verified) and untouched by the r8 diffs; ALL 97 queries were
+#: additionally verified exact-multiset by tools/verify_local.py this
+#: round (94 ok / 3 no-oracle-by-design). events_user_stats_salted
+#: stays in the window because skew.py gained salted_join this round
+#: (rule 2: touched file).
 _ROUND8_WINDOW_FIRST = [
     # (1) rotated out of r7 — driver rows last from r6
     "kpi_top_customers", "kpi_product_performance",

@@ -84,16 +84,32 @@ _AGG = "agg"
 _KINDS = {"sum", "count", "min", "max", "approx_distinct"}
 
 
+def _star_counts(measures: dict[str, tuple[str, str]]) -> list[str]:
+    """Names of the count(*) measures — the CDC multiplicity columns."""
+    return [
+        n for n, (kind, src) in measures.items()
+        if kind == "count" and src in (None, "*")
+    ]
+
+
 def _partial_agg(
     df: DataFrame, keys: list[str], measures: dict[str, tuple[str, str]]
 ) -> DataFrame:
-    """Aggregate raw fact rows into one mergeable state row per key."""
+    """Aggregate raw fact rows into one mergeable state row per key.
+
+    Every ``sum`` measure carries a hidden non-null-contribution
+    counter ``_nn_<name>``: SQL's SUM over zero non-null values is
+    NULL, not 0, and after a retraction removes the last non-null
+    contribution the decimal state reads 0.000000 — the counter is what
+    lets the serve read restore the correct NULL (tested: delete the
+    only non-null amount of a group that keeps a null-amount row)."""
     aggs = []
     for name, (kind, src) in measures.items():
         if kind not in _KINDS:
             raise ValueError(f"unsupported measure kind {kind!r} for {name!r}")
         if kind == "sum":
             aggs.append(F.sum(F.col(src).cast(DEC)).cast(DEC).alias(name))
+            aggs.append(F.count(src).alias(f"_nn_{name}"))
         elif kind == "count":
             col = F.count("*") if src in (None, "*") else F.count(src)
             aggs.append(col.alias(name))
@@ -119,6 +135,7 @@ def _merge_agg(
     for name, (kind, _src) in measures.items():
         if kind == "sum":
             aggs.append(F.sum(F.col(name)).cast(DEC).alias(name))
+            aggs.append(F.sum(F.col(f"_nn_{name}")).alias(f"_nn_{name}"))
         elif kind == "count":
             aggs.append(F.sum(F.col(name)).alias(name))
         elif kind == "min":
@@ -162,26 +179,29 @@ def view_build(
     return meta
 
 
-def view_increment(
-    delta: DataFrame, view_dir: str, batch_id: str | None = None
+def _commit_partial(
+    part: DataFrame, view_dir: str, meta: dict, bid: str
 ) -> dict:
-    """Fold an append-only fact delta into the view. O(delta) in delta
-    mode (one partial aggregate, zero view reads); O(view + delta) in
-    snapshot mode (consolidating rewrite). Replaying an
-    already-committed ``batch_id`` is a no-op — retries are safe."""
-    spark = delta.sparkSession
-    meta = _read_meta(view_dir)
-    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
-    if bid in meta["batches"]:
-        return meta
+    """The ONE commit protocol for every write path (plain increments
+    AND change batches — a fix here must not be able to diverge the
+    two): write the partial-state segment (snapshot mode first merges
+    with the current view and reclaims zero-multiplicity tombstones,
+    since the snapshot IS the full state), swap meta atomically, then
+    best-effort delete superseded snapshot copies AFTER the swap
+    (otherwise each refresh leaks a full view copy — maintenance-window
+    caveat in the module docstring)."""
+    spark = part.sparkSession
     keys = meta["keys"]
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
-    part = _partial_agg(delta, keys, measures)
     seg = f"seg-{meta['n_batches']}"
     superseded: list[str] = []
     if meta["mode"] == "snapshot":
         current = _read_segments(spark, view_dir, meta)
         merged = _merge_agg(current.unionByName(part), keys, measures)
+        star = _star_counts(measures)
+        if star:
+            # fully-deleted groups must not be rewritten forever
+            merged = merged.filter(F.col(star[0]) > 0)
         _write_segment(merged, view_dir, _AGG, seg)
         superseded = [s for s in meta["segments"][_AGG] if s != seg]
         meta["segments"][_AGG] = [seg]
@@ -192,13 +212,26 @@ def view_increment(
     meta["batches"].append(bid)
     meta["n_batches"] += 1
     _write_meta(view_dir, meta)
-    # snapshot mode: best-effort delete of the superseded consolidated
-    # copy AFTER the swap (otherwise each refresh leaks a full view
-    # copy) — the same post-commit delete compact_view does, with the
-    # same maintenance-window caveat (module docstring)
     for s in superseded:
         shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
     return meta
+
+
+def view_increment(
+    delta: DataFrame, view_dir: str, batch_id: str | None = None
+) -> dict:
+    """Fold an append-only fact delta into the view. O(delta) in delta
+    mode (one partial aggregate, zero view reads); O(view + delta) in
+    snapshot mode (consolidating rewrite). Replaying an
+    already-committed ``batch_id`` is a no-op — retries are safe."""
+    meta = _read_meta(view_dir)
+    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
+    if bid in meta["batches"]:
+        return meta
+    keys = meta["keys"]
+    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+    part = _partial_agg(delta, keys, measures)
+    return _commit_partial(part, view_dir, meta, bid)
 
 
 def _read_segments(
@@ -242,10 +275,7 @@ def view_read(
     # views, where every group's count is >= 1). Views maintained via
     # view_apply_changes should carry a count(*) measure for exactly
     # this reason — without one, fully-deleted groups linger as zeros.
-    star = [
-        n for n, (kind, src) in measures.items()
-        if kind == "count" and src in (None, "*")
-    ]
+    star = _star_counts(measures)
     if star:
         out = out.filter(F.col(star[0]) > 0)
     if finalize:
@@ -253,7 +283,14 @@ def view_read(
         for name, (kind, _src) in measures.items():
             c = F.col(name)
             if kind == "sum":
-                cols.append(c.cast("double").alias(name))
+                # zero non-null contributions => the true SQL SUM is
+                # NULL; the decimal state reads 0.000000 after a
+                # retraction removed the last value (see _partial_agg)
+                cols.append(
+                    F.when(F.col(f"_nn_{name}") == 0, F.lit(None))
+                    .otherwise(c.cast("double"))
+                    .alias(name)
+                )
             elif kind == "approx_distinct":
                 cols.append(F.hll_sketch_estimate(c).alias(name))
             else:
@@ -296,16 +333,33 @@ def view_apply_changes(
         )
     if "_op" not in changes.columns:
         raise ValueError("change batches need an _op column (+1/-1)")
+    # a CDC feed with string ops ('I'/'D'), nulls, or multiplicities
+    # outside ±1 would silently corrupt state (cast-to-null drops the
+    # row's contribution; ±2 double-counts) — fail loudly instead
+    op = F.col("_op").cast("int")
+    n_bad = changes.filter(
+        ~F.coalesce(op.isin(1, -1), F.lit(False))
+    ).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            "_op values must be exactly +1 or -1 (found null/other; "
+            "map Debezium-style 'I'/'D' ops before applying)"
+        )
     bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
     if bid in meta["batches"]:
         return meta
     keys = meta["keys"]
-    op = F.col("_op").cast("int")
     aggs = []
     for name, (kind, src) in measures.items():
         if kind == "sum":
             aggs.append(
                 F.sum(op.cast(DEC) * F.col(src).cast(DEC)).cast(DEC).alias(name)
+            )
+            # signed non-null contributions (see _partial_agg)
+            aggs.append(
+                F.sum(
+                    F.when(F.col(src).isNotNull(), op).otherwise(F.lit(0))
+                ).cast("long").alias(f"_nn_{name}")
             )
         else:  # count: signed count of rows (or of non-null src)
             contrib = (
@@ -315,24 +369,7 @@ def view_apply_changes(
             )
             aggs.append(F.sum(contrib).cast("long").alias(name))
     part = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-    seg = f"seg-{meta['n_batches']}"
-    if meta["mode"] == "snapshot":
-        spark = changes.sparkSession
-        current = _read_segments(spark, view_dir, meta)
-        merged = _merge_agg(current.unionByName(part), keys, measures)
-        _write_segment(merged, view_dir, _AGG, seg)
-        superseded = [s for s in meta["segments"][_AGG] if s != seg]
-        meta["segments"][_AGG] = [seg]
-    else:
-        _write_segment(part, view_dir, _AGG, seg)
-        meta["segments"][_AGG].append(seg)
-        superseded = []
-    meta["batches"].append(bid)
-    meta["n_batches"] += 1
-    _write_meta(view_dir, meta)
-    for s in superseded:
-        shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
-    return meta
+    return _commit_partial(part, view_dir, meta, bid)
 
 
 def compact_view(spark: SparkSession, view_dir: str) -> dict:

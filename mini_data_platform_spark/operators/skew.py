@@ -102,6 +102,13 @@ def salted_join(
             f"non-key columns {sorted(overlap)} exist on both sides; "
             "rename before joining (salting cannot disambiguate them)"
         )
+    if "_salt" in facts.columns or "_salt" in dim.columns:
+        # withColumn would silently overwrite it and drop() would then
+        # destroy user data the plain join preserves
+        raise ValueError(
+            "'_salt' is this operator's working column; rename it on "
+            "the input first"
+        )
     f = facts.withColumn(
         "_salt", (F.rand(seed=0) * n_salts).cast("int")
     )

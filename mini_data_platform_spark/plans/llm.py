@@ -1026,10 +1026,13 @@ def doc_chunk_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, "doc_id", "text", 24, overlap=8)
+    # composite key as a string — arithmetic packing (doc_id*K+chunk_id)
+    # silently collides once a document exceeds K chunks, and the oracle
+    # would reproduce the same collision, so parity could never catch it
     ck = chunks.select(
         "doc_id",
         "chunk_id",
-        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("ckey"),
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")).alias("ckey"),
         "chunk_text",
     )
     harr = F.array(*[F.col(f"h_{b}").cast("double") for b in HEX])
@@ -1260,7 +1263,7 @@ def _sql_chunk_knn() -> str:
     return f"""
         WITH ck AS (
             SELECT doc_id, chunk_id,
-                   doc_id * 10000 + chunk_id AS ckey, chunk_text
+                   doc_id || ':' || chunk_id AS ckey, chunk_text
             FROM ({chunk_sql})
         ),
         cemb AS ({cemb}),

@@ -449,3 +449,74 @@ class TestApproxDistinct:
             "k", F.hll_sketch_estimate("users").alias("users")
         ).collect()
         assert est[0]["users"] == 2
+
+
+class TestSecondReviewRegressions:
+    def test_retracting_last_nonnull_restores_null_sum(self, spark, tmpdir):
+        """SUM over zero non-null values is NULL, not 0: deleting the
+        only real amount of a group that keeps a null-amount row must
+        read back as revenue=NULL, n=1 — exactly the recompute."""
+        d = str(tmpdir)
+        view_build(
+            _facts(spark, [("a", None), ("a", 5.0)]), d, ["k"], CDC_MEASURES
+        )
+        view_apply_changes(_changes(spark, [("a", 5.0, -1)]), d)
+        rows = {r["k"]: r for r in view_read(spark, d).collect()}
+        assert rows["a"]["n"] == 1
+        assert rows["a"]["n_amounts"] == 0
+        assert rows["a"]["revenue"] is None
+
+    def test_all_null_group_sums_read_null(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, [("z", None)]), d, ["k"], CDC_MEASURES)
+        rows = {r["k"]: r for r in view_read(spark, d).collect()}
+        assert rows["z"]["revenue"] is None and rows["z"]["n"] == 1
+
+    def test_invalid_ops_fail_loudly(self, spark, tmpdir):
+        d = str(tmpdir)
+        view_build(_facts(spark, [("a", 1.0)]), d, ["k"], CDC_MEASURES)
+        bad_frames = [
+            spark.createDataFrame(
+                [("a", 1.0, "D")], "k string, amount double, _op string"
+            ),
+            spark.createDataFrame(
+                [("a", 1.0, None)], "k string, amount double, _op int"
+            ),
+            spark.createDataFrame(
+                [("a", 1.0, 2)], "k string, amount double, _op int"
+            ),
+        ]
+        for bad in bad_frames:
+            with pytest.raises(ValueError, match="exactly \\+1 or -1"):
+                view_apply_changes(bad, d)
+
+    def test_snapshot_cdc_reclaims_tombstones(self, spark, tmpdir):
+        """Fully-deleted keys must not be rewritten in every snapshot
+        forever: the consolidating merge drops zero-multiplicity rows."""
+        d = str(tmpdir)
+        view_build(
+            _facts(spark, [("a", 1.0), ("b", 2.0)]), d, ["k"],
+            CDC_MEASURES, mode="snapshot",
+        )
+        view_apply_changes(_changes(spark, [("b", 2.0, -1)]), d)
+        # read the raw consolidated segment: b must be GONE on disk
+        raw = view_read(spark, d, finalize=False)
+        assert {r["k"] for r in raw.collect()} == {"a"}
+
+    def test_increment_and_changes_share_commit_protocol(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """Both write paths go through _commit_partial — a crash
+        injected there blocks both identically."""
+        import mini_data_platform_spark.operators.ivm as ivm
+
+        d = str(tmpdir)
+        view_build(_facts(spark, [("a", 1.0)]), d, ["k"], CDC_MEASURES)
+        monkeypatch.setattr(
+            ivm, "_commit_partial",
+            lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("blocked")),
+        )
+        with pytest.raises(RuntimeError, match="blocked"):
+            view_increment(_facts(spark, [("a", 2.0)]), d)
+        with pytest.raises(RuntimeError, match="blocked"):
+            view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)

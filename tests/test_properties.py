@@ -404,4 +404,6 @@ class TestIvmProperties:
             if t is None:
                 assert got[k][0] is None
             else:
-                assert abs(got[k][0] - t) < 1e-6
+                # tolerance covers the DECIMAL(30,6) per-row quantization (5e-7
+                # each) the view's exact-decimal states apply by design
+                assert abs(got[k][0] - t) <= 5e-7 * len(rows) + 1e-9

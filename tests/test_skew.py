@@ -92,7 +92,11 @@ class TestSaltedJoin:
 
         facts, dim = self._sides(spark)
         got = salted_join(facts, dim, ["k"], n_salts=4, how="left")
-        rows = {r["event_id"]: r["name"] for r in got.collect()}
+        collected = got.collect()
+        # row COUNT first: a dict would silently collapse duplicated
+        # fact rows, the exact failure mode a broken salt join causes
+        assert len(collected) == 201
+        rows = {r["event_id"]: r["name"] for r in collected}
         assert len(rows) == 201  # every fact row exactly once
         assert rows[999] is None  # unmatched key survives as null
 
@@ -105,3 +109,12 @@ class TestSaltedJoin:
         clash = dim.withColumnRenamed("name", "v")  # collides with facts.v
         with pytest.raises(ValueError, match="both sides"):
             salted_join(facts, clash, ["k"])
+
+    def test_salt_column_collision_rejected(self, spark):
+        from mini_data_platform_spark.operators.skew import salted_join
+
+        facts, dim = self._sides(spark)
+        with pytest.raises(ValueError, match="working column"):
+            salted_join(facts.withColumn("_salt", facts.v), dim, ["k"])
+        with pytest.raises(ValueError, match="working column"):
+            salted_join(facts, dim.withColumn("_salt", dim.name), ["k"])
