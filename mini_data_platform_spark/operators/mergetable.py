@@ -1,0 +1,338 @@
+"""Keyed merge table: MERGE INTO / CDC-apply semantics on plain parquet.
+
+The reference maintains keyed state in Postgres via staging+MERGE
+(db.py:22-67 — sinks/upsert.py is the Spark twin). That works while the
+keyed table fits an OLTP store; a 100 TB lakehouse needs the SAME
+latest-wins-per-key semantics on object storage. This module is that
+primitive — the Delta ``MERGE INTO`` / Hudi merge-on-read table — built
+on the commit-log segment layout that operators/incremental.py and
+operators/ivm.py already use (per-batch parquet segment dirs registered
+in ``meta.json`` by one atomic ``os.replace`` swap):
+
+- ``table_apply`` appends a batch of ``_op``-tagged rows (``'u'``
+  upsert / ``'d'`` delete) as ONE O(batch) segment write — the table is
+  never read or rewritten on the write path (the Hudi MOR log-file
+  shape). ``batch_id`` replay protection upgrades at-least-once
+  orchestrators to exactly-once, same as the IVM views.
+- ``table_read`` resolves latest-wins per key at read time with ONE
+  aggregate: ``max_by(payload_struct, _seq)`` — a declarative aggregate
+  with partial merge, so each scan task combines map-side (a key
+  appears at most once per segment; the shuffle carries at most
+  #segments rows per key, never the fact history) and no window/sort is
+  involved. Delete winners (tombstones) drop at serve.
+- ``table_changes`` exposes the committed log itself as a CDC feed
+  (batches ``since+1 .. as_of``) — the table is both a merge sink and a
+  change source, which is what lets downstream IVM views
+  (``view_apply_changes``) chain off it.
+- ``compact_table`` folds the log to one resolved segment (winners
+  keep their original ``_seq`` so later appends still order correctly);
+  tombstones are DROPPED at compaction — nothing older remains that
+  they could mask. Records ``compacted_through``: older as-of reads
+  raise (the Delta/Iceberg vacuum-vs-time-travel trade, stated).
+- Time travel: ``as_of=k`` reads the state after the first ``k``
+  committed batches — a segment-list prefix, zero data copies
+  (``incremental._meta_as_of``).
+
+Determinism: each batch must be key-unique (validated by default with
+one O(batch) aggregate) — the winner per key is then totally ordered by
+``_seq`` alone, so any run, any partitioning, any engine resolves the
+same state; that is what lets a DuckDB CASE/anti-join twin hash-match
+the declared query (``orders_merge_table``).
+
+Single-writer discipline and reader caveats are inherited verbatim from
+the IVM module: serialize writers (meta read-modify-write is not a
+CAS); delta appends never invalidate in-flight readers, but
+``compact_table``'s best-effort deletes can — run compaction in a
+maintenance window or lean on object-store delayed deletion.
+
+Scale: writes are O(batch) always. Reads shuffle live segment rows once
+(partial-agg combined); keep the log short with ``compact_table`` and,
+for very large tables, write segments bucketed on the keys
+(sinks/bucketed.py) so the resolve aggregate is co-located. This is the
+standard lakehouse trade — Hudi MOR read amplification bounded by
+compaction cadence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_data_platform_spark.operators.incremental import (
+    _meta_as_of,
+    _read_meta,
+    _read_table,
+    _segment_paths,
+    _write_meta,
+    _write_segment,
+    vacuum_index,
+)
+
+_ROWS = "rows"
+_OP = "_op"
+_SEQ = "_seq"
+
+#: vacuum_table: orphan segment dirs (crashed applies / failed
+#: compaction deletes) are invisible to readers; sweeping them is the
+#: exact vacuum_index walk over meta['segments'].
+vacuum_table = vacuum_index
+
+
+def _validate_batch(batch: DataFrame, keys: list[str]) -> None:
+    """One O(batch) aggregate proving the batch is key-unique and every
+    ``_op`` is 'u'/'d' — the precondition that makes ``_seq`` a total
+    order per key (module docstring). Null keys are rejected too: a
+    null never equals anything, so a null-keyed row could neither be
+    updated nor deleted — a permanent zombie."""
+    _any_null_key = F.isnull(keys[0])
+    for k in keys[1:]:
+        _any_null_key = _any_null_key | F.isnull(k)
+    bad = (
+        batch.groupBy(*keys)
+        .agg(
+            F.count("*").alias("_n"),
+            F.max(
+                F.when(~F.col(_OP).isin("u", "d"), 1).otherwise(0)
+            ).alias("_badop"),
+        )
+        .where(
+            (F.col("_n") > 1)
+            | (F.col("_badop") == 1)
+            | _any_null_key
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "merge batch must be key-unique with non-null keys and "
+            "_op in {'u','d'} (duplicate keys have no within-batch "
+            "order; split conflicting writes into separate batches)"
+        )
+
+
+def _conform(
+    batch: DataFrame, meta: dict, spark: SparkSession, table_dir: str
+) -> DataFrame:
+    """Project the batch to the table schema + ``_op``. A batch without
+    ``_op`` is all-upserts. An all-DELETE batch may carry keys only —
+    missing data columns are filled with typed nulls from the committed
+    schema (tombstones never serve their payload). A mixed or upsert
+    batch missing data columns is an error, not a silent null-out."""
+    cols = set(batch.columns)
+    if _OP not in cols:
+        batch = batch.withColumn(_OP, F.lit("u"))
+        cols.add(_OP)
+    missing = [c for c in meta["columns"] if c not in cols]
+    if missing:
+        has_upsert = batch.where(F.col(_OP) != "d").limit(1).count() > 0
+        if has_upsert:
+            raise ValueError(
+                f"upsert rows must carry every table column; missing "
+                f"{missing} (only all-delete batches may omit data "
+                f"columns)"
+            )
+        schema = {
+            f.name: f.dataType
+            for f in spark.read.parquet(
+                _segment_paths(table_dir, _ROWS, meta)[0]
+            ).schema.fields
+        }
+        for c in missing:
+            batch = batch.withColumn(c, F.lit(None).cast(schema[c]))
+    return batch.select(
+        *[F.col(c) for c in meta["keys"]],
+        *[F.col(c) for c in meta["columns"]],
+        F.col(_OP),
+    )
+
+
+def table_build(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    batch_id: str = "batch-0",
+    validate: bool = True,
+) -> dict:
+    """Create the table from its initial key-unique rows (all upserts)."""
+    if os.path.exists(os.path.join(table_dir, "meta.json")):
+        raise ValueError(f"table already exists at {table_dir}")
+    reserved = {_OP, _SEQ} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"key columns {missing} not in frame")
+    data_cols = [c for c in df.columns if c not in keys]
+    rows = df.withColumn(_OP, F.lit("u"))
+    if validate:
+        _validate_batch(rows, keys)
+    os.makedirs(table_dir, exist_ok=True)
+    _write_segment(
+        rows.withColumn(_SEQ, F.lit(0).cast("long")), table_dir, _ROWS,
+        "seg-0",
+    )
+    meta = {
+        "kind": "mergetable",
+        "keys": list(keys),
+        "columns": data_cols,
+        "n_batches": 1,
+        "batches": [batch_id],
+        "segments": {_ROWS: ["seg-0"]},
+    }
+    _write_meta(table_dir, meta)
+    return meta
+
+
+def table_apply(
+    batch: DataFrame,
+    table_dir: str,
+    batch_id: str | None = None,
+    validate: bool = True,
+) -> dict:
+    """MERGE a change batch into the table: rows tagged ``_op`` 'u'
+    (insert-or-replace the key's row wholesale) or 'd' (tombstone the
+    key). One O(batch) segment write, no table read; replaying an
+    already-committed ``batch_id`` is a no-op (retry-safe)."""
+    meta = _read_meta(table_dir)
+    if meta.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
+    if bid in meta["batches"]:
+        return meta
+    spark = batch.sparkSession
+    rows = _conform(batch, meta, spark, table_dir)
+    if validate:
+        _validate_batch(rows, meta["keys"])
+    seq = meta["n_batches"]
+    seg = f"seg-{seq}"
+    _write_segment(
+        rows.withColumn(_SEQ, F.lit(seq).cast("long")), table_dir, _ROWS,
+        seg,
+    )
+    # COMMIT: the segment becomes visible in one atomic meta swap
+    meta["segments"][_ROWS].append(seg)
+    meta["batches"].append(bid)
+    meta["n_batches"] += 1
+    _write_meta(table_dir, meta)
+    return meta
+
+
+def _resolved(
+    spark: SparkSession, table_dir: str, meta: dict
+) -> DataFrame:
+    """Latest-wins winner per key over the committed log, tombstone
+    winners included (compaction needs to see them drop; table_read
+    filters them). ONE partial-agg-friendly aggregate — max_by of the
+    payload struct by ``_seq`` — never a window: a window would sort
+    every key group, and its Exchange carries the same rows anyway."""
+    keys = meta["keys"]
+    payload = F.struct(
+        *[F.col(c) for c in meta["columns"]], F.col(_OP), F.col(_SEQ)
+    )
+    g = (
+        _read_table(spark, table_dir, _ROWS, meta)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(payload, F.col(_SEQ)).alias("_w"))
+    )
+    return g.select(
+        *keys,
+        *[F.col(f"_w.{c}").alias(c) for c in meta["columns"]],
+        F.col(f"_w.{_OP}").alias(_OP),
+        F.col(f"_w.{_SEQ}").alias(_SEQ),
+    )
+
+
+def table_read(
+    spark: SparkSession, table_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """The table's current (or ``as_of`` historical) state: one row per
+    live key, internal columns dropped."""
+    meta = _meta_as_of(_read_meta(table_dir), as_of)
+    if meta.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    return (
+        _resolved(spark, table_dir, meta)
+        .where(F.col(_OP) != "d")
+        .drop(_OP, _SEQ)
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since: int = 0,
+    as_of: int | None = None,
+) -> DataFrame:
+    """The committed change log for batches ``since+1 .. as_of`` (the
+    CDC read: what a downstream view must apply to catch up from
+    snapshot ``since``). Rows carry ``_op`` and ``_seq`` (the batch
+    sequence number — ordering metadata for the consumer). History
+    folded by compaction is gone: ``since`` older than
+    ``compacted_through`` raises rather than silently under-delivering
+    changes."""
+    meta = _meta_as_of(_read_meta(table_dir), as_of)
+    if meta.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    n = meta["n_batches"]
+    if not 0 <= since <= n:
+        raise ValueError(f"since must be in [0, {n}], got {since}")
+    ct = meta.get("compacted_through", 0)
+    if since < ct:
+        raise ValueError(
+            f"changes before batch {ct} were compacted away; "
+            f"since={since} cannot be served completely"
+        )
+    segs = meta["segments"][_ROWS]
+    folded = segs and segs[0].startswith("compact-")
+    # with a leading compact-* entry, entry i>0 is batch ct+i; without,
+    # entry i is batch i+1's state (seg-i carries _seq=i)
+    start = 1 + (since - ct) if folded else since
+    wanted = segs[start:]
+    if not wanted:
+        return (
+            _read_table(spark, table_dir, _ROWS, meta)
+            .where(F.lit(False))
+        )
+    paths = [os.path.join(table_dir, _ROWS, s) for s in wanted]
+    return spark.read.parquet(*paths)
+
+
+def compact_table(spark: SparkSession, table_dir: str) -> dict:
+    """Fold the segment log into one resolved ``compact-N`` segment:
+    winners keep their original ``_seq`` (later appends still order
+    after them), tombstone winners are dropped (no older segment
+    remains for them to mask). Committed by one meta swap; superseded
+    dirs removed best-effort after (crash-safe: readers see either the
+    old log or the new, never a mix). Records the time-travel boundary
+    ``compacted_through``."""
+    import math
+    import shutil
+
+    from mini_data_platform_spark.sinks.compact import (
+        DEFAULT_TARGET_BYTES,
+        dir_parquet_stats,
+    )
+
+    meta = _read_meta(table_dir)
+    if meta.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    old_segs = meta["segments"][_ROWS]
+    if len(old_segs) == 1 and old_segs[0].startswith("compact-"):
+        return meta
+    paths = _segment_paths(table_dir, _ROWS, meta)
+    total = sum(dir_parquet_stats(p)[1] for p in paths)
+    want = max(1, math.ceil(total / DEFAULT_TARGET_BYTES))
+    new_seg = f"compact-{meta['n_batches']}"
+    live = _resolved(spark, table_dir, meta).where(F.col(_OP) != "d")
+    _write_segment(live.repartition(want), table_dir, _ROWS, new_seg)
+    meta["segments"][_ROWS] = [new_seg]
+    meta["compacted_through"] = meta["n_batches"]
+    _write_meta(table_dir, meta)
+    for seg in old_segs:
+        if seg != new_seg:
+            shutil.rmtree(
+                os.path.join(table_dir, _ROWS, seg), ignore_errors=True
+            )
+    return meta

@@ -181,6 +181,64 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_read(spark, view_dir)
 
 
+def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed MERGE table (operators/mergetable.py) end-to-end: the
+    orders facts arrive as five deterministic change batches against a
+    table keyed by o_orderkey — build (keys %3==0), a plain upsert wave
+    (%3==1), an UPDATE wave (%6==0: price doubled, status 'U'), a
+    keys-only DELETE wave (%9==0), and a late upsert wave (%3==2) — and
+    the serve read resolves latest-wins per key at read time (one
+    max_by aggregate over the segment log, no window, no table rewrites
+    anywhere on the write path). The oracle is the declarative
+    restatement: every order except the deleted keys, with the update
+    wave's CASE applied — batch-unique keys + the _seq total order make
+    the resolved state engine-independent, so it hash-matches.
+
+    Scale: each apply is O(batch) (one segment write, zero table
+    reads); the read shuffles live log rows once with map-side combine.
+    The scratch table lives at ONE per-process temp path, rebuilt
+    wholesale per invocation and removed at exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.operators.mergetable import (
+        table_apply,
+        table_build,
+        table_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"mdp_mergetable_{os.getpid()}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    table_build(orders.filter(k % 3 == 0), table_dir, ["o_orderkey"])
+    table_apply(orders.filter(k % 3 == 1), table_dir)
+    table_apply(
+        orders.filter(k % 6 == 0).withColumns(
+            {
+                "o_totalprice": F.col("o_totalprice") * 2,
+                "o_orderstatus": F.lit("U"),
+            }
+        ),
+        table_dir,
+    )
+    table_apply(
+        orders.filter(k % 9 == 0)
+        .select("o_orderkey")
+        .withColumn("_op", F.lit("d")),
+        table_dir,
+    )
+    table_apply(orders.filter(k % 3 == 2), table_dir)
+    return table_read(spark, table_dir)
+
+
 QUERIES = {
     "kpi_revenue_by_day": revenue_by_day,
     "kpi_top_customers": top_customers,
@@ -189,6 +247,7 @@ QUERIES = {
     "kpi_failed_events_trend": failed_events_trend,
     "kpi_revenue_by_customer": revenue_by_customer,
     "kpi_revenue_by_day_ivm": revenue_by_day_ivm,
+    "orders_merge_table": orders_merge_table,
 }
 
 _REV = sql_dsum("o_totalprice")
@@ -257,5 +316,20 @@ ORACLE = {
                COUNT(*) AS n_orders,
                MAX(o_totalprice) AS max_price
         FROM orders GROUP BY 1
+    """,
+    # latest-wins over the five change batches, restated declaratively:
+    # delete wave %9==0 wins last over its keys (nothing later re-adds
+    # them: %9==0 ∩ %3==2 = ∅); update wave %6==0 supersedes the build
+    # rows; everything else serves its original row. price*2 is exact
+    # in binary FP, so DOUBLE values hash-match across engines.
+    "orders_merge_table": """
+        SELECT o_orderkey,
+               o_custkey,
+               CASE WHEN o_orderkey % 6 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 9 <> 0
     """,
 }

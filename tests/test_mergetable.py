@@ -1,0 +1,308 @@
+"""Keyed merge table (operators/mergetable.py): latest-wins resolution
+must equal a row-by-row replay exactly, applies must be atomic and
+replay-safe, compaction must be a pure representation change, and the
+change log must round-trip as a CDC feed."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators import mergetable
+from mini_data_platform_spark.operators.mergetable import (
+    compact_table,
+    table_apply,
+    table_build,
+    table_changes,
+    table_read,
+    vacuum_table,
+)
+
+SCHEMA = "k bigint, v string, amount double"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _tagged(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA + ", _op string")
+
+
+#: (op, key, (v, amount)) replay reference — dict semantics IS the spec
+def _replay(batches):
+    state = {}
+    for batch in batches:
+        for op, k, payload in batch:
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = payload
+    return state
+
+
+def _as_dict(df):
+    return {r["k"]: (r["v"], r["amount"]) for r in df.collect()}
+
+
+BASE = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)]
+
+
+def _standard_table(spark, d):
+    """build + 3 batches exercising upsert/update/delete/reinsert."""
+    table_build(_frame(spark, BASE), d, ["k"])
+    table_apply(
+        _tagged(spark, [(2, "B", 20.0, "u"), (5, "e", 5.0, "u"),
+                        (3, None, None, "d")]), d)
+    table_apply(
+        _tagged(spark, [(3, "c2", 33.0, "u"), (1, None, None, "d")]), d)
+    table_apply(_frame(spark, [(6, "f", 6.0), (4, "D", 40.0)]), d)
+    return [
+        [("u", k, (v, a)) for k, v, a in BASE],
+        [("u", 2, ("B", 20.0)), ("u", 5, ("e", 5.0)), ("d", 3, None)],
+        [("u", 3, ("c2", 33.0)), ("d", 1, None)],
+        [("u", 6, ("f", 6.0)), ("u", 4, ("D", 40.0))],
+    ]
+
+
+class TestMergeSemantics:
+    def test_resolution_equals_replay(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        batches = _standard_table(spark, d)
+        assert _as_dict(table_read(spark, d)) == _replay(batches)
+
+    def test_delete_then_reinsert_reappears(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, [(1, "a", 1.0)]), d, ["k"])
+        table_apply(_tagged(spark, [(1, None, None, "d")]), d)
+        assert table_read(spark, d).count() == 0
+        table_apply(_frame(spark, [(1, "a2", 9.0)]), d)
+        assert _as_dict(table_read(spark, d)) == {1: ("a2", 9.0)}
+
+    def test_keys_only_delete_batch_conforms(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        dels = spark.createDataFrame([(2,), (4,)], "k bigint").withColumn(
+            "_op", F.lit("d"))
+        table_apply(dels, d)
+        assert set(_as_dict(table_read(spark, d))) == {1, 3}
+
+    def test_upsert_missing_columns_rejected(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        partial = spark.createDataFrame([(7, "x")], "k bigint, v string")
+        with pytest.raises(ValueError, match="every table column"):
+            table_apply(partial, d)
+
+    def test_duplicate_keys_in_batch_rejected(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        with pytest.raises(ValueError, match="key-unique"):
+            table_apply(_frame(spark, [(9, "x", 1.0), (9, "y", 2.0)]), d)
+
+    def test_null_key_and_bad_op_rejected(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        with pytest.raises(ValueError, match="non-null keys"):
+            table_apply(_frame(spark, [(None, "x", 1.0)]), d)
+        with pytest.raises(ValueError, match="_op"):
+            table_apply(_tagged(spark, [(9, "x", 1.0, "z")]), d)
+
+    def test_validate_false_skips_the_check(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        table_apply(
+            _frame(spark, [(9, "x", 1.0), (9, "y", 2.0)]), d,
+            validate=False)  # caller owns the uniqueness contract now
+
+    def test_build_guards(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        with pytest.raises(ValueError, match="already exists"):
+            table_build(_frame(spark, BASE), d, ["k"])
+        with pytest.raises(ValueError, match="reserved"):
+            table_build(
+                _frame(spark, BASE).withColumn("_seq", F.lit(1)),
+                str(tmp_path / "t2"), ["k"])
+        with pytest.raises(ValueError, match="not in frame"):
+            table_build(_frame(spark, BASE), str(tmp_path / "t3"), ["nope"])
+
+    def test_composite_keys(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)],
+            "a bigint, b string, amount double")
+        table_build(df, d, ["a", "b"])
+        table_apply(
+            spark.createDataFrame(
+                [(1, "y", 99.0, "u"), (2, "x", None, "d")],
+                "a bigint, b string, amount double, _op string"), d)
+        got = {(r["a"], r["b"]): r["amount"]
+               for r in table_read(spark, d).collect()}
+        assert got == {(1, "x"): 10.0, (1, "y"): 99.0}
+
+
+class TestCommitSemantics:
+    def test_replayed_batch_id_is_noop(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        b = _frame(spark, [(5, "e", 5.0)])
+        m1 = table_apply(b, d, batch_id="day-1")
+        m2 = table_apply(b, d, batch_id="day-1")
+        assert m1["n_batches"] == m2["n_batches"] == 2
+        assert _as_dict(table_read(spark, d))[5] == ("e", 5.0)
+
+    def test_crash_before_meta_swap_then_retry(
+        self, spark, tmp_path, monkeypatch
+    ):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        before = _as_dict(table_read(spark, d))
+        real = mergetable._write_meta
+
+        def crashing(*a, **kw):
+            raise RuntimeError("crash between segment write and commit")
+
+        monkeypatch.setattr(mergetable, "_write_meta", crashing)
+        with pytest.raises(RuntimeError):
+            table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
+        monkeypatch.setattr(mergetable, "_write_meta", real)
+        # orphan segment dir exists but is invisible to readers
+        assert os.path.isdir(os.path.join(d, "rows", "seg-1"))
+        assert _as_dict(table_read(spark, d)) == before
+        swept = vacuum_table(d)
+        assert any("seg-1" in p for p in swept)
+        # the retry lands the batch exactly once
+        table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
+        after = _as_dict(table_read(spark, d))
+        assert after[5] == ("e", 5.0) and len(after) == 5
+
+
+class TestTimeTravel:
+    def test_as_of_equals_stopped_early_twin(self, spark, tmp_path):
+        d = str(tmp_path / "full")
+        batches = _standard_table(spark, d)
+        for k in range(1, 5):
+            twin = str(tmp_path / f"twin{k}")
+            table_build(_frame(spark, BASE), twin, ["k"])
+            # replay the same change batches up to batch k on the twin
+            spec = [
+                _tagged(spark, [(2, "B", 20.0, "u"), (5, "e", 5.0, "u"),
+                                (3, None, None, "d")]),
+                _tagged(spark, [(3, "c2", 33.0, "u"), (1, None, None, "d")]),
+                _frame(spark, [(6, "f", 6.0), (4, "D", 40.0)]),
+            ]
+            for b in spec[: k - 1]:
+                table_apply(b, twin)
+            assert _as_dict(table_read(spark, d, as_of=k)) == _as_dict(
+                table_read(spark, twin)
+            ) == _replay(batches[:k])
+
+    def test_as_of_bounds(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        with pytest.raises(ValueError, match="as_of"):
+            table_read(spark, d, as_of=0)
+        with pytest.raises(ValueError, match="as_of"):
+            table_read(spark, d, as_of=5)
+
+
+class TestChanges:
+    def test_changes_are_the_exact_batch_suffix(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        for since in range(5):
+            got = table_changes(spark, d, since=since)
+            seqs = {r["_seq"] for r in got.select("_seq").collect()}
+            assert seqs == set(range(since, 4)), since
+        assert table_changes(spark, d, since=4).count() == 0
+
+    def test_changes_with_as_of_window(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        got = table_changes(spark, d, since=1, as_of=3)
+        assert {r["_seq"] for r in got.collect()} == {1, 2}
+
+    def test_changes_carry_ops(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        ops = {
+            (r["k"], r["_op"])
+            for r in table_changes(spark, d, since=1, as_of=2).collect()
+        }
+        assert ops == {(2, "u"), (5, "u"), (3, "d")}
+
+    def test_compaction_is_the_changes_boundary(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        compact_table(spark, d)
+        with pytest.raises(ValueError, match="compacted away"):
+            table_changes(spark, d, since=1)
+        # from the boundary on: served from post-compaction appends only
+        assert table_changes(spark, d, since=4).count() == 0
+        table_apply(_frame(spark, [(7, "g", 7.0)]), d)
+        assert {r["_seq"] for r in
+                table_changes(spark, d, since=4).collect()} == {4}
+
+
+class TestCompaction:
+    def test_compact_preserves_state_and_drops_tombstones(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        before = _as_dict(table_read(spark, d))
+        meta = compact_table(spark, d)
+        assert meta["segments"]["rows"] == ["compact-4"]
+        assert meta["compacted_through"] == 4
+        assert _as_dict(table_read(spark, d)) == before
+        # tombstones are physically gone from the compacted log
+        raw = spark.read.parquet(os.path.join(d, "rows", "compact-4"))
+        assert raw.where(F.col("_op") == "d").count() == 0
+        with pytest.raises(ValueError, match="compacted"):
+            table_read(spark, d, as_of=2)
+
+    def test_apply_after_compact_continues(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        batches = _standard_table(spark, d)
+        compact_table(spark, d)
+        table_apply(
+            _tagged(spark, [(6, None, None, "d"), (8, "h", 8.0, "u")]), d)
+        expect = _replay(batches + [[("d", 6, None), ("u", 8, ("h", 8.0))]])
+        assert _as_dict(table_read(spark, d)) == expect
+        # as-of across the boundary: compacted state + the new batch
+        assert _as_dict(table_read(spark, d, as_of=4)) == _replay(batches)
+
+    def test_double_compact_is_noop(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        m1 = compact_table(spark, d)
+        m2 = compact_table(spark, d)
+        assert m1["segments"] == m2["segments"]
+
+    def test_non_mergetable_dir_rejected(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import view_build
+
+        d = str(tmp_path / "view")
+        view_build(
+            _frame(spark, BASE), d, ["k"], {"n": ("count", "*")})
+        for fn in (
+            lambda: table_read(spark, d),
+            lambda: table_apply(_frame(spark, BASE), d),
+            lambda: table_changes(spark, d),
+            lambda: compact_table(spark, d),
+        ):
+            with pytest.raises(ValueError, match="not a merge table"):
+                fn()
+
+
+class TestPlanShape:
+    def test_read_is_one_aggregate_no_window_no_python(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        plan = table_read(spark, d)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # max_by aggregate, never a sort
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert plan.count("Exchange") == 1  # the one key shuffle
