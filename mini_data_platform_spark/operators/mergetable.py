@@ -60,6 +60,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_data_platform_spark.operators.incremental import (
+    _hinted,
     _meta_as_of,
     _read_meta,
     _read_table,
@@ -297,6 +298,67 @@ def table_changes(
         )
     paths = [os.path.join(table_dir, _ROWS, s) for s in wanted]
     return spark.read.parquet(*paths)
+
+
+def table_changes_zset(
+    spark: SparkSession,
+    table_dir: str,
+    since: int,
+    as_of: int | None = None,
+) -> DataFrame:
+    """The state delta between batch ``since`` and ``as_of`` as a
+    Z-SET: displaced pre-image rows tagged ``_op`` = -1, new post-image
+    rows tagged +1 — exactly what ``ivm.view_apply_changes`` consumes,
+    so a maintained aggregate view chains directly off this table (the
+    lakehouse CDF-with-preimages read; Delta calls the two sides
+    ``update_preimage``/``update_postimage``).
+
+    The raw change log (:func:`table_changes`) cannot feed an aggregate
+    by itself: an upsert row says nothing about the OLD row it
+    displaced, and retraction needs that pre-image. Rather than making
+    every write pay an O(table) pre-image lookup (which would break the
+    O(batch) apply), the pre-images are derived here at READ time,
+    candidate-bounded: the log is filtered to the CHANGED keys (a
+    guarded-broadcast semi-join — batch-sized in the batch ≪ table
+    regime) before either resolve, so the cost is O(log rows of changed
+    keys), never O(table). A key whose post-image equals its pre-image
+    emits a canceling -1/+1 pair — harmless to any consumer of the
+    algebra. ``since``/``as_of`` follow :func:`table_changes` bounds,
+    including the compaction boundary.
+
+    The changed-key frame is persisted (computed once, probed twice);
+    call ``resources.release_plan`` on the returned plan after the
+    consuming action (the standard operator contract)."""
+    from mini_data_platform_spark.operators.resources import attach_plan
+    meta_full = _read_meta(table_dir)
+    if meta_full.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    meta_new = _meta_as_of(meta_full, as_of)
+    changed = table_changes(spark, table_dir, since, as_of)
+    keys = meta_full["keys"]
+    ck = changed.select(*keys).distinct()
+    ck = _hinted(ck.persist(), ck.count())
+
+    def _state(meta: dict) -> DataFrame:
+        rows = _read_table(spark, table_dir, _ROWS, meta).join(
+            ck, keys, "left_semi"
+        )
+        payload = F.struct(
+            *[F.col(c) for c in meta_full["columns"]], F.col(_OP)
+        )
+        g = rows.groupBy(*[F.col(k) for k in keys]).agg(
+            F.max_by(payload, F.col(_SEQ)).alias("_w")
+        )
+        return g.where(F.col(f"_w.{_OP}") != "d").select(
+            *keys,
+            *[F.col(f"_w.{c}").alias(c) for c in meta_full["columns"]],
+        )
+
+    new = _state(meta_new).withColumn(_OP, F.lit(1))
+    if since == 0:
+        return attach_plan(new, ck)
+    old = _state(_meta_as_of(meta_full, since)).withColumn(_OP, F.lit(-1))
+    return attach_plan(old.unionByName(new), ck)
 
 
 def compact_table(spark: SparkSession, table_dir: str) -> dict:

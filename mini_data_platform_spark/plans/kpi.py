@@ -239,6 +239,84 @@ def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_read(spark, table_dir)
 
 
+def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse CDC chain as ONE query: the keyed merge table
+    receives the same five change batches as ``orders_merge_table``, and
+    a maintained aggregate view (revenue + order count by status,
+    operators/ivm.py) is kept current PURELY from the table's Z-set
+    change feed (``table_changes_zset`` — displaced pre-images as -1,
+    post-images as +1), never from the table state. Updates and deletes
+    thus retract exactly: the doubled-price wave retracts the old price
+    and adds the new, the delete wave retracts its rows, and the served
+    view hash-matches a plain GROUP BY over the table's FINAL state —
+    the end-to-end correctness contract of the table→view pipeline.
+
+    Scale: each view refresh costs O(changed keys' log rows) for the
+    pre/post-image resolve plus an O(delta) segment append — no fact
+    rescan, no view rewrite; the table and view stay independently
+    compactable."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.operators.mergetable import (
+        table_apply,
+        table_build,
+        table_changes_zset,
+        table_read,
+    )
+    from mini_data_platform_spark.operators.ivm import (
+        view_apply_changes,
+        view_build,
+        view_read,
+    )
+    from mini_data_platform_spark.operators.resources import release_plan
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    root = os.path.join(
+        tempfile.gettempdir(), f"mdp_mergeview_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    tdir = os.path.join(root, "table")
+    vdir = os.path.join(root, "view")
+    table_build(orders.filter(k % 3 == 0), tdir, ["o_orderkey"])
+    table_apply(orders.filter(k % 3 == 1), tdir)
+    table_apply(
+        orders.filter(k % 6 == 0).withColumns(
+            {
+                "o_totalprice": F.col("o_totalprice") * 2,
+                "o_orderstatus": F.lit("U"),
+            }
+        ),
+        tdir,
+    )
+    table_apply(
+        orders.filter(k % 9 == 0)
+        .select("o_orderkey")
+        .withColumn("_op", F.lit("d")),
+        tdir,
+    )
+    table_apply(orders.filter(k % 3 == 2), tdir)
+    # the view never sees the table: seeded from the first batch's
+    # state, then maintained from the change feed alone
+    view_build(
+        table_read(spark, tdir, as_of=1),
+        vdir,
+        ["o_orderstatus"],
+        {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")},
+    )
+    for b in range(1, 5):
+        zset = table_changes_zset(spark, tdir, since=b, as_of=b + 1)
+        view_apply_changes(zset, vdir)
+        release_plan(zset)
+    return view_read(spark, vdir)
+
+
 QUERIES = {
     "kpi_revenue_by_day": revenue_by_day,
     "kpi_top_customers": top_customers,
@@ -248,6 +326,7 @@ QUERIES = {
     "kpi_revenue_by_customer": revenue_by_customer,
     "kpi_revenue_by_day_ivm": revenue_by_day_ivm,
     "orders_merge_table": orders_merge_table,
+    "orders_merge_view": orders_merge_view,
 }
 
 _REV = sql_dsum("o_totalprice")
@@ -331,5 +410,23 @@ ORACLE = {
                     ELSE o_totalprice END AS o_totalprice
         FROM orders
         WHERE o_orderkey % 9 <> 0
+    """,
+    # the maintained view must equal a plain GROUP BY over the table's
+    # final state (the orders_merge_table oracle), however the changes
+    # were batched and retracted — the table→view chain contract
+    "orders_merge_view": f"""
+        WITH final AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 6 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 9 <> 0
+        )
+        SELECT o_orderstatus,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM final GROUP BY 1
     """,
 }

@@ -296,6 +296,92 @@ class TestCompaction:
                 fn()
 
 
+class TestZsetChanges:
+    def test_since_zero_is_the_full_state_as_inserts(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_changes_zset,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        z = table_changes_zset(spark, d, since=0).collect()
+        assert all(r["_op"] == 1 for r in z)
+        assert {r["k"]: (r["v"], r["amount"]) for r in z} == _as_dict(
+            table_read(spark, d))
+
+    def test_update_emits_preimage_and_postimage(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_changes_zset,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        # batch 2 updates k=2 (b,2.0)->(B,20.0), inserts k=5, deletes k=3
+        z = {
+            (r["k"], r["_op"]): (r["v"], r["amount"])
+            for r in table_changes_zset(spark, d, since=1, as_of=2).collect()
+        }
+        assert z == {
+            (2, -1): ("b", 2.0), (2, 1): ("B", 20.0),
+            (5, 1): ("e", 5.0),
+            (3, -1): ("c", 3.0),
+        }
+
+    def test_view_maintained_from_zset_equals_recompute(
+        self, spark, tmp_path
+    ):
+        """The table→view chain contract: a sum/count view fed ONLY by
+        the Z-set change feed equals the aggregate over the table's
+        final state — updates and deletes retract exactly."""
+        from mini_data_platform_spark.operators.ivm import (
+            view_apply_changes,
+            view_build,
+            view_read,
+        )
+        from mini_data_platform_spark.operators.mergetable import (
+            table_changes_zset,
+        )
+        from mini_data_platform_spark.operators.resources import (
+            release_plan,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        vdir = str(tmp_path / "view")
+        view_build(
+            table_read(spark, d, as_of=1).withColumn(
+                "g", F.substring("v", 1, 1)),
+            vdir, ["g"],
+            {"total": ("sum", "amount"), "n": ("count", "*")},
+        )
+        for b in range(1, 4):
+            z = table_changes_zset(spark, d, since=b, as_of=b + 1)
+            view_apply_changes(z.withColumn("g", F.substring("v", 1, 1)), vdir)
+            release_plan(z)
+        got = {
+            r["g"]: (r["total"], r["n"])
+            for r in view_read(spark, vdir).collect()
+        }
+        want = {}
+        for r in table_read(spark, d).withColumn(
+            "g", F.substring("v", 1, 1)
+        ).collect():
+            t, n = want.get(r["g"], (0.0, 0))
+            want[r["g"]] = (t + r["amount"], n + 1)
+        assert got == want
+
+    def test_zset_respects_compaction_boundary(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_changes_zset,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        compact_table(spark, d)
+        with pytest.raises(ValueError, match="compacted away"):
+            table_changes_zset(spark, d, since=1)
+
+
 class TestPlanShape:
     def test_read_is_one_aggregate_no_window_no_python(
         self, spark, tmp_path

@@ -785,6 +785,57 @@ class TestStreamingViewMaintenance:
         got = {r["k"]: r["n"] for r in view_read(spark, view_dir).collect()}
         assert got == {"a": 3}
 
+    def test_streamed_merge_table(self, spark, tmp_path):
+        """streaming/mergetable.py: a CDC stream of upsert/delete rows
+        keeps the keyed merge table current, exactly-once across
+        checkpointed restarts, and the serve read equals the batch-apply
+        twin."""
+        from mini_data_platform_spark.operators.mergetable import (
+            table_apply,
+            table_build,
+            table_read,
+        )
+        from mini_data_platform_spark.streaming.mergetable import (
+            maintain_table_stream,
+        )
+
+        schema = "k bigint, v string, _op string"
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string")
+        live1 = [(2, "B", "u"), (4, "d", "u"), (3, None, "d")]
+        live2 = [(3, "c2", "u"), (1, None, "d")]
+
+        tdir = str(tmp_path / "table")
+        table_build(base, tdir, ["k"])
+        src = str(tmp_path / "changes")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(live1, schema).write.mode("append").parquet(src)
+        q = maintain_table_stream(
+            spark.readStream.schema(schema).parquet(src), tdir, ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        got = {r["k"]: r["v"] for r in table_read(spark, tdir).collect()}
+        assert got == {1: "a", 2: "B", 4: "d"}
+
+        # restart from the checkpoint with more files: only new files
+        # apply; the final state equals a batch-apply twin
+        spark.createDataFrame(live2, schema).write.mode("append").parquet(src)
+        q2 = maintain_table_stream(
+            spark.readStream.schema(schema).parquet(src), tdir, ckpt,
+            available_now=True,
+        )
+        q2.awaitTermination(180)
+        twin = str(tmp_path / "twin")
+        table_build(base, twin, ["k"])
+        table_apply(spark.createDataFrame(live1, schema), twin)
+        table_apply(spark.createDataFrame(live2, schema), twin)
+        assert (
+            {r["k"]: r["v"] for r in table_read(spark, tdir).collect()}
+            == {r["k"]: r["v"] for r in table_read(spark, twin).collect()}
+            == {2: "B", 3: "c2", 4: "d"}
+        )
+
     def test_cdc_change_stream(self, spark, tmp_path):
         """changes=True: a streamed upsert (delete-old/insert-new pair)
         retracts through view_apply_changes exactly once."""
