@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 97 queries exist, so 47 sit outside any given round):
+#: FIRST 50 entries; 99 queries exist, so 49 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -40,8 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: deterministic pretraining mixture sampling, emb_semdedup — SemDeDup
 #: semantic dedup over trained cells, kpi_revenue_by_day_ivm —
 #: incremental view maintenance ≡ full recompute,
-#: events_purchase_join_salted — salted skew join ≡ plain join, and
-#: doc_chunk_knn — the chunk→hash-embed→cosine RAG composition), then
+#: events_purchase_join_salted — salted skew join ≡ plain join,
+#: doc_chunk_knn — the chunk→hash-embed→cosine RAG composition,
+#: orders_merge_table — the keyed MERGE/CDC table, latest-wins ≡ a
+#: declarative restatement, and orders_merge_view — an aggregate view
+#: maintained purely from the table's Z-set change feed ≡ GROUP BY
+#: over its final state), then
 #: every query over code touched by the r8 diffs: the incremental-index
 #: restructure (broadcast guards + atomic per-batch segment commits +
 #: serving lookups) forces the three incremental equivalence proofs in;
@@ -50,16 +54,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: forces emb_ann_pq/emb_ann_ivfpq. The 4 remaining slots go to the
 #: near-dup batch family (doc_minhash_candidates, doc_near_dups,
 #: doc_dedup_final, doc_curated_corpus) whose plans consume the
-#: dedup_fuzzy helpers the incremental module shares. FOUR stale-first
+#: dedup_fuzzy helpers the incremental module shares. SIX stale-first
 #: slots ceded to the new queries: kpi_revenue_by_day (it runs EVERY
 #: round as the entry() smoke, so a driver signal exists regardless),
 #: events_approx_users (no-oracle HLL — its driver row is rows-only;
-#: the exact twin events_distinct_users keeps its slot), and
-#: emb_norms + doc_fingerprint (trivial stable projections). Rotated
-#: out: the remaining 47 queries, all driver-green in r7 (or locally
-#: re-verified) and untouched by the r8 diffs; ALL 97 queries were
+#: the exact twin events_distinct_users keeps its slot),
+#: emb_norms + doc_fingerprint (trivial stable projections),
+#: price_quantiles_approx (its exact twin price_quantiles keeps its
+#: slot), and big_orders (trivial stable filter). Rotated
+#: out: the remaining 49 queries, all driver-green in r7 (or locally
+#: re-verified) and untouched by the r8 diffs; ALL 99 queries were
 #: additionally verified exact-multiset by tools/verify_local.py this
-#: round (94 ok / 3 no-oracle-by-design). events_user_stats_salted
+#: round (96 ok / 3 no-oracle-by-design). events_user_stats_salted
 #: stays in the window because skew.py gained salted_join this round
 #: (rule 2: touched file).
 _ROUND8_WINDOW_FIRST = [
@@ -70,10 +76,10 @@ _ROUND8_WINDOW_FIRST = [
     "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
     "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
     "emb_dedup_final", "order_stats_distinct", "priority_status_matrix",
-    "price_quantiles", "price_quantiles_approx", "order_priority_pivot",
+    "price_quantiles", "order_priority_pivot",
     "lineitem_unpivot_stats", "customer_deciles", "order_moments",
     "quantity_price_corr", "nation_top_customer_names",
-    "order_grouping_sets", "big_orders", "promo_revenue_share",
+    "order_grouping_sets", "promo_revenue_share",
     "cheapest_supplier_per_part", "orders_dq_report",
     "events_distinct_users", "events_user_stats_salted", "events_hourly",
     "events_json_value", "revenue_by_day_dense",
@@ -82,6 +88,7 @@ _ROUND8_WINDOW_FIRST = [
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",
     "events_purchase_join_salted", "doc_chunk_knn",
+    "orders_merge_table", "orders_merge_view",
     # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",

@@ -296,6 +296,77 @@ class TestCompaction:
                 fn()
 
 
+class TestLookup:
+    def test_lookup_equals_filtered_read(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        probes = spark.createDataFrame(
+            [(2,), (3,), (1,), (99,)], "k bigint")
+        got = _as_dict(table_lookup(spark, d, probes))
+        full = _as_dict(table_read(spark, d))
+        # 1 was deleted, 99 never existed: both absent
+        assert got == {k: full[k] for k in (2, 3)}
+
+    def test_lookup_rejects_non_key_probes(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        with pytest.raises(ValueError, match="exactly the key columns"):
+            table_lookup(spark, d, _frame(spark, [(1, "a", 1.0)]))
+
+    def test_lookup_as_of(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        probes = spark.createDataFrame([(3,)], "k bigint")
+        # k=3 deleted in batch 2, reinserted in batch 3
+        assert _as_dict(table_lookup(spark, d, probes, as_of=2)) == {}
+        assert _as_dict(table_lookup(spark, d, probes, as_of=3)) == {
+            3: ("c2", 33.0)}
+
+
+class TestResolvedFastPath:
+    def test_compacted_read_skips_the_resolve(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        before = _as_dict(table_read(spark, d))
+        compact_table(spark, d)
+        df = table_read(spark, d)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # scan-speed: no resolve aggregate
+        assert _as_dict(df) == before
+        # a post-compaction apply reopens the merge-on-read path
+        table_apply(_frame(spark, [(9, "i", 9.0)]), d)
+        plan2 = table_read(spark, d)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" in plan2
+        assert _as_dict(table_read(spark, d))[9] == ("i", 9.0)
+
+    def test_compacted_lookup_skips_the_resolve(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        compact_table(spark, d)
+        probes = spark.createDataFrame([(2,), (1,)], "k bigint")
+        df = table_lookup(spark, d, probes)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "max_by" not in plan
+        assert _as_dict(df) == {2: ("B", 20.0)}
+
+
 class TestZsetChanges:
     def test_since_zero_is_the_full_state_as_inserts(self, spark, tmp_path):
         from mini_data_platform_spark.operators.mergetable import (
