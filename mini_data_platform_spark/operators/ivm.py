@@ -372,6 +372,65 @@ def view_apply_changes(
     return _commit_partial(part, view_dir, meta, bid)
 
 
+def minmax_view_build(
+    df: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    value_col: str,
+    mode: str = "delta",
+    batch_id: str = "batch-0",
+) -> dict:
+    """RETRACTABLE min/max — the measure class ``view_apply_changes``
+    refuses on plain views, made maintainable by storing the SUPPORT
+    multiset instead of the extremum: a view keyed by
+    ``keys + [value_col]`` whose one measure is the multiplicity
+    ``count(*)``. Deleting the current minimum then just decrements its
+    multiplicity row; the new minimum is already in the state (it is
+    every surviving value), so the serve read recovers exact min AND
+    max with one view-sized aggregate — no base-table access, ever.
+    This is how retraction-complete engines (DBSP, Materialize) handle
+    MIN/MAX, and the state cost is theirs too: one row per distinct
+    (group, value) pair — the price of retraction; append-only views
+    should keep plain min/max measures (constant state per group).
+
+    Increments and change batches are the STANDARD view operations
+    (``view_increment`` / ``view_apply_changes`` — multiplicity is a
+    count, which retracts); fully-retracted values vanish via the
+    count(*)-zero rule, which is exactly what removes a deleted
+    extremum from the serve aggregate. Null values ride along as a
+    (group, NULL) multiplicity row and are ignored by min/max at
+    serve — SQL semantics, no special casing."""
+    meta = view_build(
+        df, view_dir, list(keys) + [value_col], {"_n": ("count", "*")},
+        mode=mode, batch_id=batch_id,
+    )
+    meta["minmax_value"] = value_col
+    _write_meta(view_dir, meta)
+    return meta
+
+
+def minmax_view_read(
+    spark: SparkSession, view_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Serve exact per-group ``min_<value>`` / ``max_<value>`` from a
+    support view: merge the multiplicity segments (zero rows vanish),
+    then one aggregate over surviving values. Groups whose every value
+    retracted produce no row — a fully-deleted group vanishes, matching
+    the plain-view contract."""
+    meta = _read_meta(view_dir)
+    vc = meta.get("minmax_value")
+    if not vc:
+        raise ValueError(
+            f"{view_dir} is not a min/max support view "
+            "(build with minmax_view_build)"
+        )
+    v = view_read(spark, view_dir, finalize=True, as_of=as_of)
+    gk = [k for k in meta["keys"] if k != vc]
+    return v.groupBy(*[F.col(k) for k in gk]).agg(
+        F.min(vc).alias(f"min_{vc}"), F.max(vc).alias(f"max_{vc}")
+    )
+
+
 def compact_view(spark: SparkSession, view_dir: str) -> dict:
     """Fold a delta-mode view's segment log back to one segment: read
     the union, merge, write a ``compact-N`` segment, commit the

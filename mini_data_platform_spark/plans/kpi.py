@@ -242,14 +242,18 @@ def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full lakehouse CDC chain as ONE query: the keyed merge table
     receives the same five change batches as ``orders_merge_table``, and
-    a maintained aggregate view (revenue + order count by status,
-    operators/ivm.py) is kept current PURELY from the table's Z-set
+    TWO maintained views are kept current PURELY from the table's Z-set
     change feed (``table_changes_zset`` — displaced pre-images as -1,
-    post-images as +1), never from the table state. Updates and deletes
-    thus retract exactly: the doubled-price wave retracts the old price
-    and adds the new, the delete wave retracts its rows, and the served
-    view hash-matches a plain GROUP BY over the table's FINAL state —
-    the end-to-end correctness contract of the table→view pipeline.
+    post-images as +1), never from the table state: a plain aggregate
+    view (revenue + order count by status) and a retractable-min/max
+    SUPPORT view (``ivm.minmax_view_build`` — the multiplicity-per-value
+    state that lets deletes move the extremum, which plain min/max
+    measures must refuse). Updates and deletes thus retract exactly:
+    the doubled-price wave retracts the old price and adds the new, the
+    delete wave retracts its rows — including current minima/maxima —
+    and the served join hash-matches a plain GROUP BY (sum, count, MIN,
+    MAX) over the table's FINAL state — the end-to-end correctness
+    contract of the table→view pipeline.
 
     Scale: each view refresh costs O(changed keys' log rows) for the
     pre/post-image resolve plus an O(delta) segment append — no fact
@@ -267,6 +271,8 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_read,
     )
     from mini_data_platform_spark.operators.ivm import (
+        minmax_view_build,
+        minmax_view_read,
         view_apply_changes,
         view_build,
         view_read,
@@ -302,19 +308,32 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdir,
     )
     table_apply(orders.filter(k % 3 == 2), tdir)
-    # the view never sees the table: seeded from the first batch's
-    # state, then maintained from the change feed alone
+    # the views never see the table: seeded from the first batch's
+    # state, then maintained from the change feed alone. The second
+    # view is the retractable-min/max support multiset — the measure
+    # class plain views must refuse changes on (ivm.minmax_view_build).
+    mdir = os.path.join(root, "minmax")
+    seed = table_read(spark, tdir, as_of=1)
     view_build(
-        table_read(spark, tdir, as_of=1),
+        seed,
         vdir,
         ["o_orderstatus"],
         {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")},
     )
+    minmax_view_build(seed, mdir, ["o_orderstatus"], "o_totalprice")
     for b in range(1, 5):
         zset = table_changes_zset(spark, tdir, since=b, as_of=b + 1)
         view_apply_changes(zset, vdir)
+        view_apply_changes(zset, mdir)
         release_plan(zset)
-    return view_read(spark, vdir)
+    mm = minmax_view_read(spark, mdir).select(
+        "o_orderstatus",
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )
+    return view_read(spark, vdir).join(
+        F.broadcast(mm), "o_orderstatus"
+    )
 
 
 QUERIES = {
@@ -426,7 +445,9 @@ ORACLE = {
         )
         SELECT o_orderstatus,
                {sql_dsum('o_totalprice')} AS revenue,
-               COUNT(*) AS n_orders
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
         FROM final GROUP BY 1
     """,
 }

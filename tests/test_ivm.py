@@ -520,3 +520,81 @@ class TestSecondReviewRegressions:
             view_increment(_facts(spark, [("a", 2.0)]), d)
         with pytest.raises(RuntimeError, match="blocked"):
             view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+
+
+class TestRetractableMinMax:
+    """minmax_view_build/read: the support-multiset composition that
+    makes min/max retractable — deletes must move the extremum exactly,
+    with no base-table access."""
+
+    def _build(self, spark, d, rows):
+        from mini_data_platform_spark.operators.ivm import (
+            minmax_view_build,
+        )
+
+        return minmax_view_build(_facts(spark, rows), d, ["k"], "amount")
+
+    def _read(self, spark, d, **kw):
+        from mini_data_platform_spark.operators.ivm import (
+            minmax_view_read,
+        )
+
+        return {
+            r["k"]: (r["min_amount"], r["max_amount"])
+            for r in minmax_view_read(spark, d, **kw).collect()
+        }
+
+    def test_delete_moves_the_extremum(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 1.0), ("a", 5.0), ("a", 3.0)])
+        assert self._read(spark, d) == {"a": (1.0, 5.0)}
+        view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+        assert self._read(spark, d) == {"a": (3.0, 5.0)}
+        view_apply_changes(_changes(spark, [("a", 5.0, -1)]), d)
+        assert self._read(spark, d) == {"a": (3.0, 3.0)}
+
+    def test_duplicate_value_survives_single_retraction(
+        self, spark, tmpdir
+    ):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 1.0), ("a", 1.0), ("a", 2.0)])
+        view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+        # one copy of the minimum remains: min must NOT move
+        assert self._read(spark, d) == {"a": (1.0, 2.0)}
+
+    def test_full_group_retraction_vanishes(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 1.0), ("b", 2.0)])
+        view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+        assert self._read(spark, d) == {"b": (2.0, 2.0)}
+
+    def test_replay_sequence_equals_reference(self, spark, tmpdir):
+        """A mixed insert/delete history equals a Python multiset
+        replay, via both increments and change batches."""
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 3.0), ("b", 7.0)])
+        view_increment(_facts(spark, [("a", 9.0), ("b", 1.0)]), d)
+        view_apply_changes(
+            _changes(spark, [("a", 3.0, -1), ("a", 2.0, 1),
+                             ("b", 7.0, -1)]), d)
+        # multiset now: a {9.0, 2.0}, b {1.0}
+        assert self._read(spark, d) == {"a": (2.0, 9.0), "b": (1.0, 1.0)}
+
+    def test_nulls_are_ignored_like_sql(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", None), ("a", 4.0)])
+        assert self._read(spark, d) == {"a": (4.0, 4.0)}
+        view_apply_changes(_changes(spark, [("a", 4.0, -1)]), d)
+        # only the NULL row remains: group serves (None, None)
+        assert self._read(spark, d) == {"a": (None, None)}
+
+    def test_plain_view_rejected_by_minmax_read(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.ivm import (
+            minmax_view_read,
+        )
+
+        d = str(tmpdir)
+        view_build(_facts(spark, [("a", 1.0)]), d, ["k"],
+                   {"n": ("count", "*")})
+        with pytest.raises(ValueError, match="support view"):
+            minmax_view_read(spark, d)
