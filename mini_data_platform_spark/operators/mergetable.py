@@ -63,7 +63,6 @@ from mini_data_platform_spark.operators.incremental import (
     _hinted,
     _meta_as_of,
     _read_meta,
-    _read_table,
     _segment_paths,
     _write_meta,
     _write_segment,
@@ -113,18 +112,54 @@ def _validate_batch(batch: DataFrame, keys: list[str]) -> None:
         )
 
 
-def _conform(
-    batch: DataFrame, meta: dict, spark: SparkSession, table_dir: str
-) -> DataFrame:
+def _ddl_types(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return {c: by_name[c] for c in cols}
+
+
+def _conform(batch: DataFrame, meta: dict, evolve: bool) -> DataFrame:
     """Project the batch to the table schema + ``_op``. A batch without
     ``_op`` is all-upserts. An all-DELETE batch may carry keys only —
     missing data columns are filled with typed nulls from the committed
     schema (tombstones never serve their payload). A mixed or upsert
-    batch missing data columns is an error, not a silent null-out."""
+    batch missing data columns is an error, not a silent null-out.
+
+    SCHEMA EVOLUTION: extra data columns are REJECTED by default (a
+    misspelled column must not silently vanish); with ``evolve=True``
+    they are appended to the table schema — the new columns commit in
+    the same atomic meta swap as the segment, pre-evolution segments
+    serve typed NULLs for them at read (``_read_rows`` unions by name),
+    and a type change on an EXISTING column is always refused (silently
+    divergent parquet segments would poison every later read)."""
     cols = set(batch.columns)
     if _OP not in cols:
         batch = batch.withColumn(_OP, F.lit("u"))
         cols.add(_OP)
+    known = set(meta["keys"]) | set(meta["columns"]) | {_OP}
+    batch_types = {
+        f.name: f.dataType.simpleString() for f in batch.schema.fields
+    }
+    clash = [
+        c for c in (cols & known) - {_OP}
+        if batch_types[c] != meta["schema"][c]
+    ]
+    if clash:
+        raise ValueError(
+            f"column type mismatch vs table schema: "
+            f"{[(c, batch_types[c], meta['schema'][c]) for c in clash]} "
+            "(cast the batch before applying; in-place type changes "
+            "are not supported)"
+        )
+    extras = [c for c in batch.columns if c not in known and c != _SEQ]
+    if extras:
+        if not evolve:
+            raise ValueError(
+                f"batch carries columns {extras} not in the table "
+                "schema; pass evolve=True to add them (or drop them)"
+            )
+        meta["columns"] = meta["columns"] + extras
+        meta["schema"].update({c: batch_types[c] for c in extras})
+        meta["evolved"] = True
     missing = [c for c in meta["columns"] if c not in cols]
     if missing:
         has_upsert = batch.where(F.col(_OP) != "d").limit(1).count() > 0
@@ -134,19 +169,44 @@ def _conform(
                 f"{missing} (only all-delete batches may omit data "
                 f"columns)"
             )
-        schema = {
-            f.name: f.dataType
-            for f in spark.read.parquet(
-                _segment_paths(table_dir, _ROWS, meta)[0]
-            ).schema.fields
-        }
         for c in missing:
-            batch = batch.withColumn(c, F.lit(None).cast(schema[c]))
+            batch = batch.withColumn(
+                c, F.lit(None).cast(meta["schema"][c])
+            )
     return batch.select(
         *[F.col(c) for c in meta["keys"]],
         *[F.col(c) for c in meta["columns"]],
         F.col(_OP),
     )
+
+
+def _read_rows(
+    spark: SparkSession,
+    table_dir: str,
+    meta: dict,
+    paths: list[str] | None = None,
+) -> DataFrame:
+    """Read the committed log (or the explicit ``paths`` subset). An
+    evolved table's pre-evolution segments lack the added columns, so
+    they are read per-segment and unioned by name (typed NULLs fill
+    in); an unevolved log is one multi-path scan (better task packing).
+    Compaction rewrites every row under the full schema and clears the
+    flag."""
+    if paths is None:
+        paths = _segment_paths(table_dir, _ROWS, meta)
+    if not meta.get("evolved"):
+        return spark.read.parquet(*paths)
+    out = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        for c in meta["columns"]:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(meta["schema"][c]))
+        df = df.select(
+            *meta["keys"], *meta["columns"], _OP, _SEQ
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def table_build(
@@ -178,6 +238,7 @@ def table_build(
         "kind": "mergetable",
         "keys": list(keys),
         "columns": data_cols,
+        "schema": _ddl_types(df, list(keys) + data_cols),
         "n_batches": 1,
         "batches": [batch_id],
         "segments": {_ROWS: ["seg-0"]},
@@ -191,19 +252,21 @@ def table_apply(
     table_dir: str,
     batch_id: str | None = None,
     validate: bool = True,
+    evolve: bool = False,
 ) -> dict:
     """MERGE a change batch into the table: rows tagged ``_op`` 'u'
     (insert-or-replace the key's row wholesale) or 'd' (tombstone the
     key). One O(batch) segment write, no table read; replaying an
-    already-committed ``batch_id`` is a no-op (retry-safe)."""
+    already-committed ``batch_id`` is a no-op (retry-safe).
+    ``evolve=True`` lets the batch ADD data columns (see
+    :func:`_conform`); extra columns are an error otherwise."""
     meta = _read_meta(table_dir)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
     if bid in meta["batches"]:
         return meta
-    spark = batch.sparkSession
-    rows = _conform(batch, meta, spark, table_dir)
+    rows = _conform(batch, meta, evolve)
     if validate:
         _validate_batch(rows, meta["keys"])
     seq = meta["n_batches"]
@@ -233,7 +296,7 @@ def _resolved(
         *[F.col(c) for c in meta["columns"]], F.col(_OP), F.col(_SEQ)
     )
     g = (
-        _read_table(spark, table_dir, _ROWS, meta)
+        _read_rows(spark, table_dir, meta)
         .groupBy(*[F.col(k) for k in keys])
         .agg(F.max_by(payload, F.col(_SEQ)).alias("_w"))
     )
@@ -267,7 +330,7 @@ def table_read(
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     if _is_resolved_log(meta):
-        return _read_table(spark, table_dir, _ROWS, meta).drop(_OP, _SEQ)
+        return _read_rows(spark, table_dir, meta).drop(_OP, _SEQ)
     return (
         _resolved(spark, table_dir, meta)
         .where(F.col(_OP) != "d")
@@ -308,11 +371,11 @@ def table_changes(
     wanted = segs[start:]
     if not wanted:
         return (
-            _read_table(spark, table_dir, _ROWS, meta)
+            _read_rows(spark, table_dir, meta)
             .where(F.lit(False))
         )
     paths = [os.path.join(table_dir, _ROWS, s) for s in wanted]
-    return spark.read.parquet(*paths)
+    return _read_rows(spark, table_dir, meta, paths=paths)
 
 
 def table_lookup(
@@ -342,7 +405,7 @@ def table_lookup(
     pk = _hinted(pk.persist(), pk.count())
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    rows = _read_table(spark, table_dir, _ROWS, meta).join(
+    rows = _read_rows(spark, table_dir, meta).join(
         pk, keys, "left_semi"
     )
     if _is_resolved_log(meta):  # already key-unique and live
@@ -400,7 +463,7 @@ def table_changes_zset(
     ck = _hinted(ck.persist(), ck.count())
 
     def _state(meta: dict) -> DataFrame:
-        rows = _read_table(spark, table_dir, _ROWS, meta).join(
+        rows = _read_rows(spark, table_dir, meta).join(
             ck, keys, "left_semi"
         )
         payload = F.struct(
@@ -451,6 +514,9 @@ def compact_table(spark: SparkSession, table_dir: str) -> dict:
     _write_segment(live.repartition(want), table_dir, _ROWS, new_seg)
     meta["segments"][_ROWS] = [new_seg]
     meta["compacted_through"] = meta["n_batches"]
+    # the rewrite carries the full current schema: per-segment
+    # union-by-name reads are no longer needed
+    meta.pop("evolved", None)
     _write_meta(table_dir, meta)
     for seg in old_segs:
         if seg != new_seg:

@@ -296,6 +296,89 @@ class TestCompaction:
                 fn()
 
 
+class TestSchemaEvolution:
+    def test_extra_columns_rejected_without_evolve(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        widened = spark.createDataFrame(
+            [(5, "e", 5.0, "x")], SCHEMA + ", extra string")
+        with pytest.raises(ValueError, match="evolve=True"):
+            table_apply(widened, d)
+
+    def test_evolve_adds_column_old_rows_serve_null(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        widened = spark.createDataFrame(
+            [(5, "e", 5.0, "tagged"), (2, "B", 20.0, "upd")],
+            SCHEMA + ", tag string")
+        table_apply(widened, d, evolve=True)
+        got = {r["k"]: r["tag"] for r in table_read(spark, d).collect()}
+        assert got == {1: None, 2: "upd", 3: None, 4: None, 5: "tagged"}
+        # post-evolution upserts must carry the full (wider) schema
+        with pytest.raises(ValueError, match="every table column"):
+            table_apply(_frame(spark, [(6, "f", 6.0)]), d)
+
+    def test_type_change_always_refused(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        bad = spark.createDataFrame(
+            [(5, "e", 5)], "k bigint, v string, amount bigint")
+        with pytest.raises(ValueError, match="type mismatch"):
+            table_apply(bad, d, evolve=True)
+
+    def test_keys_only_delete_after_evolution(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        table_apply(
+            spark.createDataFrame(
+                [(5, "e", 5.0, 7)], SCHEMA + ", rank bigint"),
+            d, evolve=True)
+        dels = spark.createDataFrame([(5,)], "k bigint").withColumn(
+            "_op", F.lit("d"))
+        table_apply(dels, d)
+        assert 5 not in _as_dict(table_read(spark, d))
+
+    def test_lookup_and_zset_across_evolution(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_changes_zset,
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        table_apply(
+            spark.createDataFrame(
+                [(2, "B", 20.0, "w")], SCHEMA + ", tag string"),
+            d, evolve=True)
+        probes = spark.createDataFrame([(1,), (2,)], "k bigint")
+        got = {
+            r["k"]: (r["v"], r["tag"])
+            for r in table_lookup(spark, d, probes).collect()
+        }
+        assert got == {1: ("a", None), 2: ("B", "w")}
+        z = {
+            (r["k"], r["_op"]): r["tag"]
+            for r in table_changes_zset(spark, d, since=1).collect()
+        }
+        assert z == {(2, -1): None, (2, 1): "w"}
+
+    def test_compaction_consolidates_the_schema(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        table_apply(
+            spark.createDataFrame(
+                [(5, "e", 5.0, 1.5)], SCHEMA + ", score double"),
+            d, evolve=True)
+        before = {
+            r["k"]: r["score"] for r in table_read(spark, d).collect()
+        }
+        meta = compact_table(spark, d)
+        assert "evolved" not in meta
+        after_df = table_read(spark, d)
+        assert "score" in after_df.columns
+        assert {r["k"]: r["score"] for r in after_df.collect()} == before
+
+
 class TestLookup:
     def test_lookup_equals_filtered_read(self, spark, tmp_path):
         from mini_data_platform_spark.operators.mergetable import (
