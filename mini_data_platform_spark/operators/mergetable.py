@@ -423,6 +423,113 @@ def table_lookup(
     return attach_plan(out, pk)
 
 
+def table_merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    table_dir: str,
+    when_matched_update: list[str] | None = None,
+    when_not_matched_insert: bool = True,
+    when_matched_delete: str | None = None,
+    batch_id: str | None = None,
+    validate: bool = True,
+) -> dict:
+    """Conditional MERGE (the Delta ``MERGE INTO`` clause family)
+    compiled onto the log-structured apply. Plain ``table_apply``
+    replaces a key's row WHOLESALE; a partial-column update ("set only
+    the changed fields, keep the rest") needs the key's CURRENT row —
+    which this derives with one candidate-bounded lookup
+    (:func:`table_lookup` over the source keys, O(source keys' log
+    rows) never O(table)), merges source columns over it, and lands the
+    result as one ordinary exactly-once batch. The write path stays
+    O(batch); nothing is rewritten in place.
+
+    - ``when_matched_update``: columns to take from the source for keys
+      that exist (others keep their current values). ``None`` = replace
+      the whole row (the source must then carry every column).
+    - ``when_not_matched_insert``: insert source rows whose key is
+      absent (the source must carry every column); ``False`` drops them
+      (update-only merges).
+    - ``when_matched_delete``: SQL boolean expression over the joined
+      row (source columns, plus current columns as ``cur_<name>``);
+      matched rows satisfying it are tombstoned instead of updated.
+
+    Replay protection, validation, and commit semantics are exactly
+    ``table_apply``'s — a retried merge lands once."""
+    from mini_data_platform_spark.operators.resources import release_plan
+
+    meta = _read_meta(table_dir)
+    if meta.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
+    if bid in meta["batches"]:
+        return meta
+    keys = meta["keys"]
+    data_cols = meta["columns"]
+    if _OP in source.columns:
+        raise ValueError(
+            "merge sources are untagged (matched/unmatched decides the "
+            "op); use table_apply for pre-tagged change batches"
+        )
+    need_full = when_matched_update is None or when_not_matched_insert
+    missing = [
+        c for c in data_cols
+        if c not in source.columns and (
+            need_full or c in (when_matched_update or [])
+        )
+    ]
+    if missing:
+        raise ValueError(
+            f"source is missing columns {missing} required by the "
+            "merge clauses (full rows are needed unless the merge is "
+            "update-only with when_matched_update)"
+        )
+    if when_matched_update is not None:
+        unknown = [c for c in when_matched_update if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"when_matched_update names unknown columns {unknown}"
+            )
+    cur = table_lookup(
+        spark, table_dir, source.select(*keys).distinct()
+    ).select(
+        *keys,
+        *[F.col(c).alias(f"cur_{c}") for c in data_cols],
+        F.lit(True).alias("_matched"),
+    )
+    joined = source.join(cur, keys, "left")
+    matched = F.col("_matched").isNotNull()
+    upd = set(
+        when_matched_update if when_matched_update is not None
+        else data_cols
+    )
+    payload = [
+        F.when(
+            matched,
+            F.col(c) if c in upd else F.col(f"cur_{c}"),
+        ).otherwise(
+            F.col(c) if c in source.columns
+            else F.lit(None).cast(meta["schema"][c])
+        ).alias(c)
+        for c in data_cols
+    ]
+    op = F.when(matched, F.lit("u")).otherwise(
+        F.lit("u") if when_not_matched_insert else F.lit(None)
+    )
+    if when_matched_delete is not None:
+        op = F.when(
+            matched & F.coalesce(F.expr(when_matched_delete), F.lit(False)),
+            F.lit("d"),
+        ).otherwise(op)
+    batch = (
+        joined.select(*keys, *payload, op.alias(_OP))
+        .where(F.col(_OP).isNotNull())
+    )
+    try:
+        return table_apply(batch, table_dir, batch_id=bid, validate=validate)
+    finally:
+        release_plan(cur)
+
+
 def table_changes_zset(
     spark: SparkSession,
     table_dir: str,

@@ -296,6 +296,104 @@ class TestCompaction:
                 fn()
 
 
+class TestMergeInto:
+    def _table(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        return d
+
+    def test_partial_update_keeps_other_columns(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(2, 99.0), (3, 77.0)], "k bigint, amount double")
+        table_merge_into(
+            spark, src, d,
+            when_matched_update=["amount"],
+            when_not_matched_insert=False,
+        )
+        got = _as_dict(table_read(spark, d))
+        # v untouched, amount updated
+        assert got[2] == ("b", 99.0) and got[3] == ("c", 77.0)
+        assert got[1] == ("a", 1.0) and got[4] == ("d", 4.0)
+
+    def test_insert_unmatched_and_full_replace(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        src = _frame(spark, [(2, "B", 20.0), (9, "new", 9.0)])
+        table_merge_into(spark, src, d)
+        got = _as_dict(table_read(spark, d))
+        assert got[2] == ("B", 20.0) and got[9] == ("new", 9.0)
+
+    def test_update_only_drops_unmatched(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(2, 50.0), (42, 1.0)], "k bigint, amount double")
+        table_merge_into(
+            spark, src, d,
+            when_matched_update=["amount"],
+            when_not_matched_insert=False,
+        )
+        got = _as_dict(table_read(spark, d))
+        assert got[2] == ("b", 50.0) and 42 not in got
+
+    def test_matched_delete_condition(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        # retire matched rows whose CURRENT amount is under the
+        # source's floor; update the rest
+        src = spark.createDataFrame(
+            [(1, 2.5), (3, 2.5), (8, 2.5)], "k bigint, floor double")
+        with_floor = src.withColumnRenamed("floor", "amount")
+        table_merge_into(
+            spark, with_floor, d,
+            when_matched_update=["amount"],
+            when_not_matched_insert=False,
+            when_matched_delete="cur_amount < amount",
+        )
+        got = _as_dict(table_read(spark, d))
+        # k=1 (cur 1.0 < 2.5) deleted; k=3 (cur 3.0 >= 2.5) updated
+        assert 1 not in got and got[3] == ("c", 2.5) and 8 not in got
+
+    def test_partial_source_with_insert_rejected(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        src = spark.createDataFrame([(2, 1.0)], "k bigint, amount double")
+        with pytest.raises(ValueError, match="missing columns"):
+            table_merge_into(
+                spark, src, d, when_matched_update=["amount"])
+
+    def test_replay_and_tagged_source_rejected(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        src = _frame(spark, [(9, "x", 1.0)])
+        m1 = table_merge_into(spark, src, d, batch_id="m1")
+        m2 = table_merge_into(spark, src, d, batch_id="m1")
+        assert m1["n_batches"] == m2["n_batches"] == 2
+        with pytest.raises(ValueError, match="untagged"):
+            table_merge_into(
+                spark, src.withColumn("_op", F.lit("u")), d)
+
+
 class TestSchemaEvolution:
     def test_extra_columns_rejected_without_evolve(self, spark, tmp_path):
         d = str(tmp_path / "t")
