@@ -426,9 +426,18 @@ def minmax_view_read(
         )
     v = view_read(spark, view_dir, finalize=True, as_of=as_of)
     gk = [k for k in meta["keys"] if k != vc]
-    return v.groupBy(*[F.col(k) for k in gk]).agg(
-        F.min(vc).alias(f"min_{vc}"), F.max(vc).alias(f"max_{vc}")
+    out = v.groupBy(*[F.col(k) for k in gk]).agg(
+        F.min(vc).alias(f"min_{vc}"),
+        F.max(vc).alias(f"max_{vc}"),
+        F.count("*").alias("_rows"),
     )
+    if not gk:
+        # a GLOBAL (keyless) aggregate over an empty input still emits
+        # one all-NULL row; a fully-retracted view must vanish instead
+        # (and stay distinguishable from a view holding only NULLs,
+        # whose _rows is positive)
+        out = out.where(F.col("_rows") > 0)
+    return out.drop("_rows")
 
 
 def compact_view(spark: SparkSession, view_dir: str) -> dict:

@@ -92,8 +92,16 @@ def _validate_batch(batch: DataFrame, keys: list[str]) -> None:
         batch.groupBy(*keys)
         .agg(
             F.count("*").alias("_n"),
+            # NULL-safe: isin is NULL for NULL ops, and a NULL _op row
+            # that won resolution would read as neither 'u' nor 'd' —
+            # every serve filter (_op != 'd') drops it like a silent
+            # tombstone. Treat NULL as a bad op, same guard as
+            # ivm.view_apply_changes.
             F.max(
-                F.when(~F.col(_OP).isin("u", "d"), 1).otherwise(0)
+                F.when(
+                    ~F.coalesce(F.col(_OP).isin("u", "d"), F.lit(False)),
+                    1,
+                ).otherwise(0)
             ).alias("_badop"),
         )
         .where(
@@ -131,6 +139,9 @@ def _conform(batch: DataFrame, meta: dict, evolve: bool) -> DataFrame:
     serve typed NULLs for them at read (``_read_rows`` unions by name),
     and a type change on an EXISTING column is always refused (silently
     divergent parquet segments would poison every later read)."""
+    missing_keys = [k for k in meta["keys"] if k not in batch.columns]
+    if missing_keys:
+        raise ValueError(f"batch is missing key columns {missing_keys}")
     cols = set(batch.columns)
     if _OP not in cols:
         batch = batch.withColumn(_OP, F.lit("u"))
@@ -160,6 +171,11 @@ def _conform(batch: DataFrame, meta: dict, evolve: bool) -> DataFrame:
         meta["columns"] = meta["columns"] + extras
         meta["schema"].update({c: batch_types[c] for c in extras})
         meta["evolved"] = True
+        # schema history: this column set takes effect at the applying
+        # batch's _seq — as-of reads before it serve the OLD shape
+        meta.setdefault("column_log", []).append(
+            {"seq": meta["n_batches"], "columns": list(meta["columns"])}
+        )
     missing = [c for c in meta["columns"] if c not in cols]
     if missing:
         has_upsert = batch.where(F.col(_OP) != "d").limit(1).count() > 0
@@ -239,6 +255,7 @@ def table_build(
         "keys": list(keys),
         "columns": data_cols,
         "schema": _ddl_types(df, list(keys) + data_cols),
+        "column_log": [{"seq": 0, "columns": list(data_cols)}],
         "n_batches": 1,
         "batches": [batch_id],
         "segments": {_ROWS: ["seg-0"]},
@@ -308,6 +325,21 @@ def _resolved(
     )
 
 
+def _with_asof_columns(meta: dict, as_of: int | None) -> dict:
+    """Historical reads serve the schema AS OF the snapshot (the
+    Delta/Iceberg contract): a column added by a later evolution must
+    not appear, even null-filled, in an earlier as-of read. The column
+    log records each column set with the ``_seq`` it took effect at;
+    ``as_of=k`` covers seqs 0..k-1."""
+    if as_of is None or "column_log" not in meta:
+        return meta
+    entries = [e for e in meta["column_log"] if e["seq"] <= as_of - 1]
+    cols = entries[-1]["columns"] if entries else meta["columns"]
+    if cols == meta["columns"]:
+        return meta
+    return {**meta, "columns": cols}
+
+
 def _is_resolved_log(meta: dict) -> bool:
     """A log that is exactly one ``compact-*`` segment is ALREADY the
     resolved state: key-unique, tombstone-free (compaction drops them).
@@ -325,10 +357,13 @@ def table_read(
 ) -> DataFrame:
     """The table's current (or ``as_of`` historical) state: one row per
     live key, internal columns dropped. A fully-compacted log serves at
-    scan speed (no resolve aggregate — see ``_is_resolved_log``)."""
+    scan speed (no resolve aggregate — see ``_is_resolved_log``);
+    historical reads serve the schema AS OF the snapshot
+    (``_with_asof_columns``)."""
     meta = _meta_as_of(_read_meta(table_dir), as_of)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
+    meta = _with_asof_columns(meta, as_of)
     if _is_resolved_log(meta):
         return _read_rows(spark, table_dir, meta).drop(_OP, _SEQ)
     return (
@@ -392,7 +427,9 @@ def table_lookup(
     predicate prunes at the scan. ``probes`` carries exactly the key
     columns. The read-only serving twin of ``table_read``, same shape
     as the index lookups (incremental.py)."""
-    meta = _meta_as_of(_read_meta(table_dir), as_of)
+    meta = _with_asof_columns(
+        _meta_as_of(_read_meta(table_dir), as_of), as_of
+    )
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     keys = meta["keys"]
@@ -470,6 +507,16 @@ def table_merge_into(
             "merge sources are untagged (matched/unmatched decides the "
             "op); use table_apply for pre-tagged change batches"
         )
+    extras = [
+        c for c in source.columns
+        if c not in keys and c not in data_cols
+    ]
+    if extras:
+        raise ValueError(
+            f"merge source carries columns {extras} not in the table "
+            "schema (MERGE never evolves the schema; drop them, or add "
+            "the columns first with table_apply(..., evolve=True))"
+        )
     need_full = when_matched_update is None or when_not_matched_insert
     missing = [
         c for c in data_cols
@@ -489,9 +536,10 @@ def table_merge_into(
             raise ValueError(
                 f"when_matched_update names unknown columns {unknown}"
             )
-    cur = table_lookup(
-        spark, table_dir, source.select(*keys).distinct()
-    ).select(
+    # hold the RAW lookup result: the persisted-probe attachment does
+    # not survive the .select, so releasing the projection would leak
+    cur_raw = table_lookup(spark, table_dir, source.select(*keys).distinct())
+    cur = cur_raw.select(
         *keys,
         *[F.col(c).alias(f"cur_{c}") for c in data_cols],
         F.lit(True).alias("_matched"),
@@ -527,7 +575,7 @@ def table_merge_into(
     try:
         return table_apply(batch, table_dir, batch_id=bid, validate=validate)
     finally:
-        release_plan(cur)
+        release_plan(cur_raw)
 
 
 def table_changes_zset(
@@ -615,10 +663,26 @@ def compact_table(spark: SparkSession, table_dir: str) -> dict:
         return meta
     paths = _segment_paths(table_dir, _ROWS, meta)
     total = sum(dir_parquet_stats(p)[1] for p in paths)
-    want = max(1, math.ceil(total / DEFAULT_TARGET_BYTES))
     new_seg = f"compact-{meta['n_batches']}"
-    live = _resolved(spark, table_dir, meta).where(F.col(_OP) != "d")
-    _write_segment(live.repartition(want), table_dir, _ROWS, new_seg)
+    live = _resolved(spark, table_dir, meta).where(
+        F.col(_OP) != "d"
+    ).persist()
+    try:
+        # size output files by the RESOLVED state, not the raw log:
+        # after heavy update/delete churn the live rows are a fraction
+        # of the log bytes, and log-based sizing would re-fragment the
+        # small-files problem compaction exists to fix. Row counts come
+        # from parquet footers (metadata-only) + one count of the
+        # already-persisted live frame.
+        n_log = sum(
+            spark.read.parquet(p).count() for p in paths
+        )
+        n_live = live.count()
+        live_bytes = total * (n_live / n_log) if n_log else 0
+        want = max(1, math.ceil(live_bytes / DEFAULT_TARGET_BYTES))
+        _write_segment(live.repartition(want), table_dir, _ROWS, new_seg)
+    finally:
+        live.unpersist(False)
     meta["segments"][_ROWS] = [new_seg]
     meta["compacted_through"] = meta["n_batches"]
     # the rewrite carries the full current schema: per-segment

@@ -181,6 +181,41 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_read(spark, view_dir)
 
 
+def _build_orders_merge_table(spark, sf_dir: str, table_dir: str) -> None:
+    """The ONE copy of the five-wave change history both merge-table
+    queries replay (build %3==0, upserts %3==1, updates %6==0, deletes
+    %9==0, late upserts %3==2) — their oracles restate the same final
+    state, so a drift between two copies would silently break one
+    query's hash contract."""
+    from mini_data_platform_spark.operators.mergetable import (
+        table_apply,
+        table_build,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    table_build(orders.filter(k % 3 == 0), table_dir, ["o_orderkey"])
+    table_apply(orders.filter(k % 3 == 1), table_dir)
+    table_apply(
+        orders.filter(k % 6 == 0).withColumns(
+            {
+                "o_totalprice": F.col("o_totalprice") * 2,
+                "o_orderstatus": F.lit("U"),
+            }
+        ),
+        table_dir,
+    )
+    table_apply(
+        orders.filter(k % 9 == 0)
+        .select("o_orderkey")
+        .withColumn("_op", F.lit("d")),
+        table_dir,
+    )
+    table_apply(orders.filter(k % 3 == 2), table_dir)
+
+
 def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keyed MERGE table (operators/mergetable.py) end-to-end: the
     orders facts arrive as five deterministic change batches against a
@@ -203,39 +238,14 @@ def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from mini_data_platform_spark.operators.mergetable import (
-        table_apply,
-        table_build,
-        table_read,
-    )
+    from mini_data_platform_spark.operators.mergetable import table_read
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    k = F.col("o_orderkey")
     table_dir = os.path.join(
         tempfile.gettempdir(), f"mdp_mergetable_{os.getpid()}"
     )
     shutil.rmtree(table_dir, ignore_errors=True)
     atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
-    table_build(orders.filter(k % 3 == 0), table_dir, ["o_orderkey"])
-    table_apply(orders.filter(k % 3 == 1), table_dir)
-    table_apply(
-        orders.filter(k % 6 == 0).withColumns(
-            {
-                "o_totalprice": F.col("o_totalprice") * 2,
-                "o_orderstatus": F.lit("U"),
-            }
-        ),
-        table_dir,
-    )
-    table_apply(
-        orders.filter(k % 9 == 0)
-        .select("o_orderkey")
-        .withColumn("_op", F.lit("d")),
-        table_dir,
-    )
-    table_apply(orders.filter(k % 3 == 2), table_dir)
+    _build_orders_merge_table(spark, sf_dir, table_dir)
     return table_read(spark, table_dir)
 
 
@@ -265,8 +275,6 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from mini_data_platform_spark.operators.mergetable import (
-        table_apply,
-        table_build,
         table_changes_zset,
         table_read,
     )
@@ -279,10 +287,6 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mini_data_platform_spark.operators.resources import release_plan
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    k = F.col("o_orderkey")
     root = os.path.join(
         tempfile.gettempdir(), f"mdp_mergeview_{os.getpid()}"
     )
@@ -290,24 +294,7 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     tdir = os.path.join(root, "table")
     vdir = os.path.join(root, "view")
-    table_build(orders.filter(k % 3 == 0), tdir, ["o_orderkey"])
-    table_apply(orders.filter(k % 3 == 1), tdir)
-    table_apply(
-        orders.filter(k % 6 == 0).withColumns(
-            {
-                "o_totalprice": F.col("o_totalprice") * 2,
-                "o_orderstatus": F.lit("U"),
-            }
-        ),
-        tdir,
-    )
-    table_apply(
-        orders.filter(k % 9 == 0)
-        .select("o_orderkey")
-        .withColumn("_op", F.lit("d")),
-        tdir,
-    )
-    table_apply(orders.filter(k % 3 == 2), tdir)
+    _build_orders_merge_table(spark, sf_dir, tdir)
     # the views never see the table: seeded from the first batch's
     # state, then maintained from the change feed alone. The second
     # view is the retractable-min/max support multiset — the measure
@@ -322,9 +309,14 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     minmax_view_build(seed, mdir, ["o_orderstatus"], "o_totalprice")
     for b in range(1, 5):
+        # persisted: each apply runs two actions (±1 validation +
+        # segment write) and the zset feeds BOTH views — without the
+        # persist the two candidate-bounded resolves re-execute ~4x
         zset = table_changes_zset(spark, tdir, since=b, as_of=b + 1)
+        zset.persist()
         view_apply_changes(zset, vdir)
         view_apply_changes(zset, mdir)
+        zset.unpersist(False)
         release_plan(zset)
     mm = minmax_view_read(spark, mdir).select(
         "o_orderstatus",

@@ -37,6 +37,19 @@ from pyspark.sql.streaming import StreamingQuery
 from mini_data_platform_spark.operators.ivm import view_increment
 
 
+def checkpoint_key(checkpoint_dir: str) -> str:
+    """The checkpoint's identity in commit-log batch ids
+    (``epoch-{key}-{epoch_id}``). ONE definition on purpose — the merge
+    table's streaming maintenance shares it, and a divergent hash
+    recipe would silently fork the two modules' epoch id spaces and
+    break their exactly-once upgrade."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+
 def maintain_view_stream(
     facts: DataFrame,
     view_dir: str,
@@ -61,13 +74,9 @@ def maintain_view_stream(
     (retraction algebra; the view's measures must all retract) — the
     streaming half of maintaining KPIs over a keyed-upsert pipeline:
     the upsert sink's delete-old/insert-new change rows flow here."""
-    import hashlib
-
     from mini_data_platform_spark.operators.ivm import view_apply_changes
 
-    ckpt_key = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    ckpt_key = checkpoint_key(checkpoint_dir)
     fold = view_apply_changes if changes else view_increment
 
     def process(batch: DataFrame, epoch_id: int) -> None:

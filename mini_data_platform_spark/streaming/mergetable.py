@@ -20,8 +20,6 @@ default); ``compact_table`` runs from a maintenance job, exactly like
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -41,11 +39,9 @@ def maintain_table_stream(
     batch id is ``epoch-{checkpoint-identity}-{epoch_id}`` — the same
     id-space rules as streaming/ivm.py, including the one unsupported
     move (wiping but reusing an exact checkpoint path)."""
-    import hashlib
+    from mini_data_platform_spark.streaming.ivm import checkpoint_key
 
-    ckpt_key = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    ckpt_key = checkpoint_key(checkpoint_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         table_apply(

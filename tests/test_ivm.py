@@ -598,3 +598,25 @@ class TestRetractableMinMax:
                    {"n": ("count", "*")})
         with pytest.raises(ValueError, match="support view"):
             minmax_view_read(spark, d)
+
+    def test_global_minmax_vanishes_when_fully_retracted(
+        self, spark, tmpdir
+    ):
+        """A keyless (global) support view must serve NO row after full
+        retraction, not a spurious (NULL, NULL) — while a view holding
+        only NULL values still serves one."""
+        from mini_data_platform_spark.operators.ivm import (
+            minmax_view_build,
+            minmax_view_read,
+        )
+
+        d = str(tmpdir)
+        minmax_view_build(
+            _facts(spark, [("a", 2.0)]).select("amount"), d, [], "amount"
+        )
+        assert minmax_view_read(spark, d).collect()[0][0] == 2.0
+        view_apply_changes(
+            spark.createDataFrame([(2.0, -1)], "amount double, _op int"),
+            d,
+        )
+        assert minmax_view_read(spark, d).count() == 0

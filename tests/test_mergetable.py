@@ -108,6 +108,24 @@ class TestMergeSemantics:
         with pytest.raises(ValueError, match="_op"):
             table_apply(_tagged(spark, [(9, "x", 1.0, "z")]), d)
 
+    def test_null_op_rejected(self, spark, tmp_path):
+        # a NULL _op would pass a null-unsafe isin() check and then be
+        # dropped by every _op != 'd' serve filter — a silent tombstone
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        tagged = _frame(spark, [(9, "x", 1.0)]).withColumn(
+            "_op", F.when(F.lit(False), "u"))  # NULL op
+        with pytest.raises(ValueError, match="_op"):
+            table_apply(tagged, d)
+
+    def test_missing_key_column_is_a_clean_error(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        keyless = spark.createDataFrame(
+            [("x", 1.0)], "v string, amount double")
+        with pytest.raises(ValueError, match="missing key columns"):
+            table_apply(keyless, d)
+
     def test_validate_false_skips_the_check(self, spark, tmp_path):
         d = str(tmp_path / "t")
         table_build(_frame(spark, BASE), d, ["k"])
@@ -379,6 +397,17 @@ class TestMergeInto:
             table_merge_into(
                 spark, src, d, when_matched_update=["amount"])
 
+    def test_extra_source_columns_rejected(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(2, "B", 20.0, "oops")], SCHEMA + ", extra string")
+        with pytest.raises(ValueError, match="not in the table schema"):
+            table_merge_into(spark, src, d)
+
     def test_replay_and_tagged_source_rejected(self, spark, tmp_path):
         from mini_data_platform_spark.operators.mergetable import (
             table_merge_into,
@@ -459,6 +488,25 @@ class TestSchemaEvolution:
             for r in table_changes_zset(spark, d, since=1).collect()
         }
         assert z == {(2, -1): None, (2, 1): "w"}
+
+    def test_as_of_serves_the_historical_schema(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        table_apply(
+            spark.createDataFrame(
+                [(5, "e", 5.0, "w")], SCHEMA + ", tag string"),
+            d, evolve=True)
+        # before the evolution the column did not exist: the as-of read
+        # must not show it, even null-filled (the Delta/Iceberg shape)
+        old = table_read(spark, d, as_of=1)
+        assert "tag" not in old.columns
+        assert "tag" in table_read(spark, d).columns
+        probes = spark.createDataFrame([(1,)], "k bigint")
+        assert "tag" not in table_lookup(spark, d, probes, as_of=1).columns
 
     def test_compaction_consolidates_the_schema(self, spark, tmp_path):
         d = str(tmp_path / "t")
