@@ -423,10 +423,16 @@ def table_lookup(
     key (absent/deleted keys return nothing). The log is filtered to the
     probed keys BEFORE the resolve — a guarded-broadcast semi-join, so
     a serving lookup costs O(probed keys' log rows), never a full
-    merge-on-read; with key-bucketed or compacted segments the key
-    predicate prunes at the scan. ``probes`` carries exactly the key
-    columns. The read-only serving twin of ``table_read``, same shape
-    as the index lookups (incremental.py)."""
+    merge-on-read. Small probe sets (≤ ``MDP_LOOKUP_PUSHDOWN_MAX_KEYS``,
+    default 1000) additionally push a per-column ``IN`` literal filter
+    into the parquet scan — a NECESSARY superset condition (the
+    semi-join keeps exactness for composite keys), but one the scanner
+    can answer from file/row-group min-max statistics, so on a
+    range-clustered compacted table (``compact_table(order_by=keys)``)
+    a point lookup skips almost every file: the poor man's index.
+    ``probes`` carries exactly the key columns. The read-only serving
+    twin of ``table_read``, same shape as the index lookups
+    (incremental.py)."""
     meta = _with_asof_columns(
         _meta_as_of(_read_meta(table_dir), as_of), as_of
     )
@@ -439,12 +445,20 @@ def table_lookup(
             f"got {probes.columns}"
         )
     pk = probes.distinct()
-    pk = _hinted(pk.persist(), pk.count())
+    n_probes = pk.count()
+    pk = _hinted(pk.persist(), n_probes)
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    rows = _read_rows(spark, table_dir, meta).join(
-        pk, keys, "left_semi"
-    )
+    rows = _read_rows(spark, table_dir, meta)
+    max_push = int(os.environ.get("MDP_LOOKUP_PUSHDOWN_MAX_KEYS", "1000"))
+    if 0 < n_probes <= max_push:
+        # bounded driver-side collect (probe-sized, same class as the
+        # repo's query-side collects); the isin literals reach the scan
+        # as PushedFilters and prune via min-max stats
+        vals = pk.collect()
+        for k in keys:
+            rows = rows.where(F.col(k).isin([r[k] for r in vals]))
+    rows = rows.join(pk, keys, "left_semi")
     if _is_resolved_log(meta):  # already key-unique and live
         return attach_plan(rows.drop(_OP, _SEQ), pk)
     payload = F.struct(
@@ -639,14 +653,27 @@ def table_changes_zset(
     return attach_plan(old.unionByName(new), ck)
 
 
-def compact_table(spark: SparkSession, table_dir: str) -> dict:
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    order_by: list[str] | None = None,
+) -> dict:
     """Fold the segment log into one resolved ``compact-N`` segment:
     winners keep their original ``_seq`` (later appends still order
     after them), tombstone winners are dropped (no older segment
     remains for them to mask). Committed by one meta swap; superseded
     dirs removed best-effort after (crash-safe: readers see either the
     old log or the new, never a mix). Records the time-travel boundary
-    ``compacted_through``."""
+    ``compacted_through``.
+
+    ``order_by`` (typically the keys) RANGE-CLUSTERS the rewrite:
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives every output
+    file a disjoint value range, so each file's parquet min/max
+    statistics become an index — a pushed key predicate
+    (``table_lookup``'s literal pushdown) skips whole files and row
+    groups at scan time. One extra range shuffle per compaction buys
+    index-like point reads until the next one — the Delta OPTIMIZE
+    ZORDER trade."""
     import math
     import shutil
 
@@ -680,7 +707,13 @@ def compact_table(spark: SparkSession, table_dir: str) -> dict:
         n_live = live.count()
         live_bytes = total * (n_live / n_log) if n_log else 0
         want = max(1, math.ceil(live_bytes / DEFAULT_TARGET_BYTES))
-        _write_segment(live.repartition(want), table_dir, _ROWS, new_seg)
+        if order_by:
+            clustered = live.repartitionByRange(
+                want, *order_by
+            ).sortWithinPartitions(*order_by)
+        else:
+            clustered = live.repartition(want)
+        _write_segment(clustered, table_dir, _ROWS, new_seg)
     finally:
         live.unpersist(False)
     meta["segments"][_ROWS] = [new_seg]

@@ -596,6 +596,52 @@ class TestResolvedFastPath:
         assert _as_dict(df) == {2: ("B", 20.0)}
 
 
+class TestClusteredLookup:
+    def test_pushdown_reaches_the_scan_and_stays_exact(
+        self, spark, tmp_path
+    ):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        compact_table(spark, d, order_by=["k"])
+        probes = spark.createDataFrame([(2,), (4,), (99,)], "k bigint")
+        lk = table_lookup(spark, d, probes)
+        plan = lk._jdf.queryExecution().executedPlan().toString()
+        assert "In(k, [" in plan  # literal filter at the scan
+        # distinct() makes literal order nondeterministic; check the set
+        import re
+
+        lits = re.search(r"In\(k, \[([-0-9,]+)\]", plan).group(1)
+        assert sorted(map(int, lits.split(","))) == [2, 4, 99]
+        assert _as_dict(lk) == {2: ("B", 20.0), 4: ("D", 40.0)}
+
+    def test_pushdown_threshold_zero_disables(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_lookup,
+        )
+
+        monkeypatch.setenv("MDP_LOOKUP_PUSHDOWN_MAX_KEYS", "0")
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        probes = spark.createDataFrame([(2,), (4,)], "k bigint")
+        lk = table_lookup(spark, d, probes)
+        plan = lk._jdf.queryExecution().executedPlan().toString()
+        assert "In(k," not in plan
+        assert _as_dict(lk) == {2: ("B", 20.0), 4: ("D", 40.0)}
+
+    def test_clustered_compaction_preserves_state(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        _standard_table(spark, d)
+        before = _as_dict(table_read(spark, d))
+        compact_table(spark, d, order_by=["k"])
+        assert _as_dict(table_read(spark, d)) == before
+
+
 class TestZsetChanges:
     def test_since_zero_is_the_full_state_as_inserts(self, spark, tmp_path):
         from mini_data_platform_spark.operators.mergetable import (
