@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 8 window: the queries rotated out of r7 (driver rows last
-#: from r6) first, then the TEN queries NEW this round (the read-only
+#: from r6) first, then the ELEVEN queries NEW this round (the read-only
 #: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
 #: emb_neardup_serve against disk-cached prebuilt indexes,
 #: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
@@ -43,9 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: events_purchase_join_salted — salted skew join ≡ plain join,
 #: doc_chunk_knn — the chunk→hash-embed→cosine RAG composition,
 #: orders_merge_table — the keyed MERGE/CDC table, latest-wins ≡ a
-#: declarative restatement, and orders_merge_view — an aggregate view
+#: declarative restatement, orders_merge_view — an aggregate view
 #: maintained purely from the table's Z-set change feed ≡ GROUP BY
-#: over its final state), then
+#: over its final state, and orders_join_view — a maintained JOIN view
+#: over TWO merge tables refreshed via the bilinear delta algebra ≡
+#: GROUP BY over the joined final states), then
 #: every query over code touched by the r8 diffs: the incremental-index
 #: restructure (broadcast guards + atomic per-batch segment commits +
 #: serving lookups) forces the three incremental equivalence proofs in;
@@ -54,14 +56,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: forces emb_ann_pq/emb_ann_ivfpq. The 4 remaining slots go to the
 #: near-dup batch family (doc_minhash_candidates, doc_near_dups,
 #: doc_dedup_final, doc_curated_corpus) whose plans consume the
-#: dedup_fuzzy helpers the incremental module shares. SIX stale-first
+#: dedup_fuzzy helpers the incremental module shares. SEVEN stale-first
 #: slots ceded to the new queries: kpi_revenue_by_day (it runs EVERY
 #: round as the entry() smoke, so a driver signal exists regardless),
 #: events_approx_users (no-oracle HLL — its driver row is rows-only;
 #: the exact twin events_distinct_users keeps its slot),
 #: emb_norms + doc_fingerprint (trivial stable projections),
 #: price_quantiles_approx (its exact twin price_quantiles keeps its
-#: slot), and big_orders (trivial stable filter). Rotated
+#: slot), big_orders (trivial stable filter), and
+#: priority_status_matrix (its pivot sibling order_priority_pivot
+#: keeps its slot). Rotated
 #: out: the remaining 49 queries, all driver-green in r7 (or locally
 #: re-verified) and untouched by the r8 diffs; ALL 99 queries were
 #: additionally verified exact-multiset by tools/verify_local.py this
@@ -75,7 +79,7 @@ _ROUND8_WINDOW_FIRST = [
     "doc_exact_dedup", "emb_knn",
     "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
     "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
-    "emb_dedup_final", "order_stats_distinct", "priority_status_matrix",
+    "emb_dedup_final", "order_stats_distinct",
     "price_quantiles", "order_priority_pivot",
     "lineitem_unpivot_stats", "customer_deciles", "order_moments",
     "quantity_price_corr", "nation_top_customer_names",
@@ -88,7 +92,7 @@ _ROUND8_WINDOW_FIRST = [
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",
     "events_purchase_join_salted", "doc_chunk_knn",
-    "orders_merge_table", "orders_merge_view",
+    "orders_merge_table", "orders_merge_view", "orders_join_view",
     # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",

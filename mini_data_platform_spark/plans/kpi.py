@@ -181,39 +181,43 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_read(spark, view_dir)
 
 
-def _build_orders_merge_table(spark, sf_dir: str, table_dir: str) -> None:
-    """The ONE copy of the five-wave change history both merge-table
-    queries replay (build %3==0, upserts %3==1, updates %6==0, deletes
-    %9==0, late upserts %3==2) — their oracles restate the same final
-    state, so a drift between two copies would silently break one
-    query's hash contract."""
-    from mini_data_platform_spark.operators.mergetable import (
-        table_apply,
-        table_build,
-    )
-
+def _orders_wave_frames(spark, sf_dir: str) -> list[DataFrame]:
+    """The ONE copy of the five-wave orders change history every
+    merge-table/join-view query replays (build %3==0, upserts %3==1,
+    updates %6==0, deletes %9==0, late upserts %3==2) — their oracles
+    restate the same final state, so a drift between two copies would
+    silently break one query's hash contract. Returned as frames so
+    ``orders_join_view`` can interleave view refreshes between waves."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     k = F.col("o_orderkey")
-    table_build(orders.filter(k % 3 == 0), table_dir, ["o_orderkey"])
-    table_apply(orders.filter(k % 3 == 1), table_dir)
-    table_apply(
+    return [
+        orders.filter(k % 3 == 0),
+        orders.filter(k % 3 == 1),
         orders.filter(k % 6 == 0).withColumns(
             {
                 "o_totalprice": F.col("o_totalprice") * 2,
                 "o_orderstatus": F.lit("U"),
             }
         ),
-        table_dir,
-    )
-    table_apply(
         orders.filter(k % 9 == 0)
         .select("o_orderkey")
         .withColumn("_op", F.lit("d")),
-        table_dir,
+        orders.filter(k % 3 == 2),
+    ]
+
+
+def _build_orders_merge_table(spark, sf_dir: str, table_dir: str) -> None:
+    from mini_data_platform_spark.operators.mergetable import (
+        table_apply,
+        table_build,
     )
-    table_apply(orders.filter(k % 3 == 2), table_dir)
+
+    waves = _orders_wave_frames(spark, sf_dir)
+    table_build(waves[0], table_dir, ["o_orderkey"])
+    for wave in waves[1:]:
+        table_apply(wave, table_dir)
 
 
 def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +332,83 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained JOIN view (operators/joinview.py): revenue by market
+    segment over ``orders ⋈ customer``, where BOTH sides are keyed merge
+    tables receiving interleaved change waves and the view is caught up
+    by four refreshes at different points of the history — never by a
+    join recompute. Orders replay the shared five-wave history
+    (``_orders_wave_frames``); customers arrive in three waves: the
+    even custkeys, the odd custkeys, then a promotion UPDATE that moves
+    every %5==0 customer to segment 'PROMOTED' (so the view must
+    retract that customer's revenue from the old segment and re-add it
+    under the new one — the bilinear cross-term path). The oracle is a
+    plain GROUP BY over both tables' FINAL states: the view must equal
+    it whatever the refresh cadence — the join-IVM contract.
+
+    Scale: each refresh computes ``dA ⋈ B₀ ∪ A₁ ⋈ dB`` with the
+    snapshot sides candidate-bounded to the delta's join-key values
+    (customer side via table_lookup's IN-literal pushdown; orders side
+    via a guarded-broadcast semi-join) — O(delta + candidate log rows)
+    per refresh, never a base-table rescan."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.operators.ivm import view_read
+    from mini_data_platform_spark.operators.joinview import (
+        join_view_build,
+        join_view_refresh,
+    )
+    from mini_data_platform_spark.operators.mergetable import (
+        table_apply,
+        table_build,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"mdp_joinview_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    odir = os.path.join(root, "orders")
+    cdir = os.path.join(root, "customer")
+    vdir = os.path.join(root, "view")
+    waves = _orders_wave_frames(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ck = F.col("o_custkey")
+    # epoch 1 on both sides, then the view bootstraps through the same
+    # delta path every later refresh takes
+    table_build(waves[0], odir, ["o_orderkey"])
+    table_build(customer.filter(ck % 2 == 0), cdir, ["o_custkey"])
+    join_view_build(
+        spark, odir, cdir, ["o_custkey"], vdir, ["c_mktsegment"],
+        {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")},
+    )
+    join_view_refresh(spark, vdir)  # (0,0) -> (1,1)
+    # both sides advance: the odd customers' arrival must pull in the
+    # epoch-1 orders that found no join partner at the first refresh
+    table_apply(waves[1], odir)
+    table_apply(customer.filter(ck % 2 == 1), cdir)
+    join_view_refresh(spark, vdir)  # (1,1) -> (2,2)
+    # update + delete on orders, segment promotion on customers — the
+    # retraction-heavy window (price doubling, row deletes, and revenue
+    # moving between segments, all in one delta)
+    table_apply(waves[2], odir)
+    table_apply(waves[3], odir)
+    table_apply(
+        customer.filter(ck % 5 == 0)
+        .withColumn("c_mktsegment", F.lit("PROMOTED")),
+        cdir,
+    )
+    join_view_refresh(spark, vdir)  # (2,2) -> (4,3)
+    table_apply(waves[4], odir)
+    join_view_refresh(spark, vdir)  # (4,3) -> (5,3): one-sided
+    return view_read(spark, vdir)
+
+
 QUERIES = {
     "kpi_revenue_by_day": revenue_by_day,
     "kpi_top_customers": top_customers,
@@ -338,6 +419,7 @@ QUERIES = {
     "kpi_revenue_by_day_ivm": revenue_by_day_ivm,
     "orders_merge_table": orders_merge_table,
     "orders_merge_view": orders_merge_view,
+    "orders_join_view": orders_join_view,
 }
 
 _REV = sql_dsum("o_totalprice")
@@ -441,5 +523,29 @@ ORACLE = {
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price
         FROM final GROUP BY 1
+    """,
+    # the maintained JOIN view must equal a plain GROUP BY over the
+    # join of both tables' FINAL states, whatever the refresh cadence —
+    # the join-IVM contract. Orders' final state is the shared
+    # five-wave restatement; customers' is the promotion CASE.
+    "orders_join_view": f"""
+        WITH final_orders AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 9 <> 0
+        ),
+        final_cust AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'PROMOTED'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM final_orders JOIN final_cust ON o_custkey = c_custkey
+        GROUP BY 1
     """,
 }
