@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 8 window: the queries rotated out of r7 (driver rows last
-#: from r6) first, then the ELEVEN queries NEW this round (the read-only
+#: from r6) first, then the TWELVE queries NEW this round (the read-only
 #: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
 #: emb_neardup_serve against disk-cached prebuilt indexes,
 #: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
@@ -47,7 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: maintained purely from the table's Z-set change feed ≡ GROUP BY
 #: over its final state, and orders_join_view — a maintained JOIN view
 #: over TWO merge tables refreshed via the bilinear delta algebra ≡
-#: GROUP BY over the joined final states), then
+#: GROUP BY over the joined final states, and orders_scd2_revenue —
+#: SCD2 point-in-time enrichment from the dim table's commit log ≡ a
+#: declarative validity restatement), then
 #: every query over code touched by the r8 diffs: the incremental-index
 #: restructure (broadcast guards + atomic per-batch segment commits +
 #: serving lookups) forces the three incremental equivalence proofs in;
@@ -63,9 +65,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the exact twin events_distinct_users keeps its slot),
 #: emb_norms + doc_fingerprint (trivial stable projections),
 #: price_quantiles_approx (its exact twin price_quantiles keeps its
-#: slot), big_orders (trivial stable filter), and
+#: slot), big_orders (trivial stable filter),
 #: priority_status_matrix (its pivot sibling order_priority_pivot
-#: keeps its slot). Rotated
+#: keeps its slot), and emb_ann_ivf (its trained sibling
+#: emb_ann_ivf_trained exercises the same IVF machinery plus the
+#: k-means path and keeps its slot). Rotated
 #: out: the remaining 49 queries, all driver-green in r7 (or locally
 #: re-verified) and untouched by the r8 diffs; ALL 99 queries were
 #: additionally verified exact-multiset by tools/verify_local.py this
@@ -77,7 +81,7 @@ _ROUND8_WINDOW_FIRST = [
     "kpi_top_customers", "kpi_product_performance",
     "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
     "doc_exact_dedup", "emb_knn",
-    "emb_ann_knn", "emb_ann_ivf", "emb_ann_ivf_trained",
+    "emb_ann_knn", "emb_ann_ivf_trained",
     "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
     "emb_dedup_final", "order_stats_distinct",
     "price_quantiles", "order_priority_pivot",
@@ -93,6 +97,7 @@ _ROUND8_WINDOW_FIRST = [
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",
     "events_purchase_join_salted", "doc_chunk_knn",
     "orders_merge_table", "orders_merge_view", "orders_join_view",
+    "orders_scd2_revenue",
     # (3) touched by round-8 diffs
     "doc_neardup_incremental", "doc_exact_dedup_incremental",
     "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",

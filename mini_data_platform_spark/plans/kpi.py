@@ -409,6 +409,74 @@ def orders_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_read(spark, vdir)
 
 
+def orders_scd2_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time enrichment (operators/scd.py): revenue by the
+    market segment each customer HAD AT THE ORDER'S EPOCH — the
+    event-time-correct dimension join (no time-travel leakage), derived
+    from a customer merge table receiving four change waves: build
+    (even custkeys), the odds, a promotion UPDATE (%5==0 →
+    'PROMOTED'), and a DELETE wave (%7==0). Each order carries a
+    deterministic epoch ``o_orderkey % 5 + 1`` (epoch 5 reads past the
+    last batch — the open-interval path): orders placed before their
+    customer existed, or after deletion, drop; orders before a
+    promotion keep the OLD segment — exactly what a latest-wins join
+    gets wrong. The oracle restates validity declaratively from the
+    wave arithmetic.
+
+    Scale: the history is ONE window pass over the dim log; the enrich
+    is the as-of union-window machinery — one shuffle over
+    facts + versions, never an interval-explosion join."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.operators.mergetable import (
+        table_apply,
+        table_build,
+    )
+    from mini_data_platform_spark.operators.scd import (
+        scd2_enrich,
+        scd2_history,
+    )
+
+    dim_dir = os.path.join(
+        tempfile.gettempdir(), f"mdp_scd2_{os.getpid()}"
+    )
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, dim_dir, ignore_errors=True)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ck = F.col("c_custkey")
+    table_build(customer.filter(ck % 2 == 0), dim_dir, ["c_custkey"])
+    table_apply(customer.filter(ck % 2 == 1), dim_dir)
+    table_apply(
+        customer.filter(ck % 5 == 0)
+        .withColumn("c_mktsegment", F.lit("PROMOTED")),
+        dim_dir,
+    )
+    table_apply(
+        customer.filter(ck % 7 == 0)
+        .select("c_custkey")
+        .withColumn("_op", F.lit("d")),
+        dim_dir,
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        (F.col("o_orderkey") % 5 + 1).alias("at_e"),
+    )
+    enriched = scd2_enrich(
+        facts, scd2_history(spark, dim_dir), ["c_custkey"], "at_e",
+        how="inner",
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 QUERIES = {
     "kpi_revenue_by_day": revenue_by_day,
     "kpi_top_customers": top_customers,
@@ -420,6 +488,7 @@ QUERIES = {
     "orders_merge_table": orders_merge_table,
     "orders_merge_view": orders_merge_view,
     "orders_join_view": orders_join_view,
+    "orders_scd2_revenue": orders_scd2_revenue,
 }
 
 _REV = sql_dsum("o_totalprice")
@@ -546,6 +615,25 @@ ORACLE = {
                {sql_dsum('o_totalprice')} AS revenue,
                COUNT(*) AS n_orders
         FROM final_orders JOIN final_cust ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    # validity restated from the wave arithmetic: evens exist from
+    # epoch 1, odds from 2 (at_e >= 1 always holds), %5==0 customers
+    # read 'PROMOTED' from epoch 3, %7==0 are deleted from epoch 4
+    "orders_scd2_revenue": f"""
+        WITH fact AS (
+            SELECT o_custkey, o_totalprice,
+                   o_orderkey % 5 + 1 AS at_e
+            FROM orders
+        )
+        SELECT CASE WHEN c_custkey % 5 = 0 AND at_e >= 3
+                    THEN 'PROMOTED' ELSE c_mktsegment
+               END AS c_mktsegment,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM fact JOIN customer ON o_custkey = c_custkey
+        WHERE (c_custkey % 2 = 0 OR at_e >= 2)
+          AND NOT (c_custkey % 7 = 0 AND at_e >= 4)
         GROUP BY 1
     """,
 }
