@@ -872,3 +872,146 @@ class TestStreamingViewMaintenance:
         }
         # a upserted to 12.5; b fully deleted -> vanished
         assert got == {"a": (12.5, 1)}
+
+
+class TestStreamingJoinView:
+    """streaming/joinview.py: a JOIN view over two merge tables stays
+    current from CDC streams — apply + refresh per epoch, one
+    refresher, equal to the GROUP BY recompute over final states."""
+
+    ORDERS = "o_id bigint, cust bigint, price double"
+    CUST = "cust bigint, seg string"
+
+    def _setup(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.joinview import (
+            join_view_build,
+            join_view_refresh,
+        )
+        from mini_data_platform_spark.operators.mergetable import (
+            table_build,
+        )
+
+        L, R, V = (str(tmp_path / d) for d in ("orders", "cust", "view"))
+        table_build(
+            spark.createDataFrame(
+                [(1, 10, 100.0), (2, 20, 50.0)], self.ORDERS
+            ),
+            L, ["o_id"],
+        )
+        table_build(
+            spark.createDataFrame([(10, "A"), (20, "B")], self.CUST),
+            R, ["cust"],
+        )
+        join_view_build(
+            spark, L, R, ["cust"], V, ["seg"],
+            {"revenue": ("sum", "price"), "n": ("count", "*")},
+        )
+        join_view_refresh(spark, V)
+        return L, R, V
+
+    def _recompute(self, spark, L, R):
+        from mini_data_platform_spark.operators.mergetable import table_read
+
+        return {
+            r["seg"]: (r["revenue"], r["n"])
+            for r in table_read(spark, L)
+            .join(table_read(spark, R), "cust")
+            .groupBy("seg")
+            .agg(
+                F.sum("price").alias("revenue"), F.count("*").alias("n")
+            )
+            .collect()
+        }
+
+    def _view(self, spark, V):
+        from mini_data_platform_spark.operators.ivm import view_read
+
+        return {
+            r["seg"]: (r["revenue"], r["n"])
+            for r in view_read(spark, V).collect()
+        }
+
+    def test_stream_equals_recompute(self, spark, tmp_path):
+        from mini_data_platform_spark.streaming.joinview import (
+            maintain_join_view_stream,
+        )
+
+        L, R, V = self._setup(spark, tmp_path)
+        src = str(tmp_path / "cdc")
+        # epoch: an update to order 1, a new order, a delete of order 2
+        spark.createDataFrame(
+            [(1, 10, 150.0, "u"), (3, 20, 7.0, "u"), (2, None, None, "d")],
+            "o_id bigint, cust bigint, price double, _op string",
+        ).write.parquet(src)
+        q = maintain_join_view_stream(
+            spark.readStream.schema(
+                "o_id bigint, cust bigint, price double, _op string"
+            ).parquet(src),
+            L, V, str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(180)
+        got = self._view(spark, V)
+        assert got == self._recompute(spark, L, R)
+        assert got == {"A": (150.0, 1), "B": (7.0, 1)}
+
+    def test_two_streams_one_refresher(self, spark, tmp_path):
+        """Dim side streams with refresh=False (apply-only); the fact
+        side owns the refresh and folds BOTH sides' advances."""
+        from mini_data_platform_spark.streaming.joinview import (
+            maintain_join_view_stream,
+        )
+
+        L, R, V = self._setup(spark, tmp_path)
+        dim_src = str(tmp_path / "dimcdc")
+        spark.createDataFrame(
+            [(10, "PROMOTED"), (30, "C")], self.CUST
+        ).write.parquet(dim_src)
+        q1 = maintain_join_view_stream(
+            spark.readStream.schema(self.CUST).parquet(dim_src),
+            R, V, str(tmp_path / "dimckpt"),
+            available_now=True, refresh=False,
+        )
+        q1.awaitTermination(180)
+        # apply-only: the view has NOT moved yet
+        assert self._view(spark, V) == {"A": (100.0, 1), "B": (50.0, 1)}
+        fact_src = str(tmp_path / "factcdc")
+        spark.createDataFrame(
+            [(4, 30, 9.0)], self.ORDERS
+        ).write.parquet(fact_src)
+        q2 = maintain_join_view_stream(
+            spark.readStream.schema(self.ORDERS).parquet(fact_src),
+            L, V, str(tmp_path / "factckpt"), available_now=True,
+        )
+        q2.awaitTermination(180)
+        got = self._view(spark, V)
+        assert got == self._recompute(spark, L, R)
+        # order 1 moved to PROMOTED with the dim change; new C row
+        assert got == {
+            "PROMOTED": (100.0, 1), "B": (50.0, 1), "C": (9.0, 1)
+        }
+
+    def test_outside_writer_folded(self, spark, tmp_path):
+        """A batch applied OUTSIDE the stream (the crashed-between-
+        apply-and-refresh shape) is folded by the next epoch's
+        refresh."""
+        from mini_data_platform_spark.operators.mergetable import (
+            table_apply,
+        )
+        from mini_data_platform_spark.streaming.joinview import (
+            maintain_join_view_stream,
+        )
+
+        L, R, V = self._setup(spark, tmp_path)
+        table_apply(
+            spark.createDataFrame([(5, 10, 1000.0)], self.ORDERS), L
+        )
+        src = str(tmp_path / "cdc")
+        spark.createDataFrame(
+            [(6, 20, 2.0)], self.ORDERS
+        ).write.parquet(src)
+        q = maintain_join_view_stream(
+            spark.readStream.schema(self.ORDERS).parquet(src),
+            L, V, str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(180)
+        assert self._view(spark, V) == self._recompute(spark, L, R)
