@@ -71,6 +71,25 @@ increments are never retracted when a later batch pushes a bucket over
 the cap, so the multi-batch union tracks a capped recompute of each
 snapshot, not one capped recompute of the final corpus.
 
+Deletion (takedown propagation): ``index_delete`` retracts a doc-id
+set from any of the three index kinds by committing a TOMBSTONE segment
+(``tombstones/del-N``) in the same log — one atomic meta swap, O(delete
+set) written, nothing rewritten. Every corpus-side read goes through
+``_read_live`` (committed segments anti-joined against committed
+tombstones, guarded-broadcast), so lookups, increments, hot-bucket
+occupancy counts, and ``neardup_index_pairs`` all behave as if the
+index had been built on the remaining corpus — the equivalence the
+declared query ``doc_neardup_delete`` proves against a recompute
+oracle. The logical delete is immediate; the PHYSICAL purge (the
+GDPR/takedown erasure step — tombstoned text actually leaving disk)
+happens at ``compact_index``, which rewrites every table through the
+live filter and then drops the tombstones. Two documented limits: a
+deleted id is terminal (tombstones hide every segment's rows for that
+id, so re-adding it would stay hidden — use a fresh id), and pairs
+already materialized under ``pairs/`` are immutable history (the index
+stops SERVING the doc; artifacts already handed to consumers are theirs
+to re-derive).
+
 Restartability — the per-batch segment commit (round-7 verdict item 2):
 each increment (a) writes its verified pairs to ``pairs/batch=N``
 (overwrite mode), (b) writes its bucket/doc segments to
@@ -107,6 +126,7 @@ _META = "meta.json"
 _BUCKETS = "buckets"
 _DOCS = "docs"
 _PAIRS = "pairs"
+_TOMBSTONES = "tombstones"
 
 #: Default row threshold above which batch-side frames LOSE their
 #: F.broadcast hint. The hint is hard — Spark collects the frame to the
@@ -185,15 +205,24 @@ def _meta_as_of(meta: dict, as_of: int | None) -> dict:
                 "history is not reconstructible (re-run compaction with "
                 "this version to record it)"
             )
-        keep = 1 + (as_of - ct) if folded else as_of
-        if keep > len(segs):
-            raise ValueError(
-                f"segment log for {t!r} has {len(segs)} entries; cannot "
-                f"take {keep} (log shape does not match the batch count)"
-            )
-        out["segments"][t] = segs[:keep]
+        # every segment name carries the batch number it was committed
+        # at (batch-K / del-K; compact-K folds everything before `ct`,
+        # and as_of < ct was already refused above), so the as-of state
+        # is a pure name filter — tables whose logs are SPARSE in batch
+        # numbers (tombstones exist only for delete batches; bucket/doc
+        # tables skip delete batches) time-travel correctly
+        out["segments"][t] = [
+            s for s in segs
+            if s.startswith("compact-") or _seg_no(s) < as_of
+        ]
     out["n_batches"] = as_of
     return out
+
+
+def _seg_no(seg: str) -> int:
+    """The commit batch number a segment name carries (``batch-7`` /
+    ``del-7`` → 7)."""
+    return int(seg.rsplit("-", 1)[1])
 
 
 def vacuum_index(index_dir: str) -> list[str]:
@@ -242,6 +271,69 @@ def _write_segment(df: DataFrame, index_dir: str, table: str, seg: str) -> None:
     crashed increment leaves an orphan dir with this name, and the retry
     must replace it wholesale (append would double the batch)."""
     df.write.mode("overwrite").parquet(os.path.join(index_dir, table, seg))
+
+
+def _read_live(
+    spark: SparkSession, index_dir: str, table: str, meta: dict
+) -> DataFrame:
+    """``_read_table`` minus tombstoned ids — the LIVE corpus view every
+    lookup/increment/pairs read uses. With no committed tombstones this
+    is ``_read_table`` verbatim (zero plan overhead for the common
+    never-deleted index); otherwise one anti-join against the tombstone
+    id set, guarded-broadcast on the running delete count (a takedown
+    set is tiny next to the corpus; a bulk purge past the threshold
+    degrades to a shuffle anti-join instead of OOM-ing the driver)."""
+    df = _read_table(spark, index_dir, table, meta)
+    segs = meta["segments"].get(_TOMBSTONES, [])
+    if not segs:
+        return df
+    tombs = (
+        spark.read.parquet(
+            *[os.path.join(index_dir, _TOMBSTONES, s) for s in segs]
+        )
+        .select("id")
+        .distinct()
+    )
+    return df.join(
+        _hinted(tombs, meta.get("n_deleted", 0)), "id", "left_anti"
+    )
+
+
+def index_delete(del_docs: DataFrame, index_dir: str) -> dict:
+    """Retract a set of doc ids from ANY index kind (near-dup, exact,
+    embedding) — the takedown/GDPR path: committing one TOMBSTONE
+    segment (``tombstones/del-N``, O(delete set) rows, atomic meta swap)
+    makes every subsequent lookup, increment, occupancy count, and
+    ``neardup_index_pairs`` behave exactly as if the index had been
+    built on the remaining corpus. Nothing is rewritten here — the
+    PHYSICAL purge (text leaving disk) happens at the next
+    ``compact_index``, which rewrites each table through the live filter
+    and drops the tombstones.
+
+    ``del_docs`` needs the index's id column (``meta['id_col']``, or an
+    already-normalized ``id``); extra columns are ignored, ids absent
+    from the index are harmless no-ops. Time travel composes: an
+    ``as_of`` before the delete batch still serves the doc (audit what
+    yesterday's dedup saw) until compaction erases the history.
+
+    Two terminal semantics, by design: a deleted id stays deleted (the
+    tombstone hides ALL segments' rows for it, including a later re-add
+    — re-ingest under a fresh id), and already-materialized ``pairs/``
+    outputs are immutable history."""
+    meta = _read_meta(index_dir)
+    id_col = meta["id_col"]
+    src = id_col if id_col in del_docs.columns else "id"
+    ids = del_docs.select(F.col(src).alias("id")).distinct().persist()
+    n_del = ids.count()
+    batch_no = meta["n_batches"]
+    seg = f"del-{batch_no}"
+    _write_segment(ids, index_dir, _TOMBSTONES, seg)
+    ids.unpersist(False)
+    meta["segments"].setdefault(_TOMBSTONES, []).append(seg)
+    meta["n_deleted"] = meta.get("n_deleted", 0) + n_del
+    meta["n_batches"] = batch_no + 1
+    _write_meta(index_dir, meta)
+    return meta
 
 
 def neardup_index_build(
@@ -324,7 +416,7 @@ def _neardup_batch_pairs(
     # new-vs-corpus: stream the corpus-sized bucket table against the
     # batch's band keys — broadcast (no index shuffle) while the batch
     # is under the guard threshold, shuffle join above it
-    buckets_old = _read_table(spark, index_dir, _BUCKETS, meta)
+    buckets_old = _read_live(spark, index_dir, _BUCKETS, meta)
     if max_bucket is not None:
         # hot-bucket cap with CURRENT-corpus semantics: a bucket's size
         # is its OLD occupancy + the batch's — the same total a capped
@@ -404,7 +496,7 @@ def _neardup_batch_pairs(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    docs_old = _read_table(spark, index_dir, _DOCS, meta)
+    docs_old = _read_live(spark, index_dir, _DOCS, meta)
     involved_old = docs_old.join(
         _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
     )
@@ -542,7 +634,7 @@ def _exact_batch_resolved(
     ((content_hash, id), persisted, ``n_new`` rows): per new doc the
     smallest indexed-or-batch id sharing its content hash. Pure read;
     used by the committing increment and the serving lookup."""
-    old = _read_table(spark, index_dir, _HASHES, meta)
+    old = _read_live(spark, index_dir, _HASHES, meta)
     # min indexed id per hash, but ONLY for hashes present in the batch
     # (semi-filter first: the aggregate shuffles batch-hash rows, not the
     # whole index)
@@ -768,7 +860,7 @@ def _embdup_batch_pairs(
         .persist()
     )
 
-    buckets_old = _read_table(spark, index_dir, _EBUCKETS, meta)
+    buckets_old = _read_live(spark, index_dir, _EBUCKETS, meta)
     cand_cross = (
         buckets_old.alias("o")
         .join(
@@ -800,7 +892,7 @@ def _embdup_batch_pairs(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    vecs_old = _read_table(spark, index_dir, _EVECS, meta).join(
+    vecs_old = _read_live(spark, index_dir, _EVECS, meta).join(
         _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
     )
     all_vecs = batch.unionByName(vecs_old)
@@ -931,6 +1023,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
         "exact": [_HASHES],
         "embdup": [_EBUCKETS, _EVECS],
     }.get(meta.get("kind"), [_BUCKETS, _DOCS])
+    tomb_segs = list(meta["segments"].get(_TOMBSTONES, []))
     out: dict[str, int] = {}
     for t in tables:
         old_segs = meta["segments"][t]
@@ -941,11 +1034,16 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
             n_files += n
             total += b
         want = max(1, math.ceil(total / DEFAULT_TARGET_BYTES))
-        if len(old_segs) == 1 and n_files <= want:
+        # with tombstones pending, every table MUST rewrite (the purge
+        # is the point), so the small-enough-already skip is disabled
+        if len(old_segs) == 1 and n_files <= want and not tomb_segs:
             out[t] = n_files
             continue
         new_seg = f"compact-{meta['n_batches']}"
-        df = spark.read.parquet(*paths)
+        # read through the LIVE filter: tombstoned rows are physically
+        # dropped here — the erasure step of a takedown (index_delete
+        # only hides; this removes the bytes from disk)
+        df = _read_live(spark, index_dir, t, meta)
         _write_segment(df.repartition(want), index_dir, t, new_seg)
         meta["segments"][t] = [new_seg]
         # time-travel boundary: batches folded into the compact segment
@@ -958,6 +1056,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
                     os.path.join(index_dir, t, seg), ignore_errors=True
                 )
         out[t] = dir_parquet_stats(os.path.join(index_dir, t, new_seg))[0]
+    if tomb_segs:
+        # drop the tombstones ONLY after every table was rewritten
+        # through the live filter — a crash mid-compaction leaves some
+        # tables purged and the tombstones still committed, which is
+        # safe (the anti-join on an already-purged table is a no-op)
+        meta["segments"][_TOMBSTONES] = []
+        meta["n_deleted"] = 0
+        _write_meta(index_dir, meta)
+        for seg in tomb_segs:
+            shutil.rmtree(
+                os.path.join(index_dir, _TOMBSTONES, seg),
+                ignore_errors=True,
+            )
     return out
 
 
@@ -988,7 +1099,7 @@ def neardup_index_pairs(
     meta = _meta_as_of(_read_meta(index_dir), as_of)
     threshold, shingle_n = meta["threshold"], meta["shingle_n"]
     max_bucket = meta.get("max_bucket")
-    buckets = _read_table(spark, index_dir, _BUCKETS, meta)
+    buckets = _read_live(spark, index_dir, _BUCKETS, meta)
     if max_bucket is not None:
         sizes = (
             buckets.groupBy("band_id", "band_key")
@@ -1016,7 +1127,7 @@ def neardup_index_pairs(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    docs = _read_table(spark, index_dir, _DOCS, meta).join(
+    docs = _read_live(spark, index_dir, _DOCS, meta).join(
         _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
     )
     shingled = _staged_shingles(docs, "id", "text", shingle_n)

@@ -454,6 +454,41 @@ def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_index_lookup(batch, index_dir)
 
 
+def doc_neardup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation (``incremental.index_delete``): build a
+    near-dup index over a duplicate-rich corpus (the even-id documents ∪
+    their mutated copies), RETRACT every ``doc_id % 7 == 0`` doc — one
+    O(delete set) tombstone segment, nothing rewritten — then emit the
+    within-corpus pairs from the index's own artifacts. The oracle is a
+    full near-dup recompute over the corpus MINUS the deleted docs:
+    a driver-level proof that after a delete the index serves exactly
+    what an index built on the remaining corpus would — candidates,
+    occupancy counts, and verification all see only live docs. (The
+    physical purge — text leaving disk — is compaction's job and is
+    crash-injection-tested in tests/test_incremental.py.)"""
+    import tempfile
+
+    from mini_data_platform_spark.operators.incremental import (
+        index_delete,
+        neardup_index_build,
+        neardup_index_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    corpus = _mutated_corpus(docs)
+    index_dir = tempfile.mkdtemp(prefix="mdp_nddel_")
+    neardup_index_build(
+        corpus, index_dir, "doc_id", "text",
+        JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
+    )
+    index_delete(corpus.where(F.col("doc_id") % 7 == 0), index_dir)
+    return neardup_index_pairs(spark, index_dir)
+
+
 def _cached_index(
     sf_dir: str, params: str, build, fixture: str = "documents.parquet"
 ) -> str:
@@ -1099,6 +1134,7 @@ QUERIES = {
     "doc_minhash_candidates": doc_minhash_candidates,
     "doc_near_dups": doc_near_dups,
     "doc_neardup_incremental": doc_neardup_incremental,
+    "doc_neardup_delete": doc_neardup_delete,
     "doc_neardup_serve": doc_neardup_serve,
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
@@ -1528,6 +1564,19 @@ ORACLE = {
     # the incremental path must reproduce the full-corpus recompute
     # EXACTLY — same oracle as doc_near_dups is the equivalence proof
     "doc_neardup_incremental": _sql_near_dups(_SQL_MUTATED),
+    # takedown: full recompute over (even-id docs ∪ their mutated
+    # copies) MINUS the deleted doc_id % 7 == 0 docs — the tombstoned
+    # index must serve exactly what an index built on the remaining
+    # corpus would
+    "doc_neardup_delete": _sql_near_dups("""
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
+            FROM documents WHERE doc_id % 2 = 0
+        ) WHERE doc_id % 7 <> 0
+    """),
     # serving lookup: near-dup recompute over documents ∪ the 10% batch
     # (mutated copies of doc_id % 10 == 0), restricted to pairs
     # involving the batch — batch ids are the only ids >= 10000 in this

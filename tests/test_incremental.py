@@ -946,3 +946,200 @@ class TestVacuum:
         # and the retried increment lands cleanly after the sweep
         incr = _pairs_set(neardup_index_increment(b2, tmpdir))
         assert incr  # near-dups of b1 exist by construction
+
+
+class TestIndexDelete:
+    """index_delete: tombstoned ids vanish from every read path — the
+    index behaves exactly as if built on the remaining corpus — and
+    compaction physically purges them."""
+
+    def _built(self, spark, tmpdir, n=80):
+        b1 = _corpus(spark, 0, n)
+        corpus = b1.unionByName(_mutated(b1, 1000))
+        neardup_index_build(
+            corpus, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        return corpus
+
+    def test_pairs_equal_recompute_on_remaining(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            index_delete,
+            neardup_index_pairs,
+        )
+
+        corpus = self._built(spark, tmpdir)
+        dead = corpus.where(F.col("doc_id") % 5 == 0)
+        index_delete(dead, tmpdir)
+        got = _pairs_set(neardup_index_pairs(spark, tmpdir))
+        want = _full_pairs(corpus.where(F.col("doc_id") % 5 != 0))
+        assert got == want
+        # and the delete actually removed something
+        assert got != _full_pairs(corpus)
+
+    def test_lookup_and_increment_exclude_deleted(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            index_delete,
+            neardup_index_lookup,
+        )
+
+        corpus = self._built(spark, tmpdir)
+        index_delete(corpus.where(F.col("doc_id") % 5 == 0), tmpdir)
+        batch = _mutated(corpus.where(F.col("doc_id") < 1000), 5000)
+        # lookup against the tombstoned index ≡ lookup against an index
+        # freshly built on the remaining corpus
+        looked = neardup_index_lookup(batch, tmpdir)
+        got = _pairs_set(looked)
+        release_plan(looked)
+        fresh_dir = tempfile.mkdtemp(prefix="ndidx_fresh_")
+        try:
+            neardup_index_build(
+                corpus.where(F.col("doc_id") % 5 != 0), fresh_dir,
+                "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+            )
+            fresh = neardup_index_lookup(batch, fresh_dir)
+            assert got == _pairs_set(fresh)
+            release_plan(fresh)
+        finally:
+            shutil.rmtree(fresh_dir, ignore_errors=True)
+        # the committing increment sees the same live corpus
+        incr = _pairs_set(neardup_index_increment(batch, tmpdir))
+        assert incr == got
+        dead = {r["doc_id"] for r in corpus.where(
+            F.col("doc_id") % 5 == 0).select("doc_id").collect()}
+        assert not {p[0] for p in incr} & dead
+        assert not {p[1] for p in incr} & dead
+
+    def test_as_of_before_delete_still_serves(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            index_delete,
+            neardup_index_lookup,
+        )
+
+        corpus = self._built(spark, tmpdir)
+        batch = _mutated(corpus.where(F.col("doc_id") < 1000), 5000)
+        pre = neardup_index_lookup(batch, tmpdir)
+        pre_pairs = _pairs_set(pre)
+        release_plan(pre)
+        index_delete(corpus.where(F.col("doc_id") % 3 == 0), tmpdir)
+        # now: fewer pairs; as-of the pre-delete batch count: identical
+        post = neardup_index_lookup(batch, tmpdir)
+        assert _pairs_set(post) < pre_pairs
+        release_plan(post)
+        audit = neardup_index_lookup(batch, tmpdir, as_of=1)
+        assert _pairs_set(audit) == pre_pairs
+        release_plan(audit)
+
+    def test_delete_is_terminal_for_id(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            index_delete,
+            neardup_index_lookup,
+        )
+
+        corpus = self._built(spark, tmpdir, n=40)
+        victim = corpus.where(F.col("doc_id") == 7)
+        index_delete(victim, tmpdir)
+        # re-adding the same id via an increment does NOT resurrect it
+        neardup_index_increment(victim, tmpdir)
+        probe = _mutated(victim, 9000)
+        looked = neardup_index_lookup(probe, tmpdir)
+        assert not {p for p in _pairs_set(looked) if 7 in (p[0], p[1])}
+        release_plan(looked)
+
+    def test_exact_delete_moves_dup_of(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+            exact_index_lookup,
+            index_delete,
+        )
+
+        b1 = _corpus(spark, 0, 20)
+        # two indexed copies of each text: ids i and i+100
+        exact_index_build(
+            b1.unionByName(
+                b1.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+            ),
+            tmpdir, "doc_id", "text",
+        )
+        batch = b1.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        pre = exact_index_lookup(batch, tmpdir)
+        assert {r["id"]: r["dup_of"] for r in pre.collect()} == {
+            1000 + i: i for i in range(20)
+        }
+        release_plan(pre)
+        # delete the min-id owners: resolution falls to the next live id
+        index_delete(b1.select("doc_id"), tmpdir)
+        post = exact_index_lookup(batch, tmpdir)
+        assert {r["id"]: r["dup_of"] for r in post.collect()} == {
+            1000 + i: 100 + i for i in range(20)
+        }
+        release_plan(post)
+        # delete those too: the batch docs are now first of their content
+        index_delete(
+            b1.select((F.col("doc_id") + 100).alias("doc_id")), tmpdir
+        )
+        out = {
+            r["id"]: r["dup_of"]
+            for r in exact_index_increment(batch, tmpdir).collect()
+        }
+        assert out == {1000 + i: 1000 + i for i in range(20)}
+
+    def test_embdup_delete_excludes_deleted(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_lookup,
+            index_delete,
+        )
+
+        vecs = spark.range(0, 40).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 4 + 1).cast("double"),
+                (F.col("id") % 7 - 3).cast("double"),
+                F.lit(1.0),
+            ).alias("embedding"),
+        )
+        embdup_index_build(vecs, tmpdir, "vec_id", "embedding", 0.9)
+        batch = vecs.select((F.col("vec_id") + 500).alias("vec_id"), "embedding")
+        pre = embdup_index_lookup(batch, tmpdir)
+        pre_pairs = {(r["id_a"], r["id_b"]) for r in pre.collect()}
+        release_plan(pre)
+        index_delete(vecs.where(F.col("vec_id") % 2 == 0), tmpdir)
+        post = embdup_index_lookup(batch, tmpdir)
+        post_pairs = {(r["id_a"], r["id_b"]) for r in post.collect()}
+        release_plan(post)
+        dead = set(range(0, 40, 2))
+        assert post_pairs == {
+            p for p in pre_pairs if not ({p[0], p[1]} & dead)
+        }
+        assert post_pairs < pre_pairs
+
+    def test_compaction_purges_text_and_tombstones(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            compact_index,
+            index_delete,
+            neardup_index_pairs,
+        )
+
+        corpus = self._built(spark, tmpdir, n=50)
+        index_delete(corpus.where(F.col("doc_id") % 4 == 0), tmpdir)
+        want = _pairs_set(neardup_index_pairs(spark, tmpdir))
+        compact_index(spark, tmpdir)
+        meta = _read_meta(tmpdir)
+        # tombstones gone from the log and from disk
+        assert meta["segments"].get("tombstones") == []
+        assert meta["n_deleted"] == 0
+        tdir = os.path.join(tmpdir, "tombstones")
+        assert not os.path.isdir(tdir) or os.listdir(tdir) == []
+        # the PHYSICAL purge: a raw read of the docs table (no live
+        # filter) no longer contains the deleted ids
+        raw_ids = {
+            r["id"]
+            for r in spark.read.parquet(
+                os.path.join(tmpdir, "docs", meta["segments"]["docs"][0])
+            ).select("id").collect()
+        }
+        assert not {i for i in raw_ids if i % 4 == 0 and i < 1000}
+        # results unchanged by compaction
+        assert _pairs_set(neardup_index_pairs(spark, tmpdir)) == want
