@@ -440,6 +440,177 @@ def minmax_view_read(
     return out.drop("_rows")
 
 
+def histogram_view_build(
+    df: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    value_col: str,
+    width: float,
+    mode: str = "delta",
+    batch_id: str = "batch-0",
+) -> dict:
+    """Maintained APPROXIMATE QUANTILES — the dashboard measure ("p95
+    order value per day") that, like distinct-count, cannot maintain
+    exactly without per-key value sets. Same support-multiset move as
+    ``minmax_view_build``: the state is a HISTOGRAM — the view is keyed
+    by ``keys + [_bucket]`` (fixed-width bin ``floor(value/width)``)
+    with one multiplicity measure — so increments are the standard
+    O(delta) partial count, merge is count addition (exact), and CDC
+    change batches RETRACT (counts form a group), giving maintained
+    quantiles over upserting sources, which sketch libraries
+    (t-digest/KLL) do not offer. The accuracy trade is the bin width
+    (error ≤ width within a bin, the classic equi-width histogram
+    bound); state is one row per non-empty (group, bin).
+
+    Bin assignment is pure arithmetic (``floor(v/width)`` — no libm),
+    and the serve-side interpolation is a fixed rational expression, so
+    a SQL twin reproduces the estimates BIT-EXACTLY — the engine-parity
+    doctrine (see operators/lm.py) that turns an "approximate" operator
+    into an oracle-checkable one: approximate vs the true quantile,
+    deterministic vs the histogram. NULL values are excluded at
+    bucketize time (SQL quantile semantics)."""
+    bucketed = _bucketize(df, value_col, width)
+    meta = view_build(
+        bucketed, view_dir, list(keys) + ["_bucket"],
+        {"_n": ("count", "*")}, mode=mode, batch_id=batch_id,
+    )
+    meta["histogram_value"] = value_col
+    meta["histogram_width"] = float(width)
+    _write_meta(view_dir, meta)
+    return meta
+
+
+def _bucketize(df: DataFrame, value_col: str, width: float) -> DataFrame:
+    keep = [c for c in df.columns if c != value_col]
+    return df.where(F.col(value_col).isNotNull()).select(
+        *keep,
+        F.floor(F.col(value_col).cast("double") / F.lit(float(width)))
+        .cast("long")
+        .alias("_bucket"),
+    )
+
+
+def _histogram_meta(view_dir: str) -> dict:
+    meta = _read_meta(view_dir)
+    if "histogram_value" not in meta:
+        raise ValueError(
+            f"{view_dir} is not a histogram view "
+            "(build with histogram_view_build)"
+        )
+    return meta
+
+
+def histogram_view_increment(
+    delta: DataFrame, view_dir: str, batch_id: str | None = None
+) -> dict:
+    """Fold an append-only fact delta into a histogram view: bucketize
+    with the view's FROZEN width (an index is only ever queried the way
+    it was built), then the standard O(delta) increment."""
+    meta = _histogram_meta(view_dir)
+    return view_increment(
+        _bucketize(delta, meta["histogram_value"], meta["histogram_width"]),
+        view_dir,
+        batch_id,
+    )
+
+
+def histogram_view_apply_changes(
+    changes: DataFrame, view_dir: str, batch_id: str | None = None
+) -> dict:
+    """Fold a ±1-tagged CDC change batch into a histogram view —
+    quantiles over an upserting/deleting source stay maintained because
+    the histogram state is counts, which retract. Deleting a row
+    decrements its value's bin; a bin at zero vanishes at serve."""
+    meta = _histogram_meta(view_dir)
+    return view_apply_changes(
+        _bucketize(changes, meta["histogram_value"], meta["histogram_width"]),
+        view_dir,
+        batch_id,
+    )
+
+
+def quantile_view_read(
+    spark: SparkSession,
+    view_dir: str,
+    quantiles: dict[str, float],
+    as_of: int | None = None,
+) -> DataFrame:
+    """Serve quantile estimates from a histogram view: merge the
+    segments (view-sized), one ordered window per group for cumulative
+    counts, then for each requested quantile pick the bin containing
+    rank ``q·N`` and interpolate linearly within it —
+    ``bucket·width + width·(q·N − cum_before)/n``. Everything after the
+    merge is view-sized and deterministic (fixed IEEE expression, no
+    libm), so the estimates hash-match a SQL twin.
+
+    ``quantiles`` maps output column name → q in (0, 1]. Groups whose
+    every bin retracted vanish (the count(*)-zero rule)."""
+    from pyspark.sql.window import Window
+
+    meta = _histogram_meta(view_dir)
+    width = float(meta["histogram_width"])
+    for name, q in quantiles.items():
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {name}={q} outside (0, 1]")
+    v = view_read(spark, view_dir, finalize=True, as_of=as_of)
+    gk = [k for k in meta["keys"] if k != "_bucket"]
+    w_cum = (
+        Window.partitionBy(*[F.col(k) for k in gk])
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(k) for k in gk])
+    base = v.select(
+        *gk,
+        "_bucket",
+        "_n",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    )
+    aggs = []
+    for name, q in quantiles.items():
+        target = F.lit(float(q)) * F.col("_tot").cast("double")
+        cum_before = (F.col("_cum") - F.col("_n")).cast("double")
+        # exactly one bin per group satisfies this: the first whose
+        # cumulative count reaches the target rank
+        cond = (F.col("_cum").cast("double") >= target) & (
+            cum_before < target
+        )
+        est = F.col("_bucket").cast("double") * F.lit(width) + F.lit(
+            width
+        ) * ((target - cum_before) / F.col("_n").cast("double"))
+        aggs.append(F.max(F.when(cond, est)).alias(name))
+    aggs.append(F.count("*").alias("_rows"))
+    out = base.groupBy(*[F.col(k) for k in gk]).agg(*aggs)
+    if not gk:
+        # keyless aggregate over an empty (fully-retracted) view must
+        # vanish, not emit one all-NULL row — same edge as minmax
+        out = out.where(F.col("_rows") > 0)
+    return out.drop("_rows")
+
+
+def view_topk(
+    spark: SparkSession,
+    view_dir: str,
+    order_col: str,
+    k: int,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Serve the top-k view rows by a measure — the "top 10 customers
+    by revenue" dashboard read over a MAINTAINED view: the ranking
+    needs only the view state (every group's total is already there),
+    so the refresh stays O(delta) on the write side and the serve is a
+    view-sized TakeOrderedAndProject (no global sort — Spark keeps k
+    rows per partition and merges). Ties break on the key columns for
+    determinism."""
+    meta = _read_meta(view_dir)
+    v = view_read(spark, view_dir, finalize=True, as_of=as_of)
+    order = [F.col(order_col).desc()] + [
+        F.col(kk).asc() for kk in meta["keys"]
+    ]
+    return v.orderBy(*order).limit(k)
+
+
 def compact_view(spark: SparkSession, view_dir: str) -> dict:
     """Fold a delta-mode view's segment log back to one segment: read
     the union, merge, write a ``compact-N`` segment, commit the

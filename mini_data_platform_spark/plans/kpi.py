@@ -181,6 +181,91 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_read(spark, view_dir)
 
 
+def _scratch_view_dir(tag: str) -> str:
+    """One per-process scratch path per view family (rebuilt wholesale
+    each invocation, removed at exit) — repeated bench/driver runs must
+    not accumulate orphan view dirs in the temp root."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    view_dir = os.path.join(
+        tempfile.gettempdir(), f"mdp_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(view_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, view_dir, ignore_errors=True)
+    return view_dir
+
+
+def price_quantiles_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained approximate quantiles (operators/ivm.py histogram
+    views): p50/p95 order value per priority class, with the orders
+    facts arriving as three deterministic batches — each increment is an
+    O(delta) bin-count partial aggregate, state is one row per
+    non-empty (priority, price bin), and the serve read interpolates
+    within the bin holding rank q·N. The oracle recomputes the SAME
+    histogram + interpolation from scratch in SQL — bin assignment and
+    the serve expression are libm-free fixed arithmetic, so the
+    estimates hash-match bit-exactly however the facts were batched
+    (approximate vs the true quantile, deterministic vs the histogram —
+    the declared accuracy trade is the 10k bin width)."""
+    from mini_data_platform_spark.operators.ivm import (
+        histogram_view_build,
+        histogram_view_increment,
+        quantile_view_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    view_dir = _scratch_view_dir("histview")
+    k = F.col("o_orderkey")
+    histogram_view_build(
+        orders.filter(k % 3 == 0).drop("o_orderkey"),
+        view_dir, ["priority"], "o_totalprice", width=10000.0,
+    )
+    histogram_view_increment(
+        orders.filter(k % 3 == 1).drop("o_orderkey"), view_dir
+    )
+    histogram_view_increment(
+        orders.filter(k % 3 == 2).drop("o_orderkey"), view_dir
+    )
+    return quantile_view_read(
+        spark, view_dir, {"p50": 0.5, "p95": 0.95}
+    )
+
+
+def top_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI Q2 as a MAINTAINED dashboard: per-customer revenue kept
+    current by O(delta) increments (three deterministic batches), top-10
+    served straight from the view state with a view-sized
+    TakeOrderedAndProject — the recurring "top customers" refresh never
+    rescans facts. Ties break on custkey (``view_topk``), matching the
+    oracle's ORDER BY."""
+    from mini_data_platform_spark.operators.ivm import (
+        view_build,
+        view_increment,
+        view_topk,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    view_dir = _scratch_view_dir("topkview")
+    k = F.col("o_orderkey")
+    measures = {
+        "revenue": ("sum", "o_totalprice"),
+        "n_orders": ("count", "*"),
+    }
+    view_build(orders.filter(k % 3 == 0), view_dir, ["custkey"], measures)
+    view_increment(orders.filter(k % 3 == 1), view_dir)
+    view_increment(orders.filter(k % 3 == 2), view_dir)
+    return view_topk(spark, view_dir, "revenue", 10)
+
+
 def _orders_wave_frames(spark, sf_dir: str) -> list[DataFrame]:
     """The ONE copy of the five-wave orders change history every
     merge-table/join-view query replays (build %3==0, upserts %3==1,
@@ -485,6 +570,8 @@ QUERIES = {
     "kpi_failed_events_trend": failed_events_trend,
     "kpi_revenue_by_customer": revenue_by_customer,
     "kpi_revenue_by_day_ivm": revenue_by_day_ivm,
+    "kpi_price_quantiles_ivm": price_quantiles_ivm,
+    "kpi_top_customers_ivm": top_customers_ivm,
     "orders_merge_table": orders_merge_table,
     "orders_merge_view": orders_merge_view,
     "orders_join_view": orders_join_view,
@@ -492,6 +579,44 @@ QUERIES = {
 }
 
 _REV = sql_dsum("o_totalprice")
+
+
+def _sql_hist_quantiles(qs: dict[str, float], width: float) -> str:
+    """The DuckDB twin of ivm.quantile_view_read over an orders
+    histogram keyed by priority: same floor(v/width) bins, same
+    cumulative window, same in-bin interpolation expression tree —
+    every float op mirrors the Spark side exactly (no libm, no
+    reassociable constants), so the estimates hash-match."""
+    w = repr(float(width))
+    cols = []
+    for name, q in qs.items():
+        t = f"CAST({q!r} AS DOUBLE) * CAST(tot AS DOUBLE)"
+        cb = "CAST(cum - n AS DOUBLE)"
+        cols.append(
+            f"MAX(CASE WHEN CAST(cum AS DOUBLE) >= {t} AND {cb} < {t} "
+            f"THEN CAST(bucket AS DOUBLE) * {w} "
+            f"+ {w} * (({t} - {cb}) / CAST(n AS DOUBLE)) END) AS {name}"
+        )
+    return f"""
+        WITH b AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) / {w}) AS BIGINT)
+                       AS bucket,
+                   COUNT(*) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT priority, bucket, n,
+                   SUM(n) OVER (
+                       PARTITION BY priority ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(n) OVER (PARTITION BY priority) AS tot
+            FROM b
+        )
+        SELECT priority, {', '.join(cols)} FROM c GROUP BY priority
+    """
+
 
 ORACLE = {
     "kpi_revenue_by_day": f"""
@@ -557,6 +682,24 @@ ORACLE = {
                COUNT(*) AS n_orders,
                MAX(o_totalprice) AS max_price
         FROM orders GROUP BY 1
+    """,
+    # the maintained histogram's estimates must equal the SAME
+    # histogram + in-bin interpolation recomputed from scratch — bin
+    # assignment (floor(v/width)) and the serve expression are fixed
+    # libm-free arithmetic, identical tree shape on both engines
+    "kpi_price_quantiles_ivm": _sql_hist_quantiles(
+        {"p50": 0.5, "p95": 0.95}, 10000.0
+    ),
+    # the maintained top-k must equal the from-scratch ranking; ties
+    # break on custkey in both engines
+    "kpi_top_customers_ivm": f"""
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey, {_REV} AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT custkey, revenue, n_orders FROM per_cust
+        ORDER BY revenue DESC, custkey ASC LIMIT 10
     """,
     # latest-wins over the five change batches, restated declaratively:
     # delete wave %9==0 wins last over its keys (nothing later re-adds

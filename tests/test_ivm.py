@@ -620,3 +620,209 @@ class TestRetractableMinMax:
             d,
         )
         assert minmax_view_read(spark, d).count() == 0
+
+
+class TestHistogramQuantiles:
+    """Histogram views: maintained approximate quantiles via
+    bin-count support state — batching-invariant, retractable, and a
+    fixed-arithmetic serve expression (the oracle-parity contract of
+    kpi_price_quantiles_ivm)."""
+
+    def _vals(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, v double")
+
+    def _python_quantile(self, vals, q, width):
+        """The reference estimate: same histogram + in-bin
+        interpolation computed in plain Python."""
+        from collections import Counter
+        import math
+
+        bins = Counter(math.floor(v / width) for v in vals)
+        n_tot = sum(bins.values())
+        target = q * n_tot
+        cum = 0
+        for b in sorted(bins):
+            prev, cum = cum, cum + bins[b]
+            if cum >= target and prev < target:
+                return b * width + width * ((target - prev) / bins[b])
+        raise AssertionError("unreached")
+
+    def test_batching_invariance_and_reference(self, spark, tmp_path):
+        import random
+
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_build,
+            histogram_view_increment,
+            quantile_view_read,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            ("a", round(rng.uniform(-50, 500), 2)) for _ in range(300)
+        ] + [("b", float(i)) for i in range(100)]
+        d1 = str(tmp_path / "split")
+        histogram_view_build(
+            self._vals(spark, rows[::3]), d1, ["k"], "v", width=25.0
+        )
+        histogram_view_increment(self._vals(spark, rows[1::3]), d1)
+        histogram_view_increment(self._vals(spark, rows[2::3]), d1)
+        d2 = str(tmp_path / "whole")
+        histogram_view_build(
+            self._vals(spark, rows), d2, ["k"], "v", width=25.0
+        )
+        qs = {"p10": 0.1, "p50": 0.5, "p95": 0.95, "p100": 1.0}
+        got1 = {
+            r["k"]: (r["p10"], r["p50"], r["p95"], r["p100"])
+            for r in quantile_view_read(spark, d1, qs).collect()
+        }
+        got2 = {
+            r["k"]: (r["p10"], r["p50"], r["p95"], r["p100"])
+            for r in quantile_view_read(spark, d2, qs).collect()
+        }
+        assert got1 == got2  # bit-identical under any batching
+        for k in ("a", "b"):
+            vals = [v for kk, v in rows if kk == k]
+            for (name, q), got in zip(qs.items(), got1[k]):
+                assert got == pytest.approx(
+                    self._python_quantile(vals, q, 25.0), abs=1e-9
+                )
+
+    def test_estimate_within_width_of_true_quantile(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_build,
+            quantile_view_read,
+        )
+
+        vals = [float(i) for i in range(1, 1001)]  # true p50 ~ 500
+        d = str(tmp_path / "acc")
+        histogram_view_build(
+            self._vals(spark, [("a", v) for v in vals]), d, ["k"], "v",
+            width=10.0,
+        )
+        out = quantile_view_read(spark, d, {"p50": 0.5, "p95": 0.95})
+        r = out.collect()[0]
+        assert abs(r["p50"] - 500.0) <= 10.0
+        assert abs(r["p95"] - 950.0) <= 10.0
+
+    def test_changes_retract_and_group_vanishes(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_apply_changes,
+            histogram_view_build,
+            quantile_view_read,
+        )
+
+        d = str(tmp_path / "cdc")
+        rows = [("a", float(i)) for i in range(100)] + [("b", 5.0)]
+        histogram_view_build(
+            self._vals(spark, rows), d, ["k"], "v", width=10.0
+        )
+        # delete a's top half: p95 must drop into the surviving range
+        dels = spark.createDataFrame(
+            [("a", float(i), -1) for i in range(50, 100)],
+            "k string, v double, _op int",
+        )
+        histogram_view_apply_changes(dels, d)
+        got = {
+            r["k"]: r["p95"]
+            for r in quantile_view_read(spark, d, {"p95": 0.95}).collect()
+        }
+        assert got["a"] <= 50.0
+        # retract b's only row: the group vanishes entirely
+        histogram_view_apply_changes(
+            spark.createDataFrame(
+                [("b", 5.0, -1)], "k string, v double, _op int"
+            ),
+            d,
+        )
+        assert {
+            r["k"]
+            for r in quantile_view_read(spark, d, {"p95": 0.95}).collect()
+        } == {"a"}
+
+    def test_upsert_equals_recompute(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_apply_changes,
+            histogram_view_build,
+            quantile_view_read,
+        )
+
+        d = str(tmp_path / "ups")
+        rows = [("a", float(i)) for i in range(40)]
+        histogram_view_build(
+            self._vals(spark, rows), d, ["k"], "v", width=7.0
+        )
+        # upsert: every even value doubles (delete old, insert new)
+        chg = [("a", float(i), -1) for i in range(0, 40, 2)] + [
+            ("a", float(2 * i), 1) for i in range(0, 40, 2)
+        ]
+        histogram_view_apply_changes(
+            spark.createDataFrame(chg, "k string, v double, _op int"), d
+        )
+        final = [float(i) for i in range(1, 40, 2)] + [
+            float(2 * i) for i in range(0, 40, 2)
+        ]
+        d2 = str(tmp_path / "ref")
+        histogram_view_build(
+            self._vals(spark, [("a", v) for v in final]), d2, ["k"], "v",
+            width=7.0,
+        )
+        qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+        got = quantile_view_read(spark, d, qs).collect()[0]
+        want = quantile_view_read(spark, d2, qs).collect()[0]
+        assert (got["p25"], got["p50"], got["p75"]) == (
+            want["p25"], want["p50"], want["p75"],
+        )
+
+    def test_nulls_excluded_and_bad_q_refused(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_build,
+            quantile_view_read,
+        )
+
+        d = str(tmp_path / "nulls")
+        histogram_view_build(
+            spark.createDataFrame(
+                [("a", 10.0), ("a", None), ("a", 20.0)],
+                "k string, v double",
+            ),
+            d, ["k"], "v", width=10.0,
+        )
+        r = quantile_view_read(spark, d, {"p100": 1.0}).collect()[0]
+        assert r["p100"] == 30.0  # 2 values; null contributed nothing
+        with pytest.raises(ValueError):
+            quantile_view_read(spark, d, {"p0": 0.0})
+        with pytest.raises(ValueError):
+            quantile_view_read(spark, d, {"p": 1.5})
+
+    def test_plain_view_refuses_quantile_read(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            quantile_view_read,
+        )
+
+        d = str(tmp_path / "plain")
+        view_build(_facts(spark, _ROWS), d, ["k"], MEASURES)
+        with pytest.raises(ValueError):
+            quantile_view_read(spark, d, {"p50": 0.5})
+
+
+class TestViewTopK:
+    def test_topk_equals_recompute_and_plan(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import view_topk
+
+        d = str(tmp_path / "topk")
+        rows = [(f"k{i % 23:02d}", float(i)) for i in range(200)]
+        view_build(
+            _facts(spark, rows[::2]), d, ["k"],
+            {"revenue": ("sum", "amount"), "n": ("count", "*")},
+        )
+        view_increment(_facts(spark, rows[1::2]), d)
+        out = view_topk(spark, d, "revenue", 5)
+        got = [(r["k"], r["revenue"]) for r in out.collect()]
+        # reference ranking
+        totals = {}
+        for k, a in rows:
+            totals[k] = totals.get(k, 0.0) + a
+        want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [(k, pytest.approx(v)) for k, v in want] == got
+        # serve is a top-k, not a global sort
+        assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
