@@ -115,6 +115,120 @@ def sql_stratified_sample_pred(
     return f"({b} < (CASE {cases} ELSE 0 END))"
 
 
+WSAMPLE_SALT = "wsample"
+
+
+def _h60(*parts: Column) -> Column:
+    """60-bit integer hash (first 15 hex chars of md5 over the '#'-joined
+    parts) — the widest md5 prefix that fits a signed 64-bit int, so
+    ranking keys stay INTEGER end to end: engine-independent with no
+    float, no libm, no near-tie ambiguity."""
+    joined = F.concat_ws("#", *[p.cast("string") for p in parts])
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = WSAMPLE_SALT,
+    max_weight: int = 64,
+    validate: bool = True,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    IPL 2006 "A-ES"): rank every row by a key distributed as
+    ``U^(1/w)`` and keep the top k — inclusion probability tracks the
+    weights without ever materializing a cumulative distribution, one
+    projection + one top-k, no shuffle beyond TakeOrderedAndProject's
+    per-partition heads.
+
+    LIBM-FREE twist: for INTEGER weights, ``U^(1/w)`` is distributed
+    exactly as ``max`` of ``w`` iid uniforms (both have CDF ``x^w``), so
+    the key is ``max_{j=1..w} h60(salt, id, j)`` — 60-bit integer hashes
+    only. No ``pow``/``log``, hence no engine-divergent libm and no
+    near-tie float ambiguity: a DuckDB twin reproduces the SAMPLE
+    bit-for-bit (``sql_weighted_sample_key``), which is what lets the
+    declared query ``doc_weighted_sample`` hash-match. The price is
+    O(weight) hash evaluations per row — right for small integer class
+    weights (the data-mix dial); pre-scale real-valued weights to a
+    small integer grid (the grid is a quantization of the inclusion
+    probabilities, stated, not hidden).
+
+    CONSISTENT-SAMPLING property (same as every hash op here): a row's
+    key depends only on (salt, id, weight), so re-runs, appends, and
+    partitioning never change survivors except by genuine displacement
+    — deleting a non-sampled row never perturbs the sample.
+
+    Rows with weight <= 0 or NULL are excluded (zero-weight semantics).
+    Ties (astronomically unlikely across 2^60 points) break on id.
+    ``validate`` spends one O(n) aggregate refusing weights above
+    ``max_weight`` — silently accepting a 10^6 weight would turn the
+    per-row cost into a 10^6-element array, so loud beats slow."""
+    w = F.col(weight_col).cast("long")
+    if validate:
+        over = (
+            df.where(w > max_weight).limit(1).count()
+        )
+        if over:
+            raise ValueError(
+                f"{weight_col} exceeds max_weight={max_weight}; "
+                "pre-scale weights to a small integer grid"
+            )
+    key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: _h60(F.lit(salt), F.col(id_col), j),
+        )
+    )
+    keyed = (
+        df.where(w >= 1)
+        .withColumn("skey", key)
+        .orderBy(F.col("skey").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return keyed
+
+
+def sql_weighted_sample(
+    src: str,
+    id_expr: str,
+    weight_expr: str,
+    k: int,
+    out_cols: str,
+    salt: str = WSAMPLE_SALT,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`: unnest ``range(1, w+1)``
+    per row, hash each (salt, id, j) with the same md5-prefix nibble
+    decode, take the per-row MAX as the 60-bit integer key, rank. The
+    key is integer-identical to the Spark side, so the SAMPLE matches
+    bit-for-bit. ``src`` must select ``{id_expr}``, ``{weight_expr}``
+    and every column named in ``out_cols``."""
+    h = (
+        f"md5('{salt}' || '#' || CAST({id_expr} AS VARCHAR) || '#' || "
+        f"CAST(t.j AS VARCHAR))"
+    )
+    nibble_sum = " + ".join(
+        f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"""
+        WITH src AS ({src}),
+        hs AS (
+            SELECT {id_expr} AS _sid, {nibble_sum} AS hv
+            FROM (SELECT {id_expr}, {h} AS h
+                  FROM src,
+                       unnest(range(1, CAST({weight_expr} AS BIGINT) + 1))
+                           AS t(j)
+                  WHERE {weight_expr} >= 1)
+        ),
+        keys AS (SELECT _sid, MAX(hv) AS skey FROM hs GROUP BY _sid)
+        SELECT {out_cols}, k.skey AS skey
+        FROM keys k JOIN src ON {id_expr} = k._sid
+        ORDER BY k.skey DESC, {id_expr} ASC LIMIT {k}
+    """
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

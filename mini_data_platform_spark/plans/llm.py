@@ -647,6 +647,31 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: integer class weights for the weighted-sample query — the data-mix
+#: dial expressed as per-language inclusion pressure
+_WSAMPLE_WEIGHTS = {"en": 4, "de": 3, "fr": 2, "es": 2}
+_WSAMPLE_K = 200
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (corpus.weighted_sample,
+    Efraimidis–Spirakis A-ES): top-k documents by a key distributed as
+    U^(1/weight), with per-language integer weights (en 4× the pressure
+    of zh). The key uses the libm-free max-of-w-uniforms identity over
+    60-bit integer md5 hashes, so the oracle reproduces the sample
+    BIT-FOR-BIT — a deterministic, engine-independent, consistent
+    (append-stable) sample, not a rand() that changes per run. One
+    projection + TakeOrderedAndProject; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = F.lit(1)
+    for lang, wt in sorted(_WSAMPLE_WEIGHTS.items()):
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    out = CORPUS.weighted_sample(
+        docs.withColumn("wt", w), "doc_id", "wt", _WSAMPLE_K
+    )
+    return out.select("doc_id", "lang", "skey")
+
+
 def _sql_source_mix_oracle(sf_dir: str | None = None) -> str:
     """LAZY oracle builder: probe per-source counts off the fixture,
     compute the same thresholds, emit the folded predicate."""
@@ -1160,6 +1185,7 @@ QUERIES = {
     "doc_exact_dedup_serve": doc_exact_dedup_serve,
     "doc_unigram_lm": doc_unigram_lm,
     "doc_source_mix": doc_source_mix,
+    "doc_weighted_sample": doc_weighted_sample,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
     "emb_semdedup": emb_semdedup,
@@ -1543,6 +1569,16 @@ ORACLE = {
     "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
     "doc_unigram_lm": _sql_unigram_lm_oracle,  # callable: lazy, BM25-style
     "doc_source_mix": _sql_source_mix_oracle,  # callable: lazy count fold
+    # the sample must match bit-for-bit: integer 60-bit keys, no libm
+    "doc_weighted_sample": CORPUS.sql_weighted_sample(
+        "SELECT doc_id, lang, CASE "
+        + " ".join(
+            f"WHEN lang = '{lang}' THEN {wt}"
+            for lang, wt in sorted(_WSAMPLE_WEIGHTS.items())
+        )
+        + " ELSE 1 END AS wt FROM documents",
+        "doc_id", "wt", _WSAMPLE_K, "doc_id, lang",
+    ),
     "doc_title_editjoin": __import__(
         "mini_data_platform_spark.operators.editjoin",
         fromlist=["sql_edit_distance_pairs"]).sql_edit_distance_pairs(

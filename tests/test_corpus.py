@@ -250,3 +250,109 @@ class TestSourceMixture:
             mixture_thresholds({"x": 0.0}, {"x": 10})
         with pytest.raises(ValueError):
             mixture_thresholds({"x": 1.0}, {})
+
+
+class TestWeightedSample:
+    """weighted_sample: Efraimidis–Spirakis via the libm-free
+    max-of-w-uniforms identity — exact vs a Python reference,
+    consistent under corpus changes, weight-monotone in distribution."""
+
+    @staticmethod
+    def _py_key(salt, doc_id, w):
+        import hashlib
+
+        return max(
+            int(
+                hashlib.md5(
+                    f"{salt}#{doc_id}#{j}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for j in range(1, w + 1)
+        )
+
+    def _frame(self, spark, n=120):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5 + 1).cast("int").alias("wt"),
+        )
+
+    def test_matches_python_reference(self, spark):
+        from mini_data_platform_spark.operators.corpus import (
+            WSAMPLE_SALT,
+            weighted_sample,
+        )
+
+        df = self._frame(spark)
+        got = [
+            (r["doc_id"], r["skey"])
+            for r in weighted_sample(df, "doc_id", "wt", 20).collect()
+        ]
+        keys = {
+            i: self._py_key(WSAMPLE_SALT, i, i % 5 + 1) for i in range(120)
+        }
+        want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [(i, k) for i, k in want] == got
+
+    def test_consistent_under_removal_of_unsampled(self, spark):
+        from mini_data_platform_spark.operators.corpus import (
+            weighted_sample,
+        )
+
+        df = self._frame(spark)
+        sample = {
+            r["doc_id"]
+            for r in weighted_sample(df, "doc_id", "wt", 15).collect()
+        }
+        # drop half the NON-sampled rows: the sample is unchanged
+        keep = df.where(
+            F.col("doc_id").isin(*sample) | (F.col("doc_id") % 2 == 0)
+        )
+        again = {
+            r["doc_id"]
+            for r in weighted_sample(keep, "doc_id", "wt", 15).collect()
+        }
+        assert again == sample
+
+    def test_zero_null_weights_excluded_and_guard(self, spark):
+        import pytest
+
+        from mini_data_platform_spark.operators.corpus import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 3), (2, 0), (3, None), (4, 1)],
+            "doc_id long, wt int",
+        )
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(df, "doc_id", "wt", 10).collect()
+        }
+        assert got == {1, 4}
+        with pytest.raises(ValueError):
+            weighted_sample(
+                spark.createDataFrame([(1, 1000)], "doc_id long, wt int"),
+                "doc_id", "wt", 5,
+            )
+
+    def test_weight_monotone_inclusion(self, spark):
+        """Across salts, weight-5 rows must be sampled far more often
+        than weight-1 rows (distributional sanity of the A-ES keys)."""
+        from mini_data_platform_spark.operators.corpus import (
+            weighted_sample,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 100, 5).otherwise(1).alias("wt"),
+        )
+        heavy = light = 0
+        for s in range(8):
+            got = weighted_sample(
+                df, "doc_id", "wt", 40, salt=f"s{s}", validate=False
+            ).collect()
+            heavy += sum(1 for r in got if r["doc_id"] < 100)
+            light += sum(1 for r in got if r["doc_id"] >= 100)
+        # expected inclusion ratio ~5:1 at small k/n; demand >= 2:1
+        assert heavy > 2 * light
