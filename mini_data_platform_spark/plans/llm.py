@@ -647,6 +647,136 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+N_BPE_MERGES = 20
+
+
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (operators/bpe.py, Sennrich
+    ACL'16): the corpus is scanned ONCE into a word-frequency table,
+    then 20 merge rounds each run a vocabulary-sized pair-count
+    aggregate, a one-row driver argmax, and a JVM fold-merge projection
+    — the tokenizer-training loop factored so only vocabulary-sized
+    state ever moves after the first pass. Returns the ordered merge
+    table (rank, left, right, merged, pair_count). Oracle: an
+    INDEPENDENT sequential Python reference (the Sennrich dict loop)
+    over the same fixture, emitted as a VALUES twin — the distributed
+    loop must reproduce it merge-for-merge, count-for-count."""
+    from mini_data_platform_spark.operators import bpe
+
+    return bpe.merges_frame(spark, _bpe_merges_cached(spark, sf_dir))
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: per-document BPE token
+    counts under the merges learned by ``doc_bpe_vocab`` — the distinct
+    words are segmented once (vocabulary-sized fold work) and one join
+    maps word occurrences back to documents; no document is ever
+    re-segmented character by character. The sequence-length input for
+    packing/costing. Oracle: the reference encoder applied per document
+    in plain Python, as a VALUES twin."""
+    from mini_data_platform_spark.operators import bpe
+
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    merges = _bpe_merges_cached(spark, sf_dir)
+    return bpe.bpe_token_counts(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_bpe_tokens", "n_words"
+    )
+
+
+_BPE_MEMO: dict[tuple[str, int], list] = {}
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
+    """Per-process memo of the learned merge list keyed by (fixture
+    identity, n_merges): the vocab query and the apply query share one
+    training run per bench/driver process — learning is deterministic,
+    so the copies are interchangeable (the _cached_index doctrine,
+    driver-side because merges are model-parameter-sized)."""
+    import os
+
+    from mini_data_platform_spark.operators import bpe
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}",
+           N_BPE_MERGES)
+    if key not in _BPE_MEMO:
+        docs = _spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        _BPE_MEMO[key] = bpe.bpe_learn(docs, "text", N_BPE_MERGES)
+    return _BPE_MEMO[key]
+
+
+def _fixture_word_freqs(sf_dir: str | None):
+    import os
+    import re
+
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{docs_path}'"
+    ).fetchall()
+    freqs: dict[str, int] = {}
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in rows:
+        words = [w for w in re.split(r"\s+", (text or "").strip()) if w]
+        per_doc[doc_id] = words
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs, per_doc
+
+
+def _sql_bpe_vocab_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle builder: sequential reference BPE over the fixture's
+    word frequencies → VALUES twin of the merge table."""
+    from mini_data_platform_spark.operators.bpe import reference_merges
+
+    freqs, _ = _fixture_word_freqs(sf_dir)
+    merges = reference_merges(freqs, N_BPE_MERGES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({i}, {q(l)}, {q(r)}, {q(l + r)}, {c})"
+        for i, (l, r, c) in enumerate(merges)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(rank, \"left\", \"right\", merged, pair_count)"
+    )
+
+
+def _sql_bpe_counts_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle builder: reference-encode every fixture document →
+    VALUES twin of the per-doc token counts."""
+    from mini_data_platform_spark.operators.bpe import (
+        reference_merges,
+        reference_segment,
+    )
+
+    freqs, per_doc = _fixture_word_freqs(sf_dir)
+    merges = reference_merges(freqs, N_BPE_MERGES)
+    seg_len = {w: len(reference_segment(w, merges)) for w in freqs}
+    vals = ", ".join(
+        f"({doc_id}, {sum(seg_len[w] for w in words)}, {len(words)})"
+        for doc_id, words in sorted(per_doc.items())
+        if words
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(doc_id, n_bpe_tokens, n_words)"
+    )
+
+
 #: integer class weights for the weighted-sample query — the data-mix
 #: dial expressed as per-language inclusion pressure
 _WSAMPLE_WEIGHTS = {"en": 4, "de": 3, "fr": 2, "es": 2}
@@ -1186,6 +1316,8 @@ QUERIES = {
     "doc_unigram_lm": doc_unigram_lm,
     "doc_source_mix": doc_source_mix,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_bpe_vocab": doc_bpe_vocab,
+    "doc_bpe_token_counts": doc_bpe_token_counts,
     "emb_dup_clusters": emb_dup_clusters,
     "emb_dedup_final": emb_dedup_final,
     "emb_semdedup": emb_semdedup,
@@ -1569,6 +1701,10 @@ ORACLE = {
     "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
     "doc_unigram_lm": _sql_unigram_lm_oracle,  # callable: lazy, BM25-style
     "doc_source_mix": _sql_source_mix_oracle,  # callable: lazy count fold
+    # callables: lazy builders running the independent sequential BPE
+    # reference over the fixture (the doc_unigram_lm doctrine)
+    "doc_bpe_vocab": _sql_bpe_vocab_oracle,
+    "doc_bpe_token_counts": _sql_bpe_counts_oracle,
     # the sample must match bit-for-bit: integer 60-bit keys, no libm
     "doc_weighted_sample": CORPUS.sql_weighted_sample(
         "SELECT doc_id, lang, CASE "
