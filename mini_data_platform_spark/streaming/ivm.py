@@ -90,3 +90,41 @@ def maintain_view_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_histogram_stream(
+    facts: DataFrame,
+    view_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    changes: bool = False,
+) -> StreamingQuery:
+    """:func:`maintain_view_stream` for HISTOGRAM views
+    (``ivm.histogram_view_build``): each micro-batch is bucketized with
+    the view's frozen width and folded as bin-count deltas — streaming
+    p95 dashboards with the same exactly-once epoch-id protocol, and
+    with ``changes=True`` a CDC stream RETRACTS (bin counts form a
+    group), which no streaming quantile sketch offers. Serve with
+    ``ivm.quantile_view_read`` — identical whether the view was fed by
+    batch increments, this stream, or both."""
+    from mini_data_platform_spark.operators.ivm import (
+        histogram_view_apply_changes,
+        histogram_view_increment,
+    )
+
+    ckpt_key = checkpoint_key(checkpoint_dir)
+    fold = (
+        histogram_view_apply_changes if changes else histogram_view_increment
+    )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        fold(batch, view_dir, batch_id=f"epoch-{ckpt_key}-{epoch_id}")
+
+    writer = (
+        facts.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1015,3 +1015,87 @@ class TestStreamingJoinView:
         )
         q.awaitTermination(180)
         assert self._view(spark, V) == self._recompute(spark, L, R)
+
+
+class TestStreamingHistogram:
+    """streaming/ivm.maintain_histogram_stream: streaming p95 — a
+    histogram view fed by a stream serves the same quantiles as the
+    batch-built twin, and a CDC stream retracts."""
+
+    def _facts(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, v double")
+
+    def test_stream_equals_batch_histogram(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_build,
+            quantile_view_read,
+        )
+        from mini_data_platform_spark.streaming.ivm import (
+            maintain_histogram_stream,
+        )
+
+        hist = [("a", float(i)) for i in range(50)]
+        live = [("a", float(i)) for i in range(50, 100)] + [("b", 7.0)]
+
+        view_dir = str(tmp_path / "hview")
+        histogram_view_build(
+            self._facts(spark, hist), view_dir, ["k"], "v", width=10.0
+        )
+        src = str(tmp_path / "facts")
+        ckpt = str(tmp_path / "ckpt")
+        self._facts(spark, live).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        q = maintain_histogram_stream(
+            stream, view_dir, ckpt, available_now=True
+        )
+        q.awaitTermination(180)
+
+        twin = str(tmp_path / "twin")
+        histogram_view_build(
+            self._facts(spark, hist + live), twin, ["k"], "v", width=10.0
+        )
+        qs = {"p50": 0.5, "p95": 0.95}
+        got = {
+            r["k"]: (r["p50"], r["p95"])
+            for r in quantile_view_read(spark, view_dir, qs).collect()
+        }
+        want = {
+            r["k"]: (r["p50"], r["p95"])
+            for r in quantile_view_read(spark, twin, qs).collect()
+        }
+        assert got == want  # bit-identical to the batch-built twin
+
+    def test_cdc_stream_retracts(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_build,
+            quantile_view_read,
+        )
+        from mini_data_platform_spark.streaming.ivm import (
+            maintain_histogram_stream,
+        )
+
+        view_dir = str(tmp_path / "hview")
+        histogram_view_build(
+            self._facts(
+                spark, [("a", float(i)) for i in range(100)]
+            ),
+            view_dir, ["k"], "v", width=10.0,
+        )
+        # CDC stream deletes the top half
+        src = str(tmp_path / "chg")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", float(i), -1) for i in range(50, 100)],
+            "k string, v double, _op int",
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "k string, v double, _op int"
+        ).parquet(src)
+        q = maintain_histogram_stream(
+            stream, view_dir, ckpt, available_now=True, changes=True
+        )
+        q.awaitTermination(180)
+        r = quantile_view_read(
+            spark, view_dir, {"p95": 0.95}
+        ).collect()[0]
+        assert r["p95"] <= 50.0
