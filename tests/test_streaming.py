@@ -1099,3 +1099,112 @@ class TestStreamingHistogram:
             spark, view_dir, {"p95": 0.95}
         ).collect()[0]
         assert r["p95"] <= 50.0
+
+
+class TestStreamEnrich:
+    """streaming/enrich.py: per-micro-batch dimension lookup against a
+    keyed merge table — at-apply-time versions, candidate-bounded
+    probes, idempotent epoch output."""
+
+    def _dim(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_build,
+        )
+
+        d = str(tmp_path / "dim")
+        rows = spark.createDataFrame(
+            [(1, "alice", "AUTO"), (2, "bob", "BUILD"),
+             (3, "carol", "SHIP")],
+            "c_custkey long, c_name string, c_seg string",
+        )
+        table_build(rows, d, ["c_custkey"], batch_id="b0")
+        return d
+
+    def _facts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "o_id long, c_custkey long, amount double"
+        )
+
+    def test_at_apply_time_versions_and_left_nulls(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.mergetable import (
+            table_apply,
+        )
+        from mini_data_platform_spark.streaming.enrich import enrich_stream
+
+        dim = self._dim(spark, tmp_path)
+        src = str(tmp_path / "facts")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        # wave 1: keys 1,2 and an unknown key 9
+        self._facts(
+            spark, [(100, 1, 5.0), (101, 2, 6.0), (102, 9, 7.0)]
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "o_id long, c_custkey long, amount double"
+        ).parquet(src)
+        q = enrich_stream(stream, dim, out, ckpt, available_now=True)
+        q.awaitTermination(180)
+        got1 = {
+            r["o_id"]: r["c_name"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got1 == {100: "alice", 101: "bob", 102: None}
+
+        # dim changes between waves: rename key 1, delete key 2
+        table_apply(
+            spark.createDataFrame(
+                [(1, "ALICE2", "AUTO", "u"), (2, None, None, "d")],
+                "c_custkey long, c_name string, c_seg string, _op string",
+            ),
+            dim, batch_id="b1",
+        )
+        self._facts(
+            spark, [(200, 1, 8.0), (201, 2, 9.0)]
+        ).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(
+            "o_id long, c_custkey long, amount double"
+        ).parquet(src)
+        q2 = enrich_stream(stream2, dim, out, ckpt, available_now=True)
+        q2.awaitTermination(180)
+        got2 = {
+            r["o_id"]: r["c_name"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # wave-1 rows keep their at-apply-time enrichment; wave-2 sees
+        # the new version, and the deleted key enriches to NULL
+        assert got2 == {
+            100: "alice", 101: "bob", 102: None,
+            200: "ALICE2", 201: None,
+        }
+
+    def test_inner_drops_and_guards(self, spark, tmp_path):
+        import pytest
+
+        from mini_data_platform_spark.streaming.enrich import enrich_stream
+
+        dim = self._dim(spark, tmp_path)
+        src = str(tmp_path / "facts")
+        out = str(tmp_path / "out")
+        self._facts(
+            spark, [(1, 1, 5.0), (2, 9, 7.0)]
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "o_id long, c_custkey long, amount double"
+        ).parquet(src)
+        q = enrich_stream(
+            stream, dim, out, str(tmp_path / "ck2"), how="inner",
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        assert {
+            r["o_id"] for r in spark.read.parquet(out).collect()
+        } == {1}
+        with pytest.raises(ValueError):
+            enrich_stream(stream, dim, out, str(tmp_path / "ck3"),
+                          how="full")
+        bad = spark.readStream.schema("o_id long, amount double").parquet(
+            src
+        )
+        with pytest.raises(ValueError):
+            enrich_stream(bad, dim, out, str(tmp_path / "ck4"))
