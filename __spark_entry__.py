@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 107 queries exist, so 57 sit outside any given round):
+#: FIRST 50 entries; 108 queries exist, so 58 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -83,7 +83,7 @@ _ROUND8_WINDOW_FIRST = [
     "doc_exact_dedup", "emb_knn",
     "emb_ann_knn", "emb_ann_ivf_trained",
     "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
-    "emb_dedup_final", "order_stats_distinct",
+    "emb_dedup_final",
     "price_quantiles", "order_priority_pivot",
     "customer_deciles",
     "nation_top_customer_names",
@@ -101,6 +101,10 @@ _ROUND8_WINDOW_FIRST = [
     "doc_neardup_delete", "kpi_price_quantiles_ivm",
     "kpi_top_customers_ivm", "doc_weighted_sample",
     "doc_bpe_vocab", "doc_bpe_token_counts",
+    # emb_ann_sq8 took order_stats_distinct's slot (stable distinct
+    # aggregates; exact-distinct machinery stays covered in-window by
+    # events_distinct_users)
+    "emb_ann_sq8",
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",

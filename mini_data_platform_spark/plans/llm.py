@@ -909,6 +909,100 @@ def emb_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def emb_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized kNN (operators/sq.py): corpus vectors live
+    as one-byte-scale codes (8× smaller than array<double> — the
+    page-cache dial for a 100 TB ANN scan), queries score
+    asymmetrically against on-the-fly decoded bin centers. Unlike the
+    PQ/IVF-PQ ADC queries (declared-weak, recall-pinned), this one is
+    ORACLE-EXACT: the trained mins/scales are folded to literals
+    driver-side and fed to both engines, and encode/decode/score are
+    fixed IEEE expressions, so the DuckDB twin reproduces the quantized
+    scores bit-for-bit."""
+    from mini_data_platform_spark.operators import sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, scales = sq.sq8_train(emb, "embedding")
+    codes = sq.sq8_encode(emb, "vec_id", "embedding", mins, scales)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sq.sq8_knn(
+        queries, codes, emb, "vec_id", "embedding", mins, scales, KNN_K
+    )
+
+
+def _sql_sq8_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle builder: fetch per-dimension min/max with DuckDB
+    (exact data values), compute the SAME scales in the SAME Python
+    arithmetic sq8_train uses, and fold both as list literals into the
+    quantize→decode→score twin."""
+    import os
+
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"""SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM (
+                SELECT unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM '{path}')
+            GROUP BY pos ORDER BY pos"""
+    ).fetchall()
+    mins = [float(lo) for _p, lo, _h in rows]
+    scales = [
+        (float(hi) - float(lo)) / 256 if hi > lo else 1.0
+        for _p, lo, hi in rows
+    ]
+    # STRING-literal casts, deliberately: DuckDB routes bare numeric
+    # literals through DECIMAL, and CAST(<decimal literal> AS DOUBLE)
+    # can land one ulp off the Python float (probed: -0.3717369735...63
+    # parses to ...df vs the true ...e0 bit pattern), while
+    # CAST('<repr>' AS DOUBLE) uses the exact string→double parser —
+    # the same shortest-round-trip contract repr() guarantees
+    m_lit = (
+        "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in mins) + "]"
+    )
+    s_lit = (
+        "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in scales) + "]"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        codes AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_zip(embedding, {m_lit}, {s_lit}),
+                       p -> LEAST(255, GREATEST(0,
+                            CAST(floor((CAST(p[1] AS DOUBLE) - p[2]) / p[3])
+                                 AS INT)))) AS codes
+            FROM e
+        ),
+        dec AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_zip(codes, {m_lit}, {s_lit}),
+                       p -> p[2] + (CAST(p[1] AS DOUBLE) + 0.5) * p[3])
+                       AS dv
+            FROM codes
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {VX.sql_dot('a.embedding', 'b.dv')}
+                   / ({VX.sql_l2_norm('a.embedding')}
+                      * {VX.sql_l2_norm('b.dv')}) AS score
+            FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 10) a
+            JOIN dec b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC)
+                   AS knn_rank
+        FROM scored
+        QUALIFY knn_rank <= {KNN_K}
+    """
+
+
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate kNN (coarse-quantizer cells; the
     data-adaptive counterpart of the hyperplane-LSH path). Queries probe
@@ -1304,6 +1398,7 @@ QUERIES = {
     "emb_norms": emb_norms,
     "emb_knn": emb_knn,
     "emb_ann_knn": emb_ann_knn,
+    "emb_ann_sq8": emb_ann_sq8,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_ann_pq": emb_ann_pq,
@@ -1890,6 +1985,8 @@ ORACLE = {
         FROM scored
         QUALIFY knn_rank <= {KNN_K}
     """,
+    # callable: lazy builder folds trained mins/scales as literals
+    "emb_ann_sq8": _sql_sq8_oracle,
     "emb_ann_knn": f"""
         WITH e AS ({_SQL_EMB}),
         bucketed AS ({_SQL_BUCKETED}),
