@@ -343,3 +343,75 @@ class TestIncrementalIndexPlan:
             release_plan(out)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestWeightedSamplePlan:
+    def test_topk_no_shuffle_no_python(self, spark):
+        """weighted_sample must compile to TakeOrderedAndProject over
+        one projection — no Exchange (the per-partition heads merge on
+        the driver), no Python."""
+        from mini_data_platform_spark.operators.corpus import (
+            weighted_sample,
+        )
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 4 + 1).alias("wt")
+        )
+        out = weighted_sample(df, "doc_id", "wt", 10, validate=False)
+        plan = explain_str(out, "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert count_exchanges(out) == 0
+        assert not uses_python_eval(out)
+
+
+class TestSq8Plan:
+    def test_quantized_scan_no_python_single_pass(self, spark):
+        """The SQ8 scoring scan: encode/decode/score all in one
+        whole-stage projection pipeline — zero Python, and the only
+        wide op is the per-query top-k window."""
+        from mini_data_platform_spark.operators.sq import (
+            sq8_encode,
+            sq8_knn,
+            sq8_train,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 3).cast("double"),
+                F.lit(1.0),
+            ).alias("embedding"),
+        )
+        mins, scales = sq8_train(df, "embedding")
+        codes = sq8_encode(df, "vec_id", "embedding", mins, scales)
+        out = sq8_knn(
+            df.where(F.col("vec_id") < 3), codes, df, "vec_id",
+            "embedding", mins, scales, k=5,
+        )
+        assert not uses_python_eval(out)
+        # one Exchange for the rank window; the codes scan itself adds
+        # none (broadcast nested-loop against the tiny query side)
+        assert count_exchanges(out) <= 1
+
+
+class TestQuantileViewPlan:
+    def test_serve_is_view_sized_windows_no_python(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import (
+            histogram_view_build,
+            quantile_view_read,
+        )
+
+        d = str(tmp_path / "hv")
+        df = spark.range(300).select(
+            (F.col("id") % 5).cast("string").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        histogram_view_build(df, d, ["k"], "v", width=10.0)
+        out = quantile_view_read(spark, d, {"p50": 0.5, "p95": 0.95})
+        assert not uses_python_eval(out)
+        plan = explain_str(out, "simple")
+        # cum + tot are two Window nodes but share one Exchange+Sort
+        # (same partition key); total shuffles: segment merge + window
+        assert plan.count("Window") <= 2
+        assert count_exchanges(out) <= 2
