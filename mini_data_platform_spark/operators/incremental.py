@@ -90,6 +90,15 @@ already materialized under ``pairs/`` are immutable history (the index
 stops SERVING the doc; artifacts already handed to consumers are theirs
 to re-derive).
 
+Replay protection (opt-in): every committing operation (the three
+increments and ``index_delete``) accepts a ``batch_id``; an id already
+in the commit log is NOT re-applied — increments return the original
+batch's materialized ``pairs/batch=N`` and deletes no-op — which is the
+ivm/mergetable exactly-once contract, and what lets a foreachBatch
+stream (streaming/dedup_index.py) drive the index under Spark's
+at-least-once micro-batch replays. Callers that never pass ids keep
+the original semantics.
+
 Restartability — the per-batch segment commit (round-7 verdict item 2):
 each increment (a) writes its verified pairs to ``pairs/batch=N``
 (overwrite mode), (b) writes its bucket/doc segments to
@@ -299,7 +308,28 @@ def _read_live(
     )
 
 
-def index_delete(del_docs: DataFrame, index_dir: str) -> dict:
+def _replayed_batch(meta: dict, batch_id: str | None) -> int | None:
+    """Replay protection (opt-in, the ivm/mergetable contract): when the
+    caller supplies a ``batch_id`` that is already in the commit log,
+    return the batch NUMBER it committed as — the caller serves that
+    batch's already-materialized ``pairs/batch=N`` instead of
+    double-committing. ``meta['batches']`` maps batch_id → batch_no
+    (absent on pre-protocol indexes and for callers that never pass
+    ids — both keep the original at-most-once-caller semantics)."""
+    if batch_id is None:
+        return None
+    no = meta.get("batches", {}).get(batch_id)
+    return int(no) if no is not None else None
+
+
+def _record_batch_id(meta: dict, batch_id: str | None, batch_no: int) -> None:
+    if batch_id is not None:
+        meta.setdefault("batches", {})[batch_id] = batch_no
+
+
+def index_delete(
+    del_docs: DataFrame, index_dir: str, batch_id: str | None = None
+) -> dict:
     """Retract a set of doc ids from ANY index kind (near-dup, exact,
     embedding) — the takedown/GDPR path: committing one TOMBSTONE
     segment (``tombstones/del-N``, O(delete set) rows, atomic meta swap)
@@ -321,6 +351,8 @@ def index_delete(del_docs: DataFrame, index_dir: str) -> dict:
     — re-ingest under a fresh id), and already-materialized ``pairs/``
     outputs are immutable history."""
     meta = _read_meta(index_dir)
+    if _replayed_batch(meta, batch_id) is not None:
+        return meta
     id_col = meta["id_col"]
     src = id_col if id_col in del_docs.columns else "id"
     ids = del_docs.select(F.col(src).alias("id")).distinct().persist()
@@ -332,6 +364,7 @@ def index_delete(del_docs: DataFrame, index_dir: str) -> dict:
     meta["segments"].setdefault(_TOMBSTONES, []).append(seg)
     meta["n_deleted"] = meta.get("n_deleted", 0) + n_del
     meta["n_batches"] = batch_no + 1
+    _record_batch_id(meta, batch_id, batch_no)
     _write_meta(index_dir, meta)
     return meta
 
@@ -517,6 +550,7 @@ def _neardup_batch_pairs(
 def neardup_index_increment(
     new_docs: DataFrame,
     index_dir: str,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Dedup a new batch against the indexed corpus: returns every
     verified near-dup pair INVOLVING the new batch — (id_a, id_b,
@@ -542,8 +576,13 @@ def neardup_index_increment(
     running count only at meta level; id collisions produce degenerate
     self-pairs which are filtered, but don't do that)."""
     meta = _read_meta(index_dir)
-    id_col, text_col = meta["id_col"], meta["text_col"]
     spark: SparkSession = new_docs.sparkSession
+    replay = _replayed_batch(meta, batch_id)
+    if replay is not None:
+        return spark.read.parquet(
+            os.path.join(index_dir, _PAIRS, f"batch={replay}")
+        )
+    id_col, text_col = meta["id_col"], meta["text_col"]
 
     batch = new_docs.select(
         F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text")
@@ -572,6 +611,7 @@ def neardup_index_increment(
     meta["segments"][_DOCS].append(seg)
     meta["n_docs"] = meta["n_docs"] + n_new
     meta["n_batches"] = batch_no + 1
+    _record_batch_id(meta, batch_id, batch_no)
     _write_meta(index_dir, meta)
 
     out = spark.read.parquet(pairs_path)
@@ -731,6 +771,7 @@ def exact_index_build(
 def exact_index_increment(
     new_docs: DataFrame,
     index_dir: str,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Exact-dedup a new batch against the indexed corpus: returns
     (id, content_hash, dup_of) for EVERY new doc — ``dup_of`` is the
@@ -751,8 +792,13 @@ def exact_index_increment(
     meta = _read_meta(index_dir)
     if meta.get("kind") != "exact":
         raise ValueError(f"{index_dir} is not an exact-dedup index")
-    id_col, text_col = meta["id_col"], meta["text_col"]
     spark: SparkSession = new_docs.sparkSession
+    replay = _replayed_batch(meta, batch_id)
+    if replay is not None:
+        return spark.read.parquet(
+            os.path.join(index_dir, _PAIRS, f"batch={replay}")
+        )
+    id_col, text_col = meta["id_col"], meta["text_col"]
 
     batch = new_docs.select(
         F.sha2(
@@ -774,6 +820,7 @@ def exact_index_increment(
     meta["segments"][_HASHES].append(seg)
     meta["n_docs"] = meta["n_docs"] + n_new
     meta["n_batches"] = batch_no + 1
+    _record_batch_id(meta, batch_id, batch_no)
     _write_meta(index_dir, meta)
     return spark.read.parquet(out_path)
 
@@ -952,6 +999,7 @@ def embdup_index_lookup(
 def embdup_index_increment(
     new_vecs: DataFrame,
     index_dir: str,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Near-dup a new vector batch against the indexed corpus: every
     same-bucket pair involving the new batch with exact cosine ≥ the
@@ -967,8 +1015,13 @@ def embdup_index_increment(
     meta = _read_meta(index_dir)
     if meta.get("kind") != "embdup":
         raise ValueError(f"{index_dir} is not an embedding near-dup index")
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
     spark: SparkSession = new_vecs.sparkSession
+    replay = _replayed_batch(meta, batch_id)
+    if replay is not None:
+        return spark.read.parquet(
+            os.path.join(index_dir, _PAIRS, f"batch={replay}")
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
 
     batch = new_vecs.select(
         F.col(id_col).alias("id"),
@@ -992,6 +1045,7 @@ def embdup_index_increment(
     meta["segments"][_EVECS].append(seg)
     meta["n_docs"] = meta["n_docs"] + n_new
     meta["n_batches"] = batch_no + 1
+    _record_batch_id(meta, batch_id, batch_no)
     _write_meta(index_dir, meta)
     return spark.read.parquet(out_path)
 

@@ -1143,3 +1143,74 @@ class TestIndexDelete:
         assert not {i for i in raw_ids if i % 4 == 0 and i < 1000}
         # results unchanged by compaction
         assert _pairs_set(neardup_index_pairs(spark, tmpdir)) == want
+
+
+class TestBatchIdReplay:
+    """Opt-in batch_id replay protection: an already-committed id is
+    not re-applied — increments return the original materialized
+    result, deletes no-op (the ivm/mergetable exactly-once contract)."""
+
+    def test_neardup_replay_returns_original_and_no_recommit(
+        self, spark, tmpdir
+    ):
+        b1 = _corpus(spark, 0, 40)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        b2 = _mutated(b1, 1000)
+        first = _pairs_set(
+            neardup_index_increment(b2, tmpdir, batch_id="e1")
+        )
+        meta1 = _read_meta(tmpdir)
+        # replay: same id, even with a DIFFERENT (wrong) frame — the
+        # original result serves, nothing recommits
+        again = _pairs_set(
+            neardup_index_increment(
+                _mutated(b1, 5000), tmpdir, batch_id="e1"
+            )
+        )
+        assert again == first
+        assert _read_meta(tmpdir) == meta1
+        # a new id commits normally
+        _pairs_set(neardup_index_increment(_mutated(b1, 5000), tmpdir,
+                                           batch_id="e2"))
+        assert _read_meta(tmpdir)["n_batches"] == meta1["n_batches"] + 1
+
+    def test_exact_replay_and_delete_replay(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+            index_delete,
+        )
+
+        b1 = _corpus(spark, 0, 20)
+        exact_index_build(b1, tmpdir, "doc_id", "text")
+        copies = b1.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+        first = {
+            (r["id"], r["dup_of"])
+            for r in exact_index_increment(
+                copies, tmpdir, batch_id="x1"
+            ).collect()
+        }
+        meta1 = _read_meta(tmpdir)
+        again = {
+            (r["id"], r["dup_of"])
+            for r in exact_index_increment(
+                b1, tmpdir, batch_id="x1"
+            ).collect()
+        }
+        assert again == first and _read_meta(tmpdir) == meta1
+        index_delete(b1.select("doc_id"), tmpdir, batch_id="d1")
+        meta2 = _read_meta(tmpdir)
+        index_delete(copies.select("doc_id"), tmpdir, batch_id="d1")
+        assert _read_meta(tmpdir) == meta2  # replayed delete no-ops
+
+    def test_no_batch_id_keeps_original_semantics(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 20)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        neardup_index_increment(_mutated(b1, 1000), tmpdir)
+        neardup_index_increment(_mutated(b1, 2000), tmpdir)
+        assert _read_meta(tmpdir)["n_batches"] == 3
+        assert "batches" not in _read_meta(tmpdir)

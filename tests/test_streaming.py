@@ -1208,3 +1208,116 @@ class TestStreamEnrich:
         )
         with pytest.raises(ValueError):
             enrich_stream(bad, dim, out, str(tmp_path / "ck4"))
+
+
+class TestDedupIndexStream:
+    """streaming/dedup_index.py: micro-batches ARE index increments —
+    stream-driven dedup equals the batch-increment twin, exactly-once
+    across checkpointed restarts."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_stream_equals_batch_increments(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.incremental import (
+            _read_meta,
+            exact_index_build,
+            exact_index_increment,
+        )
+        from mini_data_platform_spark.streaming.dedup_index import (
+            maintain_exact_index_stream,
+        )
+
+        base = [(i, f"text number {i} alpha beta") for i in range(20)]
+        wave1 = [(100 + i, f"text number {i} alpha beta") for i in range(10)]
+        wave2 = [(200 + i, f"text number {i} alpha beta") for i in range(5)] + [
+            (300, "entirely new content gamma")
+        ]
+
+        sidx = str(tmp_path / "sidx")
+        exact_index_build(self._docs(spark, base), sidx, "doc_id", "text")
+        src = str(tmp_path / "stream_src")
+        ckpt = str(tmp_path / "ckpt")
+        self._docs(spark, wave1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = maintain_exact_index_stream(stream, sidx, ckpt, available_now=True)
+        q.awaitTermination(180)
+
+        # restart with more files: only the new wave applies
+        self._docs(spark, wave2).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        q2 = maintain_exact_index_stream(stream2, sidx, ckpt, available_now=True)
+        q2.awaitTermination(180)
+
+        # batch twin: same waves as plain increments
+        bidx = str(tmp_path / "bidx")
+        exact_index_build(self._docs(spark, base), bidx, "doc_id", "text")
+        exact_index_increment(self._docs(spark, wave1), bidx)
+        exact_index_increment(self._docs(spark, wave2), bidx)
+
+        def resolutions(idx):
+            import os
+
+            out = set()
+            pairs_root = os.path.join(idx, "pairs")
+            for d in sorted(os.listdir(pairs_root)):
+                for r in spark.read.parquet(
+                    os.path.join(pairs_root, d)
+                ).collect():
+                    out.add((r["id"], r["dup_of"]))
+            return out
+
+        assert resolutions(sidx) == resolutions(bidx)
+        # stream state committed: corpus count includes both waves
+        assert _read_meta(sidx)["n_docs"] == 20 + 10 + 6
+
+    def test_neardup_stream_pairs_equal_batch(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_build,
+            neardup_index_increment,
+        )
+        from mini_data_platform_spark.streaming.dedup_index import (
+            maintain_neardup_index_stream,
+        )
+
+        base = [
+            (i, f"alpha beta gamma delta tok{i} word{i % 5} alpha beta")
+            for i in range(30)
+        ]
+        live = [
+            (1000 + i, f"beta gamma delta tok{i} word{i % 5} alpha beta")
+            for i in range(10)
+        ]
+        sidx = str(tmp_path / "sidx")
+        neardup_index_build(
+            self._docs(spark, base), sidx, "doc_id", "text"
+        )
+        src = str(tmp_path / "src")
+        self._docs(spark, live).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        q = maintain_neardup_index_stream(
+            stream, sidx, str(tmp_path / "ck"), available_now=True
+        )
+        q.awaitTermination(180)
+
+        bidx = str(tmp_path / "bidx")
+        neardup_index_build(self._docs(spark, base), bidx, "doc_id", "text")
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in neardup_index_increment(
+                self._docs(spark, live), bidx
+            ).collect()
+        }
+        import os
+
+        got = set()
+        for d in sorted(os.listdir(os.path.join(sidx, "pairs"))):
+            for r in spark.read.parquet(
+                os.path.join(sidx, "pairs", d)
+            ).collect():
+                got.add((r["id_a"], r["id_b"]))
+        assert got == want
