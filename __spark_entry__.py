@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 108 queries exist, so 58 sit outside any given round):
+#: FIRST 50 entries; 109 queries exist, so 59 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -85,7 +85,10 @@ _ROUND8_WINDOW_FIRST = [
     "emb_near_dups_exact", "emb_near_dups_lsh", "emb_dup_clusters",
     "emb_dedup_final",
     "price_quantiles", "order_priority_pivot",
-    "customer_deciles",
+    # customer_deciles ceded its slot to kpi_distinct_customers_ivm
+    # (stable ntile window over untouched analytics code, r6
+    # driver-green, re-verified exact-multiset by verify_local this
+    # round)
     "nation_top_customer_names",
     "order_grouping_sets", "promo_revenue_share",
     "cheapest_supplier_per_part", "orders_dq_report",
@@ -105,6 +108,9 @@ _ROUND8_WINDOW_FIRST = [
     # aggregates; exact-distinct machinery stays covered in-window by
     # events_distinct_users)
     "emb_ann_sq8",
+    # retractable exact distinct over the IVM support-multiset state
+    # (HLL's exact complement; the CDC wave retracts %5==0 rows)
+    "kpi_distinct_customers_ivm",
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",

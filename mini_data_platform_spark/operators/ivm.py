@@ -13,7 +13,9 @@ Restricted, deliberately, to the self-mergeable aggregate algebra —
 ``approx_distinct`` (a Datasketches HLL state per key — sketch UNION is
 an exact merge, so "distinct users per day" maintains incrementally,
 the aggregate exact distinct-count fundamentally cannot: it would need
-the full value set per key) — whose merge is the same operation on
+the full value set per key — which is exactly what
+:func:`distinct_view_build` stores when retractable exactness is worth
+that state) — whose merge is the same operation on
 partial states, so maintenance needs no base-table access at all. ``view_increment`` is append-only;
 ``view_apply_changes`` additionally accepts CDC-style ±1-tagged change
 batches (the Z-set algebra — what a keyed UPSERT emits as
@@ -438,6 +440,69 @@ def minmax_view_read(
         # whose _rows is positive)
         out = out.where(F.col("_rows") > 0)
     return out.drop("_rows")
+
+
+def distinct_view_build(
+    df: DataFrame,
+    view_dir: str,
+    keys: list[str],
+    value_col: str,
+    mode: str = "delta",
+    batch_id: str = "batch-0",
+) -> dict:
+    """RETRACTABLE exact distinct-count — the measure the module
+    docstring says "fundamentally cannot" maintain as an aggregate
+    state, made maintainable by the same support-multiset move as
+    :func:`minmax_view_build`: the view is keyed by
+    ``keys + [value_col]`` with one ``count(*)`` multiplicity measure,
+    so the state IS the per-group value set (with multiplicities) and
+    every operation is the standard retractable count algebra. This is
+    the exact complement of the ``approx_distinct`` measure: HLL
+    registers only grow (no retraction, bounded state), the support
+    view retracts exactly (state = one row per distinct (group, value)
+    — the same price DBSP/Materialize pay for COUNT DISTINCT under
+    deletes). "Distinct users per day" stays correct through the
+    reference pipeline's keyed UPSERT (delete-old/insert-new) with no
+    base-table access.
+
+    Increments and change batches are the STANDARD view operations
+    (``view_increment`` / ``view_apply_changes``); a value whose
+    multiplicity retracts to zero vanishes from the support and the
+    serve count drops — deleting ONE of two rows carrying the same
+    value leaves the count unchanged, which is what signed HLL hacks
+    get wrong."""
+    meta = view_build(
+        df, view_dir, list(keys) + [value_col], {"_n": ("count", "*")},
+        mode=mode, batch_id=batch_id,
+    )
+    meta["distinct_value"] = value_col
+    _write_meta(view_dir, meta)
+    return meta
+
+
+def distinct_view_read(
+    spark: SparkSession, view_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Serve exact per-group ``n_distinct_<value>`` from a support
+    view: merge the multiplicity segments (zero rows vanish), then
+    count surviving non-NULL values — SQL ``COUNT(DISTINCT v)``
+    semantics (NULL never counts; a group whose only live rows are
+    NULL serves 0; a group whose every row retracted vanishes). The
+    serve is one view-sized aggregate — never a fact scan."""
+    meta = _read_meta(view_dir)
+    vc = meta.get("distinct_value")
+    if not vc:
+        raise ValueError(
+            f"{view_dir} is not a distinct support view "
+            "(build with distinct_view_build)"
+        )
+    v = view_read(spark, view_dir, finalize=True, as_of=as_of)
+    gk = [k for k in meta["keys"] if k != vc]
+    # rows are distinct (group, value) pairs post-merge, so the distinct
+    # count is a plain non-null count — no second DISTINCT needed
+    return v.groupBy(*[F.col(k) for k in gk]).agg(
+        F.count(vc).alias(f"n_distinct_{vc}")
+    )
 
 
 def histogram_view_build(

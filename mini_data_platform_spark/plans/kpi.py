@@ -266,6 +266,50 @@ def top_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_topk(spark, view_dir, "revenue", 10)
 
 
+def distinct_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact "distinct customers per day" MAINTAINED through deletes
+    (operators/ivm.py distinct support views): the facts arrive as
+    three deterministic batches, then a CDC wave RETRACTS every
+    ``o_orderkey % 5 == 0`` row (-1 per original row — the shape a
+    keyed delete emits). HLL approx_distinct cannot retract (registers
+    only grow); the support view can, exactly: the state is the live
+    (day, custkey) multiset, a customer's count drops only when their
+    LAST order of that day retracts. The oracle is the from-scratch
+    COUNT(DISTINCT) over the surviving facts — the view must equal it
+    whatever the batching, the IVM contract.
+
+    Scale: each increment/retraction is one O(delta) partial aggregate;
+    the serve is view-sized (one row per live (day, custkey)). The
+    state-vs-exactness trade against the HLL measure is the point."""
+    from mini_data_platform_spark.operators.ivm import (
+        distinct_view_build,
+        distinct_view_read,
+        view_apply_changes,
+        view_increment,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_orderkey",
+        "o_custkey",
+    )
+    view_dir = _scratch_view_dir("distview")
+    k = F.col("o_orderkey")
+    distinct_view_build(
+        orders.filter(k % 3 == 0).drop("o_orderkey"),
+        view_dir, ["day"], "o_custkey",
+    )
+    view_increment(orders.filter(k % 3 == 1).drop("o_orderkey"), view_dir)
+    view_increment(orders.filter(k % 3 == 2).drop("o_orderkey"), view_dir)
+    view_apply_changes(
+        orders.filter(k % 5 == 0)
+        .drop("o_orderkey")
+        .withColumn("_op", F.lit(-1)),
+        view_dir,
+    )
+    return distinct_view_read(spark, view_dir)
+
+
 def _orders_wave_frames(spark, sf_dir: str) -> list[DataFrame]:
     """The ONE copy of the five-wave orders change history every
     merge-table/join-view query replays (build %3==0, upserts %3==1,
@@ -572,6 +616,7 @@ QUERIES = {
     "kpi_revenue_by_day_ivm": revenue_by_day_ivm,
     "kpi_price_quantiles_ivm": price_quantiles_ivm,
     "kpi_top_customers_ivm": top_customers_ivm,
+    "kpi_distinct_customers_ivm": distinct_customers_ivm,
     "orders_merge_table": orders_merge_table,
     "orders_merge_view": orders_merge_view,
     "orders_join_view": orders_join_view,
@@ -700,6 +745,16 @@ ORACLE = {
         )
         SELECT custkey, revenue, n_orders FROM per_cust
         ORDER BY revenue DESC, custkey ASC LIMIT 10
+    """,
+    # the maintained distinct count must equal the from-scratch
+    # COUNT(DISTINCT) over the facts surviving the retraction wave —
+    # every %5==0 row was inserted by exactly one of the three build
+    # batches (%3 covers all keys), so the -1 wave removes precisely
+    # those rows from the support multiset
+    "kpi_distinct_customers_ivm": """
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(DISTINCT o_custkey) AS n_distinct_o_custkey
+        FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1
     """,
     # latest-wins over the five change batches, restated declaratively:
     # delete wave %9==0 wins last over its keys (nothing later re-adds

@@ -622,6 +622,110 @@ class TestRetractableMinMax:
         assert minmax_view_read(spark, d).count() == 0
 
 
+class TestRetractableDistinct:
+    """distinct_view_build/read: exact COUNT(DISTINCT) made retractable
+    by the support multiset — counts must drop only when a value's LAST
+    live row retracts, with no base-table access."""
+
+    def _build(self, spark, d, rows):
+        from mini_data_platform_spark.operators.ivm import (
+            distinct_view_build,
+        )
+
+        return distinct_view_build(_facts(spark, rows), d, ["k"], "amount")
+
+    def _read(self, spark, d, **kw):
+        from mini_data_platform_spark.operators.ivm import (
+            distinct_view_read,
+        )
+
+        return {
+            r["k"]: r["n_distinct_amount"]
+            for r in distinct_view_read(spark, d, **kw).collect()
+        }
+
+    def test_maintained_equals_recompute(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 1.0), ("a", 1.0), ("a", 2.0),
+                               ("b", 5.0)])
+        view_increment(_facts(spark, [("a", 3.0), ("b", 5.0)]), d)
+        assert self._read(spark, d) == {"a": 3, "b": 1}
+
+    def test_last_copy_retraction_drops_count(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 1.0), ("a", 1.0), ("a", 2.0)])
+        view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+        # one copy of 1.0 survives: distinct count unchanged — the case
+        # signed-HLL hacks get wrong
+        assert self._read(spark, d) == {"a": 2}
+        view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+        assert self._read(spark, d) == {"a": 1}
+
+    def test_nulls_never_count(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", None), ("a", 4.0), ("b", None)])
+        # SQL COUNT(DISTINCT): NULL is not a value; a group holding only
+        # NULL rows serves 0 (it still has live facts)
+        assert self._read(spark, d) == {"a": 1, "b": 0}
+
+    def test_full_group_retraction_vanishes(self, spark, tmpdir):
+        d = str(tmpdir)
+        self._build(spark, d, [("a", 1.0), ("b", 2.0)])
+        view_apply_changes(_changes(spark, [("a", 1.0, -1)]), d)
+        assert self._read(spark, d) == {"b": 1}
+
+    def test_plain_view_rejected_by_distinct_read(self, spark, tmpdir):
+        from mini_data_platform_spark.operators.ivm import (
+            distinct_view_read,
+        )
+
+        d = str(tmpdir)
+        view_build(_facts(spark, [("a", 1.0)]), d, ["k"],
+                   {"n": ("count", "*")})
+        with pytest.raises(ValueError, match="support view"):
+            distinct_view_read(spark, d)
+
+    def test_global_distinct_serves_zero_when_empty(self, spark, tmpdir):
+        """A keyless distinct over a fully-retracted view serves 0 —
+        SQL's COUNT(DISTINCT) over an empty table — unlike the keyless
+        min/max, which vanishes."""
+        from mini_data_platform_spark.operators.ivm import (
+            distinct_view_build,
+            distinct_view_read,
+        )
+
+        d = str(tmpdir)
+        distinct_view_build(
+            _facts(spark, [("a", 2.0)]).select("amount"), d, [], "amount"
+        )
+        assert distinct_view_read(spark, d).collect()[0][0] == 1
+        view_apply_changes(
+            spark.createDataFrame([(2.0, -1)], "amount double, _op int"),
+            d,
+        )
+        assert distinct_view_read(spark, d).collect()[0][0] == 0
+
+    def test_replay_sequence_equals_reference(self, spark, tmpdir):
+        """A mixed insert/delete history equals a Python multiset
+        replay."""
+        import collections
+
+        d = str(tmpdir)
+        rows = [("a", 3.0), ("b", 7.0), ("a", 3.0), ("a", 1.0)]
+        self._build(spark, d, rows)
+        ms = collections.Counter(rows)
+        changes = [("a", 3.0, -1), ("a", 2.0, 1), ("b", 7.0, -1),
+                   ("b", 9.0, 1)]
+        view_apply_changes(_changes(spark, changes), d)
+        for k, v, op in changes:
+            ms[(k, v)] += op
+        expect = {}
+        for (k, v), n in ms.items():
+            if n > 0 and v is not None:
+                expect[k] = expect.get(k, 0) + 1
+        assert self._read(spark, d) == expect
+
+
 class TestHistogramQuantiles:
     """Histogram views: maintained approximate quantiles via
     bin-count support state — batching-invariant, retractable, and a
