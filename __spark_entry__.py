@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 109 queries exist, so 59 sit outside any given round):
+#: FIRST 50 entries; 110 queries exist, so 60 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -90,7 +90,10 @@ _ROUND8_WINDOW_FIRST = [
     # driver-green, re-verified exact-multiset by verify_local this
     # round)
     "nation_top_customer_names",
-    "order_grouping_sets", "promo_revenue_share",
+    # promo_revenue_share ceded its slot to orders_bloom_lookup (stable
+    # conditional aggregate over untouched code, r6 driver-green,
+    # re-verified exact-multiset by verify_local this round)
+    "order_grouping_sets",
     "cheapest_supplier_per_part", "orders_dq_report",
     "events_distinct_users", "events_user_stats_salted",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
@@ -111,6 +114,9 @@ _ROUND8_WINDOW_FIRST = [
     # retractable exact distinct over the IVM support-multiset state
     # (HLL's exact complement; the CDC wave retracts %5==0 rows)
     "kpi_distinct_customers_ivm",
+    # per-file Bloom manifest point lookup (listing-time file skipping
+    # on an unsorted high-cardinality key; pruning invisible to results)
+    "orders_bloom_lookup",
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",

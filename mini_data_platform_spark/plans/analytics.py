@@ -855,6 +855,50 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup with per-file Bloom skipping (sinks/layout.py
+    bloom manifest): orders land hash-scattered across 16 parquet files
+    (every file spans ~the whole key range — min/max stats prune
+    NOTHING), a per-file Bloom manifest is built in one distributed
+    pass, and a deterministic key set (o_orderkey % 971 == 0) is looked
+    up through ``read_bloom_filtered`` — files the manifest proves
+    key-free are skipped at LISTING time, zero IO. The bloom has no
+    false negatives, so the result is EXACTLY the plain filter — which
+    is what makes the SQL oracle possible (pruning is invisible to
+    results; fpp only tunes how many files still open). At 100 TB this
+    is the needle-in-haystack serve: a sale_id lookup opens a handful
+    of files instead of listing-and-scanning a lake partition."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.sinks.layout import (
+        read_bloom_filtered,
+        write_bloom_manifest,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), f"mdp_bloomdir_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        orders.repartition(16, (F.col("o_orderkey") * 2654435761) % 1_000_003)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    write_bloom_manifest(spark, d, ["o_orderkey"])
+    keys = [
+        r[0]
+        for r in orders.where(F.col("o_orderkey") % 971 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    return read_bloom_filtered(spark, d, {"o_orderkey": keys})
+
+
 def events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (operators/heavyhitters.py): users with ≥ 80
     events, via a per-partition Misra-Gries candidate sketch + verified
@@ -926,6 +970,7 @@ QUERIES = {
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
+    "orders_bloom_lookup": orders_bloom_lookup,
     "events_heavy_users": events_heavy_users,
     "events_cms_users": events_cms_users,
 }
@@ -1356,6 +1401,12 @@ ORACLE = {
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
         GROUP BY 1
+    """,
+    # the bloom-pruned lookup must equal the plain filter exactly — the
+    # no-false-negative contract makes file skipping invisible to results
+    "orders_bloom_lookup": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 971 = 0
     """,
     "events_heavy_users": """
         SELECT user_id, COUNT(*) AS n

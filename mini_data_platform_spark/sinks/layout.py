@@ -246,6 +246,208 @@ def zorder_prune_files(
     return kept, len(man["files"])
 
 
+# ------------------------------------------------------- bloom manifest
+
+#: per-file Bloom manifest written next to the parquet files
+BLOOM_MANIFEST = "_bloom_manifest.json"
+
+
+def _bloom_positions_col(col: str, num_bits: int, num_hashes: int):
+    """The k bit positions of one value, JVM-side: position_i =
+    md5("bf<i>#" + string(value))[:15 hex] % num_bits — the module-wide
+    engine-independent hash doctrine (corpus.py:127), which is what lets
+    the PROBE side recompute identical positions in driver Python with
+    hashlib, no Spark job per lookup."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bf{i}#"), F.col(col).cast("string")
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % num_bits
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _bloom_positions_py(value, num_bits: int, num_hashes: int) -> list[int]:
+    import hashlib
+
+    s = str(value)
+    return [
+        int(
+            hashlib.md5(f"bf{i}#{s}".encode()).hexdigest()[:15], 16
+        ) % num_bits
+        for i in range(num_hashes)
+    ]
+
+
+#: key-column types whose Spark string cast provably equals Python
+#: ``str()`` — anything else (float/date/decimal) risks silent
+#: representation drift between build and probe, i.e. FALSE NEGATIVES,
+#: the one error class a Bloom filter must never have. Refuse loudly.
+_BLOOM_KEY_TYPES = ("string", "int", "bigint", "smallint", "tinyint", "long")
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    target_dir: str,
+    cols: Sequence[str],
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> dict:
+    """Per-FILE Bloom filters over high-cardinality key columns — the
+    point-lookup pruning the min/max manifest cannot give. Range stats
+    prune only columns the layout concentrated (z-ordered or sorted); an
+    unsorted id column spans ~the full key range in EVERY file, so a
+    lookup of one sale_id still lists-and-opens everything. A per-file
+    Bloom filter answers "might this file contain key k?" with zero
+    false negatives, so ``read_bloom_filtered`` skips non-matching files
+    at LISTING time — no IO, not even a footer fetch. This is the
+    file-skipping index Parquet exposes as column bloom_filters and
+    Delta as the Bloom filter index, kept engine-readable here (plain
+    JSON + md5 positions) like the z-order manifest.
+
+    Build = ONE distributed pass over the directory: every row emits k
+    bit positions per key column (JVM md5, no Python), positions pack
+    into (file, word, mask) and a ``bit_or`` aggregate folds them into
+    ≤ num_bits/64 words per file — the driver receives only the folded
+    words (files × ≤2 Ki longs at the 2^17 default), never rows; the
+    same sketch-sized-collect doctrine as bloomjoin.py. NULLs are never
+    added (SQL equality can't select them; lookups refuse None).
+
+    Sizing: fpp ≈ (1 - e^(-k·n/m))^k per file of n rows. The 2^17/5
+    default holds fpp ≈ 4% at 20k rows/file (16 KiB per file per
+    column); raise num_bits for bigger files. The manifest snapshots the
+    CURRENT file set — rewrite it after appending files, like the
+    z-order manifest."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    df = spark.read.parquet(target_dir)
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t not in _BLOOM_KEY_TYPES:
+            raise ValueError(
+                f"bloom key column {c!r} has type {t}; only string/integer "
+                "keys have build/probe-identical string forms "
+                f"({_BLOOM_KEY_TYPES}) — cast explicitly first"
+            )
+    manifest: dict = {
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "cols": {},
+    }
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    for c in cols:
+        words = (
+            df.select(base.alias("_file"), F.col(c))
+            .where(F.col(c).isNotNull())
+            .select(
+                "_file",
+                F.explode(
+                    _bloom_positions_col(c, num_bits, num_hashes)
+                ).alias("h"),
+            )
+            .select(
+                "_file",
+                (F.col("h") / 64).cast("int").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("_file", "word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        per_file: dict[str, dict[str, int]] = {}
+        for r in words:
+            per_file.setdefault(r["_file"], {})[str(r["word"])] = r["bits"]
+        manifest["cols"][c] = per_file
+    with open(os.path.join(target_dir, BLOOM_MANIFEST), "w",
+              encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def bloom_prune_files(
+    target_dir: str,
+    lookups: dict[str, Sequence],
+) -> tuple[list[str], int]:
+    """File paths that MIGHT satisfy ``lookups`` (col → key values,
+    AND across columns / OR within a column's keys) against the Bloom
+    manifest, plus the total file count. No false negatives: a file
+    holding any looked-up key always survives. Probe cost is driver
+    Python — files × keys × k bit tests — the point-lookup / IN-list
+    regime (≲10^4 keys); key sets beyond that are bloomjoin.py's
+    regime, not a manifest probe's."""
+    with open(os.path.join(target_dir, BLOOM_MANIFEST),
+              encoding="utf-8") as fh:
+        man = json.load(fh)
+    num_bits, num_hashes = man["num_bits"], man["num_hashes"]
+    for c, keys in lookups.items():
+        if c not in man["cols"]:
+            raise ValueError(f"column {c!r} not in bloom manifest")
+        if any(k is None for k in keys):
+            raise ValueError("bloom lookups cannot contain None")
+    files = sorted(
+        {f for per_file in man["cols"].values() for f in per_file}
+    )
+    pos = {
+        c: [_bloom_positions_py(k, num_bits, num_hashes) for k in keys]
+        for c, keys in lookups.items()
+    }
+    kept = []
+    for fname in files:
+        ok = True
+        for c in lookups:
+            wordmap = man["cols"][c].get(fname, {})
+            if not any(
+                all(
+                    wordmap.get(str(p // 64), 0) & (1 << (p % 64))
+                    for p in key_pos
+                )
+                for key_pos in pos[c]
+            ):
+                ok = False
+                break
+        if ok:
+            kept.append(os.path.join(target_dir, fname))
+    return kept, len(files)
+
+
+def read_bloom_filtered(
+    spark: SparkSession,
+    target_dir: str,
+    lookups: dict[str, Sequence],
+) -> DataFrame:
+    """Point-lookup read with Bloom file skipping: files the manifest
+    proves key-free are never passed to the reader, and the lookups are
+    ALSO applied as exact ``isin`` row filters — so the result is
+    exactly the plain filtered read (the bloom's no-false-negative
+    guarantee makes the pruning invisible to results, fpp only tunes
+    how many files still open). Without a manifest this is a plain
+    filtered read."""
+    if not lookups:
+        raise ValueError("read_bloom_filtered needs at least one lookup")
+    if os.path.exists(os.path.join(target_dir, BLOOM_MANIFEST)):
+        kept, total = bloom_prune_files(target_dir, lookups)
+        if not kept:
+            df = spark.read.parquet(target_dir).limit(0)
+        else:
+            df = spark.read.parquet(*kept)
+    else:
+        df = spark.read.parquet(target_dir)
+    for c, keys in lookups.items():
+        df = df.where(F.col(c).isin(list(keys)))
+    return df
+
+
 def read_zordered(
     spark: SparkSession,
     target_dir: str,

@@ -191,3 +191,112 @@ class TestManifestStatTypes:
             },
         )
         assert len(kept) == total
+
+
+class TestBloomManifest:
+    """Per-file Bloom manifest (sinks/layout.py): point lookups must
+    skip files at listing time with ZERO false negatives — results
+    always equal the plain filtered read."""
+
+    def _write(self, spark, d, n=20_000, files=8):
+        from mini_data_platform_spark.sinks.layout import (
+            write_bloom_manifest,
+        )
+
+        # ids hash-scattered across files: every file spans ~the full id
+        # range, so min/max stats prune NOTHING — the bloom's regime
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("string").alias("tag"),
+        )
+        (
+            df.repartition(files, (F.col("k") * 2654435761) % 1_000_003)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        write_bloom_manifest(spark, d, ["k", "tag"])
+
+    def test_lookup_equals_plain_filter_and_prunes(self, spark, tmp_path):
+        from mini_data_platform_spark.sinks.layout import (
+            bloom_prune_files,
+            read_bloom_filtered,
+        )
+
+        d = str(tmp_path / "bl")
+        self._write(spark, d)
+        keys = [3, 4444, 19_999]
+        got = sorted(
+            r["k"] for r in read_bloom_filtered(
+                spark, d, {"k": keys}
+            ).collect()
+        )
+        assert got == keys  # no false negatives, exact rows
+        kept, total = bloom_prune_files(d, {"k": keys})
+        assert total == 8 and len(kept) < total  # listing-time skipping
+
+    def test_absent_key_keeps_nothing(self, spark, tmp_path):
+        from mini_data_platform_spark.sinks.layout import (
+            bloom_prune_files,
+            read_bloom_filtered,
+        )
+
+        d = str(tmp_path / "bl")
+        self._write(spark, d)
+        kept, total = bloom_prune_files(d, {"k": [10_000_001]})
+        # an absent key may survive per-file fpp, but at 2^17 bits the
+        # chance any of 8 files false-positives is ~0 for one key
+        assert kept == []
+        assert read_bloom_filtered(
+            spark, d, {"k": [10_000_001]}
+        ).count() == 0
+
+    def test_multi_column_and_semantics(self, spark, tmp_path):
+        from mini_data_platform_spark.sinks.layout import (
+            read_bloom_filtered,
+        )
+
+        d = str(tmp_path / "bl")
+        self._write(spark, d)
+        rows = read_bloom_filtered(
+            spark, d, {"k": [500, 501], "tag": [str(500 % 97)]}
+        ).collect()
+        assert [(r["k"], r["tag"]) for r in rows] == [(500, str(500 % 97))]
+
+    def test_type_and_null_guards(self, spark, tmp_path):
+        import pytest
+
+        from mini_data_platform_spark.sinks.layout import (
+            bloom_prune_files,
+            write_bloom_manifest,
+        )
+
+        d = str(tmp_path / "bl")
+        spark.range(10).select(
+            F.col("id").cast("double").alias("f")
+        ).write.mode("overwrite").parquet(d)
+        with pytest.raises(ValueError, match="string/integer"):
+            write_bloom_manifest(spark, d, ["f"])
+        self._write(spark, d2 := str(tmp_path / "bl2"), n=100, files=2)
+        with pytest.raises(ValueError, match="None"):
+            bloom_prune_files(d2, {"k": [1, None]})
+        with pytest.raises(ValueError, match="not in bloom manifest"):
+            bloom_prune_files(d2, {"missing": [1]})
+
+    def test_nulls_never_built_still_exact(self, spark, tmp_path):
+        from mini_data_platform_spark.sinks.layout import (
+            read_bloom_filtered,
+            write_bloom_manifest,
+        )
+
+        d = str(tmp_path / "bln")
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (2, None)], "k bigint, tag string"
+        ).write.mode("overwrite").parquet(d)
+        write_bloom_manifest(spark, d, ["k"])
+        # the null-key row is never in the filter (and isin can't select
+        # it); the null-TAG row still comes back by its k
+        got = sorted(
+            (r["k"], r["tag"])
+            for r in read_bloom_filtered(spark, d, {"k": [1, 2]}).collect()
+        )
+        assert got == [(1, "a"), (2, None)]
