@@ -229,9 +229,10 @@ def _meta_as_of(meta: dict, as_of: int | None) -> dict:
 
 
 def _seg_no(seg: str) -> int:
-    """The commit batch number a segment name carries (``batch-7`` /
-    ``del-7`` → 7)."""
-    return int(seg.rsplit("-", 1)[1])
+    """The commit batch number a segment name carries, right after the
+    kind prefix (``batch-7`` / ``del-7`` → 7; the merge table's
+    OCC-era writer-unique names ``seg-7-<token>`` → 7)."""
+    return int(seg.split("-", 2)[1])
 
 
 def vacuum_index(index_dir: str) -> list[str]:

@@ -39,9 +39,12 @@ one O(batch) aggregate) — the winner per key is then totally ordered by
 same state; that is what lets a DuckDB CASE/anti-join twin hash-match
 the declared query (``orders_merge_table``).
 
-Single-writer discipline and reader caveats are inherited verbatim from
-the IVM module: serialize writers (meta read-modify-write is not a
-CAS); delta appends never invalidate in-flight readers, but
+MULTI-WRITER SAFE (unlike the index/view stores, which keep the
+single-writer discipline): commits serialize through put-if-absent
+tickets — the Delta Lake optimistic-concurrency protocol reduced to
+plain POSIX (see the OCC block below). Concurrent appliers never drop
+each other's commits; compaction refuses rather than stomps. Reader
+caveats remain: delta appends never invalidate in-flight readers, but
 ``compact_table``'s best-effort deletes can — run compaction in a
 maintenance window or lean on object-store delayed deletion.
 
@@ -73,10 +76,146 @@ _ROWS = "rows"
 _OP = "_op"
 _SEQ = "_seq"
 
-#: vacuum_table: orphan segment dirs (crashed applies / failed
-#: compaction deletes) are invisible to readers; sweeping them is the
-#: exact vacuum_index walk over meta['segments'].
-vacuum_table = vacuum_index
+#: commit-ticket directory (optimistic concurrency — see _try_ticket)
+_COMMITS = "_commits"
+
+
+def vacuum_table(table_dir: str) -> list[str]:
+    """Sweep orphan segment dirs (crashed/lost-race applies, failed
+    compaction deletes) — invisible to readers, so removal never changes
+    results. Folds outstanding commit tickets into the meta checkpoint
+    FIRST: a ticketed-but-not-yet-checkpointed segment is committed
+    state, not an orphan, and must never be swept. Do not vacuum while
+    a writer is mid-commit (the standard vacuum discipline)."""
+    _recover_meta(table_dir)
+    return vacuum_index(table_dir)
+
+
+# ------------------------------------------------------------------ OCC
+#
+# Multi-writer commits via PUT-IF-ABSENT tickets — the Delta Lake
+# protocol reduced to plain POSIX. The single-writer caveat the other
+# commit-log stores carry ("a read-modify-write meta swap can drop a
+# concurrent commit") is closed HERE, on the merge table, because this
+# is the store several pipelines genuinely write at once (CDC appliers,
+# streaming epochs, backfills):
+#
+# - The COMMIT LOG is the sequence of records ``_commits/<version>.json``.
+#   A writer commits version v by atomically creating that file
+#   (``os.link`` of a fully-written temp file — creation is
+#   put-if-absent AND the content is complete when it appears; on object
+#   storage substitute the store's conditional put). First writer wins;
+#   the loser re-reads, folds the winner's record, and retries with the
+#   next version.
+# - ``meta.json`` demotes to a CHECKPOINT: `_recover_meta` rolls any
+#   tickets the checkpoint hasn't absorbed forward (idempotently — a
+#   record replays to the same meta), so a winner crashing between its
+#   ticket and the checkpoint write loses nothing: the next
+#   reader/writer completes the roll-forward. Every mergetable entry
+#   point reads through `_recover_meta`.
+# - Segment dirs carry a WRITER-UNIQUE suffix (``seg-<seq>-<token>``),
+#   written BEFORE the ticket: two racing appliers never collide on a
+#   directory, the loser's dir is an invisible orphan (swept by
+#   ``vacuum_table``), and a committed record always points at a fully
+#   written segment.
+# - Records are tiny (~200 B) and are retained indefinitely — they ARE
+#   the log; prune below ``compacted_through`` only after a retention
+#   window (the Delta log-retention pattern).
+#
+# Linearization: to win version v a writer must have folded every record
+# < v into its view, so apply seqs are gapless and unique, and
+# compaction serializes against concurrent applies (its ticket loses if
+# an apply committed after its read — it raises rather than stomping).
+
+
+def _ticket_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _COMMITS, f"{version:012d}.json")
+
+
+def _try_ticket(table_dir: str, version: int, record: dict) -> bool:
+    """Atomically publish ``record`` as commit ``version``. True iff
+    this writer won (the ticket file did not exist)."""
+    import json
+    import uuid
+
+    cdir = os.path.join(table_dir, _COMMITS)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(record, f)
+    try:
+        os.link(tmp, _ticket_path(table_dir, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _apply_record(meta: dict, rec: dict) -> dict:
+    """Replay one commit record onto a meta snapshot — the ONE place
+    record semantics live, used by both the winner (to produce the
+    checkpoint it writes) and recovery (to roll a crashed winner's
+    ticket forward); a divergence between the two cannot exist."""
+    import json
+
+    m = json.loads(json.dumps(meta))  # deep copy
+    if rec["type"] == "apply":
+        if rec["seq"] != m["n_batches"]:  # ticket order guarantees this
+            raise RuntimeError(
+                f"commit record seq {rec['seq']} != n_batches "
+                f"{m['n_batches']} — corrupted commit log"
+            )
+        m["segments"][_ROWS] = m["segments"][_ROWS] + [rec["segment"]]
+        m["batches"] = m["batches"] + [rec["batch_id"]]
+        m["n_batches"] += 1
+        ev = rec.get("evolve")
+        if ev:
+            m["columns"] = list(ev["columns"])
+            m["schema"].update(ev["schema_add"])
+            m["evolved"] = True
+            log = m.setdefault("column_log", [])
+            if not log or log[-1] != ev["entry"]:
+                log.append(ev["entry"])
+    elif rec["type"] == "compact":
+        m["segments"][_ROWS] = [rec["segment"]]
+        m["compacted_through"] = rec["compacted_through"]
+        m.pop("evolved", None)
+    else:
+        raise RuntimeError(f"unknown commit record type {rec['type']!r}")
+    m["version"] = rec["version"] + 1
+    return m
+
+
+def _recover_meta(table_dir: str) -> dict:
+    """Read the checkpoint and roll forward any tickets it hasn't
+    absorbed. Tables from before OCC have no ``version`` field — their
+    version is ``n_batches`` (every commit was an apply)."""
+    import json
+
+    meta = _read_meta(table_dir)
+    v = meta.get("version", meta["n_batches"])
+    meta["version"] = v
+    rolled = False
+    while os.path.exists(_ticket_path(table_dir, v)):
+        with open(_ticket_path(table_dir, v), encoding="utf-8") as f:
+            rec = json.load(f)
+        meta = _apply_record(meta, rec)
+        v = meta["version"]
+        rolled = True
+    if rolled:
+        _checkpoint_meta(table_dir, meta)
+    return meta
+
+
+def _checkpoint_meta(table_dir: str, meta: dict) -> None:
+    """Write the checkpoint, guarded against REGRESSING it (a slow
+    recoverer must not overwrite a newer checkpoint with an older view;
+    the residual check-then-replace race is harmless because tickets
+    are the source of truth and the next `_recover_meta` re-converges)."""
+    cur = _read_meta(table_dir)
+    if cur.get("version", cur["n_batches"]) <= meta["version"]:
+        _write_meta(table_dir, meta)
 
 
 def _validate_batch(batch: DataFrame, keys: list[str]) -> None:
@@ -259,9 +398,17 @@ def table_build(
         "n_batches": 1,
         "batches": [batch_id],
         "segments": {_ROWS: ["seg-0"]},
+        "version": 1,
     }
     _write_meta(table_dir, meta)
     return meta
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer committed between a caller's snapshot read and
+    its apply — the batch was derived from stale state (write skew).
+    Re-derive from the current state and retry; ``table_merge_into``
+    does this automatically."""
 
 
 def table_apply(
@@ -270,34 +417,87 @@ def table_apply(
     batch_id: str | None = None,
     validate: bool = True,
     evolve: bool = False,
+    expected_version: int | None = None,
 ) -> dict:
     """MERGE a change batch into the table: rows tagged ``_op`` 'u'
     (insert-or-replace the key's row wholesale) or 'd' (tombstone the
     key). One O(batch) segment write, no table read; replaying an
     already-committed ``batch_id`` is a no-op (retry-safe).
     ``evolve=True`` lets the batch ADD data columns (see
-    :func:`_conform`); extra columns are an error otherwise."""
-    meta = _read_meta(table_dir)
-    if meta.get("kind") != "mergetable":
-        raise ValueError(f"{table_dir} is not a merge table")
-    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
-    if bid in meta["batches"]:
-        return meta
-    rows = _conform(batch, meta, evolve)
-    if validate:
-        _validate_batch(rows, meta["keys"])
-    seq = meta["n_batches"]
-    seg = f"seg-{seq}"
-    _write_segment(
-        rows.withColumn(_SEQ, F.lit(seq).cast("long")), table_dir, _ROWS,
-        seg,
+    :func:`_conform`); extra columns are an error otherwise.
+
+    MULTI-WRITER SAFE (the OCC block above): concurrent appliers
+    serialize through put-if-absent commit tickets — the loser folds
+    the winner's commit and retries with the next sequence number
+    (re-conforming and re-validating against the possibly-evolved
+    schema, rewriting its segment with the new ``_seq``), so no commit
+    is ever silently dropped. Two replicas of the SAME batch (equal
+    ``batch_id``) resolve to exactly one apply; the replica that loses
+    sees its id committed and no-ops.
+
+    ``expected_version``: for batches DERIVED from a table snapshot
+    (read-modify-write like MERGE INTO, not blind CDC appends) — the
+    apply refuses with :class:`ConcurrentCommit` if any commit landed
+    since that version, instead of blindly retrying a batch whose
+    derivation is stale (serializable conflict detection, the Delta
+    concurrency-level distinction between Append and WriteSerializable)."""
+    import json
+    import shutil
+    import uuid
+
+    for _ in range(32):
+        meta = _recover_meta(table_dir)
+        if meta.get("kind") != "mergetable":
+            raise ValueError(f"{table_dir} is not a merge table")
+        bid = (
+            batch_id if batch_id is not None
+            else f"batch-{meta['n_batches']}"
+        )
+        if bid in meta["batches"]:
+            return meta  # replay no-op wins over conflict detection
+        if expected_version is not None and meta["version"] != expected_version:
+            raise ConcurrentCommit(
+                f"table moved from version {expected_version} to "
+                f"{meta['version']} since the batch was derived"
+            )
+        work = json.loads(json.dumps(meta))  # _conform mutates its meta
+        rows = _conform(batch, work, evolve)
+        if validate:
+            _validate_batch(rows, meta["keys"])
+        seq = meta["n_batches"]
+        seg = f"seg-{seq}-{uuid.uuid4().hex[:8]}"
+        _write_segment(
+            rows.withColumn(_SEQ, F.lit(seq).cast("long")), table_dir,
+            _ROWS, seg,
+        )
+        rec = {
+            "type": "apply",
+            "version": meta["version"],
+            "seq": seq,
+            "segment": seg,
+            "batch_id": bid,
+        }
+        if work["columns"] != meta["columns"]:  # evolved this apply
+            new = [c for c in work["columns"] if c not in meta["columns"]]
+            rec["evolve"] = {
+                "columns": work["columns"],
+                "schema_add": {c: work["schema"][c] for c in new},
+                "entry": work["column_log"][-1],
+            }
+        # COMMIT: the ticket makes the segment visible; the checkpoint
+        # write after it is a convenience (recovery replays the ticket)
+        if _try_ticket(table_dir, meta["version"], rec):
+            out = _apply_record(meta, rec)
+            _checkpoint_meta(table_dir, out)
+            return out
+        # lost the race: drop the orphan segment, fold the winner, retry
+        shutil.rmtree(
+            os.path.join(table_dir, _ROWS, seg), ignore_errors=True
+        )
+    raise RuntimeError(
+        "lost the commit race 32 times — writer contention on "
+        f"{table_dir} is pathological; serialize the callers"
     )
-    # COMMIT: the segment becomes visible in one atomic meta swap
-    meta["segments"][_ROWS].append(seg)
-    meta["batches"].append(bid)
-    meta["n_batches"] += 1
-    _write_meta(table_dir, meta)
-    return meta
 
 
 def _resolved(
@@ -360,7 +560,7 @@ def table_read(
     scan speed (no resolve aggregate — see ``_is_resolved_log``);
     historical reads serve the schema AS OF the snapshot
     (``_with_asof_columns``)."""
-    meta = _meta_as_of(_read_meta(table_dir), as_of)
+    meta = _meta_as_of(_recover_meta(table_dir), as_of)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     meta = _with_asof_columns(meta, as_of)
@@ -386,7 +586,7 @@ def table_changes(
     folded by compaction is gone: ``since`` older than
     ``compacted_through`` raises rather than silently under-delivering
     changes."""
-    meta = _meta_as_of(_read_meta(table_dir), as_of)
+    meta = _meta_as_of(_recover_meta(table_dir), as_of)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     n = meta["n_batches"]
@@ -434,7 +634,7 @@ def table_lookup(
     twin of ``table_read``, same shape as the index lookups
     (incremental.py)."""
     meta = _with_asof_columns(
-        _meta_as_of(_read_meta(table_dir), as_of), as_of
+        _meta_as_of(_recover_meta(table_dir), as_of), as_of
     )
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
@@ -483,6 +683,7 @@ def table_merge_into(
     when_matched_delete: str | None = None,
     batch_id: str | None = None,
     validate: bool = True,
+    _retries: int = 8,
 ) -> dict:
     """Conditional MERGE (the Delta ``MERGE INTO`` clause family)
     compiled onto the log-structured apply. Plain ``table_apply``
@@ -505,10 +706,15 @@ def table_merge_into(
       matched rows satisfying it are tombstoned instead of updated.
 
     Replay protection, validation, and commit semantics are exactly
-    ``table_apply``'s — a retried merge lands once."""
+    ``table_apply``'s — a retried merge lands once. Because the merge
+    batch is DERIVED from a snapshot (read-modify-write), the apply
+    carries ``expected_version``: if another writer commits between the
+    lookup and the apply, the stale derivation is thrown away and the
+    whole merge re-derives from the new state (serializable MERGE, not
+    last-writer-wins over a phantom)."""
     from mini_data_platform_spark.operators.resources import release_plan
 
-    meta = _read_meta(table_dir)
+    meta = _recover_meta(table_dir)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
@@ -587,7 +793,20 @@ def table_merge_into(
         .where(F.col(_OP).isNotNull())
     )
     try:
-        return table_apply(batch, table_dir, batch_id=bid, validate=validate)
+        return table_apply(
+            batch, table_dir, batch_id=bid, validate=validate,
+            expected_version=meta["version"],
+        )
+    except ConcurrentCommit:
+        if _retries <= 0:
+            raise
+        return table_merge_into(
+            spark, source, table_dir,
+            when_matched_update=when_matched_update,
+            when_not_matched_insert=when_not_matched_insert,
+            when_matched_delete=when_matched_delete,
+            batch_id=batch_id, validate=validate, _retries=_retries - 1,
+        )
     finally:
         release_plan(cur_raw)
 
@@ -622,7 +841,7 @@ def table_changes_zset(
     call ``resources.release_plan`` on the returned plan after the
     consuming action (the standard operator contract)."""
     from mini_data_platform_spark.operators.resources import attach_plan
-    meta_full = _read_meta(table_dir)
+    meta_full = _recover_meta(table_dir)
     if meta_full.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     meta_new = _meta_as_of(meta_full, as_of)
@@ -682,7 +901,7 @@ def compact_table(
         dir_parquet_stats,
     )
 
-    meta = _read_meta(table_dir)
+    meta = _recover_meta(table_dir)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     old_segs = meta["segments"][_ROWS]
@@ -716,12 +935,26 @@ def compact_table(
         _write_segment(clustered, table_dir, _ROWS, new_seg)
     finally:
         live.unpersist(False)
-    meta["segments"][_ROWS] = [new_seg]
-    meta["compacted_through"] = meta["n_batches"]
+    # COMMIT through the OCC ticket: if an apply landed between our
+    # read and here, the ticket loses — raise (the rewrite is stale, a
+    # re-run folds the new batch), never stomp a concurrent commit.
+    rec = {
+        "type": "compact",
+        "version": meta["version"],
+        "segment": new_seg,
+        "compacted_through": meta["n_batches"],
+    }
+    if not _try_ticket(table_dir, meta["version"], rec):
+        shutil.rmtree(
+            os.path.join(table_dir, _ROWS, new_seg), ignore_errors=True
+        )
+        raise RuntimeError(
+            f"a commit landed on {table_dir} during compaction; re-run"
+        )
+    meta = _apply_record(meta, rec)
     # the rewrite carries the full current schema: per-segment
-    # union-by-name reads are no longer needed
-    meta.pop("evolved", None)
-    _write_meta(table_dir, meta)
+    # union-by-name reads are no longer needed (handled by the record)
+    _checkpoint_meta(table_dir, meta)
     for seg in old_segs:
         if seg != new_seg:
             shutil.rmtree(

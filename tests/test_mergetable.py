@@ -170,23 +170,26 @@ class TestCommitSemantics:
         assert m1["n_batches"] == m2["n_batches"] == 2
         assert _as_dict(table_read(spark, d))[5] == ("e", 5.0)
 
-    def test_crash_before_meta_swap_then_retry(
+    def test_crash_before_ticket_then_retry(
         self, spark, tmp_path, monkeypatch
     ):
+        """Crash between the segment write and the commit ticket: the
+        segment is an invisible orphan, nothing committed, a plain
+        retry lands the batch exactly once."""
         d = str(tmp_path / "t")
         table_build(_frame(spark, BASE), d, ["k"])
         before = _as_dict(table_read(spark, d))
-        real = mergetable._write_meta
 
         def crashing(*a, **kw):
-            raise RuntimeError("crash between segment write and commit")
+            raise RuntimeError("crash between segment write and ticket")
 
-        monkeypatch.setattr(mergetable, "_write_meta", crashing)
+        monkeypatch.setattr(mergetable, "_try_ticket", crashing)
         with pytest.raises(RuntimeError):
             table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
-        monkeypatch.setattr(mergetable, "_write_meta", real)
+        monkeypatch.undo()
         # orphan segment dir exists but is invisible to readers
-        assert os.path.isdir(os.path.join(d, "rows", "seg-1"))
+        segs = os.listdir(os.path.join(d, "rows"))
+        assert any(s.startswith("seg-1") for s in segs)
         assert _as_dict(table_read(spark, d)) == before
         swept = vacuum_table(d)
         assert any("seg-1" in p for p in swept)
@@ -194,6 +197,33 @@ class TestCommitSemantics:
         table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
         after = _as_dict(table_read(spark, d))
         assert after[5] == ("e", 5.0) and len(after) == 5
+
+    def test_crash_after_ticket_is_committed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash between the ticket and the checkpoint write: the
+        commit is DURABLE (the ticket is the log) — the next reader
+        rolls it forward, and a retried apply with the same batch_id
+        no-ops instead of double-applying."""
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+
+        def crashing(*a, **kw):
+            raise RuntimeError("crash between ticket and checkpoint")
+
+        monkeypatch.setattr(mergetable, "_checkpoint_meta", crashing)
+        with pytest.raises(RuntimeError):
+            table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
+        monkeypatch.undo()
+        # the ticket exists; recovery serves the batch
+        after = _as_dict(table_read(spark, d))
+        assert after[5] == ("e", 5.0) and len(after) == 5
+        meta = table_apply(
+            _frame(spark, [(5, "SHOULD-NOT-LAND", 99.0)]), d,
+            batch_id="b1",
+        )
+        assert meta["n_batches"] == 2  # replay no-op
+        assert _as_dict(table_read(spark, d))[5] == ("e", 5.0)
 
 
 class TestTimeTravel:
@@ -738,3 +768,143 @@ class TestPlanShape:
         assert "Window" not in plan  # max_by aggregate, never a sort
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert plan.count("Exchange") == 1  # the one key shuffle
+
+
+class TestOptimisticConcurrency:
+    """Multi-writer commits (the OCC ticket protocol): concurrent
+    appliers must never drop a commit — the single-writer caveat the
+    other commit-log stores still carry is closed here."""
+
+    def test_concurrent_appliers_no_lost_update(self, spark, tmp_path):
+        import threading
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        errs = []
+
+        def apply(rows, bid):
+            try:
+                table_apply(_frame(spark, rows), d, batch_id=bid)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(
+                target=apply, args=([(10 + i, f"w{i}", float(i))], f"w{i}")
+            )
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        meta = mergetable._recover_meta(d)
+        assert meta["n_batches"] == 5  # build + all four, none lost
+        assert {f"w{i}" for i in range(4)} <= set(meta["batches"])
+        state = _as_dict(table_read(spark, d))
+        for i in range(4):
+            assert state[10 + i] == (f"w{i}", float(i))
+
+    def test_stale_checkpoint_recovers_foreign_ticket(
+        self, spark, tmp_path
+    ):
+        """A writer whose checkpoint write never landed (crash after
+        ticket) must not cost the NEXT writer anything: recovery folds
+        the ticket, the next apply commits on top of it."""
+        import json
+        import shutil
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        mpath = os.path.join(d, "meta.json")
+        stale = open(mpath, encoding="utf-8").read()
+        table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
+        # simulate the b1 writer's checkpoint never landing
+        with open(mpath, "w", encoding="utf-8") as f:
+            f.write(stale)
+        table_apply(_frame(spark, [(6, "f", 6.0)]), d, batch_id="b2")
+        state = _as_dict(table_read(spark, d))
+        assert state[5] == ("e", 5.0) and state[6] == ("f", 6.0)
+        meta = json.load(open(mpath, encoding="utf-8"))
+        assert meta["n_batches"] == 3 and meta["version"] == 3
+
+    def test_lost_race_retries_and_lands(self, spark, tmp_path, monkeypatch):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        real = mergetable._try_ticket
+        calls = {"n": 0}
+
+        def flaky(table_dir, version, record):
+            if calls["n"] < 2:
+                calls["n"] += 1
+                return False  # simulated lost race
+            return real(table_dir, version, record)
+
+        monkeypatch.setattr(mergetable, "_try_ticket", flaky)
+        table_apply(_frame(spark, [(5, "e", 5.0)]), d, batch_id="b1")
+        monkeypatch.undo()
+        assert calls["n"] == 2
+        state = _as_dict(table_read(spark, d))
+        assert state[5] == ("e", 5.0) and len(state) == 5
+
+    def test_compaction_loses_to_concurrent_apply(
+        self, spark, tmp_path, monkeypatch
+    ):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        table_apply(_frame(spark, [(5, "e", 5.0)]), d)
+        real = mergetable._try_ticket
+
+        def lose_once(table_dir, version, record):
+            if record["type"] == "compact":
+                monkeypatch.undo()
+                return False
+            return real(table_dir, version, record)
+
+        monkeypatch.setattr(mergetable, "_try_ticket", lose_once)
+        before = _as_dict(table_read(spark, d))
+        with pytest.raises(RuntimeError, match="during compaction"):
+            compact_table(spark, d)
+        # nothing stomped; a re-run compacts cleanly
+        assert _as_dict(table_read(spark, d)) == before
+        compact_table(spark, d)
+        assert _as_dict(table_read(spark, d)) == before
+        segs = mergetable._recover_meta(d)["segments"]["rows"]
+        assert len(segs) == 1 and segs[0].startswith("compact-")
+
+    def test_merge_into_rederives_on_concurrent_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A foreign commit landing between MERGE INTO's snapshot
+        lookup and its apply must NOT be stomped by the stale
+        derivation: the version check refuses, the merge re-derives,
+        and the final row carries BOTH writers' effects."""
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, [(1, "a", 1.0)]), d, ["k"])
+        real_lookup = mergetable.table_lookup
+        fired = {"n": 0}
+
+        def sneaky(spark_, table_dir, probes, as_of=None):
+            out = real_lookup(spark_, table_dir, probes, as_of)
+            if fired["n"] == 0:
+                fired["n"] += 1
+                table_apply(
+                    _frame(spark_, [(1, "FOREIGN", 1.0)]), table_dir,
+                    batch_id="foreign",
+                )
+            return out
+
+        monkeypatch.setattr(mergetable, "table_lookup", sneaky)
+        src = spark.createDataFrame([(1, 50.0)], "k bigint, amount double")
+        table_merge_into(
+            spark, src, d, when_matched_update=["amount"],
+            when_not_matched_insert=False, batch_id="m1",
+        )
+        # stale derivation would have resurrected v='a'
+        assert _as_dict(table_read(spark, d))[1] == ("FOREIGN", 50.0)
+        assert fired["n"] == 1
