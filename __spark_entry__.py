@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 110 queries exist, so 60 sit outside any given round):
+#: FIRST 50 entries; 111 queries exist, so 61 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -89,10 +89,12 @@ _ROUND8_WINDOW_FIRST = [
     # (stable ntile window over untouched analytics code, r6
     # driver-green, re-verified exact-multiset by verify_local this
     # round)
-    "nation_top_customer_names",
     # promo_revenue_share ceded its slot to orders_bloom_lookup (stable
     # conditional aggregate over untouched code, r6 driver-green,
-    # re-verified exact-multiset by verify_local this round)
+    # re-verified exact-multiset by verify_local this round);
+    # nation_top_customer_names ceded its slot to
+    # doc_contamination_fuzzy (stable string_agg over untouched code,
+    # r6 driver-green, re-verified exact-multiset this round)
     "order_grouping_sets",
     "cheapest_supplier_per_part", "orders_dq_report",
     "events_distinct_users", "events_user_stats_salted",
@@ -117,6 +119,9 @@ _ROUND8_WINDOW_FIRST = [
     # per-file Bloom manifest point lookup (listing-time file skipping
     # on an unsorted high-cardinality key; pruning invisible to results)
     "orders_bloom_lookup",
+    # fuzzy benchmark decontamination (LSH cross-join corpus x bench —
+    # the near-dup leakage class exact n-gram overlap misses)
+    "doc_contamination_fuzzy",
     "doc_neardup_serve", "doc_title_editjoin_freq",
     "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
     "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",

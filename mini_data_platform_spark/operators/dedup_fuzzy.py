@@ -370,6 +370,89 @@ def near_dup_pairs(
 _HEX = "0123456789abcdef"
 
 
+def cross_near_dup_pairs(
+    probe: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-dup join: every (probe, reference) pair whose
+    exact shingle Jaccard ≥ ``threshold``, candidates generated by the
+    same banded-MinHash LSH as the self-join (:func:`lsh_candidate_pairs`)
+    but joined ACROSS the two frames. The use case is FUZZY BENCHMARK
+    DECONTAMINATION (probe = training corpus, reference = benchmark/
+    holdout): exact n-gram matching (corpus.contamination) misses
+    lightly edited leaks — a benchmark answer with one token changed
+    shares almost no exact 13-grams but nearly all shingle MinHash
+    bands; this is the near-dup leakage class GPT-3's exact-overlap
+    decontamination was later shown to miss (Brown et al. 2020, App. C
+    discuss the limits). Returns (id_a = probe id, id_b = reference id,
+    n_inter, jaccard).
+
+    Ids across the two frames must be DISJOINT (validated with one
+    bounded probe): verification unions both sides' shingle sets by id.
+
+    Scale: the reference side (a benchmark suite) is hyperparameter-
+    sized next to a training corpus, so with ``broadcast_reference``
+    (default) its band keys ship as a broadcast relation and the
+    corpus-side signature scan joins map-side — ZERO shuffle of corpus
+    band keys; verification stays candidate-bounded as always. Set
+    ``broadcast_reference=False`` when the reference outgrows the
+    broadcast budget (both sides then shuffle on (band_id, band_key))."""
+    from pyspark import StorageLevel
+
+    from mini_data_platform_spark.operators.resources import attach_plan
+
+    p = probe.select(F.col(id_col), F.col(text_col))
+    r = reference.select(F.col(id_col), F.col(text_col))
+    clash = (
+        p.select(id_col).join(r.select(id_col), id_col, "inner")
+        .limit(1).count()
+    )
+    if clash:
+        raise ValueError(
+            "probe and reference share document ids — verification "
+            "would merge their shingle sets; re-key one side"
+        )
+    # one staged shingle pass per side, shared between signatures and
+    # verification (the near_dup_pairs persist discipline)
+    sh_p = _staged_shingles(p, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_r = _staged_shingles(r, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bk_p = lsh_band_keys(
+        minhash_signatures_from(sh_p, id_col, num_hashes),
+        id_col, num_hashes, bands,
+    )
+    bk_r = lsh_band_keys(
+        minhash_signatures_from(sh_r, id_col, num_hashes),
+        id_col, num_hashes, bands,
+    ).select(F.col(id_col).alias("_rid"), "band_id", "band_key")
+    if broadcast_reference:
+        bk_r = F.broadcast(bk_r)
+    cand = (
+        bk_p.join(bk_r, ["band_id", "band_key"])
+        .select(
+            F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = jaccard_pairs_from(
+        sh_p.unionByName(sh_r), cand, id_col
+    )
+    out = verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return attach_plan(out, sh_p, sh_r)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens, emitted as a 16-char hex
     string. Bit j of token t = bit j of md5(t) (nibble-decoded portably via

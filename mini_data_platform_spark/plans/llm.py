@@ -846,6 +846,36 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (dedup_fuzzy.cross_near_dup_pairs):
+    near-dup pairs between the training corpus and the benchmark set
+    (source == BENCH_SOURCE) — the leakage class exact n-gram overlap
+    (`doc_contamination`) cannot see. The corpus is salted with planted
+    leaks (every benchmark doc re-enters with its first token dropped
+    and id + 1,000,000 — the `_mutated_corpus` move), which the LSH
+    cross-join must flag. Benchmark band keys broadcast, so the
+    corpus-side scan joins map-side with zero corpus shuffle; Jaccard
+    verification is candidate-bounded as always."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == BENCH_SOURCE).select(
+        "doc_id", "text"
+    )
+    t = TX.tokens(F.col("text"))
+    leaked = bench.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", "text")
+        .unionByName(leaked)
+    )
+    return DF_OPS.cross_near_dup_pairs(
+        _spread(corpus), bench, "doc_id", "text",
+        NUM_HASHES, BANDS, SHINGLE_N, JACCARD_THRESHOLD,
+    )
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top-bigram share, adjacent token
     repeats) — pure per-row array math, zero shuffle."""
@@ -1393,6 +1423,7 @@ QUERIES = {
     "doc_split_assign": doc_split_assign,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_contamination": doc_contamination,
+    "doc_contamination_fuzzy": doc_contamination_fuzzy,
     "doc_repetition": doc_repetition,
     "doc_pii_scan": doc_pii_scan,
     "emb_norms": emb_norms,
@@ -1468,6 +1499,59 @@ def _sql_near_dups(src: str) -> str:
              AND a.doc_id < b.doc_id
         ),
         sets AS (SELECT doc_id, list_distinct({sh}) AS sh FROM ({src})),
+        sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+        ex AS (SELECT doc_id, u.s AS shingle FROM sets, unnest(sh) AS u(s)),
+        inter AS (
+            SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+            FROM pairs p
+            JOIN ex ea ON ea.doc_id = p.id_a
+            JOIN ex eb ON eb.doc_id = p.id_b AND eb.shingle = ea.shingle
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """
+
+
+def _sql_bands_named(sigs_cte: str) -> str:
+    r = NUM_HASHES // BANDS
+    selects = []
+    for b in range(BANDS):
+        key = " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key "
+            f"FROM {sigs_cte}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _sql_cross_near_dups(src_a: str, src_b: str) -> str:
+    """DuckDB twin of dedup_fuzzy.cross_near_dup_pairs: the exact
+    expression trees of _sql_near_dups, with candidates drawn from the
+    CROSS join of the two sides' band tables and verification sets over
+    the union of both sides' texts."""
+    sh = TX.sql_shingles("text", SHINGLE_N)
+    return f"""
+        WITH sigs_a AS ({_sql_sigs(src_a)}),
+        sigs_b AS ({_sql_sigs(src_b)}),
+        bands_a AS ({_sql_bands_named('sigs_a')}),
+        bands_b AS ({_sql_bands_named('sigs_b')}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands_a a JOIN bands_b b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+        ),
+        sets AS (
+            SELECT doc_id, list_distinct({sh}) AS sh
+            FROM ({src_a} UNION ALL {src_b})
+        ),
         sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
         ex AS (SELECT doc_id, u.s AS shingle FROM sets, unnest(sh) AS u(s)),
         inter AS (
@@ -1942,6 +2026,16 @@ ORACLE = {
         "SELECT doc_id, text FROM documents",
         f"SELECT doc_id, text FROM documents WHERE source = '{BENCH_SOURCE}'",
         TX.sql_shingles("text", SHINGLE_N),
+    ),
+    "doc_contamination_fuzzy": _sql_cross_near_dups(
+        f"""
+        SELECT doc_id, text FROM documents WHERE source <> '{BENCH_SOURCE}'
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
+        FROM documents WHERE source = '{BENCH_SOURCE}'
+        """,
+        f"SELECT doc_id, text FROM documents WHERE source = '{BENCH_SOURCE}'",
     ),
     "doc_repetition": CORPUS.sql_repetition_metrics(
         "SELECT doc_id, text FROM documents",

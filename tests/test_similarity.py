@@ -375,3 +375,71 @@ class TestPersistLifecycle:
         assert self._n_persistent(spark) > before
         assert release_plan(out) == 1
         assert self._n_persistent(spark) == before
+
+
+class TestCrossNearDup:
+    """cross_near_dup_pairs: asymmetric near-dup join (fuzzy benchmark
+    decontamination) — planted leaks must surface, results must equal
+    the self-join restricted to cross pairs, id clashes must refuse."""
+
+    def _frames(self, spark):
+        rng = random.Random(11)
+        bench = [_doc(rng) for _ in range(8)]
+        corpus_rows = [
+            Row(doc_id=100 + i, text=_doc(rng)) for i in range(20)
+        ]
+        # leak benchmark docs into the corpus with one token dropped
+        for i, t in enumerate(bench):
+            toks = t.split()
+            toks.pop(3)
+            corpus_rows.append(Row(doc_id=500 + i, text=" ".join(toks)))
+        return (
+            spark.createDataFrame(corpus_rows),
+            spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in enumerate(bench)]
+            ),
+        )
+
+    def test_planted_leaks_flagged(self, spark):
+        corpus, bench = self._frames(spark)
+        pairs = DF_OPS.cross_near_dup_pairs(
+            corpus, bench, "doc_id", "text",
+            num_hashes=32, bands=8, threshold=0.5,
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        planted = {(500 + i, i) for i in range(8)}
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.9, f"recall {recall}: {sorted(found)}"
+        for r in pairs:
+            assert r["jaccard"] >= 0.5
+            assert r["id_a"] >= 100 and r["id_b"] < 100  # sides kept
+
+    def test_equals_self_join_cross_restriction(self, spark):
+        """The asymmetric join over (corpus, bench) must find exactly
+        the self-join's pairs that straddle the two sides — same LSH,
+        same verification."""
+        corpus, bench = self._frames(spark)
+        cross = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in DF_OPS.cross_near_dup_pairs(
+                corpus, bench, "doc_id", "text",
+                num_hashes=32, bands=8, threshold=0.5,
+            ).collect()
+        }
+        full = DF_OPS.near_dup_pairs(
+            corpus.unionByName(bench), "doc_id", "text",
+            threshold=0.5, num_hashes=32, bands=8,
+        ).collect()
+        straddle = {
+            (r["id_b"], r["id_a"], round(r["jaccard"], 12))
+            for r in full
+            if r["id_a"] < 100 <= r["id_b"]  # a<b puts bench ids first
+        }
+        assert cross == straddle
+
+    def test_id_clash_refused(self, spark):
+        corpus, bench = self._frames(spark)
+        with pytest.raises(ValueError, match="share document ids"):
+            DF_OPS.cross_near_dup_pairs(
+                corpus, corpus.limit(3), "doc_id", "text"
+            )
