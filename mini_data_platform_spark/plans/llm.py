@@ -298,6 +298,46 @@ def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_segment_overlap(corpus, "doc_id", "text", avg_tokens=8, min_tokens=4)
 
 
+def doc_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's longest verbatim repeated token sequence
+    (operators/suffixarray.py): distributed prefix-doubling suffix
+    classes + binary search — O(n log L) shuffles of fixed-width longs
+    where the brute force the oracle runs is O(n·L) exploded grams.
+    The fixture's generator plants long duplicated spans (93 tokens at
+    sf0.01), so the answer is structural, not noise. One row:
+    (repeat_len, n_grams, n_positions, top_gram)."""
+    from mini_data_platform_spark.operators.suffixarray import longest_repeat
+
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return longest_repeat(docs, "doc_id", "text", max_len=128)
+
+
+def doc_repeat_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document EXACT repeated-span coverage at 16 tokens
+    (operators/suffixarray.py): stride-1, collision-free — the exact
+    form of doc_window_dups' stride-8 md5 approximation, and the span
+    statistic Lee et al. (2022) trim on. Suffix classes to level 4,
+    one repeated-start count, one lag-window interval union."""
+    from mini_data_platform_spark.operators.suffixarray import (
+        repeated_span_coverage,
+    )
+
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return repeated_span_coverage(docs, "doc_id", "text", min_len=16)
+
+
+def doc_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup as a TRANSFORM (operators/suffixarray.py):
+    every non-canonical occurrence of a corpus-repeated 16-token span
+    is cut out of the text — the actionable Lee et al. (2022) form,
+    where doc_repeat_coverage only measures. Output text is
+    hash-compared verbatim against the oracle's rebuild."""
+    from mini_data_platform_spark.operators.suffixarray import suffix_span_dedup
+
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return suffix_span_dedup(docs, "doc_id", "text", min_len=16)
+
+
 #: BM25 query terms for doc_bm25 (fixture vocabulary: "vector" and
 #: "hash" are mid-frequency, "join" near-ubiquitous — exercises the idf
 #: spread)
@@ -1406,6 +1446,9 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "doc_window_dups": doc_window_dups,
     "doc_segment_dups": doc_segment_dups,
+    "doc_longest_repeat": doc_longest_repeat,
+    "doc_repeat_coverage": doc_repeat_coverage,
+    "doc_suffix_dedup": doc_suffix_dedup,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_exact_dedup_incremental": doc_exact_dedup_incremental,
     "doc_packing": doc_packing,
@@ -1873,6 +1916,18 @@ ORACLE = {
     "doc_segment_dups": __import__("mini_data_platform_spark.operators.spans",
         fromlist=["sql_doc_segment_overlap"]).sql_doc_segment_overlap(
         _SQL_MUTATED, "doc_id", "text", 8, 4),
+    "doc_longest_repeat": __import__(
+        "mini_data_platform_spark.operators.suffixarray",
+        fromlist=["sql_longest_repeat"]).sql_longest_repeat(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 128),
+    "doc_repeat_coverage": __import__(
+        "mini_data_platform_spark.operators.suffixarray",
+        fromlist=["sql_repeated_span_coverage"]).sql_repeated_span_coverage(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 16),
+    "doc_suffix_dedup": __import__(
+        "mini_data_platform_spark.operators.suffixarray",
+        fromlist=["sql_suffix_span_dedup"]).sql_suffix_span_dedup(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", 16),
     # NOTE: the bm25 oracle bakes in constants derived from the sf0.01
     # fixture (the driver's correctness scale) — the integer counts come
     # from DuckDB, the ln() from Python's math.log, exactly as the Spark
