@@ -107,7 +107,11 @@ _ROUND8_WINDOW_FIRST = [
     # nation_top_customer_names ceded its slot to
     # doc_contamination_fuzzy (stable string_agg over untouched code,
     # r6 driver-green, re-verified exact-multiset this round)
-    "order_grouping_sets",
+    # order_grouping_sets ceded its slot to orders_interpolated_revenue
+    # (grouping-set machinery now also exercised in-window by the new
+    # suffix-array ROLLUP ladder queries; r6 driver-green, untouched by
+    # every r8 diff, re-verified exact-multiset this round)
+    "orders_interpolated_revenue",
     "cheapest_supplier_per_part", "orders_dq_report",
     "events_distinct_users", "events_user_stats_salted",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded

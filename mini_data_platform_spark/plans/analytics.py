@@ -750,6 +750,25 @@ def revenue_by_day_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_interpolated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority daily revenue RESAMPLED onto each priority's own
+    date grid with linear interpolation across the holes
+    (operators/timeseries.py) — the pandas resample().interpolate() /
+    TimescaleDB gapfill step, distributed. Orders are sparsified
+    (o_orderkey % 37) so most grid days are genuine gaps; the fill
+    arithmetic is per-row IEEE double on decimal-summed observations,
+    so the oracle hash-matches bit-exactly."""
+    from mini_data_platform_spark.operators.timeseries import resample_fill
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 37 == 0
+    )
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum(F.col("o_totalprice")).alias("rev"))
+    return resample_fill(daily, "o_orderpriority", "day", "rev", "linear")
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -967,6 +986,7 @@ QUERIES = {
     "events_json_value": events_json_value,
     "events_approx_users": events_approx_users,
     "revenue_by_day_dense": revenue_by_day_dense,
+    "orders_interpolated_revenue": orders_interpolated_revenue,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
@@ -1364,6 +1384,13 @@ ORACLE = {
                COALESCE(d.n, 0) AS n_orders
         FROM spine s LEFT JOIN daily d ON s.day = d.day
     """,
+    "orders_interpolated_revenue": __import__(
+        "mini_data_platform_spark.operators.timeseries",
+        fromlist=["sql_resample_fill"]).sql_resample_fill(
+        f"""SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                   {sql_dsum('o_totalprice')} AS rev
+            FROM orders WHERE o_orderkey % 37 = 0 GROUP BY 1, 2""",
+        "o_orderpriority", "day", "rev", "linear"),
     "errors_near_click": """
         WITH errors AS (
             SELECT user_id, event_id AS error_id,

@@ -300,9 +300,10 @@ def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's longest verbatim repeated token sequence
-    (operators/suffixarray.py): distributed prefix-doubling suffix
-    classes + binary search — O(n log L) shuffles of fixed-width longs
-    where the brute force the oracle runs is O(n·L) exploded grams.
+    (operators/suffixarray.py): distributed radix-8 prefix-tupling
+    suffix classes + a ladder of ROLLUP grouping-set passes — O(n log L)
+    shuffles of fixed-width longs where the brute force the oracle runs
+    is O(n·L) exploded grams.
     The fixture's generator plants long duplicated spans (93 tokens at
     sf0.01), so the answer is structural, not noise. One row:
     (repeat_len, n_grams, n_positions, top_gram)."""
