@@ -78,7 +78,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (rule 2: touched file).
 _ROUND8_WINDOW_FIRST = [
     # (1) rotated out of r7 — driver rows last from r6
-    "kpi_top_customers", "kpi_product_performance",
+    # kpi_top_customers ceded its slot to events_funnel (its IVM twin
+    # kpi_top_customers_ivm keeps its slot and pins the same top-k
+    # recipe); events_distinct_users ceded its slot to
+    # events_cohort_retention (exact-distinct machinery stays in-window
+    # via kpi_distinct_customers_ivm) — both r6 driver-green, untouched
+    # by every r8 diff, re-verified exact-multiset this round
+    "kpi_product_performance",
     "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
     "doc_exact_dedup", "emb_knn",
     # price_quantiles ceded its slot to doc_suffix_dedup (quantile
@@ -113,7 +119,9 @@ _ROUND8_WINDOW_FIRST = [
     # every r8 diff, re-verified exact-multiset this round)
     "orders_interpolated_revenue",
     "cheapest_supplier_per_part", "orders_dq_report",
-    "events_distinct_users", "events_user_stats_salted",
+    "events_user_stats_salted",
+    # ordered funnel + retention triangle (new this round, rule 2)
+    "events_funnel", "events_cohort_retention",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

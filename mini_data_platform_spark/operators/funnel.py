@@ -1,0 +1,197 @@
+"""Behavioral analytics: ordered conversion funnels and cohort
+retention.
+
+Product-analytics engines (Amplitude/Mixpanel-class) are built on two
+queries every event table eventually needs:
+
+- FUNNEL: of the users who did step 1, how many went on to do step 2
+  STRICTLY AFTER it, then step 3 after that, … (the greedy
+  earliest-completion semantics: each step matches at its earliest
+  occurrence after the previous step's match — the standard funnel
+  definition, and an order-sensitive pattern a bare GROUP BY cannot
+  see).
+- COHORT RETENTION: group users by their first-activity day, then for
+  each (cohort, days-since-first) cell count how many were active —
+  the retention triangle.
+
+Spark shape — per-user aggregates only, no window over everything:
+- funnel: step 0 is one groupBy(user).min(ts); step i is a join of the
+  step-(i-1) completion times onto the step-i events (shuffle keyed by
+  user both sides) + another min. k steps = k joins — k is 3-5 in
+  practice, and every shuffle is (user, ts) pairs. The k per-step
+  counts union into a k-row result; the conversion ratio divides by
+  the step-0 count via a window over those k rows (k rows, not data).
+- retention: distinct (user, day) activity → min day per user → one
+  join + one groupBy (cohort, offset). Day arithmetic is integer
+  epoch-day (`div` on unix microseconds), never calendar/timezone
+  functions, so results are session-timezone-proof and the DuckDB
+  oracle matches bit-for-bit.
+
+All time math in unix microseconds (exact integers — the
+events_sessionize doctrine, plans/analytics.py).
+
+No reference-repo counterpart (see SURVEY.md §2.8 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+US_PER_DAY = 86_400_000_000
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel counts: one row per step — (step_idx, step,
+    users, conversion) where ``users`` counts users whose earliest
+    greedy completion chain reaches the step (each step strictly after
+    the previous completion) and ``conversion`` = users / step-0
+    users."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(type_col).alias("_y"),
+    )
+    completions = []
+    cur = (
+        ev.where(F.col("_y") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_t").alias("_done"))
+    )
+    completions.append(cur)
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col("_y") == step)
+            .join(cur.select("_u", F.col("_done").alias("_prev")), "_u")
+            .where(F.col("_t") > F.col("_prev"))
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_done"))
+        )
+        completions.append(nxt)
+        cur = nxt
+    rows = None
+    for i, (step, frame) in enumerate(zip(steps, completions)):
+        one = frame.agg(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    # k-row frame: the whole-frame window is over `len(steps)` rows,
+    # not data — constant-attach of the step-0 denominator
+    w_all = Window.partitionBy()
+    base = F.max(F.when(F.col("step_idx") == 0, F.col("users"))).over(w_all)
+    return rows.select(
+        "step_idx",
+        "step",
+        "users",
+        (F.col("users") / base).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Retention triangle: (cohort_day, day_offset, active_users,
+    cohort_size, retention) — cohort_day is the user's first active
+    epoch-day (integer days since 1970-01-01 UTC), day_offset the
+    integer day distance, active_users the distinct users of that
+    cohort active at that offset, retention = active / cohort size.
+    Every cohort emits its offset-0 row, so cohort_size is also
+    readable off the diagonal."""
+    act = df.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"unix_micros({ts_col}) div {US_PER_DAY}").alias("_day"),
+    ).distinct()
+    first = act.groupBy("_u").agg(F.min("_day").alias("_cohort"))
+    sizes = first.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        act.join(first, "_u")
+        .groupBy(
+            F.col("_cohort"),
+            (F.col("_day") - F.col("_cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return cells.join(sizes, "_cohort").select(
+        F.col("_cohort").alias("cohort_day"),
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+def sql_funnel_steps(
+    src: str, user_col: str, ts_col: str, type_col: str, steps: list[str]
+) -> str:
+    """ANSI/DuckDB equivalent of :func:`funnel_steps` (nested greedy
+    min-after-previous CTE chain)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ctes = [
+        f"""ev AS (
+            SELECT {user_col} AS u,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) AS t,
+                   {type_col} AS y
+            FROM ({src})
+        )""",
+        f"""s0 AS (
+            SELECT u, min(t) AS done FROM ev
+            WHERE y = '{steps[0]}' GROUP BY u
+        )""",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"""s{i} AS (
+            SELECT ev.u, min(ev.t) AS done
+            FROM ev JOIN s{i - 1} ON ev.u = s{i - 1}.u AND ev.t > s{i - 1}.done
+            WHERE ev.y = '{step}' GROUP BY ev.u
+        )"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step, count(*) AS users FROM s{i}"
+        for i, s in enumerate(steps)
+    )
+    ctes.append(f"counts AS (\n{unions}\n)")
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT step_idx, step, CAST(users AS BIGINT) AS users,
+               users / (SELECT users FROM counts WHERE step_idx = 0)
+                   AS conversion
+        FROM counts
+    """
+
+
+def sql_cohort_retention(src: str, user_col: str, ts_col: str) -> str:
+    """ANSI/DuckDB equivalent of :func:`cohort_retention`."""
+    return f"""
+        WITH act AS (
+            SELECT DISTINCT {user_col} AS u,
+                   epoch_us(CAST({ts_col} AS TIMESTAMP)) // {US_PER_DAY} AS day
+            FROM ({src})
+        ),
+        first AS (SELECT u, min(day) AS cohort FROM act GROUP BY u),
+        sizes AS (
+            SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort
+        ),
+        cells AS (
+            SELECT first.cohort, act.day - first.cohort AS day_offset,
+                   count(*) AS active_users
+            FROM act JOIN first ON act.u = first.u
+            GROUP BY 1, 2
+        )
+        SELECT CAST(cells.cohort AS BIGINT) AS cohort_day,
+               CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(active_users AS BIGINT) AS active_users,
+               CAST(cohort_size AS BIGINT) AS cohort_size,
+               active_users / cohort_size AS retention
+        FROM cells JOIN sizes ON cells.cohort = sizes.cohort
+    """

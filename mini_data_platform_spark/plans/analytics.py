@@ -769,6 +769,31 @@ def orders_interpolated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_fill(daily, "o_orderpriority", "day", "rev", "linear")
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase
+    (operators/funnel.py): users counted at each step only if it
+    happened STRICTLY AFTER their greedy completion of the previous
+    step — the order-sensitive product-analytics query a bare GROUP BY
+    cannot express. Three (user, ts) shuffles, one 3-row result."""
+    from mini_data_platform_spark.operators.funnel import funnel_steps
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle (operators/funnel.py): users grouped by
+    first-active epoch-day, distinct-active counts per (cohort,
+    days-since-first) cell. Integer epoch-day arithmetic end to end —
+    timezone-proof, oracle-exact."""
+    from mini_data_platform_spark.operators.funnel import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts")
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -987,6 +1012,8 @@ QUERIES = {
     "events_approx_users": events_approx_users,
     "revenue_by_day_dense": revenue_by_day_dense,
     "orders_interpolated_revenue": orders_interpolated_revenue,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
     "lineitem_bloom_semijoin": lineitem_bloom_semijoin,
@@ -1391,6 +1418,15 @@ ORACLE = {
                    {sql_dsum('o_totalprice')} AS rev
             FROM orders WHERE o_orderkey % 37 = 0 GROUP BY 1, 2""",
         "o_orderpriority", "day", "rev", "linear"),
+    "events_funnel": __import__(
+        "mini_data_platform_spark.operators.funnel",
+        fromlist=["sql_funnel_steps"]).sql_funnel_steps(
+        "SELECT user_id, ts, event_type FROM events",
+        "user_id", "ts", "event_type", ["view", "click", "purchase"]),
+    "events_cohort_retention": __import__(
+        "mini_data_platform_spark.operators.funnel",
+        fromlist=["sql_cohort_retention"]).sql_cohort_retention(
+        "SELECT user_id, ts FROM events", "user_id", "ts"),
     "errors_near_click": """
         WITH errors AS (
             SELECT user_id, event_id AS error_id,
