@@ -85,7 +85,12 @@ _ROUND8_WINDOW_FIRST = [
     # via kpi_distinct_customers_ivm) — both r6 driver-green, untouched
     # by every r8 diff, re-verified exact-multiset this round
     "kpi_product_performance",
-    "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
+    # kpi_failed_events_trend ceded its slot to partsupp_pagerank
+    # (events aggregation machinery stays in-window via events_funnel /
+    # events_cohort_retention / events_user_stats_salted; r6
+    # driver-green, untouched by every r8 diff, re-verified
+    # exact-multiset this round)
+    "kpi_rolling_7d_revenue",
     "doc_exact_dedup", "emb_knn",
     # price_quantiles ceded its slot to doc_suffix_dedup (quantile
     # machinery stays in-window via kpi_price_quantiles_ivm, which
@@ -120,8 +125,9 @@ _ROUND8_WINDOW_FIRST = [
     "orders_interpolated_revenue",
     "cheapest_supplier_per_part", "orders_dq_report",
     "events_user_stats_salted",
-    # ordered funnel + retention triangle (new this round, rule 2)
-    "events_funnel", "events_cohort_retention",
+    # ordered funnel + retention triangle + oracle-exact fixed-point
+    # PageRank (new this round, rule 2)
+    "events_funnel", "events_cohort_retention", "partsupp_pagerank",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

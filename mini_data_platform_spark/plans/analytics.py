@@ -794,6 +794,25 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(events, "user_id", "ts")
 
 
+def partsupp_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the part↔supplier bipartite graph
+    (operators/pagerank.py): integer mass units + floor division make
+    the iterative algorithm bit-deterministic, so 6 unrolled power
+    iterations hash-match a chained-CTE DuckDB oracle EXACTLY — the
+    oracle class (iterative graph algorithms) float PageRank can never
+    join. Centrality reads as "widely-sourced parts / broadly-stocked
+    suppliers". Graph build is one scan + distinct; supplier ids are
+    offset by 1e9 so the two node families never collide."""
+    from mini_data_platform_spark.operators.pagerank import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(1_000_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    ).distinct()
+    return pagerank_fixed(edges, "src", "dst", iterations=6)
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -1013,6 +1032,7 @@ QUERIES = {
     "revenue_by_day_dense": revenue_by_day_dense,
     "orders_interpolated_revenue": orders_interpolated_revenue,
     "events_funnel": events_funnel,
+    "partsupp_pagerank": partsupp_pagerank,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
@@ -1418,6 +1438,14 @@ ORACLE = {
                    {sql_dsum('o_totalprice')} AS rev
             FROM orders WHERE o_orderkey % 37 = 0 GROUP BY 1, 2""",
         "o_orderpriority", "day", "rev", "linear"),
+    # iterative graph centrality, oracle-EXACT: integer fixed-point
+    # arithmetic makes the unrolled power iterations bit-deterministic
+    "partsupp_pagerank": __import__(
+        "mini_data_platform_spark.operators.pagerank",
+        fromlist=["sql_pagerank_fixed"]).sql_pagerank_fixed(
+        """SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  1000000000 + CAST(l_suppkey AS BIGINT) AS dst
+           FROM lineitem""", "src", "dst", 6),
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
         fromlist=["sql_funnel_steps"]).sql_funnel_steps(
