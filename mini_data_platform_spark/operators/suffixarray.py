@@ -147,10 +147,14 @@ def suffix_classes(
     ids (min over the class), so equality is exact — no hashing
     anywhere.
 
-    Returned persisted and hash-partitioned by document id (the
-    per-document ``lead`` windows of every downstream probe then reuse
-    the partitioning instead of re-shuffling). Caller releases via
-    ``release_plan``."""
+    Returned persisted, hash-partitioned by document id and sorted by
+    (id, pos) — balanced, ordered cache partitions. NOTE: under AQE,
+    Spark reports a cached adaptive plan's output partitioning as
+    unknown, so downstream per-document windows still insert one
+    re-exchange of this fixed-width table per probe (sub-second next
+    to the construction the cache avoids re-running); the plan gate in
+    tests/test_plan_quality.py pins exactly that shape. Caller
+    releases via ``release_plan``."""
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
     spark = df.sparkSession

@@ -415,3 +415,85 @@ class TestQuantileViewPlan:
         # (same partition key); total shuffles: segment merge + window
         assert plan.count("Window") <= 2
         assert count_exchanges(out) <= 2
+
+
+class TestSuffixArrayPlan:
+    def test_all_jvm_no_cartesian(self, spark):
+        from mini_data_platform_spark.operators.resources import release_plan
+        from mini_data_platform_spark.operators.suffixarray import (
+            repeated_span_coverage,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        df = repeated_span_coverage(docs, "doc_id", "text", min_len=8)
+        plan = explain_str(df, "formatted")
+        assert not uses_python_eval(df)
+        release_plan(df)
+        assert "CartesianProduct" not in plan
+
+    def test_probe_reads_cache_with_one_exchange(self, spark):
+        # probes must consume the persisted class table (never re-run
+        # construction) and pay at most ONE exchange above the cache
+        # scan — the per-document window re-shuffle that AQE-cached
+        # plans force (cached adaptive plans advertise no partitioning)
+        from mini_data_platform_spark.operators.resources import release_plan
+        from mini_data_platform_spark.operators.suffixarray import (
+            _length_key,
+            suffix_classes,
+        )
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        cls = suffix_classes(docs, "doc_id", "text", 16)
+        keys = _length_key(cls, "doc_id", 16)
+        probe = cls.select(
+            F.col("rem"), *[k.alias(f"_k{i}") for i, k in enumerate(keys)]
+        ).where(F.col("rem") >= 16)
+        plan = explain_str(probe, "formatted")
+        release_plan(cls)
+        assert "InMemoryTableScan" in plan
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert above_cache.count("Exchange (") <= 1
+
+
+class TestTimeseriesPlan:
+    def test_grid_never_cross_joins(self, spark):
+        from mini_data_platform_spark.plans.analytics import (
+            orders_interpolated_revenue,
+        )
+
+        df = orders_interpolated_revenue(spark, SF)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan
+        assert not uses_python_eval(df)
+
+
+class TestFunnelPlan:
+    def test_funnel_pushes_step_filters_to_scan(self, spark):
+        from mini_data_platform_spark.plans.analytics import events_funnel
+
+        df = events_funnel(spark, SF)
+        plan = explain_str(df, "formatted")
+        # each step's event_type filter must reach the parquet scan
+        assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+        assert not uses_python_eval(df)
+
+
+class TestPagerankPlan:
+    def test_rounds_stay_jvm_and_bounded(self, spark):
+        from mini_data_platform_spark.operators.pagerank import pagerank_fixed
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        edges = load_table(spark, SF, "lineitem").select(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        ).distinct()
+        df = pagerank_fixed(edges, "src", "dst", iterations=3)
+        plan = explain_str(df, "formatted")
+        assert not uses_python_eval(df)
+        release_plan(df)
+        assert "CartesianProduct" not in plan
+        # per-round checkpoints cut lineage: the final plan must read
+        # the previous rank vector from a checkpointed RDD and contain
+        # only the LAST round's update expression, not a 3-round chain
+        assert "ExistingRDD" in plan
+        assert plan.count("div (100") <= 2
