@@ -84,7 +84,11 @@ _ROUND8_WINDOW_FIRST = [
     # events_cohort_retention (exact-distinct machinery stays in-window
     # via kpi_distinct_customers_ivm) — both r6 driver-green, untouched
     # by every r8 diff, re-verified exact-multiset this round
-    "kpi_product_performance",
+    # kpi_product_performance ceded its slot to orders_price_outliers
+    # (argmax/top-k join machinery stays in-window via
+    # cheapest_supplier_per_part and kpi_top_customers_ivm; r6
+    # driver-green, untouched by every r8 diff, re-verified
+    # exact-multiset this round)
     # kpi_failed_events_trend ceded its slot to partsupp_pagerank
     # (events aggregation machinery stays in-window via events_funnel /
     # events_cohort_retention / events_user_stats_salted; r6
@@ -128,6 +132,8 @@ _ROUND8_WINDOW_FIRST = [
     # ordered funnel + retention triangle + oracle-exact fixed-point
     # PageRank (new this round, rule 2)
     "events_funnel", "events_cohort_retention", "partsupp_pagerank",
+    # Tukey-fence robust outlier profile (new this round, rule 2)
+    "orders_price_outliers",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

@@ -813,6 +813,43 @@ def partsupp_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, "src", "dst", iterations=6)
 
 
+def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Tukey-fence) outlier profile per order priority: exact
+    quartiles of o_totalprice, then rows outside [q1 - 1.5·IQR,
+    q3 + 1.5·IQR] counted in a second pass — the standard
+    distribution-free data-quality fence (z-scores assume normality;
+    order stats don't). Two aggregates + one broadcast join of the
+    5-row fence table; fence arithmetic is the same IEEE double
+    expression on both engines, so boundary comparisons agree
+    bit-exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    fences = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.percentile(price, F.lit(0.25)).alias("q1"),
+        F.percentile(price, F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    flagged = orders.select(
+        F.col("o_orderpriority").alias("priority"), price.alias("_p")
+    ).join(F.broadcast(fences), "priority")
+    return flagged.groupBy("priority", "q1", "q3").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("_p") < lo) | (F.col("_p") > hi), 1).otherwise(0)
+        ).alias("n_outliers"),
+    ).select(
+        "priority",
+        "q1",
+        "q3",
+        "n_rows",
+        "n_outliers",
+        (F.col("n_outliers") / F.col("n_rows")).alias("outlier_frac"),
+    )
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -1033,6 +1070,7 @@ QUERIES = {
     "orders_interpolated_revenue": orders_interpolated_revenue,
     "events_funnel": events_funnel,
     "partsupp_pagerank": partsupp_pagerank,
+    "orders_price_outliers": orders_price_outliers,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
@@ -1446,6 +1484,28 @@ ORACLE = {
         """SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
                   1000000000 + CAST(l_suppkey AS BIGINT) AS dst
            FROM lineitem""", "src", "dst", 6),
+    "orders_price_outliers": """
+        WITH f AS (
+            SELECT o_orderpriority AS priority,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+            FROM orders GROUP BY 1
+        ),
+        agg AS (
+            SELECT o.o_orderpriority AS priority, f.q1, f.q3,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE)
+                                      < f.q1 - 1.5 * (f.q3 - f.q1)
+                                   OR CAST(o.o_totalprice AS DOUBLE)
+                                      > f.q3 + 1.5 * (f.q3 - f.q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM orders o JOIN f ON f.priority = o.o_orderpriority
+            GROUP BY 1, 2, 3
+        )
+        SELECT priority, q1, q3, n_rows, n_outliers,
+               n_outliers / n_rows AS outlier_frac
+        FROM agg
+    """,
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
         fromlist=["sql_funnel_steps"]).sql_funnel_steps(
