@@ -95,7 +95,14 @@ _ROUND8_WINDOW_FIRST = [
     # driver-green, untouched by every r8 diff, re-verified
     # exact-multiset this round)
     "kpi_rolling_7d_revenue",
-    "doc_exact_dedup", "emb_knn",
+    # doc_exact_dedup ceded its slot to orders_merge_view_serve (its
+    # twins doc_exact_dedup_incremental + doc_exact_dedup_serve are
+    # BOTH in-window, exercising the same sha2 dedup machinery);
+    # emb_knn ceded its slot to orders_join_view_serve (the in-window
+    # ANN family emb_ann_ivf_trained / emb_ann_sq8 / emb_ann_pq /
+    # emb_ann_ivfpq all verify against the same cosine machinery) —
+    # both r6/r7 driver-green, untouched by every r8 diff, re-verified
+    # exact-multiset this round
     # price_quantiles ceded its slot to doc_suffix_dedup (quantile
     # machinery stays in-window via kpi_price_quantiles_ivm, which
     # embeds the same percentile recipe; r6 driver-green, untouched by
@@ -132,8 +139,10 @@ _ROUND8_WINDOW_FIRST = [
     # ordered funnel + retention triangle + oracle-exact fixed-point
     # PageRank (new this round, rule 2)
     "events_funnel", "events_cohort_retention", "partsupp_pagerank",
-    # Tukey-fence robust outlier profile (new this round, rule 2)
-    "orders_price_outliers",
+    # Tukey-fence robust outlier profile + the view serving twins
+    # (new this round, rule 2)
+    "orders_price_outliers", "orders_merge_view_serve",
+    "orders_join_view_serve",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

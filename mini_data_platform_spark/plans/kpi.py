@@ -382,30 +382,15 @@ def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_read(spark, table_dir)
 
 
-def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full lakehouse CDC chain as ONE query: the keyed merge table
-    receives the same five change batches as ``orders_merge_table``, and
-    TWO maintained views are kept current PURELY from the table's Z-set
-    change feed (``table_changes_zset`` — displaced pre-images as -1,
-    post-images as +1), never from the table state: a plain aggregate
-    view (revenue + order count by status) and a retractable-min/max
-    SUPPORT view (``ivm.minmax_view_build`` — the multiplicity-per-value
-    state that lets deletes move the extremum, which plain min/max
-    measures must refuse). Updates and deletes thus retract exactly:
-    the doubled-price wave retracts the old price and adds the new, the
-    delete wave retracts its rows — including current minima/maxima —
-    and the served join hash-matches a plain GROUP BY (sum, count, MIN,
-    MAX) over the table's FINAL state — the end-to-end correctness
-    contract of the table→view pipeline.
-
-    Scale: each view refresh costs O(changed keys' log rows) for the
-    pre/post-image resolve plus an O(delta) segment append — no fact
-    rescan, no view rewrite; the table and view stay independently
-    compactable."""
-    import atexit
+def _build_merge_view_artifacts(spark, sf_dir: str, root: str) -> None:
+    """Offline build shared by the merge-view PROOF (per-invocation
+    scratch root) and its SERVE twin (cached root): the keyed table
+    receives the five change waves, and the two maintained views (plain
+    aggregate + retractable-min/max support) are seeded from epoch 1
+    and caught up PURELY from the table's Z-set change feed. Writes an
+    explicit ``_COMPLETE`` marker last (multi-store artifact — no
+    single meta.json can prove completeness)."""
     import os
-    import shutil
-    import tempfile
 
     from mini_data_platform_spark.operators.mergetable import (
         table_changes_zset,
@@ -413,26 +398,15 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mini_data_platform_spark.operators.ivm import (
         minmax_view_build,
-        minmax_view_read,
         view_apply_changes,
         view_build,
-        view_read,
     )
     from mini_data_platform_spark.operators.resources import release_plan
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"mdp_mergeview_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     tdir = os.path.join(root, "table")
     vdir = os.path.join(root, "view")
-    _build_orders_merge_table(spark, sf_dir, tdir)
-    # the views never see the table: seeded from the first batch's
-    # state, then maintained from the change feed alone. The second
-    # view is the retractable-min/max support multiset — the measure
-    # class plain views must refuse changes on (ivm.minmax_view_build).
     mdir = os.path.join(root, "minmax")
+    _build_orders_merge_table(spark, sf_dir, tdir)
     seed = table_read(spark, tdir, as_of=1)
     view_build(
         seed,
@@ -451,41 +425,92 @@ def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         view_apply_changes(zset, mdir)
         zset.unpersist(False)
         release_plan(zset)
-    mm = minmax_view_read(spark, mdir).select(
+    with open(os.path.join(root, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+
+
+def _read_merge_view_artifacts(spark, root: str) -> DataFrame:
+    import os
+
+    from mini_data_platform_spark.operators.ivm import (
+        minmax_view_read,
+        view_read,
+    )
+
+    mm = minmax_view_read(spark, os.path.join(root, "minmax")).select(
         "o_orderstatus",
         F.col("min_o_totalprice").alias("min_price"),
         F.col("max_o_totalprice").alias("max_price"),
     )
-    return view_read(spark, vdir).join(
+    return view_read(spark, os.path.join(root, "view")).join(
         F.broadcast(mm), "o_orderstatus"
     )
 
 
-def orders_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maintained JOIN view (operators/joinview.py): revenue by market
-    segment over ``orders ⋈ customer``, where BOTH sides are keyed merge
-    tables receiving interleaved change waves and the view is caught up
-    by four refreshes at different points of the history — never by a
-    join recompute. Orders replay the shared five-wave history
-    (``_orders_wave_frames``); customers arrive in three waves: the
-    even custkeys, the odd custkeys, then a promotion UPDATE that moves
-    every %5==0 customer to segment 'PROMOTED' (so the view must
-    retract that customer's revenue from the old segment and re-add it
-    under the new one — the bilinear cross-term path). The oracle is a
-    plain GROUP BY over both tables' FINAL states: the view must equal
-    it whatever the refresh cadence — the join-IVM contract.
+def orders_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse CDC chain as ONE query — the equivalence
+    PROOF: the keyed merge table receives the same five change batches
+    as ``orders_merge_table``, and TWO maintained views are kept
+    current PURELY from the table's Z-set change feed
+    (``table_changes_zset`` — displaced pre-images as -1, post-images
+    as +1), never from the table state: a plain aggregate view
+    (revenue + order count by status) and a retractable-min/max
+    SUPPORT view (``ivm.minmax_view_build`` — the multiplicity-per-
+    value state that lets deletes move the extremum, which plain
+    min/max measures must refuse). Updates and deletes thus retract
+    exactly, and the served join hash-matches a plain GROUP BY (sum,
+    count, MIN, MAX) over the table's FINAL state — the end-to-end
+    correctness contract of the table→view pipeline. Construction is
+    paid IN-QUERY by design; ``orders_merge_view_serve`` measures the
+    read-only serving shape.
 
-    Scale: each refresh computes ``dA ⋈ B₀ ∪ A₁ ⋈ dB`` with the
-    snapshot sides candidate-bounded to the delta's join-key values
-    (customer side via table_lookup's IN-literal pushdown; orders side
-    via a guarded-broadcast semi-join) — O(delta + candidate log rows)
-    per refresh, never a base-table rescan."""
+    Scale: each view refresh costs O(changed keys' log rows) for the
+    pre/post-image resolve plus an O(delta) segment append — no fact
+    rescan, no view rewrite; the table and view stay independently
+    compactable."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    from mini_data_platform_spark.operators.ivm import view_read
+    root = os.path.join(
+        tempfile.gettempdir(), f"mdp_mergeview_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _build_merge_view_artifacts(spark, sf_dir, root)
+    return _read_merge_view_artifacts(spark, root)
+
+
+def orders_merge_view_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of the maintained merge-table views (the
+    round-7 item-4 doctrine applied to the round-8 view chain):
+    ``orders_merge_view`` is the equivalence proof and pays table+view
+    construction in-query; this query reads a PREBUILT artifact —
+    ``view_read``'s merge-on-read resolve over the view segment log
+    plus the minmax support serve — which is what a dashboard actually
+    hits. Built once per fixture via plans/_serving.py (race-safe
+    atomic publish), same oracle as the proof."""
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    root = cached_artifact(
+        sf_dir,
+        "mergeview",
+        lambda d: _build_merge_view_artifacts(spark, sf_dir, d),
+        fixture="orders.parquet",
+        marker="_COMPLETE",
+    )
+    return _read_merge_view_artifacts(spark, root)
+
+
+def _build_join_view_artifacts(spark, sf_dir: str, root: str) -> None:
+    """Offline build shared by the join-view PROOF and its SERVE twin:
+    two keyed merge tables (orders: the shared five-wave history;
+    customers: evens, odds, then the %5==0 'PROMOTED' update) with the
+    maintained join view caught up by four refreshes at different
+    points of the interleaved history — never by a join recompute."""
+    import os
+
     from mini_data_platform_spark.operators.joinview import (
         join_view_build,
         join_view_refresh,
@@ -495,11 +520,6 @@ def orders_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_build,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"mdp_joinview_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     odir = os.path.join(root, "orders")
     cdir = os.path.join(root, "customer")
     vdir = os.path.join(root, "view")
@@ -535,7 +555,61 @@ def orders_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_view_refresh(spark, vdir)  # (2,2) -> (4,3)
     table_apply(waves[4], odir)
     join_view_refresh(spark, vdir)  # (4,3) -> (5,3): one-sided
-    return view_read(spark, vdir)
+    with open(os.path.join(root, "_COMPLETE"), "w") as fh:
+        fh.write("ok")
+
+
+def orders_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained JOIN view (operators/joinview.py) — the equivalence
+    PROOF: revenue by market segment over ``orders ⋈ customer``, where
+    BOTH sides are keyed merge tables receiving interleaved change
+    waves and the view is caught up by four refreshes at different
+    points of the history — never by a join recompute. The oracle is a
+    plain GROUP BY over both tables' FINAL states: the view must equal
+    it whatever the refresh cadence — the join-IVM contract.
+    Construction is paid IN-QUERY by design; ``orders_join_view_serve``
+    measures the read-only serving shape.
+
+    Scale: each refresh computes ``dA ⋈ B₀ ∪ A₁ ⋈ dB`` with the
+    snapshot sides candidate-bounded to the delta's join-key values
+    (customer side via table_lookup's IN-literal pushdown; orders side
+    via a guarded-broadcast semi-join) — O(delta + candidate log rows)
+    per refresh, never a base-table rescan."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mini_data_platform_spark.operators.ivm import view_read
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"mdp_joinview_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    _build_join_view_artifacts(spark, sf_dir, root)
+    return view_read(spark, os.path.join(root, "view"))
+
+
+def orders_join_view_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of the maintained join view: a read-only
+    ``view_read`` (merge-on-read resolve over the view's segment log)
+    against a PREBUILT two-table + view artifact — the dashboard hit,
+    with construction amortized offline (plans/_serving.py, race-safe
+    atomic publish). Same oracle as the proof."""
+    import os
+
+    from mini_data_platform_spark.operators.ivm import view_read
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    root = cached_artifact(
+        sf_dir,
+        "joinview",
+        lambda d: _build_join_view_artifacts(spark, sf_dir, d),
+        fixture="orders.parquet",
+        marker="_COMPLETE",
+    )
+    return view_read(spark, os.path.join(root, "view"))
 
 
 def orders_scd2_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,7 +693,9 @@ QUERIES = {
     "kpi_distinct_customers_ivm": distinct_customers_ivm,
     "orders_merge_table": orders_merge_table,
     "orders_merge_view": orders_merge_view,
+    "orders_merge_view_serve": orders_merge_view_serve,
     "orders_join_view": orders_join_view,
+    "orders_join_view_serve": orders_join_view_serve,
     "orders_scd2_revenue": orders_scd2_revenue,
 }
 
@@ -791,11 +867,48 @@ ORACLE = {
                MAX(o_totalprice) AS max_price
         FROM final GROUP BY 1
     """,
+    "orders_merge_view_serve": f"""
+        WITH final AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 6 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 9 <> 0
+        )
+        SELECT o_orderstatus,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM final GROUP BY 1
+    """,
     # the maintained JOIN view must equal a plain GROUP BY over the
     # join of both tables' FINAL states, whatever the refresh cadence —
     # the join-IVM contract. Orders' final state is the shared
     # five-wave restatement; customers' is the promotion CASE.
     "orders_join_view": f"""
+        WITH final_orders AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 9 <> 0
+        ),
+        final_cust AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'PROMOTED'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM final_orders JOIN final_cust ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "orders_join_view_serve": f"""
         WITH final_orders AS (
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2

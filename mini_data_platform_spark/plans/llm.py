@@ -533,40 +533,12 @@ def doc_neardup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cached_index(
     sf_dir: str, params: str, build, fixture: str = "documents.parquet"
 ) -> str:
-    """Disk-cached index for the serving-shaped queries: built once per
-    (fixture identity, params) under a temp path and reused across
-    invocations/processes. RACE-SAFE: the build lands in a unique temp
-    dir and is published with one atomic ``os.rename``; a concurrent
-    builder that loses the race discards its copy and uses the winner's
-    (the build is deterministic, so the copies are interchangeable)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    """Disk-cached index for the serving-shaped queries — the shared
+    race-safe build-once helper (plans/_serving.py); an index is
+    complete when its ``meta.json`` exists."""
+    from mini_data_platform_spark.plans._serving import cached_artifact
 
-    st = os.stat(os.path.join(sf_dir, fixture))
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{params}|"
-        f"{st.st_mtime_ns}|{st.st_size}|v1".encode()
-    ).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"mdp_serveidx_{key}")
-    if os.path.exists(os.path.join(index_dir, "meta.json")):
-        return index_dir
-    staging = f"{index_dir}.build-{uuid.uuid4().hex[:8]}"
-    build(staging)
-    try:
-        os.rename(staging, index_dir)
-    except OSError:
-        # lost the publish race (or a half-built dir squats the target
-        # path from a crashed pre-v1 run): keep the existing winner if
-        # it is complete, else replace it
-        if not os.path.exists(os.path.join(index_dir, "meta.json")):
-            shutil.rmtree(index_dir, ignore_errors=True)
-            os.rename(staging, index_dir)
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
-    return index_dir
+    return cached_artifact(sf_dir, params, build, fixture, "meta.json")
 
 
 def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
