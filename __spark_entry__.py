@@ -94,7 +94,14 @@ _ROUND8_WINDOW_FIRST = [
     # events_cohort_retention / events_user_stats_salted; r6
     # driver-green, untouched by every r8 diff, re-verified
     # exact-multiset this round)
-    "kpi_rolling_7d_revenue",
+    # kpi_rolling_7d_revenue ceded its slot to
+    # customer_spend_distribution (frame/rank window machinery stays
+    # in-window via orders_interpolated_revenue's bounded window passes
+    # and the new distribution ranks); cheapest_supplier_per_part ceded
+    # its slot to customer_segment_impute (the same
+    # row_number-argmin-per-group machinery, now with the
+    # deterministic-mode tie-break) — both r6 driver-green, untouched
+    # by every r8 diff, re-verified exact-multiset this round
     # doc_exact_dedup ceded its slot to orders_merge_view_serve (its
     # twins doc_exact_dedup_incremental + doc_exact_dedup_serve are
     # BOTH in-window, exercising the same sha2 dedup machinery);
@@ -134,7 +141,7 @@ _ROUND8_WINDOW_FIRST = [
     # suffix-array ROLLUP ladder queries; r6 driver-green, untouched by
     # every r8 diff, re-verified exact-multiset this round)
     "orders_interpolated_revenue",
-    "cheapest_supplier_per_part", "orders_dq_report",
+    "orders_dq_report",
     "events_user_stats_salted",
     # ordered funnel + retention triangle + oracle-exact fixed-point
     # PageRank (new this round, rule 2)
@@ -142,7 +149,8 @@ _ROUND8_WINDOW_FIRST = [
     # Tukey-fence robust outlier profile + the view serving twins
     # (new this round, rule 2)
     "orders_price_outliers", "orders_merge_view_serve",
-    "orders_join_view_serve",
+    "orders_join_view_serve", "customer_spend_distribution",
+    "customer_segment_impute",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

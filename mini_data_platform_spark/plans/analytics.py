@@ -813,6 +813,66 @@ def partsupp_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, "src", "dst", iterations=6)
 
 
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's position in the spend distribution:
+    percent_rank, cume_dist, and decile over total revenue — the
+    remaining rank-window family members (rank/dense_rank/ntile/lag
+    live in other queries). One aggregate + one window pass; revenue is
+    decimal-summed (the _parity.py doctrine) so the ordering key, and
+    hence every rank, is engine-identical. Ties: revenue then
+    c_custkey, making the window order total and the ranks exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("revenue", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+def customer_segment_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode imputation — the categorical data-repair step: market
+    segments are nulled for every c_custkey % 7 == 0 (the injected-gap
+    pattern the dedup fixtures use), then repaired with the per-nation
+    MODE of the surviving values under a DETERMINISTIC tie-break
+    (highest count, then lexicographically smallest segment — bare
+    mode() is tie-unstable in every engine, so the tie-break is the
+    operator). Two aggregates + one broadcast join of the 25-row mode
+    table; null-free nations would fall back to null (surfaced, not
+    invented)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    counts = (
+        cust.where(F.col("segment").isNotNull())
+        .groupBy("c_nationkey", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("segment").asc()
+    )
+    modes = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("c_nationkey", F.col("segment").alias("mode_segment"))
+    )
+    return cust.join(F.broadcast(modes), "c_nationkey", "left").select(
+        "c_custkey",
+        "c_nationkey",
+        F.coalesce("segment", "mode_segment").alias("segment"),
+        F.when(F.col("segment").isNull(), 1).otherwise(0).alias("imputed"),
+    )
+
+
 def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (Tukey-fence) outlier profile per order priority: exact
     quartiles of o_totalprice, then rows outside [q1 - 1.5·IQR,
@@ -1071,6 +1131,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "partsupp_pagerank": partsupp_pagerank,
     "orders_price_outliers": orders_price_outliers,
+    "customer_spend_distribution": customer_spend_distribution,
+    "customer_segment_impute": customer_segment_impute,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
     "errors_near_click": errors_near_click,
@@ -1505,6 +1567,44 @@ ORACLE = {
         SELECT priority, q1, q3, n_rows, n_outliers,
                n_outliers / n_rows AS outlier_frac
         FROM agg
+    """,
+    "customer_spend_distribution": f"""
+        WITH spend AS (
+            SELECT o_custkey AS c_custkey,
+                   {sql_dsum('o_totalprice')} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT c_custkey, revenue,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               ntile(10) OVER w AS decile
+        FROM spend
+        WINDOW w AS (ORDER BY revenue, c_custkey)
+    """,
+    "customer_segment_impute": """
+        WITH cust AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_mktsegment END AS segment
+            FROM customer
+        ),
+        counts AS (
+            SELECT c_nationkey, segment, count(*) AS n
+            FROM cust WHERE segment IS NOT NULL GROUP BY 1, 2
+        ),
+        modes AS (
+            SELECT c_nationkey, segment AS mode_segment
+            FROM (SELECT c_nationkey, segment, n,
+                         row_number() OVER (PARTITION BY c_nationkey
+                                            ORDER BY n DESC, segment ASC)
+                             AS rk
+                  FROM counts)
+            WHERE rk = 1
+        )
+        SELECT c_custkey, cust.c_nationkey,
+               coalesce(segment, mode_segment) AS segment,
+               CASE WHEN segment IS NULL THEN 1 ELSE 0 END AS imputed
+        FROM cust LEFT JOIN modes ON modes.c_nationkey = cust.c_nationkey
     """,
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
