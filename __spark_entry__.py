@@ -141,7 +141,10 @@ _ROUND8_WINDOW_FIRST = [
     # suffix-array ROLLUP ladder queries; r6 driver-green, untouched by
     # every r8 diff, re-verified exact-multiset this round)
     "orders_interpolated_revenue",
-    "orders_dq_report",
+    # orders_dq_report ceded its slot to events_kmv_users (DQ
+    # aggregates covered in-window by orders_price_outliers; r6
+    # driver-green, untouched by every r8 diff, re-verified
+    # exact-multiset this round)
     "events_user_stats_salted",
     # ordered funnel + retention triangle + oracle-exact fixed-point
     # PageRank (new this round, rule 2)
@@ -151,6 +154,9 @@ _ROUND8_WINDOW_FIRST = [
     "orders_price_outliers", "orders_merge_view_serve",
     "orders_join_view_serve", "customer_spend_distribution",
     "customer_segment_impute",
+    # deterministic KMV distinct sketch — the approx estimate itself
+    # is oracle-exact (new this round, rule 2)
+    "events_kmv_users",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

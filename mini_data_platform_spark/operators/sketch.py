@@ -27,7 +27,7 @@ property tests, not the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from mini_data_platform_spark.operators.corpus import (
     hash_bucket,
@@ -126,3 +126,112 @@ def cms_estimate(
         v = table.get((d, bucket), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+# ------------------------------------------------------------------ KMV
+
+#: salt for the KMV hash (one family — KMV needs a single hash)
+KMV_SALT = "kmv0"
+
+
+def _kmv_h60(col: Column) -> Column:
+    """60-bit integer hash of (KMV_SALT # value) — the corpus._h60
+    family, inlined with the sketch's own salt."""
+    joined = F.concat(F.lit(KMV_SALT + "#"), col.cast("string"))
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_synopsis(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct synopsis (Bar-Yossef et al. RANDOM'02;
+    Beyer et al. SIGMOD'07): per group, the ``k`` SMALLEST distinct
+    60-bit hashes of ``value_col`` as a sorted array — a tiny,
+    MERGEABLE, engine-DETERMINISTIC distinct sketch. Unlike HLL
+    registers (engine-specific, so events_approx_users is the one
+    rows-only check in the suite), a KMV synopsis is a pure function
+    of the value set: the estimate itself is oracle-checkable.
+
+    Build cost is one distinct over (group, hash) — the exact-distinct
+    shuffle, NOT sublinear (HLL keeps that crown); KMV's value is the
+    synopsis algebra afterwards: persist it, union it (set-union
+    estimates via merge — ``kmv_merge``), and verify it cross-engine.
+
+    Returns (group…, kmv array<long>, n_values long) where n_values
+    counts DISTINCT hashes seen (exact when < k; the estimator's
+    small-set branch)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashes = df.select(
+        *group_cols, _kmv_h60(F.col(value_col)).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list("_h")).alias("kmv"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )
+
+
+def kmv_estimate(synopsis: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a synopsis: exact ``n_values`` when
+    the group has fewer than ``k`` distinct hashes, else the unbiased
+    (k-1)·2^60 / kth-min estimator. Pure projection; double arithmetic
+    identical in any engine."""
+    kth = F.element_at("kmv", k).cast("double")
+    est = F.when(
+        F.col("n_values") < k, F.col("n_values").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / kth)
+    return synopsis.select(
+        *[c for c in synopsis.columns if c not in ("kmv", "n_values")],
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_merge(a: Column, b: Column, k: int = 64) -> Column:
+    """Union two synopsis arrays: the k smallest of the distinct union
+    — the merged synopsis is EXACTLY the synopsis of the unioned value
+    sets (the KMV closure property), so set-union distinct estimates
+    compose without touching the data."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def sql_kmv_estimate(
+    src: str, group_expr: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of ``kmv_synopsis`` + ``kmv_estimate`` (15-nibble
+    md5 fold — the corpus.py sql_weighted_sample decode)."""
+    from mini_data_platform_spark.operators.corpus import _HEX
+
+    h = f"md5('{KMV_SALT}#' || CAST({value_expr} AS VARCHAR))"
+    nibble_sum = " + ".join(
+        f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"""
+        WITH hs AS (
+            SELECT DISTINCT g, hv FROM (
+                SELECT {group_expr} AS g, {nibble_sum} AS hv
+                FROM (SELECT {group_expr}, {h} AS h FROM ({src}))
+            )
+        ),
+        ranked AS (
+            SELECT g, hv,
+                   row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+            FROM hs
+        ),
+        agg AS (
+            SELECT g, count(*) AS n, max(hv) AS kth
+            FROM ranked WHERE rk <= {k} GROUP BY g
+        )
+        SELECT g AS {group_expr},
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE {float(k - 1)} * {float(1 << 60)}
+                         / CAST(kth AS DOUBLE)
+               END AS est_distinct
+        FROM agg
+    """

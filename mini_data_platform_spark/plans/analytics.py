@@ -910,6 +910,27 @@ def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per event type
+    (operators/sketch.py): the DETERMINISTIC member of the sketch
+    family — the synopsis is a pure function of the value set (the k
+    smallest 60-bit md5 hashes), so unlike HLL the APPROXIMATE estimate
+    itself hash-matches the oracle bit-exactly. k=64 < the ~150 true
+    distinct users, so every group exercises the (k-1)·2^60/kth
+    estimator, not the exact small-set branch. Build pays the
+    distinct shuffle (HLL keeps sublinearity); KMV's win is the
+    mergeable, persistable, cross-engine-verifiable synopsis algebra
+    (kmv_merge: union estimates without data)."""
+    from mini_data_platform_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_synopsis,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    syn = kmv_synopsis(events, ["event_type"], "user_id", k=64)
+    return kmv_estimate(syn, k=64)
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -1132,6 +1153,7 @@ QUERIES = {
     "partsupp_pagerank": partsupp_pagerank,
     "orders_price_outliers": orders_price_outliers,
     "customer_spend_distribution": customer_spend_distribution,
+    "events_kmv_users": events_kmv_users,
     "customer_segment_impute": customer_segment_impute,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
@@ -1606,6 +1628,12 @@ ORACLE = {
                CASE WHEN segment IS NULL THEN 1 ELSE 0 END AS imputed
         FROM cust LEFT JOIN modes ON modes.c_nationkey = cust.c_nationkey
     """,
+    # the DETERMINISTIC distinct sketch: the approximate estimate is
+    # itself oracle-exact (pure function of the value set)
+    "events_kmv_users": __import__(
+        "mini_data_platform_spark.operators.sketch",
+        fromlist=["sql_kmv_estimate"]).sql_kmv_estimate(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id", 64),
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
         fromlist=["sql_funnel_steps"]).sql_funnel_steps(

@@ -103,3 +103,86 @@ class TestEstimateKeyTypes:
 
         with _pytest.raises(TypeError):
             cms_estimate([], 5.0, DEPTH, WIDTH)
+
+
+class TestKMV:
+    def test_merge_closure(self, spark):
+        """kmv_merge(syn(A), syn(B)) must equal syn(A ∪ B) exactly —
+        the KMV closure property that makes union estimates free."""
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.sketch import (
+            kmv_merge,
+            kmv_synopsis,
+        )
+
+        a = spark.range(0, 400).select(F.lit("g").alias("g"), F.col("id"))
+        b = spark.range(300, 700).select(F.lit("g").alias("g"), F.col("id"))
+        u = a.unionByName(b)
+        k = 32
+        syn_a = kmv_synopsis(a, ["g"], "id", k).collect()[0]["kmv"]
+        syn_b = kmv_synopsis(b, ["g"], "id", k).collect()[0]["kmv"]
+        syn_u = kmv_synopsis(u, ["g"], "id", k).collect()[0]["kmv"]
+        merged = (
+            spark.createDataFrame([(syn_a, syn_b)], "a array<long>, b array<long>")
+            .select(kmv_merge(F.col("a"), F.col("b"), k).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert merged == syn_u
+
+    def test_small_set_branch_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.sketch import (
+            kmv_estimate,
+            kmv_synopsis,
+        )
+
+        df = spark.range(0, 10).select(F.lit("g").alias("g"), F.col("id"))
+        est = kmv_estimate(kmv_synopsis(df, ["g"], "id", 64), 64).collect()
+        assert est[0]["est_distinct"] == 10.0
+
+    def test_estimate_within_error_band(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.sketch import (
+            kmv_estimate,
+            kmv_synopsis,
+        )
+
+        n, k = 5000, 64
+        df = spark.range(0, n).select(F.lit("g").alias("g"), F.col("id"))
+        est = kmv_estimate(kmv_synopsis(df, ["g"], "id", k), k).collect()[0][
+            "est_distinct"
+        ]
+        # std error ~ n/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+        assert abs(est - n) < 4 * n / (k - 2) ** 0.5
+
+    def test_partition_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.sketch import kmv_synopsis
+
+        df = spark.range(0, 300).select(
+            (F.col("id") % 3).cast("string").alias("g"), F.col("id")
+        )
+        a = sorted(
+            (r["g"], r["kmv"], r["n_values"])
+            for r in kmv_synopsis(df.repartition(1), ["g"], "id", 16).collect()
+        )
+        b = sorted(
+            (r["g"], r["kmv"], r["n_values"])
+            for r in kmv_synopsis(df.repartition(7), ["g"], "id", 16).collect()
+        )
+        assert a == b
+
+    def test_k_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        import pytest as _pytest
+
+        from mini_data_platform_spark.operators.sketch import kmv_synopsis
+
+        df = spark.range(3).select(F.lit("g").alias("g"), F.col("id"))
+        with _pytest.raises(ValueError, match="k must be"):
+            kmv_synopsis(df, ["g"], "id", 1)
