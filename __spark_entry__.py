@@ -125,7 +125,12 @@ _ROUND8_WINDOW_FIRST = [
     "emb_ann_ivf_trained",
     "emb_near_dups_lsh", "emb_dup_clusters",
     "emb_dedup_final",
-    "order_priority_pivot",
+    # order_priority_pivot ceded its slot to events_kmv_overlap (its
+    # matrix sibling priority_status_matrix covers the same pivot
+    # machinery and order_grouping_sets-family coverage stays via
+    # region_nation_rollup's r6-green lineage; r6 driver-green,
+    # untouched by every r8 diff, re-verified exact-multiset this
+    # round)
     # customer_deciles ceded its slot to kpi_distinct_customers_ivm
     # (stable ntile window over untouched analytics code, r6
     # driver-green, re-verified exact-multiset by verify_local this
@@ -156,7 +161,7 @@ _ROUND8_WINDOW_FIRST = [
     "customer_segment_impute",
     # deterministic KMV distinct sketch — the approx estimate itself
     # is oracle-exact (new this round, rule 2)
-    "events_kmv_users",
+    "events_kmv_users", "events_kmv_overlap",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

@@ -235,3 +235,133 @@ def sql_kmv_estimate(
                END AS est_distinct
         FROM agg
     """
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    group_a,
+    group_b,
+    k: int = 64,
+) -> DataFrame:
+    """Set-OVERLAP estimate from two KMV synopses (the theta-sketch
+    move, deterministic): for the two groups' value sets A and B,
+    estimate |A ∪ B| from the merged synopsis and |A ∩ B| as
+    ρ · |A ∪ B| where ρ = |merged ∩ A-synopsis ∩ B-synopsis| / k —
+    the fraction of the union's k minima seen by BOTH sides (Beyer et
+    al. SIGMOD'07 §4). Everything is integer-array algebra on the two
+    synopses (no data touched), so the estimates are engine-exact.
+    One row: (est_a, est_b, est_union, est_intersection, jaccard).
+
+    Small-set exactness: when the union has < k distinct hashes the
+    merged synopsis IS the union's hash set and every estimate is
+    exact."""
+    syn = kmv_synopsis(
+        df.where(F.col(group_cols[0]).isin([group_a, group_b])),
+        group_cols,
+        value_col,
+        k,
+    )
+    a = syn.where(F.col(group_cols[0]) == group_a).select(
+        F.col("kmv").alias("ka"), F.col("n_values").alias("na")
+    )
+    b = syn.where(F.col(group_cols[0]) == group_b).select(
+        F.col("kmv").alias("kb"), F.col("n_values").alias("nb")
+    )
+    both = a.crossJoin(b)  # two 1-row frames: a constant-attach
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, k
+    )
+    n_union = F.least(
+        F.size(F.array_distinct(F.concat("ka", "kb"))), F.lit(k)
+    ).cast("double")
+    kth = F.element_at(F.col("_m"), k).cast("double")
+    est_union = F.when(
+        F.size("_m") < k, F.size("_m").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / kth)
+
+    def _est(arr, n):
+        kth_g = F.element_at(arr, k).cast("double")
+        return F.when(F.col(n) < k, F.col(n).cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60)) / kth_g
+        )
+
+    rho = (
+        F.size(F.array_intersect(F.array_intersect(F.col("_m"), "ka"), "kb"))
+        / n_union
+    )
+    out = both.withColumn("_m", merged).select(
+        _est(F.col("ka"), "na").alias("est_a"),
+        _est(F.col("kb"), "nb").alias("est_b"),
+        est_union.alias("est_union"),
+        (rho * est_union).alias("est_intersection"),
+        rho.alias("jaccard"),
+    )
+    return out
+
+
+def sql_kmv_overlap(
+    src: str,
+    group_expr: str,
+    value_expr: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` — same synopsis build, same
+    integer list algebra (list_distinct/list_sort/list_intersect)."""
+    from mini_data_platform_spark.operators.corpus import _HEX
+
+    h = f"md5('{KMV_SALT}#' || CAST({value_expr} AS VARCHAR))"
+    nibble_sum = " + ".join(
+        f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    c = float(k - 1) * 1.0
+    dom = float(1 << 60)
+    return f"""
+        WITH hs AS (
+            SELECT DISTINCT g, hv FROM (
+                SELECT {group_expr} AS g, {nibble_sum} AS hv
+                FROM (SELECT {group_expr}, {h} AS h FROM ({src})
+                      WHERE {group_expr} IN ('{group_a}', '{group_b}'))
+            )
+        ),
+        ranked AS (
+            SELECT g, hv,
+                   row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+            FROM hs
+        ),
+        syn AS (
+            SELECT g, list_sort(list(hv)) AS kmv, count(*) AS n
+            FROM ranked WHERE rk <= {k} GROUP BY g
+        ),
+        pair AS (
+            SELECT a.kmv AS ka, a.n AS na, b.kmv AS kb, b.n AS nb
+            FROM (SELECT * FROM syn WHERE g = '{group_a}') a,
+                 (SELECT * FROM syn WHERE g = '{group_b}') b
+        ),
+        m AS (
+            SELECT ka, na, kb, nb,
+                   list_slice(list_sort(list_distinct(list_concat(ka, kb))),
+                              1, {k}) AS mm,
+                   least(len(list_distinct(list_concat(ka, kb))), {k}) AS nu
+            FROM pair
+        )
+        SELECT CASE WHEN na < {k} THEN CAST(na AS DOUBLE)
+                    ELSE {c} * {dom} / CAST(ka[{k}] AS DOUBLE) END AS est_a,
+               CASE WHEN nb < {k} THEN CAST(nb AS DOUBLE)
+                    ELSE {c} * {dom} / CAST(kb[{k}] AS DOUBLE) END AS est_b,
+               CASE WHEN len(mm) < {k} THEN CAST(len(mm) AS DOUBLE)
+                    ELSE {c} * {dom} / CAST(mm[{k}] AS DOUBLE)
+               END AS est_union,
+               (CAST(len(list_intersect(list_intersect(mm, ka), kb)) AS DOUBLE)
+                / CAST(nu AS DOUBLE))
+               * (CASE WHEN len(mm) < {k} THEN CAST(len(mm) AS DOUBLE)
+                       ELSE {c} * {dom} / CAST(mm[{k}] AS DOUBLE) END)
+                   AS est_intersection,
+               CAST(len(list_intersect(list_intersect(mm, ka), kb)) AS DOUBLE)
+               / CAST(nu AS DOUBLE) AS jaccard
+        FROM m
+    """

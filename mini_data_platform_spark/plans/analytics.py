@@ -931,6 +931,21 @@ def events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(syn, k=64)
 
 
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimates from KMV synopses (operators/sketch.py):
+    distinct-user union/intersection/Jaccard between the 'view' and
+    'purchase' audiences, computed entirely from the two k-minima
+    arrays (the theta-sketch move — no second pass over the data) and
+    still oracle-EXACT because the synopsis algebra is deterministic
+    integer list arithmetic."""
+    from mini_data_platform_spark.operators.sketch import kmv_overlap
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_overlap(
+        events, ["event_type"], "user_id", "view", "purchase", k=64
+    )
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -1154,6 +1169,7 @@ QUERIES = {
     "orders_price_outliers": orders_price_outliers,
     "customer_spend_distribution": customer_spend_distribution,
     "events_kmv_users": events_kmv_users,
+    "events_kmv_overlap": events_kmv_overlap,
     "customer_segment_impute": customer_segment_impute,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
@@ -1634,6 +1650,11 @@ ORACLE = {
         "mini_data_platform_spark.operators.sketch",
         fromlist=["sql_kmv_estimate"]).sql_kmv_estimate(
         "SELECT event_type, user_id FROM events", "event_type", "user_id", 64),
+    "events_kmv_overlap": __import__(
+        "mini_data_platform_spark.operators.sketch",
+        fromlist=["sql_kmv_overlap"]).sql_kmv_overlap(
+        "SELECT event_type, user_id FROM events",
+        "event_type", "user_id", "view", "purchase", 64),
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
         fromlist=["sql_funnel_steps"]).sql_funnel_steps(

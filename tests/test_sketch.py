@@ -1,6 +1,8 @@
 """Count-min sketch: overcount-only estimates, exactness without
 collisions, partition invariance, and cell-wise mergeability."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mini_data_platform_spark.operators.sketch import (
@@ -186,3 +188,36 @@ class TestKMV:
         df = spark.range(3).select(F.lit("g").alias("g"), F.col("id"))
         with _pytest.raises(ValueError, match="k must be"):
             kmv_synopsis(df, ["g"], "id", 1)
+
+    def test_overlap_small_sets_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.sketch import kmv_overlap
+
+        # A = 0..19, B = 10..29: union 30, intersection 10 — all < k,
+        # so every estimate must be EXACT
+        a = spark.range(0, 20).select(F.lit("a").alias("g"), F.col("id"))
+        b = spark.range(10, 30).select(F.lit("b").alias("g"), F.col("id"))
+        row = kmv_overlap(
+            a.unionByName(b), ["g"], "id", "a", "b", k=64
+        ).collect()[0]
+        assert row["est_a"] == 20.0 and row["est_b"] == 20.0
+        assert row["est_union"] == 30.0
+        assert row["est_intersection"] == pytest.approx(10.0)
+        assert row["jaccard"] == pytest.approx(10 / 30)
+
+    def test_overlap_estimates_within_band(self, spark):
+        from pyspark.sql import functions as F
+
+        from mini_data_platform_spark.operators.sketch import kmv_overlap
+
+        # A = 0..3999, B = 2000..5999: union 6000, intersection 2000
+        k = 64
+        a = spark.range(0, 4000).select(F.lit("a").alias("g"), F.col("id"))
+        b = spark.range(2000, 6000).select(F.lit("b").alias("g"), F.col("id"))
+        row = kmv_overlap(
+            a.unionByName(b), ["g"], "id", "a", "b", k=k
+        ).collect()[0]
+        assert abs(row["est_union"] - 6000) < 4 * 6000 / (k - 2) ** 0.5
+        # intersection compounds union + ratio error: generous 5 sigma
+        assert abs(row["est_intersection"] - 2000) < 5 * 6000 / (k - 2) ** 0.5
