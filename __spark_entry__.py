@@ -123,8 +123,11 @@ _ROUND8_WINDOW_FIRST = [
     # and re-verified exact-multiset by tools/verify_local.py this
     # round
     "emb_ann_ivf_trained",
+    # emb_dedup_final ceded its slot to events_session_funnel (emb CC
+    # machinery stays in-window via emb_dup_clusters, which runs the
+    # identical connected-components pipeline; r6/r7 driver-green,
+    # untouched by every r8 diff, re-verified exact-multiset this round)
     "emb_near_dups_lsh", "emb_dup_clusters",
-    "emb_dedup_final",
     # order_priority_pivot ceded its slot to events_kmv_overlap (its
     # matrix sibling priority_status_matrix covers the same pivot
     # machinery and order_grouping_sets-family coverage stays via
@@ -161,7 +164,7 @@ _ROUND8_WINDOW_FIRST = [
     "customer_segment_impute",
     # deterministic KMV distinct sketch — the approx estimate itself
     # is oracle-exact (new this round, rule 2)
-    "events_kmv_users", "events_kmv_overlap",
+    "events_kmv_users", "events_kmv_overlap", "events_session_funnel",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),

@@ -42,36 +42,42 @@ US_PER_DAY = 86_400_000_000
 
 def funnel_steps(
     df: DataFrame,
-    user_col: str,
+    user_col,
     ts_col: str,
     type_col: str,
     steps: list[str],
 ) -> DataFrame:
     """Ordered-funnel counts: one row per step — (step_idx, step,
-    users, conversion) where ``users`` counts users whose earliest
-    greedy completion chain reaches the step (each step strictly after
-    the previous completion) and ``conversion`` = users / step-0
-    users."""
+    users, conversion) where ``users`` counts funnel entities whose
+    earliest greedy completion chain reaches the step (each step
+    strictly after the previous completion) and ``conversion`` =
+    users / step-0 users. ``user_col`` may be a single column or a
+    LIST of columns — the funnel entity (a user, or a (user, session)
+    for session-scoped funnels)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
+    kcols = [f"_u{i}" for i in range(len(keys))]
     ev = df.select(
-        F.col(user_col).alias("_u"),
+        *[F.col(k).alias(a) for k, a in zip(keys, kcols)],
         F.unix_micros(F.col(ts_col)).alias("_t"),
         F.col(type_col).alias("_y"),
     )
     completions = []
     cur = (
         ev.where(F.col("_y") == steps[0])
-        .groupBy("_u")
+        .groupBy(*kcols)
         .agg(F.min("_t").alias("_done"))
     )
     completions.append(cur)
     for step in steps[1:]:
         nxt = (
             ev.where(F.col("_y") == step)
-            .join(cur.select("_u", F.col("_done").alias("_prev")), "_u")
+            .join(
+                cur.select(*kcols, F.col("_done").alias("_prev")), kcols
+            )
             .where(F.col("_t") > F.col("_prev"))
-            .groupBy("_u")
+            .groupBy(*kcols)
             .agg(F.min("_t").alias("_done"))
         )
         completions.append(nxt)
@@ -130,16 +136,24 @@ def cohort_retention(
 
 
 def sql_funnel_steps(
-    src: str, user_col: str, ts_col: str, type_col: str, steps: list[str]
+    src: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    ts_in_us: bool = False,
 ) -> str:
     """ANSI/DuckDB equivalent of :func:`funnel_steps` (nested greedy
-    min-after-previous CTE chain)."""
+    min-after-previous CTE chain). ``user_col`` may be any expression
+    (compose multi-column funnel entities into one string key);
+    ``ts_in_us`` marks a source already in unix microseconds."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    t_expr = ts_col if ts_in_us else f"epoch_us(CAST({ts_col} AS TIMESTAMP))"
     ctes = [
         f"""ev AS (
             SELECT {user_col} AS u,
-                   epoch_us(CAST({ts_col} AS TIMESTAMP)) AS t,
+                   {t_expr} AS t,
                    {type_col} AS y
             FROM ({src})
         )""",

@@ -946,6 +946,41 @@ def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped conversion funnel (operators/funnel.py composite
+    keys): view → click → purchase must complete in order WITHIN one
+    30-minute-gap session — the granularity product funnels actually
+    use (a purchase in tomorrow's session doesn't convert today's
+    view). Sessions come from the events_sessionize two-window
+    formulation; the funnel entity is (user_id, session_no)."""
+    from mini_data_platform_spark.operators.funnel import funnel_steps
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_seq = Window.partitionBy("user_id").orderBy(us)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        us.alias("ts_us"),
+        F.when((us - F.lag(us).over(w_seq)) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_sess").over(w_cum))
+    return funnel_steps(
+        sess,
+        ["user_id", "session_no"],
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -1170,6 +1205,7 @@ QUERIES = {
     "customer_spend_distribution": customer_spend_distribution,
     "events_kmv_users": events_kmv_users,
     "events_kmv_overlap": events_kmv_overlap,
+    "events_session_funnel": events_session_funnel,
     "customer_segment_impute": customer_segment_impute,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
@@ -1655,6 +1691,28 @@ ORACLE = {
         fromlist=["sql_kmv_overlap"]).sql_kmv_overlap(
         "SELECT event_type, user_id FROM events",
         "event_type", "user_id", "view", "purchase", 64),
+    "events_session_funnel": __import__(
+        "mini_data_platform_spark.operators.funnel",
+        fromlist=["sql_funnel_steps"]).sql_funnel_steps(
+        """
+        WITH flagged AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        )
+        SELECT user_id || '#' ||
+               CAST(CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                             ORDER BY ts_us
+                                             ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS VARCHAR) AS skey,
+               ts_us, event_type
+        FROM flagged
+        """,
+        "skey", "ts_us", "event_type",
+        ["view", "click", "purchase"], ts_in_us=True),
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
         fromlist=["sql_funnel_steps"]).sql_funnel_steps(

@@ -120,3 +120,41 @@ class TestCohortRetention:
         rows = cohort_retention(ev, "user_id", "ts").collect()
         assert len(rows) == 1
         assert (rows[0]["active_users"], rows[0]["cohort_size"]) == (1, 1)
+
+
+class TestCompositeKeyFunnel:
+    def test_session_scoped_counts(self, spark):
+        # same user, two "sessions" (keyed explicitly): the full chain
+        # in session 1; in session 2 the purchase precedes the view —
+        # the composite key must keep the sessions apart
+        ev = spark.createDataFrame(
+            [
+                ("u1", 1, _BASE, "view"),
+                ("u1", 1, _BASE + dt.timedelta(minutes=1), "click"),
+                ("u1", 1, _BASE + dt.timedelta(minutes=2), "purchase"),
+                ("u1", 2, _BASE + dt.timedelta(hours=2), "purchase"),
+                ("u1", 2, _BASE + dt.timedelta(hours=2, minutes=1), "view"),
+            ],
+            "user_id string, sess int, ts timestamp, event_type string",
+        )
+        rows = {
+            r["step"]: r["users"]
+            for r in funnel_steps(
+                ev,
+                ["user_id", "sess"],
+                "ts",
+                "event_type",
+                ["view", "click", "purchase"],
+            ).collect()
+        }
+        assert rows == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_single_key_string_still_works(self, spark):
+        ev = _events(spark, [("u1", 0, "view"), ("u1", 1, "click")])
+        rows = {
+            r["step"]: r["users"]
+            for r in funnel_steps(
+                ev, "user_id", "ts", "event_type", ["view", "click"]
+            ).collect()
+        }
+        assert rows == {"view": 1, "click": 1}
