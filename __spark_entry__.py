@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 114 queries exist, so 64 sit outside any given round):
+#: FIRST 50 entries; 126 queries exist, so 76 sit outside any given round):
 #:   1. Queries that went LONGEST without a driver row come first — every
 #:      query gets a driver-recorded check at least every other round.
 #:   2. Any query whose code path is touched by this round's diffs is
@@ -32,7 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   3. The rotated-out remainder must be all green in the PREVIOUS
 #:      round's CORRECTNESS file and untouched by the current diff.
 #: Round 8 window: the queries rotated out of r7 (driver rows last
-#: from r6) first, then the TWELVE queries NEW this round (the read-only
+#: from r6) first, then the queries NEW this round — the late wave
+#: (suffix-array doc_longest_repeat / doc_repeat_coverage /
+#: doc_suffix_dedup, orders_interpolated_revenue, events_funnel /
+#: events_session_funnel / events_cohort_retention, partsupp_pagerank,
+#: orders_price_outliers, orders_merge_view_serve /
+#: orders_join_view_serve, customer_spend_distribution /
+#: customer_segment_impute, events_kmv_users / events_kmv_overlap)
+#: plus the earlier TWELVE (the read-only
 #: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
 #: emb_neardup_serve against disk-cached prebuilt indexes,
 #: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
