@@ -1,0 +1,76 @@
+"""Streaming KMV synopsis maintenance (streaming/kmvsketch.py)."""
+
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators.sketch import kmv_synopsis
+from mini_data_platform_spark.streaming.kmvsketch import (
+    apply_kmv_batch,
+    kmv_state_read,
+    maintain_kmv_stream,
+)
+
+K = 16
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("v")
+    )
+
+
+def _state_tuples(spark, state_dir):
+    return sorted(
+        (r["g"], r["kmv"], r["n_values"])
+        for r in kmv_state_read(spark, state_dir).collect()
+    )
+
+
+def _batch_tuples(spark, df):
+    return sorted(
+        (r["g"], r["kmv"], r["n_values"])
+        for r in kmv_synopsis(df, ["g"], "v", K).collect()
+    )
+
+
+class TestKmvStreamState:
+    def test_incremental_equals_batch_build(self, spark, tmp_path):
+        state = str(tmp_path / "state")
+        parts = [(0, 40), (40, 90), (85, 130)]  # overlapping on purpose
+        for lo, hi in parts:
+            apply_kmv_batch(_frame(spark, lo, hi), state, ["g"], "v", K)
+        full = _frame(spark, 0, 130)
+        assert _state_tuples(spark, state) == _batch_tuples(spark, full)
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        state = str(tmp_path / "state")
+        apply_kmv_batch(_frame(spark, 0, 50), state, ["g"], "v", K)
+        apply_kmv_batch(_frame(spark, 50, 80), state, ["g"], "v", K)
+        before = _state_tuples(spark, state)
+        # at-least-once delivery: the SAME batch arrives again
+        apply_kmv_batch(_frame(spark, 50, 80), state, ["g"], "v", K)
+        assert _state_tuples(spark, state) == before
+
+    def test_stream_end_to_end(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        for i, (lo, hi) in enumerate([(0, 60), (60, 120)]):
+            _frame(spark, lo, hi).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(src)
+        state = str(tmp_path / "state")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_kmv_stream(
+            stream,
+            state,
+            str(tmp_path / "ckpt"),
+            ["g"],
+            "v",
+            K,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        full = spark.read.parquet(src)
+        assert _state_tuples(spark, state) == _batch_tuples(spark, full)
