@@ -94,11 +94,13 @@ def funnel_steps(
     # not data — constant-attach of the step-0 denominator
     w_all = Window.partitionBy()
     base = F.max(F.when(F.col("step_idx") == 0, F.col("users"))).over(w_all)
+    # nullif guard: an empty step 0 yields NULL conversions on both
+    # engines instead of engine-specific 0/0 behavior
     return rows.select(
         "step_idx",
         "step",
         "users",
-        (F.col("users") / base).alias("conversion"),
+        (F.col("users") / F.nullif(base, F.lit(0))).alias("conversion"),
     )
 
 
@@ -178,7 +180,7 @@ def sql_funnel_steps(
     return f"""
         WITH {",".join(ctes)}
         SELECT step_idx, step, CAST(users AS BIGINT) AS users,
-               users / (SELECT users FROM counts WHERE step_idx = 0)
+               users / nullif((SELECT users FROM counts WHERE step_idx = 0), 0)
                    AS conversion
         FROM counts
     """

@@ -158,3 +158,11 @@ class TestCompositeKeyFunnel:
             ).collect()
         }
         assert rows == {"view": 1, "click": 1}
+
+    def test_empty_step_zero_yields_null_conversion(self, spark):
+        ev = _events(spark, [("u1", 0, "click")])  # nobody viewed
+        rows = funnel_steps(
+            ev, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+        assert all(r["users"] == 0 for r in rows)
+        assert all(r["conversion"] is None for r in rows)
