@@ -165,9 +165,22 @@ def kmv_synopsis(
     hashes = df.select(
         *group_cols, _kmv_h60(F.col(value_col)).alias("_h")
     ).distinct()
+    # two-level top-k: a single per-group window would sort the ENTIRE
+    # distinct-hash set of a group in one partition — a straggler/OOM
+    # on a high-cardinality group at scale. Level 1 keeps each
+    # sub-bucket's k smallest (64 sub-partitions per group, each a
+    # bounded window); level 2 ranks the ≤ 64·k survivors. The k
+    # global minima survive level 1 inside their own sub-bucket, so
+    # the result is identical to the single-window form.
+    w_sub = Window.partitionBy(*group_cols, "_sub").orderBy("_h")
+    survivors = (
+        hashes.withColumn("_sub", F.pmod("_h", F.lit(64)))
+        .withColumn("_srk", F.row_number().over(w_sub))
+        .where(F.col("_srk") <= k)
+    )
     w = Window.partitionBy(*group_cols).orderBy("_h")
     return (
-        hashes.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .groupBy(*group_cols)
         .agg(
