@@ -172,6 +172,8 @@ _ROUND8_WINDOW_FIRST = [
     # deterministic KMV distinct sketch — the approx estimate itself
     # is oracle-exact (new this round, rule 2)
     "events_kmv_users", "events_kmv_overlap", "events_session_funnel",
+    # rolling z-score anomaly flags, integer window state (rule 2)
+    "events_hourly_anomalies",
     # (2) NEW this round (rotation rule 2). Mid-round additions ceded
     # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
     # (its pivot sibling order_priority_pivot keeps its slot),
@@ -182,7 +184,11 @@ _ROUND8_WINDOW_FIRST = [
     # re-verified exact-multiset by tools/verify_local.py this round.
     "doc_neardup_delete", "kpi_price_quantiles_ivm",
     "kpi_top_customers_ivm", "doc_weighted_sample",
-    "doc_bpe_vocab", "doc_bpe_token_counts",
+    # doc_bpe_token_counts ceded its slot to events_hourly_anomalies
+    # (doc_bpe_vocab keeps its slot — its oracle embeds the full
+    # sequential BPE reference that token_counts consumes; r8-wave-1
+    # driver-target, re-verified exact-multiset this round)
+    "doc_bpe_vocab",
     # emb_ann_sq8 took order_stats_distinct's slot (stable distinct
     # aggregates; exact-distinct machinery stays covered in-window by
     # events_distinct_users)

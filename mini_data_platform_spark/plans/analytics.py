@@ -981,6 +981,54 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on hourly event volumes — the
+    monitoring query every event pipeline grows: per (event_type,
+    hour), the count against the TRAILING-24-observed-hours mean/std,
+    flagged at |z| > 3. All window state is INTEGER (counts and their
+    squares summed exactly — no decimal needed, sidestepping the
+    DuckDB windowed-decimal gotcha outright); mean/var/z are then
+    per-row IEEE doubles from identical integers, and sqrt is
+    correctly-rounded in every IEEE engine — so even the z-scores
+    hash-match. Hours are integer epoch-hours (timezone-proof). Rows
+    without a full 24-hour history emit no judgment (warmup excluded,
+    not zero-padded)."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    hourly = events.groupBy(
+        F.col("event_type"), hour.alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        n.alias("_n"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+    ).where(F.col("_n") == 24)
+    mean = F.col("_s1") / F.lit(24.0)
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.lit(24.0)) / F.lit(24.0)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return stats.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(mean, 6).alias("mean24"),
+        F.round(F.when(var > 0, z), 6).alias("zscore"),
+        F.when(var > 0, F.when(F.abs(z) > 3, 1).otherwise(0))
+        .otherwise(None)
+        .alias("is_anomaly"),
+    )
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++) next to
     the exact count. At 100 TB approx_count_distinct is the only sane
@@ -1206,6 +1254,7 @@ QUERIES = {
     "events_kmv_users": events_kmv_users,
     "events_kmv_overlap": events_kmv_overlap,
     "events_session_funnel": events_session_funnel,
+    "events_hourly_anomalies": events_hourly_anomalies,
     "customer_segment_impute": customer_segment_impute,
     "events_cohort_retention": events_cohort_retention,
     "click_before_purchase": click_before_purchase,
@@ -1713,6 +1762,36 @@ ORACLE = {
         """,
         "skey", "ts_us", "event_type",
         ["view", "click", "purchase"], ts_in_us=True),
+    "events_hourly_anomalies": """
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, hour, n_events,
+                   count(*) OVER w AS wn,
+                   CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, CAST(hour AS BIGINT) AS hour,
+               CAST(n_events AS BIGINT) AS n_events,
+               round(s1 / 24.0, 6) AS mean24,
+               round(CASE WHEN (s2 - s1 * s1 / 24.0) / 24.0 > 0
+                     THEN (n_events - s1 / 24.0)
+                          / sqrt((s2 - s1 * s1 / 24.0) / 24.0)
+                     END, 6) AS zscore,
+               CASE WHEN (s2 - s1 * s1 / 24.0) / 24.0 > 0
+                    THEN CASE WHEN abs((n_events - s1 / 24.0)
+                                   / sqrt((s2 - s1 * s1 / 24.0) / 24.0)) > 3
+                              THEN 1 ELSE 0 END
+               END AS is_anomaly
+        FROM stats WHERE wn = 24
+    """,
     "events_funnel": __import__(
         "mini_data_platform_spark.operators.funnel",
         fromlist=["sql_funnel_steps"]).sql_funnel_steps(
