@@ -1024,7 +1024,9 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean24"),
         F.round(F.when(var > 0, z), 6).alias("zscore"),
         F.when(var > 0, F.when(F.abs(z) > 3, 1).otherwise(0))
-        .otherwise(None)
+        .otherwise(
+            F.when(F.col("n_events") != mean, 1).otherwise(0)
+        )
         .alias("is_anomaly"),
     )
 
@@ -1789,6 +1791,7 @@ ORACLE = {
                     THEN CASE WHEN abs((n_events - s1 / 24.0)
                                    / sqrt((s2 - s1 * s1 / 24.0) / 24.0)) > 3
                               THEN 1 ELSE 0 END
+                    ELSE CASE WHEN n_events <> s1 / 24.0 THEN 1 ELSE 0 END
                END AS is_anomaly
         FROM stats WHERE wn = 24
     """,

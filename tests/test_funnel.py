@@ -166,3 +166,57 @@ class TestCompositeKeyFunnel:
         ).collect()
         assert all(r["users"] == 0 for r in rows)
         assert all(r["conversion"] is None for r in rows)
+
+
+class TestHourlyAnomalies:
+    def test_warmup_excluded_and_spike_flagged(self, spark):
+        from mini_data_platform_spark.plans.analytics import (
+            events_hourly_anomalies,
+        )
+        import mini_data_platform_spark.plans.analytics as A
+
+        # synthetic: 30 steady hours of 5 events, then one 50-event
+        # spike hour — built inline and routed through the same plan
+        rows = []
+        for h in range(30):
+            for i in range(50 if h == 29 else 5):
+                rows.append(
+                    ("t", _BASE + dt.timedelta(hours=h, seconds=i), "x%d" % i)
+                )
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, user_id string"
+        )
+        import tempfile, os, uuid
+
+        d = os.path.join(tempfile.gettempdir(), f"anom_{uuid.uuid4().hex[:8]}")
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["hour"]: r for r in events_hourly_anomalies(spark, d).collect()}
+        # 30 hourly rows, first 24 are warmup → 6 judged
+        assert len(out) == 6
+        spike_hour = max(out)
+        assert out[spike_hour]["n_events"] == 50
+        assert out[spike_hour]["is_anomaly"] == 1
+        steady = [r for h, r in out.items() if h != spike_hour]
+        assert all(r["is_anomaly"] == 0 for r in steady)
+
+    def test_zero_variance_yields_null_judgment(self, spark):
+        from mini_data_platform_spark.plans.analytics import (
+            events_hourly_anomalies,
+        )
+
+        rows = []
+        for h in range(26):
+            rows.append(("t", _BASE + dt.timedelta(hours=h), "u"))
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, user_id string"
+        )
+        import tempfile, os, uuid
+
+        d = os.path.join(tempfile.gettempdir(), f"anom_{uuid.uuid4().hex[:8]}")
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = events_hourly_anomalies(spark, d).collect()
+        # constant series: variance 0 → no z-score (never a
+        # divide-by-zero), but equality with the constant history IS a
+        # verdict: normal
+        assert len(out) == 2
+        assert all(r["zscore"] is None and r["is_anomaly"] == 0 for r in out)
