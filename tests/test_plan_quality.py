@@ -497,3 +497,27 @@ class TestPagerankPlan:
         # only the LAST round's update expression, not a 3-round chain
         assert "ExistingRDD" in plan
         assert plan.count("div (100") <= 2
+
+
+class TestSketchAndAnomalyPlans:
+    def test_kmv_stays_jvm_with_bounded_windows(self, spark):
+        from mini_data_platform_spark.operators.sketch import kmv_synopsis
+
+        df = load_table(spark, SF, "events").select("event_type", "user_id")
+        syn = kmv_synopsis(df, ["event_type"], "user_id", 16)
+        plan = explain_str(syn, "formatted")
+        assert not uses_python_eval(syn)
+        assert "CartesianProduct" not in plan
+        # two-level top-k: BOTH window levels present (sub-bucket prune
+        # before the per-group rank — the bounded-partition shape)
+        assert plan.count("Window") >= 2
+
+    def test_anomaly_query_stays_jvm(self, spark):
+        from mini_data_platform_spark.plans.analytics import (
+            events_hourly_anomalies,
+        )
+
+        df = events_hourly_anomalies(spark, SF)
+        plan = explain_str(df, "formatted")
+        assert not uses_python_eval(df)
+        assert "CartesianProduct" not in plan
