@@ -437,3 +437,100 @@ class TestIndexAdd:
         renamed = emb.withColumnRenamed("vec_id", "other_id")
         with pytest.raises(ValueError, match="id column"):
             ivfpq_index_add(renamed, d, "other_id", "embedding")
+
+
+class TestParityPath:
+    """The expression-based oracle-parity twins (round 9): identical
+    codes to the numpy encode, identical neighbor sets/scores to the
+    LUT path (modulo pq_topk's self-matches — parity excludes self,
+    matching emb_knn's convention)."""
+
+    def test_encode_expr_matches_numpy(self, emb, books):
+        from mini_data_platform_spark.operators.pq import pq_encode_expr
+
+        codes_np = pq_encode(emb, "vec_id", "embedding", books)
+        codes_ex = emb.select(
+            "vec_id",
+            pq_encode_expr(F.col("embedding"), books).alias("code2"),
+        )
+        bad = (
+            codes_np.join(codes_ex, "vec_id")
+            .where(F.col("code") != F.col("code2"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_reconstruct_expr_norm_matches(self, emb, books):
+        from mini_data_platform_spark.operators.pq import (
+            pq_encode_expr,
+            pq_reconstruct_expr,
+        )
+        from mini_data_platform_spark.functions.vectors import l2_norm
+
+        codes_np = pq_encode(emb, "vec_id", "embedding", books)
+        rec = emb.select(
+            "vec_id",
+            l2_norm(
+                pq_reconstruct_expr(
+                    pq_encode_expr(F.col("embedding"), books), books
+                )
+            ).alias("rn2"),
+        )
+        diff = (
+            codes_np.join(rec, "vec_id")
+            .where(F.abs(F.col("recon_norm") - F.col("rn2")) > 1e-12)
+            .count()
+        )
+        assert diff == 0
+
+    def test_parity_topk_matches_lut_path(self, emb, books):
+        from mini_data_platform_spark.operators.pq import pq_knn_parity
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        lut = pq_topk(
+            queries, emb, "vec_id", "embedding", books, k=6, rerank=50
+        ).collect()
+        par = pq_knn_parity(
+            queries, emb, "vec_id", "embedding", books, k=5, rerank=50
+        ).collect()
+        # drop pq_topk's self-matches, re-rank, then compare exactly
+        from collections import defaultdict
+
+        by_q = defaultdict(list)
+        for r in lut:
+            if r["neighbor_id"] != r["query_id"]:
+                by_q[r["query_id"]].append(r)
+        want = set()
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: (-r["cos_sim"], r["neighbor_id"]))
+            for rank, r in enumerate(rows[:5], 1):
+                want.add((q, r["neighbor_id"], r["cos_sim"], rank))
+        got = {
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in par
+        }
+        assert got == want
+
+    def test_ivfpq_parity_recall_vs_exact(self, spark, emb, books):
+        from mini_data_platform_spark.operators.pq import ivfpq_knn_parity
+        from mini_data_platform_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, n_iter=1)
+        got = ivfpq_knn_parity(
+            queries, emb, "vec_id", "embedding", books, cents,
+            k=5, n_probe=2, rerank=50,
+        ).collect()
+        exact = knn_bruteforce(
+            queries, emb, "vec_id", "embedding", k=5
+        ).collect()
+        g = {(r["query_id"], r["neighbor_id"]) for r in got}
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        assert len(g & e) / len(e) >= 0.5
+        # every query answered with a full k
+        from collections import Counter
+
+        per_q = Counter(r["query_id"] for r in got)
+        assert all(v == 5 for v in per_q.values())
