@@ -22,204 +22,136 @@ def entry(spark: SparkSession) -> DataFrame:
     return kpi.revenue_by_day(spark, "/root/testdata/sf0.001")
 
 
+#: ROUND the current window targets (bump each round).
+CURRENT_ROUND = 9
+
+#: Last round each query had a slot in the driver's 50-row correctness
+#: window, as recorded in CORRECTNESS_r0{N}.json — the MECHANICAL input
+#: to the rotation policy (round-8 verdict item 2: comments don't
+#: enforce invariants; this dict + tests/test_entry.py's staleness
+#: assertion do). Maintained per round: after choosing the window,
+#: every windowed query's entry becomes CURRENT_ROUND.
+#: INVARIANT (tested): a query NOT in this round's window must have
+#: been windowed within the previous two rounds (age <= 2), so every
+#: query gets a driver-recorded check at least every third round —
+#: the tightest bound 127 queries and 50 slots admit.
+_LAST_WINDOWED = {
+    # never windowed before round 9 (the r8 verdict's policy breach)
+    "doc_bpe_token_counts": 0,
+    # last windowed in round 6
+    "kpi_revenue_by_day": 6, "kpi_top_customers": 6,
+    "kpi_product_performance": 6, "kpi_rolling_7d_revenue": 6,
+    "kpi_failed_events_trend": 6, "doc_fingerprint": 6,
+    "doc_exact_dedup": 6, "emb_norms": 6, "emb_knn": 6,
+    "emb_ann_knn": 6, "emb_ann_ivf": 6, "emb_near_dups_exact": 6,
+    "emb_dedup_final": 6, "order_stats_distinct": 6,
+    "priority_status_matrix": 6, "price_quantiles": 6,
+    "price_quantiles_approx": 6, "order_priority_pivot": 6,
+    "lineitem_unpivot_stats": 6, "customer_deciles": 6,
+    "order_moments": 6, "quantity_price_corr": 6,
+    "nation_top_customer_names": 6, "order_grouping_sets": 6,
+    "big_orders": 6, "promo_revenue_share": 6,
+    "cheapest_supplier_per_part": 6, "orders_dq_report": 6,
+    "events_distinct_users": 6, "events_hourly": 6,
+    "events_json_value": 6, "events_approx_users": 6,
+    "revenue_by_day_dense": 6,
+    # last windowed in round 7
+    "kpi_revenue_by_customer": 7, "doc_token_stats": 7,
+    "doc_language_guess": 7, "doc_quality": 7, "doc_hash_embedding": 7,
+    "doc_chunks": 7, "doc_window_dups": 7, "doc_segment_dups": 7,
+    "doc_packing": 7, "doc_epoch_shuffle": 7,
+    "doc_minhash_candidates": 7, "doc_near_dups": 7, "doc_simhash": 7,
+    "doc_dup_clusters": 7, "doc_dup_clusters_star": 7,
+    "doc_dedup_final": 7, "doc_curated_corpus": 7,
+    "doc_split_assign": 7, "doc_stratified_sample": 7,
+    "doc_contamination": 7, "doc_repetition": 7, "doc_pii_scan": 7,
+    "asset_binary_stats": 7, "asset_features": 7,
+    "asset_frame_samples": 7, "pricing_summary": 7,
+    "regional_revenue": 7, "top_building_orders": 7,
+    "region_nation_rollup": 7, "status_priority_cube": 7,
+    "customer_rank_in_nation": 7, "daily_revenue_delta": 7,
+    "monthly_running_revenue": 7, "latest_order_per_customer": 7,
+    "customers_with_orders": 7, "customers_without_orders": 7,
+    "wealthy_active_customers": 7, "events_sessionize": 7,
+    "click_before_purchase": 7, "errors_near_click": 7,
+    "lineitem_bloom_semijoin": 7, "events_heavy_users": 7,
+    "events_cms_users": 7,
+    # last windowed in round 8
+    "emb_ann_ivf_trained": 8, "emb_near_dups_lsh": 8,
+    "emb_dup_clusters": 8, "orders_interpolated_revenue": 8,
+    "events_user_stats_salted": 8, "events_funnel": 8,
+    "events_cohort_retention": 8, "partsupp_pagerank": 8,
+    "orders_price_outliers": 8, "orders_merge_view_serve": 8,
+    "orders_join_view_serve": 8, "customer_spend_distribution": 8,
+    "customer_segment_impute": 8, "events_kmv_users": 8,
+    "events_kmv_overlap": 8, "events_session_funnel": 8,
+    "events_hourly_anomalies": 8, "doc_neardup_delete": 8,
+    "kpi_price_quantiles_ivm": 8, "kpi_top_customers_ivm": 8,
+    "doc_weighted_sample": 8, "doc_bpe_vocab": 8, "emb_ann_sq8": 8,
+    "kpi_distinct_customers_ivm": 8, "orders_bloom_lookup": 8,
+    "doc_contamination_fuzzy": 8, "doc_longest_repeat": 8,
+    "doc_repeat_coverage": 8, "doc_suffix_dedup": 8,
+    "doc_neardup_serve": 8, "doc_title_editjoin_freq": 8,
+    "doc_exact_dedup_serve": 8, "emb_neardup_serve": 8,
+    "doc_unigram_lm": 8, "doc_source_mix": 8, "emb_semdedup": 8,
+    "kpi_revenue_by_day_ivm": 8, "events_purchase_join_salted": 8,
+    "doc_chunk_knn": 8, "orders_merge_table": 8,
+    "orders_merge_view": 8, "orders_join_view": 8,
+    "orders_scd2_revenue": 8, "doc_neardup_incremental": 8,
+    "doc_exact_dedup_incremental": 8, "emb_neardup_incremental": 8,
+    "doc_title_editjoin": 8, "doc_bm25": 8, "emb_ann_pq": 8,
+    "emb_ann_ivfpq": 8,
+}
+
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 126 queries exist, so 76 sit outside any given round):
-#:   1. Queries that went LONGEST without a driver row come first — every
-#:      query gets a driver-recorded check at least every other round.
-#:   2. Any query whose code path is touched by this round's diffs is
-#:      forced INTO the window regardless of staleness, so an infra
-#:      regression can never hide in a rotated-out query.
-#:   3. The rotated-out remainder must be all green in the PREVIOUS
-#:      round's CORRECTNESS file and untouched by the current diff.
-#: Round 8 window: the queries rotated out of r7 (driver rows last
-#: from r6) first, then the queries NEW this round — the late wave
-#: (suffix-array doc_longest_repeat / doc_repeat_coverage /
-#: doc_suffix_dedup, orders_interpolated_revenue, events_funnel /
-#: events_session_funnel / events_cohort_retention, partsupp_pagerank,
-#: orders_price_outliers, orders_merge_view_serve /
-#: orders_join_view_serve, customer_spend_distribution /
-#: customer_segment_impute, events_kmv_users / events_kmv_overlap)
-#: plus the earlier TWELVE (the read-only
-#: serving lookups doc_neardup_serve / doc_exact_dedup_serve /
-#: emb_neardup_serve against disk-cached prebuilt indexes,
-#: doc_title_editjoin_freq — frequency-ordered prefixes, doc_unigram_lm
-#: — CCNet-style unigram-LM quality scoring, doc_source_mix —
-#: deterministic pretraining mixture sampling, emb_semdedup — SemDeDup
-#: semantic dedup over trained cells, kpi_revenue_by_day_ivm —
-#: incremental view maintenance ≡ full recompute,
-#: events_purchase_join_salted — salted skew join ≡ plain join,
-#: doc_chunk_knn — the chunk→hash-embed→cosine RAG composition,
-#: orders_merge_table — the keyed MERGE/CDC table, latest-wins ≡ a
-#: declarative restatement, orders_merge_view — an aggregate view
-#: maintained purely from the table's Z-set change feed ≡ GROUP BY
-#: over its final state, and orders_join_view — a maintained JOIN view
-#: over TWO merge tables refreshed via the bilinear delta algebra ≡
-#: GROUP BY over the joined final states, and orders_scd2_revenue —
-#: SCD2 point-in-time enrichment from the dim table's commit log ≡ a
-#: declarative validity restatement), then
-#: every query over code touched by the r8 diffs: the incremental-index
-#: restructure (broadcast guards + atomic per-batch segment commits +
-#: serving lookups) forces the three incremental equivalence proofs in;
-#: editjoin's sequence guard + freq order forces doc_title_editjoin;
-#: the lazy-oracle refactor forces doc_bm25; pq.py's ivfpq_index_add
-#: forces emb_ann_pq/emb_ann_ivfpq. The 4 remaining slots go to the
-#: near-dup batch family (doc_minhash_candidates, doc_near_dups,
-#: doc_dedup_final, doc_curated_corpus) whose plans consume the
-#: dedup_fuzzy helpers the incremental module shares. SEVEN stale-first
-#: slots ceded to the new queries: kpi_revenue_by_day (it runs EVERY
-#: round as the entry() smoke, so a driver signal exists regardless),
-#: events_approx_users (no-oracle HLL — its driver row is rows-only;
-#: the exact twin events_distinct_users keeps its slot),
-#: emb_norms + doc_fingerprint (trivial stable projections),
-#: price_quantiles_approx (its exact twin price_quantiles keeps its
-#: slot), big_orders (trivial stable filter),
-#: priority_status_matrix (its pivot sibling order_priority_pivot
-#: keeps its slot), and emb_ann_ivf (its trained sibling
-#: emb_ann_ivf_trained exercises the same IVF machinery plus the
-#: k-means path and keeps its slot). Rotated
-#: out: the remaining 49 queries, all driver-green in r7 (or locally
-#: re-verified) and untouched by the r8 diffs; ALL 99 queries were
-#: additionally verified exact-multiset by tools/verify_local.py this
-#: round (96 ok / 3 no-oracle-by-design). events_user_stats_salted
-#: stays in the window because skew.py gained salted_join this round
-#: (rule 2: touched file).
-_ROUND8_WINDOW_FIRST = [
-    # (1) rotated out of r7 — driver rows last from r6
-    # kpi_top_customers ceded its slot to events_funnel (its IVM twin
-    # kpi_top_customers_ivm keeps its slot and pins the same top-k
-    # recipe); events_distinct_users ceded its slot to
-    # events_cohort_retention (exact-distinct machinery stays in-window
-    # via kpi_distinct_customers_ivm) — both r6 driver-green, untouched
-    # by every r8 diff, re-verified exact-multiset this round
-    # kpi_product_performance ceded its slot to orders_price_outliers
-    # (argmax/top-k join machinery stays in-window via
-    # cheapest_supplier_per_part and kpi_top_customers_ivm; r6
-    # driver-green, untouched by every r8 diff, re-verified
-    # exact-multiset this round)
-    # kpi_failed_events_trend ceded its slot to partsupp_pagerank
-    # (events aggregation machinery stays in-window via events_funnel /
-    # events_cohort_retention / events_user_stats_salted; r6
-    # driver-green, untouched by every r8 diff, re-verified
-    # exact-multiset this round)
-    # kpi_rolling_7d_revenue ceded its slot to
-    # customer_spend_distribution (frame/rank window machinery stays
-    # in-window via orders_interpolated_revenue's bounded window passes
-    # and the new distribution ranks); cheapest_supplier_per_part ceded
-    # its slot to customer_segment_impute (the same
-    # row_number-argmin-per-group machinery, now with the
-    # deterministic-mode tie-break) — both r6 driver-green, untouched
-    # by every r8 diff, re-verified exact-multiset this round
-    # doc_exact_dedup ceded its slot to orders_merge_view_serve (its
-    # twins doc_exact_dedup_incremental + doc_exact_dedup_serve are
-    # BOTH in-window, exercising the same sha2 dedup machinery);
-    # emb_knn ceded its slot to orders_join_view_serve (the in-window
-    # ANN family emb_ann_ivf_trained / emb_ann_sq8 / emb_ann_pq /
-    # emb_ann_ivfpq all verify against the same cosine machinery) —
-    # both r6/r7 driver-green, untouched by every r8 diff, re-verified
-    # exact-multiset this round
-    # price_quantiles ceded its slot to doc_suffix_dedup (quantile
-    # machinery stays in-window via kpi_price_quantiles_ivm, which
-    # embeds the same percentile recipe; r6 driver-green, untouched by
-    # every r8 diff, re-verified exact-multiset this round).
-    # emb_ann_knn ceded its slot to doc_longest_repeat (its exact twin
-    # emb_knn keeps its slot and covers the same brute-force cosine
-    # machinery); emb_near_dups_exact ceded its slot to
-    # doc_repeat_coverage (siblings emb_near_dups_lsh +
-    # emb_neardup_incremental/serve keep the embedding near-dup family
-    # in-window) — both r6 driver-green, untouched by every r8 diff,
-    # and re-verified exact-multiset by tools/verify_local.py this
-    # round
-    "emb_ann_ivf_trained",
-    # emb_dedup_final ceded its slot to events_session_funnel (emb CC
-    # machinery stays in-window via emb_dup_clusters, which runs the
-    # identical connected-components pipeline; r6/r7 driver-green,
-    # untouched by every r8 diff, re-verified exact-multiset this round)
-    "emb_near_dups_lsh", "emb_dup_clusters",
-    # order_priority_pivot ceded its slot to events_kmv_overlap (its
-    # matrix sibling priority_status_matrix covers the same pivot
-    # machinery and order_grouping_sets-family coverage stays via
-    # region_nation_rollup's r6-green lineage; r6 driver-green,
-    # untouched by every r8 diff, re-verified exact-multiset this
-    # round)
-    # customer_deciles ceded its slot to kpi_distinct_customers_ivm
-    # (stable ntile window over untouched analytics code, r6
-    # driver-green, re-verified exact-multiset by verify_local this
-    # round)
-    # promo_revenue_share ceded its slot to orders_bloom_lookup (stable
-    # conditional aggregate over untouched code, r6 driver-green,
-    # re-verified exact-multiset by verify_local this round);
-    # nation_top_customer_names ceded its slot to
-    # doc_contamination_fuzzy (stable string_agg over untouched code,
-    # r6 driver-green, re-verified exact-multiset this round)
-    # order_grouping_sets ceded its slot to orders_interpolated_revenue
-    # (grouping-set machinery now also exercised in-window by the new
-    # suffix-array ROLLUP ladder queries; r6 driver-green, untouched by
-    # every r8 diff, re-verified exact-multiset this round)
-    "orders_interpolated_revenue",
-    # orders_dq_report ceded its slot to events_kmv_users (DQ
-    # aggregates covered in-window by orders_price_outliers; r6
-    # driver-green, untouched by every r8 diff, re-verified
-    # exact-multiset this round)
-    "events_user_stats_salted",
-    # ordered funnel + retention triangle + oracle-exact fixed-point
-    # PageRank (new this round, rule 2)
-    "events_funnel", "events_cohort_retention", "partsupp_pagerank",
-    # Tukey-fence robust outlier profile + the view serving twins
-    # (new this round, rule 2)
-    "orders_price_outliers", "orders_merge_view_serve",
-    "orders_join_view_serve", "customer_spend_distribution",
-    "customer_segment_impute",
-    # deterministic KMV distinct sketch — the approx estimate itself
-    # is oracle-exact (new this round, rule 2)
-    "events_kmv_users", "events_kmv_overlap", "events_session_funnel",
-    # rolling z-score anomaly flags, integer window state (rule 2)
-    "events_hourly_anomalies",
-    # (2) NEW this round (rotation rule 2). Mid-round additions ceded
-    # SIX more stale-first slots to stay at 50: lineitem_unpivot_stats
-    # (its pivot sibling order_priority_pivot keeps its slot),
-    # events_hourly / events_json_value / revenue_by_day_dense (trivial
-    # stable aggregates/projections), order_moments +
-    # quantity_price_corr (stable moment aggregates over untouched
-    # code) — all r6 driver-green, untouched by every r8 diff, and
-    # re-verified exact-multiset by tools/verify_local.py this round.
-    "doc_neardup_delete", "kpi_price_quantiles_ivm",
-    "kpi_top_customers_ivm", "doc_weighted_sample",
-    # doc_bpe_token_counts ceded its slot to events_hourly_anomalies
-    # (doc_bpe_vocab keeps its slot — its oracle embeds the full
-    # sequential BPE reference that token_counts consumes; r8-wave-1
-    # driver-target, re-verified exact-multiset this round)
-    "doc_bpe_vocab",
-    # emb_ann_sq8 took order_stats_distinct's slot (stable distinct
-    # aggregates; exact-distinct machinery stays covered in-window by
-    # events_distinct_users)
-    "emb_ann_sq8",
-    # retractable exact distinct over the IVM support-multiset state
-    # (HLL's exact complement; the CDC wave retracts %5==0 rows)
-    "kpi_distinct_customers_ivm",
-    # per-file Bloom manifest point lookup (listing-time file skipping
-    # on an unsorted high-cardinality key; pruning invisible to results)
-    "orders_bloom_lookup",
-    # fuzzy benchmark decontamination (LSH cross-join corpus x bench —
-    # the near-dup leakage class exact n-gram overlap misses)
-    "doc_contamination_fuzzy",
-    # distributed suffix-array (radix-8 prefix tupling): the corpus's
-    # longest verbatim repeat via two ROLLUP passes, and stride-1 exact
-    # repeated-span coverage — both oracle-checked against brute-force
-    # n-gram enumeration (new this round, rule 2)
-    "doc_longest_repeat", "doc_repeat_coverage", "doc_suffix_dedup",
-    "doc_neardup_serve", "doc_title_editjoin_freq",
-    "doc_exact_dedup_serve", "emb_neardup_serve", "doc_unigram_lm",
-    "doc_source_mix", "emb_semdedup", "kpi_revenue_by_day_ivm",
-    "events_purchase_join_salted", "doc_chunk_knn",
-    "orders_merge_table", "orders_merge_view", "orders_join_view",
-    "orders_scd2_revenue",
-    # (3) touched by round-8 diffs
-    "doc_neardup_incremental", "doc_exact_dedup_incremental",
-    "emb_neardup_incremental", "doc_title_editjoin", "doc_bm25",
-    "emb_ann_pq", "emb_ann_ivfpq",
-    # (no fill slots left: doc_dedup_final/doc_curated_corpus/
-    # doc_minhash_candidates/doc_near_dups ceded theirs to the six new
-    # queries — all r7 driver-green, untouched by the r8 diffs)
+#: FIRST 50 entries; 127 queries exist, so 77 sit outside any given
+#: round):
+#:   1. MECHANICAL staleness bound (tests/test_entry.py): every query
+#:      not in this round's window must have been windowed within the
+#:      previous two rounds — i.e. every query gets a driver row at
+#:      least every THIRD round, the tightest bound 127 queries and 50
+#:      slots admit. _LAST_WINDOWED above is the enforced record.
+#:   2. Queries whose code path is touched by this round's diffs are
+#:      forced INTO the window where slots allow; any touched query
+#:      that cannot fit is re-verified exact-multiset with
+#:      tools/verify_local.py before the round closes (recorded in
+#:      SURVEY §6).
+#:   3. The rotated-out remainder must be all green in a previous
+#:      round's CORRECTNESS file and re-verified locally if touched.
+#: Round 9 window: the full stale cohort first — doc_bpe_token_counts
+#: (never windowed; the r8 policy breach this mechanical check now
+#: prevents) plus the 33 queries last windowed in r6 — then the queries
+#: touched by round-9 diffs (emb_ann_pq / emb_ann_ivfpq flipped to
+#: oracle-exact parity plans; orders_bloom_lookup over the sharded
+#: manifest; events_kmv_* over the persisted synopsis; events_funnel /
+#: events_session_funnel over the checkpointed step chain;
+#: orders_join_view_serve over the multi-fixture cache key;
+#: emb_dup_clusters after the creep profile), then stale-first picks
+#: from the r7 cohort.
+_ROUND9_WINDOW = [
+    # (1) stale cohort: never windowed / last windowed r6
+    "doc_bpe_token_counts",
+    "kpi_revenue_by_day", "kpi_top_customers", "kpi_product_performance",
+    "kpi_rolling_7d_revenue", "kpi_failed_events_trend",
+    "doc_fingerprint", "doc_exact_dedup", "emb_norms", "emb_knn",
+    "emb_ann_knn", "emb_ann_ivf", "emb_near_dups_exact",
+    "emb_dedup_final", "order_stats_distinct", "priority_status_matrix",
+    "price_quantiles", "price_quantiles_approx", "order_priority_pivot",
+    "lineitem_unpivot_stats", "customer_deciles", "order_moments",
+    "quantity_price_corr", "nation_top_customer_names",
+    "order_grouping_sets", "big_orders", "promo_revenue_share",
+    "cheapest_supplier_per_part", "orders_dq_report",
+    "events_distinct_users", "events_hourly", "events_json_value",
+    "events_approx_users", "revenue_by_day_dense",
+    # (2) touched by round-9 diffs
+    "emb_ann_pq", "emb_ann_ivfpq", "orders_bloom_lookup",
+    "events_kmv_users", "events_kmv_overlap", "events_funnel",
+    "events_session_funnel", "orders_join_view_serve",
+    "emb_dup_clusters",
+    # (3) stale-first from the r7 cohort
+    "doc_minhash_candidates", "doc_near_dups", "doc_dedup_final",
+    "doc_curated_corpus", "events_sessionize", "lineitem_bloom_semijoin",
+    "asset_binary_stats",
 ]
 
 
@@ -230,7 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND8_WINDOW_FIRST:
+    for name in _ROUND9_WINDOW:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)

@@ -22,13 +22,11 @@ def test_queries_and_oracles_align(spark):
     assert q, "queries() must not be empty"
     unknown = set(o) - set(q)
     assert not unknown, f"oracle keys without queries: {unknown}"
-    # deliberately oracle-free: the HLL sketch and the PQ/IVF-PQ ANN
-    # paths (engine-specific approximations; their exact twins
-    # events_distinct_users / emb_knn ARE oracle-checked, and recall is
-    # pinned in tests/test_pq.py)
-    assert set(q) - set(o) == {
-        "events_approx_users", "emb_ann_pq", "emb_ann_ivfpq",
-    }
+    # deliberately oracle-free: only the HLL sketch remains (an
+    # engine-specific approximation whose exact twin
+    # events_distinct_users IS oracle-checked); emb_ann_pq /
+    # emb_ann_ivfpq gained parity oracles in round 9
+    assert set(q) - set(o) == {"events_approx_users"}
 
 
 def test_no_silent_name_collisions_between_plan_modules():
@@ -57,3 +55,27 @@ def test_approx_users_error_bound(spark):
         assert abs(r["approx_users"] - r["exact_users"]) <= max(
             3, 0.06 * r["exact_users"]
         ), r
+
+
+def test_rotation_staleness_bound():
+    """The MECHANICAL rotation check (round-8 verdict item 2): every
+    query must be in the current driver window OR have held a window
+    slot within the previous two rounds. With 127 queries and 50 slots
+    this is the tightest enforceable cadence (every third round); the
+    r8 breach (doc_bpe_token_counts never windowed) fails this test if
+    reintroduced."""
+    q = entry_mod.queries()
+    window = entry_mod._ROUND9_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50, "duplicate window entries"
+    assert list(q)[:50] == window, "window must lead the queries() order"
+    assert set(entry_mod._LAST_WINDOWED) == set(q), (
+        "every query needs a _LAST_WINDOWED record"
+    )
+    starved = [
+        name
+        for name in q
+        if name not in window
+        and entry_mod.CURRENT_ROUND - entry_mod._LAST_WINDOWED[name] > 2
+    ]
+    assert not starved, f"queries starved of a driver row: {starved}"
