@@ -248,8 +248,19 @@ def zorder_prune_files(
 
 # ------------------------------------------------------- bloom manifest
 
-#: per-file Bloom manifest written next to the parquet files
-BLOOM_MANIFEST = "_bloom_manifest.json"
+#: per-file Bloom SIDECAR: a parquet table of (col, file, word, bits)
+#: rows written next to the data files. The leading underscore makes
+#: Spark/Hadoop readers treat it as hidden, so a plain
+#: ``spark.read.parquet(target_dir)`` never picks it up — the _SUCCESS
+#: convention. Round-9 replacement for the driver-sided JSON manifest
+#: (round-8 verdict item 3): at 100 TB file counts (10^5-10^6 files ×
+#: ≤2 Ki words/col) a JSON manifest is GiBs in driver memory at BOTH
+#: ends; the sidecar is built with a distributed write and probed with
+#: a broadcast join, so the driver only ever holds the probe keys and
+#: the surviving file names.
+BLOOM_SIDECAR = "_bloom_sidecar"
+#: hyperparameters + file census for the sidecar (O(1) size)
+BLOOM_META = "_bloom_sidecar_meta.json"
 
 
 def _bloom_positions_col(col: str, num_bits: int, num_hashes: int):
@@ -316,17 +327,18 @@ def write_bloom_manifest(
 
     Build = ONE distributed pass over the directory: every row emits k
     bit positions per key column (JVM md5, no Python), positions pack
-    into (file, word, mask) and a ``bit_or`` aggregate folds them into
-    ≤ num_bits/64 words per file — the driver receives only the folded
-    words (files × ≤2 Ki longs at the 2^17 default), never rows; the
-    same sketch-sized-collect doctrine as bloomjoin.py. NULLs are never
-    added (SQL equality can't select them; lookups refuse None).
+    into (file, word, mask), a ``bit_or`` aggregate folds them into
+    ≤ num_bits/64 words per file, and the folded words are WRITTEN
+    STRAIGHT to the parquet sidecar (partitioned by key column) — the
+    driver never holds a single filter word, at any file count. The
+    probe side (``bloom_prune_files``) is a broadcast join, so the
+    whole index lives its life distributed.
 
     Sizing: fpp ≈ (1 - e^(-k·n/m))^k per file of n rows. The 2^17/5
     default holds fpp ≈ 4% at 20k rows/file (16 KiB per file per
-    column); raise num_bits for bigger files. The manifest snapshots the
+    column); raise num_bits for bigger files. The sidecar snapshots the
     CURRENT file set — rewrite it after appending files, like the
-    z-order manifest."""
+    z-order manifest. Returns the O(1) meta dict."""
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     df = spark.read.parquet(target_dir)
@@ -338,87 +350,139 @@ def write_bloom_manifest(
                 "keys have build/probe-identical string forms "
                 f"({_BLOOM_KEY_TYPES}) — cast explicitly first"
             )
-    manifest: dict = {
-        "num_bits": num_bits,
-        "num_hashes": num_hashes,
-        "cols": {},
-    }
     base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    parts = []
     for c in cols:
-        words = (
-            df.select(base.alias("_file"), F.col(c))
+        parts.append(
+            df.select(base.alias("file"), F.col(c))
             .where(F.col(c).isNotNull())
             .select(
-                "_file",
+                "file",
                 F.explode(
                     _bloom_positions_col(c, num_bits, num_hashes)
                 ).alias("h"),
             )
             .select(
-                "_file",
+                "file",
                 (F.col("h") / 64).cast("int").alias("word"),
                 F.expr(
                     "shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))"
                 ).alias("mask"),
             )
-            .groupBy("_file", "word")
+            .groupBy("file", "word")
             .agg(F.bit_or("mask").alias("bits"))
-            .collect()
+            .select(F.lit(c).alias("col"), "file", "word", "bits")
         )
-        per_file: dict[str, dict[str, int]] = {}
-        for r in words:
-            per_file.setdefault(r["_file"], {})[str(r["word"])] = r["bits"]
-        manifest["cols"][c] = per_file
-    with open(os.path.join(target_dir, BLOOM_MANIFEST), "w",
+    side = parts[0]
+    for p in parts[1:]:
+        side = side.unionByName(p)
+    side.write.mode("overwrite").partitionBy("col").parquet(
+        os.path.join(target_dir, BLOOM_SIDECAR)
+    )
+    n_files = sum(
+        1
+        for name in os.listdir(target_dir)
+        if name.endswith(".parquet") and not name.startswith((".", "_"))
+    )
+    meta = {
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "cols": list(cols),
+        "n_files": n_files,
+    }
+    with open(os.path.join(target_dir, BLOOM_META), "w",
               encoding="utf-8") as fh:
-        json.dump(manifest, fh)
-    return manifest
+        json.dump(meta, fh)
+    return meta
 
 
 def bloom_prune_files(
+    spark: SparkSession,
     target_dir: str,
     lookups: dict[str, Sequence],
 ) -> tuple[list[str], int]:
     """File paths that MIGHT satisfy ``lookups`` (col → key values,
     AND across columns / OR within a column's keys) against the Bloom
-    manifest, plus the total file count. No false negatives: a file
-    holding any looked-up key always survives. Probe cost is driver
-    Python — files × keys × k bit tests — the point-lookup / IN-list
-    regime (≲10^4 keys); key sets beyond that are bloomjoin.py's
-    regime, not a manifest probe's."""
-    with open(os.path.join(target_dir, BLOOM_MANIFEST),
-              encoding="utf-8") as fh:
-        man = json.load(fh)
-    num_bits, num_hashes = man["num_bits"], man["num_hashes"]
+    sidecar, plus the total file count. No false negatives: a file
+    holding any looked-up key always survives.
+
+    DISTRIBUTED probe (round-8 verdict item 3): the probe keys' bit
+    positions fold to a per-(col,key) word→mask table in driver Python
+    (keys are the point-lookup / IN-list regime, ≲10^4 — key sets
+    beyond that are bloomjoin.py's regime), which broadcast-joins the
+    sidecar scan on (col, word). A key MIGHT be in a file iff every one
+    of its probe words has all mask bits set (count of matched words ==
+    its word count); a file survives iff every lookup column has ≥1
+    candidate key. The sidecar scan is partition-pruned to the lookup
+    columns at listing time, the driver receives ONLY surviving file
+    names, and nothing file-count-sized ever materializes in Python —
+    the shape a 10^6-file lake needs."""
+    survivors, meta = _bloom_survivors_df(spark, target_dir, lookups)
+    kept = sorted(r["file"] for r in survivors.collect())
+    return (
+        [os.path.join(target_dir, f) for f in kept],
+        meta["n_files"],
+    )
+
+
+def _bloom_survivors_df(
+    spark: SparkSession,
+    target_dir: str,
+    lookups: dict[str, Sequence],
+) -> tuple[DataFrame, dict]:
+    """The (surviving-file-names DataFrame, meta) behind
+    ``bloom_prune_files`` — exposed so plan gates can pin the probe
+    shape (broadcast probe join, partition-pruned sidecar scan, nothing
+    file-count-sized on the driver)."""
+    with open(os.path.join(target_dir, BLOOM_META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
     for c, keys in lookups.items():
-        if c not in man["cols"]:
+        if c not in meta["cols"]:
             raise ValueError(f"column {c!r} not in bloom manifest")
         if any(k is None for k in keys):
             raise ValueError("bloom lookups cannot contain None")
-    files = sorted(
-        {f for per_file in man["cols"].values() for f in per_file}
-    )
-    pos = {
-        c: [_bloom_positions_py(k, num_bits, num_hashes) for k in keys]
-        for c, keys in lookups.items()
-    }
-    kept = []
-    for fname in files:
-        ok = True
-        for c in lookups:
-            wordmap = man["cols"][c].get(fname, {})
-            if not any(
-                all(
-                    wordmap.get(str(p // 64), 0) & (1 << (p % 64))
-                    for p in key_pos
+    probe_rows = []
+    nword_rows = []
+    for c, keys in lookups.items():
+        for ki, k in enumerate(keys):
+            words: dict[int, int] = {}
+            for p in _bloom_positions_py(k, num_bits, num_hashes):
+                words[p // 64] = words.get(p // 64, 0) | (1 << (p % 64))
+            for w, m in words.items():
+                # two's-complement: bit 63 set -> negative signed long,
+                # matching the JVM's shiftleft/bit_or longs
+                probe_rows.append(
+                    (c, ki, w, m - (1 << 64) if m >= (1 << 63) else m)
                 )
-                for key_pos in pos[c]
-            ):
-                ok = False
-                break
-        if ok:
-            kept.append(os.path.join(target_dir, fname))
-    return kept, len(files)
+            nword_rows.append((c, ki, len(words)))
+    probe = spark.createDataFrame(
+        probe_rows, "col string, key int, word int, mask bigint"
+    )
+    nwords = spark.createDataFrame(
+        nword_rows, "col string, key int, nwords int"
+    )
+    side = spark.read.parquet(os.path.join(target_dir, BLOOM_SIDECAR)).where(
+        F.col("col").isin(list(lookups))
+    )
+    matched = side.join(F.broadcast(probe), ["col", "word"]).where(
+        F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    key_hits = (
+        matched.groupBy("file", "col", "key")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .join(F.broadcast(nwords), ["col", "key"])
+        .where(F.col("nw") == F.col("nwords"))
+    )
+    survivors = (
+        key_hits.select("file", "col")
+        .distinct()
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("ncols"))
+        .where(F.col("ncols") == len(lookups))
+        .select("file")
+    )
+    return survivors, meta
 
 
 def read_bloom_filtered(
@@ -435,8 +499,8 @@ def read_bloom_filtered(
     filtered read."""
     if not lookups:
         raise ValueError("read_bloom_filtered needs at least one lookup")
-    if os.path.exists(os.path.join(target_dir, BLOOM_MANIFEST)):
-        kept, total = bloom_prune_files(target_dir, lookups)
+    if os.path.exists(os.path.join(target_dir, BLOOM_META)):
+        kept, total = bloom_prune_files(spark, target_dir, lookups)
         if not kept:
             df = spark.read.parquet(target_dir).limit(0)
         else:
