@@ -128,3 +128,68 @@ class TestStarAlgorithm:
         graph_mod._release_checkpoint(out)
         leaked = ids() - before
         assert not leaked
+
+
+class TestLocalUnionFind:
+    """Round-9 ``auto``/``local`` path: a dedup graph's edge list is
+    tiny relative to the corpus, so below the edge ceiling CC runs as a
+    single-task union-find — one job instead of diameter-many iterative
+    shuffle rounds (the emb_dup_clusters creep fix)."""
+
+    def test_local_matches_label_and_star(self, spark):
+        import random
+
+        rng = random.Random(9)
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ] + [(i, i + 1) for i in range(500, 540)]  # a 41-hop chain
+        p = _pairs(spark, edges)
+        want = sorted(
+            map(tuple, connected_components(p, algorithm="label",
+                                            max_iter=60).collect())
+        )
+        got_local = sorted(
+            map(tuple, connected_components(p, algorithm="local").collect())
+        )
+        got_star = sorted(
+            map(tuple, connected_components(p, algorithm="star").collect())
+        )
+        assert got_local == want == got_star
+
+    def test_auto_picks_local_below_ceiling(self, spark):
+        df = connected_components(
+            _pairs(spark, [(1, 2), (2, 3)]), algorithm="auto"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # single-task union-find: a Python map stage, no join/agg rounds
+        assert "MapInPandas" in plan, plan
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+    def test_auto_falls_back_to_label_above_ceiling(self, spark):
+        df = connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4)]),
+            algorithm="auto",
+            local_edges_max=2,
+        )
+        out = {r["v"]: r["comp"] for r in df.collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+
+    def test_local_string_ids(self, spark):
+        from pyspark.sql import Row
+
+        p = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in
+             [("b", "c"), ("a", "b"), ("x", "y")]],
+            "id_a string, id_b string",
+        )
+        out = {
+            r["v"]: r["comp"]
+            for r in connected_components(p, algorithm="local").collect()
+        }
+        assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_local_empty_pairs(self, spark):
+        p = _pairs(spark, [])
+        assert connected_components(p, algorithm="local").count() == 0
