@@ -63,11 +63,17 @@ def funnel_steps(
         F.unix_micros(F.col(ts_col)).alias("_t"),
         F.col(type_col).alias("_y"),
     )
+    # localCheckpoint each step's completion frame (round-8 advice):
+    # counting step i would otherwise re-execute the whole join chain of
+    # steps 0..i — quadratic recomputation in the number of steps. Each
+    # materialized frame is one row per surviving entity, shrinking
+    # monotonically down the funnel.
     completions = []
     cur = (
         ev.where(F.col("_y") == steps[0])
         .groupBy(*kcols)
         .agg(F.min("_t").alias("_done"))
+        .localCheckpoint(eager=False)
     )
     completions.append(cur)
     for step in steps[1:]:
@@ -79,6 +85,7 @@ def funnel_steps(
             .where(F.col("_t") > F.col("_prev"))
             .groupBy(*kcols)
             .agg(F.min("_t").alias("_done"))
+            .localCheckpoint(eager=False)
         )
         completions.append(nxt)
         cur = nxt

@@ -275,7 +275,11 @@ def kmv_overlap(
         group_cols,
         value_col,
         k,
-    )
+    # localCheckpoint (eager) the two-row synopsis before splitting it
+    # into the a/b single-row frames: without it each side re-executes
+    # the whole synopsis build (distinct + window over the data) —
+    # round-8 advice. The materialized state is 2 groups × k longs.
+    ).localCheckpoint()
     a = syn.where(F.col(group_cols[0]) == group_a).select(
         F.col("kmv").alias("ka"), F.col("n_values").alias("na")
     )

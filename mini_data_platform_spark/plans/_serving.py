@@ -32,13 +32,21 @@ def cached_artifact(
     sf_dir: str,
     params: str,
     build: Callable[[str], None],
-    fixture: str = "documents.parquet",
+    fixture: str | list[str] = "documents.parquet",
     marker: str = "meta.json",
 ) -> str:
-    st = os.stat(os.path.join(sf_dir, fixture))
+    # ``fixture`` may list EVERY table the artifact embeds (round-8
+    # advice: the join-view artifact bakes in customer.parquet too, so a
+    # regenerated customer fixture must miss the cache, not serve stale
+    # results); the key folds each one's (mtime_ns, size)
+    fixtures = [fixture] if isinstance(fixture, str) else list(fixture)
+    stats = "|".join(
+        f"{(st := os.stat(os.path.join(sf_dir, f))).st_mtime_ns}:"
+        f"{st.st_size}"
+        for f in fixtures
+    )
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{params}|"
-        f"{st.st_mtime_ns}|{st.st_size}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{params}|{stats}|v2".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join(tempfile.gettempdir(), f"mdp_serveidx_{key}")
     if os.path.exists(os.path.join(out_dir, marker)):

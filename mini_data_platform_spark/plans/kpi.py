@@ -606,7 +606,8 @@ def orders_join_view_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "joinview",
         lambda d: _build_join_view_artifacts(spark, sf_dir, d),
-        fixture="orders.parquet",
+        # the artifact embeds BOTH sides' change waves — key on both
+        fixture=["orders.parquet", "customer.parquet"],
         marker="_COMPLETE",
     )
     return view_read(spark, os.path.join(root, "view"))

@@ -90,6 +90,20 @@ def apply_kmv_batch(
     with open(tmp, "w") as fh:
         json.dump({"current": vname, "k": k}, fh)
     os.replace(tmp, _meta_path(state_dir))
+    # GC superseded versions AFTER the swap (round-8 advice: a
+    # long-running stream must not grow the state dir without bound).
+    # The state we just read was fully materialized by the write above
+    # (kmv_state_read → parquet scan feeds the new version's write job),
+    # so deleting old v* dirs races only a concurrent reader mid-scan of
+    # a version it picked up before the swap — single-maintainer state
+    # with point-in-time readers, the documented contract here. Crash
+    # orphans (v* never published) are reaped by the same sweep.
+    import shutil
+
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name != vname:
+            shutil.rmtree(os.path.join(state_dir, name),
+                          ignore_errors=True)
 
 
 def maintain_kmv_stream(

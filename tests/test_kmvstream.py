@@ -74,3 +74,18 @@ class TestKmvStreamState:
         q.awaitTermination(120)
         full = spark.read.parquet(src)
         assert _state_tuples(spark, state) == _batch_tuples(spark, full)
+
+    def test_superseded_versions_garbage_collected(self, spark, tmp_path):
+        """Round-8 advice: a long-running stream must not grow the
+        state dir without bound — after each publish only the current
+        v* dir survives, and the state still reads correctly."""
+        import os
+
+        state = str(tmp_path / "state_gc")
+        for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+            apply_kmv_batch(_frame(spark, lo, hi), state, ["g"], "v", K)
+        vdirs = [n for n in os.listdir(state) if n.startswith("v")]
+        assert len(vdirs) == 1
+        assert _state_tuples(spark, state) == _batch_tuples(
+            spark, _frame(spark, 0, 90)
+        )
