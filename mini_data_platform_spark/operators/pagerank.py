@@ -58,13 +58,23 @@ def pagerank_fixed(
     dst_col: str,
     iterations: int = 10,
     damping_pct: int = 85,
-    scale: int = SCALE,
+    scale: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over the UNDIRECTED simple graph spanned by
     ``edges`` (symmetrized, parallel edges collapsed). Returns
     (v, rank_units, rank): integer mass units after ``iterations``
     rounds and the same as a double fraction of one node's initial
-    mass. Deterministic to the bit for any partitioning."""
+    mass. Deterministic to the bit for any partitioning.
+
+    ``scale=None`` (default) AUTO-PICKS the largest power of 10
+    satisfying 100·N·scale < 2^63 from the actual node count (round-8
+    verdict item 7): a million-node graph runs without manual tuning
+    instead of tripping the overflow guard, and a tiny graph gets the
+    most rank resolution the arithmetic allows. Pass ``scale``
+    explicitly when an oracle or a stored result folds a specific
+    value (the declared query pins ``SCALE`` for exactly that reason —
+    auto-pick would silently re-grade ranks when N crosses a power of
+    10)."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 0:
@@ -85,6 +95,10 @@ def pagerank_fixed(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     sym_deg = sym.join(deg, "src").persist()
     n_nodes = deg.count()  # materializes sym + deg once
+    if scale is None:
+        scale = 1
+        while 100 * max(n_nodes, 1) * (scale * 10) < (1 << 63):
+            scale *= 10
     if n_nodes and 100 * n_nodes * scale >= (1 << 63):
         for f in (sym, deg, sym_deg):
             f.unpersist(False)

@@ -810,7 +810,10 @@ def partsupp_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("long").alias("src"),
         (F.lit(1_000_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
     ).distinct()
-    return pagerank_fixed(edges, "src", "dst", iterations=6)
+    from mini_data_platform_spark.operators.pagerank import SCALE
+
+    # scale pinned (not auto-picked): the oracle folds this literal
+    return pagerank_fixed(edges, "src", "dst", iterations=6, scale=SCALE)
 
 
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,8 @@ class TestPagerankFixed:
         got = {
             r["v"]: r["rank_units"]
             for r in pagerank_fixed(
-                _edges(spark, pairs), "src", "dst", iterations=7
+                _edges(spark, pairs), "src", "dst", iterations=7,
+                scale=SCALE,
             ).collect()
         }
         assert got == _reference(pairs, iterations=7)
@@ -45,7 +46,9 @@ class TestPagerankFixed:
     def test_hub_ranks_highest(self, spark):
         # star graph: the hub must out-rank every leaf
         pairs = [(0, i) for i in range(1, 6)]
-        rows = pagerank_fixed(_edges(spark, pairs), "src", "dst").collect()
+        rows = pagerank_fixed(
+            _edges(spark, pairs), "src", "dst", scale=SCALE
+        ).collect()
         ranks = {r["v"]: r["rank_units"] for r in rows}
         assert ranks[0] == max(ranks.values())
         leaf_ranks = {ranks[i] for i in range(1, 6)}
@@ -56,11 +59,15 @@ class TestPagerankFixed:
         noisy = base + [(1, 1), (2, 1), (1, 2), (3, 3)]
         a = {
             r["v"]: r["rank_units"]
-            for r in pagerank_fixed(_edges(spark, base), "src", "dst").collect()
+            for r in pagerank_fixed(
+                _edges(spark, base), "src", "dst", scale=SCALE
+            ).collect()
         }
         b = {
             r["v"]: r["rank_units"]
-            for r in pagerank_fixed(_edges(spark, noisy), "src", "dst").collect()
+            for r in pagerank_fixed(
+                _edges(spark, noisy), "src", "dst", scale=SCALE
+            ).collect()
         }
         assert a == b
 
@@ -68,16 +75,22 @@ class TestPagerankFixed:
         pairs = [(i, (i * 7) % 23) for i in range(40) if i != (i * 7) % 23]
         base = _edges(spark, pairs)
         a = sorted(
-            pagerank_fixed(base.repartition(1), "src", "dst", 5).collect()
+            pagerank_fixed(
+                base.repartition(1), "src", "dst", 5, scale=SCALE
+            ).collect()
         )
         b = sorted(
-            pagerank_fixed(base.repartition(9), "src", "dst", 5).collect()
+            pagerank_fixed(
+                base.repartition(9), "src", "dst", 5, scale=SCALE
+            ).collect()
         )
         assert a == b
 
     def test_mass_leak_bounded(self, spark):
         pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
-        df = pagerank_fixed(_edges(spark, pairs), "src", "dst", iterations=10)
+        df = pagerank_fixed(
+            _edges(spark, pairs), "src", "dst", iterations=10, scale=SCALE
+        )
         total = df.agg(F.sum("rank_units")).collect()[0][0]
         release_plan(df)
         n_nodes, n_dir_edges = 4, 10
@@ -97,7 +110,44 @@ class TestPagerankFixed:
 
     def test_zero_iterations_is_uniform(self, spark):
         rows = pagerank_fixed(
-            _edges(spark, [(1, 2), (2, 3)]), "src", "dst", iterations=0
+            _edges(spark, [(1, 2), (2, 3)]), "src", "dst", iterations=0,
+            scale=SCALE,
         ).collect()
         assert {r["rank_units"] for r in rows} == {SCALE}
         assert {r["rank"] for r in rows} == {1.0}
+
+
+class TestAutoScale:
+    """scale=None picks the largest power-of-10 the 64-bit mass
+    arithmetic admits from the ACTUAL node count (r8 verdict item 7)."""
+
+    def test_small_graph_gets_max_resolution(self, spark):
+        from pyspark.sql import Row
+
+        edges = spark.createDataFrame(
+            [Row(src=1, dst=2), Row(src=2, dst=3)], "src long, dst long"
+        )
+        out = pagerank_fixed(edges, "src", "dst", iterations=1)
+        # 3 nodes: largest power of 10 with 300*scale < 2^63 is 1e16
+        total = sum(r["rank_units"] for r in out.collect())
+        assert total > 3 * 10**15  # mass at the auto scale, minus leak
+
+    def test_million_node_graph_runs_untuned(self, spark):
+        from pyspark.sql import functions as F
+
+        n = 1_000_000
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        out = pagerank_fixed(edges, "src", "dst", iterations=1)
+        assert out.count() == n  # no overflow guard trip, full node set
+
+    def test_explicit_scale_still_guarded(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        edges = spark.range(100_000).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        with pytest.raises(ValueError, match="overflow"):
+            pagerank_fixed(edges, "src", "dst", iterations=1, scale=10**15)
