@@ -530,6 +530,55 @@ def doc_neardup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_index_pairs(spark, index_dir)
 
 
+def doc_neardup_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of takedown (round-8 verdict item 8):
+    ``doc_neardup_delete`` is the equivalence proof and rebuilds an
+    index + recomputes pairs in-query by design; this query measures
+    the GDPR-erasure READ path — one read-only ``neardup_index_lookup``
+    of a fresh batch against a PREBUILT, already-TOMBSTONED index (the
+    even-id corpus with every doc_id % 7 == 0 doc retracted; tombstone
+    written offline in the cached build, like every ``*_serve``
+    warmup). The lookup's probe must see only live docs: a batch doc
+    whose nearest neighbor was deleted comes back with no pair. Batch =
+    mutated copies of the doc_id % 10 == 0 docs under +20000 ids (the
+    only ids ≥ 20000), so the oracle is the near-dup recompute over
+    (live corpus ∪ batch) restricted to id_b >= 20000."""
+    from mini_data_platform_spark.operators.incremental import (
+        index_delete,
+        neardup_index_build,
+        neardup_index_lookup,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+
+    def build(d):
+        neardup_index_build(
+            _mutated_corpus(docs), d, "doc_id", "text",
+            JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        index_delete(
+            _mutated_corpus(docs).where(F.col("doc_id") % 7 == 0), d
+        )
+
+    index_dir = _cached_index(
+        sf_dir,
+        f"nddel|{JACCARD_THRESHOLD}|{NUM_HASHES}|{BANDS}|{SHINGLE_N}",
+        build,
+    )
+    t = TX.tokens(F.col("text"))
+    batch = _spread(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+        )
+    )
+    return neardup_index_lookup(batch, index_dir)
+
+
 def _cached_index(
     sf_dir: str, params: str, build, fixture: str = "documents.parquet"
 ) -> str:
@@ -1615,6 +1664,7 @@ QUERIES = {
     "doc_near_dups": doc_near_dups,
     "doc_neardup_incremental": doc_neardup_incremental,
     "doc_neardup_delete": doc_neardup_delete,
+    "doc_neardup_delete_serve": doc_neardup_delete_serve,
     "doc_neardup_serve": doc_neardup_serve,
     "doc_simhash": doc_simhash,
     "doc_dup_clusters": doc_dup_clusters,
@@ -2141,6 +2191,24 @@ ORACLE = {
             FROM documents WHERE doc_id % 2 = 0
         ) WHERE doc_id % 7 <> 0
     """),
+    # takedown serving lookup: near-dup recompute over (the tombstoned
+    # corpus's LIVE docs ∪ the +20000 batch), batch-involving pairs only
+    "doc_neardup_delete_serve": f"""
+        SELECT id_a, id_b, jaccard FROM ({_sql_near_dups('''
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
+            FROM documents WHERE doc_id % 2 = 0
+        ) WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+        ''')})
+        WHERE id_b >= 20000
+    """,
     # serving lookup: near-dup recompute over documents ∪ the 10% batch
     # (mutated copies of doc_id % 10 == 0), restricted to pairs
     # involving the batch — batch ids are the only ids >= 10000 in this
