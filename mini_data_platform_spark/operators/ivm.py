@@ -30,9 +30,12 @@ dir readers never see, and a retried increment overwrites it — the same
 exactly-once contract, plus explicit ``batch_id`` replay protection
 (an already-committed batch id is a no-op, so an at-least-once
 orchestrator like the reference's Airflow retries can call blindly).
-Single-WRITER discipline, like the indexes: the meta read-modify-write
-is not a CAS, so two concurrent increments can drop one commit —
-serialize writers (the reference's ``max_active_runs=1`` shape).
+MULTI-WRITER since round 9: commits are put-if-absent OCC tickets
+(operators/occlog.py — the merge-table protocol, shared with the
+dedup indexes), so two concurrent increments both land; a view PARTIAL
+derives from the delta alone, so a ticket loser re-commits it at the
+next version (snapshot mode re-merges). Compaction refuses a lost
+race.
 Readers are unrestricted against DELTA increments (appends never touch
 existing segments; a reader's lazy plan over its pinned meta stays
 valid), but operations that DELETE superseded dirs — ``compact_view``
@@ -74,6 +77,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_data_platform_spark.operators.incremental import (
+    _OCC_MAX_RETRIES,
     _meta_as_of,
     _read_meta,
     _write_meta,
@@ -84,6 +88,67 @@ from mini_data_platform_spark.plans._parity import DEC
 
 _AGG = "agg"
 _KINDS = {"sum", "count", "min", "max", "approx_distinct"}
+
+
+# ------------------------------------------------ OCC commit log (r9)
+#
+# Same multi-writer protocol as the dedup indexes (operators/occlog.py,
+# lifted from the merge table — r8 verdict item 5): commits are
+# put-if-absent tickets, meta.json is a rolled-forward checkpoint,
+# segment dirs carry writer-unique names. Because a view PARTIAL is
+# derived from the delta alone (never from the view state), a ticket
+# loser in delta mode re-commits the same partial at the next version;
+# snapshot mode re-merges against the recovered state per attempt.
+
+
+def _apply_view_record(meta: dict, rec: dict) -> dict:
+    import json
+
+    m = json.loads(json.dumps(meta))  # deep copy
+    if rec["type"] == "partial":
+        if rec["seq"] != m["n_batches"]:
+            raise RuntimeError(
+                f"view commit record seq {rec['seq']} != n_batches "
+                f"{m['n_batches']} — corrupted commit log"
+            )
+        if m["mode"] == "snapshot":
+            m["segments"][_AGG] = [rec["segment"]]
+        else:
+            m["segments"][_AGG] = m["segments"][_AGG] + [rec["segment"]]
+        m["batches"] = m["batches"] + [rec["batch_id"]]
+        m["n_batches"] += 1
+    elif rec["type"] == "compact":
+        m["segments"][_AGG] = [rec["segment"]]
+        m["compacted_through"] = rec["compacted_through"]
+    else:
+        raise RuntimeError(f"unknown view record type {rec['type']!r}")
+    m["version"] = rec["version"] + 1
+    return m
+
+
+def _checkpoint_view_meta(view_dir: str, meta: dict) -> None:
+    cur = _read_meta(view_dir)
+    if cur.get("version", cur["n_batches"]) <= meta["version"]:
+        _write_meta(view_dir, meta)
+
+
+def _recover_view_meta(view_dir: str) -> dict:
+    from mini_data_platform_spark.operators import occlog
+
+    meta = _read_meta(view_dir)
+    meta["version"] = meta.get("version", meta["n_batches"])
+    return occlog.roll_forward(
+        view_dir,
+        meta,
+        _apply_view_record,
+        lambda m: _checkpoint_view_meta(view_dir, m),
+    )
+
+
+def _try_ticket(view_dir: str, version: int, record: dict) -> bool:
+    from mini_data_platform_spark.operators import occlog
+
+    return occlog.try_ticket(view_dir, version, record)
 
 
 def _star_counts(measures: dict[str, tuple[str, str]]) -> list[str]:
@@ -186,37 +251,57 @@ def _commit_partial(
 ) -> dict:
     """The ONE commit protocol for every write path (plain increments
     AND change batches — a fix here must not be able to diverge the
-    two): write the partial-state segment (snapshot mode first merges
-    with the current view and reclaims zero-multiplicity tombstones,
-    since the snapshot IS the full state), swap meta atomically, then
-    best-effort delete superseded snapshot copies AFTER the swap
-    (otherwise each refresh leaks a full view copy — maintenance-window
-    caveat in the module docstring)."""
+    two): write the partial-state segment under a writer-unique name
+    (snapshot mode first merges with the current view and reclaims
+    zero-multiplicity tombstones, since the snapshot IS the full
+    state), then commit via the OCC ticket. A ticket loser retries
+    against the recovered state: the PARTIAL derives from the delta
+    alone, so delta mode re-commits it verbatim at the next version
+    and snapshot mode re-merges — either way both writers' batches
+    land (multi-writer, r9). Superseded snapshot copies are deleted
+    best-effort AFTER the commit (otherwise each refresh leaks a full
+    view copy — maintenance-window caveat in the module docstring)."""
+    import uuid
+
     spark = part.sparkSession
     keys = meta["keys"]
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
-    seg = f"seg-{meta['n_batches']}"
-    superseded: list[str] = []
-    if meta["mode"] == "snapshot":
-        current = _read_segments(spark, view_dir, meta)
-        merged = _merge_agg(current.unionByName(part), keys, measures)
-        star = _star_counts(measures)
-        if star:
-            # fully-deleted groups must not be rewritten forever
-            merged = merged.filter(F.col(star[0]) > 0)
-        _write_segment(merged, view_dir, _AGG, seg)
-        superseded = [s for s in meta["segments"][_AGG] if s != seg]
-        meta["segments"][_AGG] = [seg]
-    else:
-        _write_segment(part, view_dir, _AGG, seg)
-        meta["segments"][_AGG].append(seg)
-    # COMMIT: segment dirs become visible in one atomic meta swap
-    meta["batches"].append(bid)
-    meta["n_batches"] += 1
-    _write_meta(view_dir, meta)
-    for s in superseded:
-        shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)
-    return meta
+    for _ in range(_OCC_MAX_RETRIES):
+        if bid in meta["batches"]:  # a racer replayed our batch id
+            return meta
+        seg = f"seg-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+        superseded: list[str] = []
+        if meta["mode"] == "snapshot":
+            current = _read_segments(spark, view_dir, meta)
+            merged = _merge_agg(current.unionByName(part), keys, measures)
+            star = _star_counts(measures)
+            if star:
+                # fully-deleted groups must not be rewritten forever
+                merged = merged.filter(F.col(star[0]) > 0)
+            _write_segment(merged, view_dir, _AGG, seg)
+            superseded = [s for s in meta["segments"][_AGG] if s != seg]
+        else:
+            _write_segment(part, view_dir, _AGG, seg)
+        rec = {
+            "type": "partial",
+            "version": meta["version"],
+            "seq": meta["n_batches"],
+            "segment": seg,
+            "batch_id": bid,
+        }
+        if _try_ticket(view_dir, meta["version"], rec):
+            meta = _apply_view_record(meta, rec)
+            _checkpoint_view_meta(view_dir, meta)
+            for s in superseded:
+                shutil.rmtree(
+                    os.path.join(view_dir, _AGG, s), ignore_errors=True
+                )
+            return meta
+        meta = _recover_view_meta(view_dir)  # lost: fold the winner, retry
+    raise RuntimeError(
+        f"view commit: lost {_OCC_MAX_RETRIES} races in a row at "
+        f"{view_dir} — pathological contention"
+    )
 
 
 def view_increment(
@@ -226,7 +311,7 @@ def view_increment(
     mode (one partial aggregate, zero view reads); O(view + delta) in
     snapshot mode (consolidating rewrite). Replaying an
     already-committed ``batch_id`` is a no-op — retries are safe."""
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
     if bid in meta["batches"]:
         return meta
@@ -261,7 +346,7 @@ def view_read(
     in delta mode (segments are per-batch partial states, history is a
     log prefix; see incremental._meta_as_of). Snapshot mode consolidates
     on every increment and therefore keeps no history."""
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     if as_of is not None:
         if meta["mode"] == "snapshot":
             raise ValueError(
@@ -321,7 +406,7 @@ def view_apply_changes(
     fully-deleted group must vanish, not linger as a zero row).
     Same O(delta) segment append, commit, and ``batch_id`` replay
     contract as :func:`view_increment`."""
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
     bad = [
         n for n, (kind, _s) in measures.items()
@@ -419,7 +504,7 @@ def minmax_view_read(
     then one aggregate over surviving values. Groups whose every value
     retracted produce no row — a fully-deleted group vanishes, matching
     the plain-view contract."""
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     vc = meta.get("minmax_value")
     if not vc:
         raise ValueError(
@@ -489,7 +574,7 @@ def distinct_view_read(
     semantics (NULL never counts; a group whose only live rows are
     NULL serves 0; a group whose every row retracted vanishes). The
     serve is one view-sized aggregate — never a fact scan."""
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     vc = meta.get("distinct_value")
     if not vc:
         raise ValueError(
@@ -556,7 +641,7 @@ def _bucketize(df: DataFrame, value_col: str, width: float) -> DataFrame:
 
 
 def _histogram_meta(view_dir: str) -> dict:
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     if "histogram_value" not in meta:
         raise ValueError(
             f"{view_dir} is not a histogram view "
@@ -668,7 +753,7 @@ def view_topk(
     view-sized TakeOrderedAndProject (no global sort — Spark keeps k
     rows per partition and merges). Ties break on the key columns for
     determinism."""
-    meta = _read_meta(view_dir)
+    meta = _recover_view_meta(view_dir)
     v = view_read(spark, view_dir, finalize=True, as_of=as_of)
     order = [F.col(order_col).desc()] + [
         F.col(kk).asc() for kk in meta["keys"]
@@ -678,21 +763,37 @@ def view_topk(
 
 def compact_view(spark: SparkSession, view_dir: str) -> dict:
     """Fold a delta-mode view's segment log back to one segment: read
-    the union, merge, write a ``compact-N`` segment, commit the
-    single-entry segment list in one meta swap, then best-effort delete
-    the superseded dirs (a crash before the deletes leaves readable
-    garbage, never a wrong view)."""
-    meta = _read_meta(view_dir)
+    the union, merge, write a ``compact-N-<token>`` segment, commit via
+    the OCC ticket, then best-effort delete the superseded dirs (a
+    crash before the deletes leaves readable garbage, never a wrong
+    view). Like ``compact_index``, a lost ticket (a concurrent
+    increment landed after the read) RAISES rather than stomping the
+    newer state — re-run to compact the advanced view."""
+    import uuid
+
+    meta = _recover_view_meta(view_dir)
     keys = meta["keys"]
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
     old = list(meta["segments"][_AGG])
     merged = _merge_agg(_read_segments(spark, view_dir, meta), keys, measures)
-    seg = f"compact-{meta['n_batches']}"
+    seg = f"compact-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
     _write_segment(merged, view_dir, _AGG, seg)
-    meta["segments"][_AGG] = [seg]
-    # time-travel boundary, same as compact_index
-    meta["compacted_through"] = meta["n_batches"]
-    _write_meta(view_dir, meta)
+    rec = {
+        "type": "compact",
+        "version": meta["version"],
+        "segment": seg,
+        # time-travel boundary, same as compact_index
+        "compacted_through": meta["n_batches"],
+    }
+    if not _try_ticket(view_dir, meta["version"], rec):
+        shutil.rmtree(os.path.join(view_dir, _AGG, seg), ignore_errors=True)
+        raise RuntimeError(
+            "compact_view: a concurrent commit landed during "
+            "compaction; the rewrite is stale — re-run to compact the "
+            "advanced view"
+        )
+    meta = _apply_view_record(meta, rec)
+    _checkpoint_view_meta(view_dir, meta)
     for s in old:
         if s != seg:
             shutil.rmtree(os.path.join(view_dir, _AGG, s), ignore_errors=True)

@@ -127,7 +127,14 @@ class TestEquivalence:
         out = neardup_index_increment(_mutated(b1, 1000), tmpdir)
         first = _pairs_set(out)
         assert first == _pairs_set(out)
-        reread = spark.read.parquet(os.path.join(tmpdir, "pairs", "batch=1"))
+        from mini_data_platform_spark.operators.incremental import (
+            _pairs_path,
+            _recover_meta,
+        )
+
+        reread = spark.read.parquet(
+            _pairs_path(tmpdir, _recover_meta(tmpdir), 1)
+        )
         assert first == _pairs_set(reread)
 
 
@@ -649,7 +656,8 @@ class TestAtomicCommit:
 
         def crashing(df, index_dir, table, seg):
             real(df, index_dir, table, seg)
-            if table == crash_table and seg == "batch-1":
+            # OCC-era names are writer-unique: batch-1-<token>
+            if table == crash_table and seg.startswith("batch-1"):
                 raise RuntimeError("injected crash after segment write")
 
         monkeypatch.setattr(inc, "_write_segment", crashing)
@@ -668,8 +676,10 @@ class TestAtomicCommit:
         assert incr | within == full
         meta_after = _read_meta(tmpdir)
         assert meta_after["n_batches"] == 2
-        assert meta_after["segments"]["buckets"] == ["batch-0", "batch-1"]
-        assert meta_after["segments"]["docs"] == ["batch-0", "batch-1"]
+        for t in ("buckets", "docs"):
+            segs = meta_after["segments"][t]
+            assert len(segs) == 2 and segs[0] == "batch-0"
+            assert segs[1].startswith("batch-1")
 
         # and a LATER increment sees the retried batch exactly once
         b3 = _mutated(b1.where(F.col("doc_id") < 10), 5000)
@@ -913,18 +923,24 @@ class TestVacuum:
             b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
         )
         # crash an increment AFTER its segment writes, BEFORE the commit
-        real = inc._write_meta
+        # (the OCC ticket is the commit point now)
+        real = inc._try_ticket
 
-        def crashing(index_dir, meta):
+        def crashing(index_dir, version, record):
             raise RuntimeError("injected")
 
-        monkeypatch.setattr(inc, "_write_meta", crashing)
+        monkeypatch.setattr(inc, "_try_ticket", crashing)
         with pytest.raises(RuntimeError):
             neardup_index_increment(b2, tmpdir)
-        monkeypatch.setattr(inc, "_write_meta", real)
+        monkeypatch.setattr(inc, "_try_ticket", real)
 
-        orphan = os.path.join(tmpdir, "buckets", "batch-1")
-        assert os.path.isdir(orphan)  # the crash left it
+        stranded = [
+            n
+            for n in os.listdir(os.path.join(tmpdir, "buckets"))
+            if n.startswith("batch-1")
+        ]
+        assert len(stranded) == 1  # the crash left it
+        orphan = os.path.join(tmpdir, "buckets", stranded[0])
 
         probe = _mutated(b1.where(F.col("doc_id") >= 30), 5000)
         looked = neardup_index_lookup(probe, tmpdir)
@@ -1214,3 +1230,173 @@ class TestBatchIdReplay:
         neardup_index_increment(_mutated(b1, 2000), tmpdir)
         assert _read_meta(tmpdir)["n_batches"] == 3
         assert "batches" not in _read_meta(tmpdir)
+
+
+class TestMultiWriterOCC:
+    """Round-9 (r8 verdict item 5): the merge table's put-if-absent
+    ticket protocol, lifted to the index commit log via
+    operators/occlog.py — two pipelines incrementing one dedup index
+    concurrently lose nothing, replays stay exactly-once, and
+    compaction refuses races instead of stomping."""
+
+    def test_concurrent_increments_no_lost_batch(self, spark, tmpdir):
+        import threading
+
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 40)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        # each writer's batch near-dups BOTH b1 and the other writers'
+        # batches, so a loser re-committing a stale result (instead of
+        # recomputing) would provably drop loser×winner pairs
+        batches = [_mutated(b1, 1000 * (i + 1)) for i in range(3)]
+        results: dict[int, set] = {}
+        errs: list[Exception] = []
+
+        def run(i):
+            try:
+                out = neardup_index_increment(
+                    batches[i], tmpdir, batch_id=f"w{i}"
+                )
+                results[i] = _pairs_set(out)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        meta = inc._recover_meta(tmpdir)
+        assert meta["n_batches"] == 4  # build + all three, none lost
+        assert {f"w{i}" for i in range(3)} <= set(meta["batches"])
+        within = _full_pairs(b1)
+        union = within | results[0] | results[1] | results[2]
+        full = b1
+        for b in batches:
+            full = full.unionByName(b)
+        assert union == _full_pairs(full)
+
+    def test_replay_safe_across_writers(self, spark, tmpdir):
+        import threading
+
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        b2 = _mutated(b1, 1000)
+        results = []
+
+        def run():
+            out = neardup_index_increment(b2, tmpdir, batch_id="same")
+            results.append(_pairs_set(out))
+
+        threads = [threading.Thread(target=run) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        meta = inc._recover_meta(tmpdir)
+        assert meta["n_batches"] == 2  # committed exactly once
+        assert results[0] == results[1] == results[2]
+
+    def test_lost_race_recomputes_and_lands(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        real = inc._try_ticket
+        calls = {"n": 0}
+
+        def flaky(index_dir, version, record):
+            if calls["n"] < 2:
+                calls["n"] += 1
+                return False  # simulated lost race
+            return real(index_dir, version, record)
+
+        monkeypatch.setattr(inc, "_try_ticket", flaky)
+        b2 = _mutated(b1, 1000)
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        monkeypatch.undo()
+        assert calls["n"] == 2
+        assert incr | _full_pairs(b1) == _full_pairs(b1.unionByName(b2))
+        assert inc._recover_meta(tmpdir)["n_batches"] == 2
+
+    def test_compaction_refuses_concurrent_commit(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import mini_data_platform_spark.operators.incremental as inc
+        from mini_data_platform_spark.operators.incremental import (
+            compact_index,
+            neardup_index_pairs,
+        )
+
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        neardup_index_increment(_mutated(b1, 1000), tmpdir)
+        real = inc._try_ticket
+
+        def lose_once(index_dir, version, record):
+            if record["type"] == "compact":
+                monkeypatch.undo()
+                return False
+            return real(index_dir, version, record)
+
+        monkeypatch.setattr(inc, "_try_ticket", lose_once)
+        before = _pairs_set(neardup_index_pairs(spark, tmpdir))
+        with pytest.raises(RuntimeError, match="during compaction"):
+            compact_index(spark, tmpdir)
+        # nothing stomped; a re-run compacts cleanly
+        assert _pairs_set(neardup_index_pairs(spark, tmpdir)) == before
+        compact_index(spark, tmpdir)
+        meta = inc._recover_meta(tmpdir)
+        assert len(meta["segments"]["buckets"]) == 1
+        assert meta["segments"]["buckets"][0].startswith("compact-")
+        assert _pairs_set(neardup_index_pairs(spark, tmpdir)) == before
+
+    def test_stale_checkpoint_recovers_foreign_ticket(self, spark, tmpdir):
+        """A writer crashing between its ticket and the checkpoint must
+        cost the next reader nothing: recovery folds the ticket."""
+        import json
+
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        mpath = os.path.join(tmpdir, "meta.json")
+        stale = open(mpath, encoding="utf-8").read()
+        b2 = _mutated(b1, 1000)
+        incr = _pairs_set(neardup_index_increment(b2, tmpdir))
+        # simulate the writer's checkpoint never landing
+        with open(mpath, "w", encoding="utf-8") as f:
+            f.write(stale)
+        meta = inc._recover_meta(tmpdir)
+        assert meta["n_batches"] == 2
+        assert json.load(open(mpath, encoding="utf-8"))["n_batches"] == 2
+        # a later increment commits on top of the recovered state
+        b3 = _mutated(b1.where(F.col("doc_id") < 10), 5000)
+        incr3 = _pairs_set(neardup_index_increment(b3, tmpdir))
+        full = _full_pairs(
+            b1.unionByName(b2).unionByName(b3)
+        )
+        assert _full_pairs(b1) | incr | incr3 == full
