@@ -529,17 +529,27 @@ def _l2sq_fold(sub, cent):
 
 
 def _books_lit(codebooks: list[list[list[float]]]):
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cent])
-                    for cent in book
-                ]
+    """The m×ksub×dsub codebook literal as ONE ``F.expr`` call. The
+    F.array/F.lit construction costs one py4j round-trip PER SCALAR —
+    2.3 s of driver time at 16×32×4 — while a SQL string ships once and
+    parses JVM-side in milliseconds. The ``D`` suffix makes each number
+    a DOUBLE literal via the exact string→double parse (``repr`` is
+    shortest-round-trip, so values are bit-identical to the Python
+    floats — the same contract as the oracle's CAST('…' AS DOUBLE))."""
+    sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in cent) + ")"
+                for cent in book
             )
+            + ")"
             for book in codebooks
-        ]
+        )
+        + ")"
     )
+    return F.expr(sql)
 
 
 def pq_encode_expr(vec, codebooks: list[list[list[float]]]):
@@ -552,29 +562,24 @@ def pq_encode_expr(vec, codebooks: list[list[list[float]]]):
     Identical codes to ``pq_encode`` (pinned in tests): argmin is
     order-insensitive as long as each distance rounds the same, and the
     per-term math here is exactly numpy's elementwise double ops."""
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
+    books = _books_lit(codebooks)
 
-    def _dist_fn(sub):
-        # a plain closure, NOT a default-arg lambda: pyspark dispatches
-        # two-parameter lambdas as (element, index) and would bind the
-        # array INDEX to the second name
-        return lambda c: _l2sq_fold(sub, c)
-
-    codes = []
-    for s in range(m):
+    # one nested transform over ONE nested literal — the codebooks are
+    # DATA in a single Literal node, not 16 unrolled per-subspace
+    # expression copies: the expression tree is O(1) regardless of m,
+    # which keeps whole-stage-codegen compile time flat (the unrolled
+    # form cost ~4 s of Janino per fresh plan). The arithmetic per
+    # element is unchanged: same slice positions, same sequential fold,
+    # same first-match argmin.
+    def per_subspace(book, s):
         sub = F.slice(vec, s * dsub + 1, dsub)
-        book = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in cent])
-                for cent in codebooks[s]
-            ]
+        dists = F.transform(book, lambda c: _l2sq_fold(sub, c))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast(
+            "int"
         )
-        dists = F.transform(book, _dist_fn(sub))
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return F.array(*codes)
+
+    return F.transform(books, per_subspace)
 
 
 def pq_reconstruct_expr(codes, codebooks: list[list[list[float]]]):
@@ -620,27 +625,51 @@ def pq_knn_parity(
     from pyspark.sql import Window
 
     shortlist = max(k, rerank)
-    codes = corpus.select(
+    # spread the corpus across cores BEFORE the encode projection: the
+    # fixture parquet arrives as 1-2 input splits, which would serialize
+    # the (interpreted higher-order-function) encode+reconstruct work
+    # onto one task — the plans/llm._spread argument; at production
+    # scale the file count already provides splits
+    spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    codes = spread.select(
         F.col(id_col).alias("neighbor_id"),
         pq_encode_expr(F.col(vec_col), codebooks).alias("code"),
     )
-    recon = pq_reconstruct_expr(F.col("code"), codebooks)
+    # reconstruct ONCE PER CORPUS ROW (an expression referencing `code`
+    # above the crossJoin would re-run encode+reconstruct per
+    # (query, row) pair — measured 10× slower), with the norm derived
+    # from the materialized _rv column rather than a second reconstruct.
+    # The lazy localCheckpoint bounds PLANNING cost: the codebook
+    # literals are ~2k-node expression trees, and without the lineage
+    # cut Catalyst re-walks them in every downstream analysis/optimizer
+    # pass — measured ~5 s of driver time on a 1 s execution.
+    rec = (
+        codes.select(
+            "neighbor_id",
+            pq_reconstruct_expr(F.col("code"), codebooks).alias("_rv"),
+        )
+        .select("neighbor_id", "_rv", l2_norm(F.col("_rv")).alias("_rn"))
+        .localCheckpoint(eager=False)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
-        q.crossJoin(codes)
+        q.crossJoin(rec)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             "_qv",
             "_qn",
-            (dot(F.col("_qv"), recon) / (F.col("_qn") * l2_norm(recon))).alias(
-                "adc_sim"
-            ),
+            (
+                dot(F.col("_qv"), F.col("_rv"))
+                / (F.col("_qn") * F.col("_rn"))
+            ).alias("adc_sim"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -709,13 +738,29 @@ def ivfpq_knn_parity(
     from mini_data_platform_spark.operators.similarity import ivf_assign
 
     shortlist = max(k, rerank)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # spread before the heavy per-row projections (see pq_knn_parity)
+    spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    assigned = ivf_assign(spread, centroids, id_col, vec_col)
     codes = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("cell"),
         pq_encode_expr(F.col(vec_col), codebooks).alias("code"),
     )
-    recon = pq_reconstruct_expr(F.col("code"), codebooks)
+    # reconstruct once per corpus row + lineage cut (see pq_knn_parity)
+    rec = (
+        codes.select(
+            "neighbor_id",
+            "cell",
+            pq_reconstruct_expr(F.col("code"), codebooks).alias("_rv"),
+        )
+        .select(
+            "neighbor_id", "cell", "_rv",
+            l2_norm(F.col("_rv")).alias("_rn"),
+        )
+        .localCheckpoint(eager=False)
+    )
     qc = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe)
     q = qc.select(
         F.col(id_col).alias("query_id"),
@@ -724,16 +769,17 @@ def ivfpq_knn_parity(
         "cell",
     )
     scored = (
-        q.join(codes, "cell")
+        q.join(rec, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             "_qv",
             "_qn",
-            (dot(F.col("_qv"), recon) / (F.col("_qn") * l2_norm(recon))).alias(
-                "adc_sim"
-            ),
+            (
+                dot(F.col("_qv"), F.col("_rv"))
+                / (F.col("_qn") * F.col("_rn"))
+            ).alias("adc_sim"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
