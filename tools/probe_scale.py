@@ -40,9 +40,29 @@ QUERIES = [
     "doc_neardup_serve",
     "orders_join_view",
     "orders_join_view_serve",
-    "partsupp_pagerank",
+    "partsupp_pagerank_auto",
     "doc_longest_repeat",
 ]
+
+
+def _pagerank_auto(spark, sf_dir):
+    """partsupp_pagerank with AUTO mass scale: the declared query pins
+    SCALE because its oracle folds that literal, and at 210k nodes the
+    pinned value trips the overflow guard BY DESIGN — the operator's
+    scale story is the auto-pick (r8 verdict item 7)."""
+    from pyspark.sql import functions as F
+
+    from mini_data_platform_spark.catalog import load_table
+    from mini_data_platform_spark.operators.pagerank import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(1_000_000_000) + F.col("l_suppkey")).cast("long").alias(
+            "dst"
+        ),
+    ).distinct()
+    return pagerank_fixed(edges, "src", "dst", iterations=6)
 
 
 def build_probe_dir(spark) -> None:
@@ -159,7 +179,8 @@ def run_scale(sf_dir: str, label: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    queries["partsupp_pagerank_auto"] = _pagerank_auto
     out = {}
     for name in QUERIES:
         fn = queries[name]
