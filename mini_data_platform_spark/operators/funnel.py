@@ -46,6 +46,7 @@ def funnel_steps(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Ordered-funnel counts: one row per step — (step_idx, step,
     users, conversion) where ``users`` counts funnel entities whose
@@ -53,7 +54,10 @@ def funnel_steps(
     strictly after the previous completion) and ``conversion`` =
     users / step-0 users. ``user_col`` may be a single column or a
     LIST of columns — the funnel entity (a user, or a (user, session)
-    for session-scoped funnels)."""
+    for session-scoped funnels). ``checkpoint=False`` keeps the whole
+    composition as one lazy plan (the step-filter-pushdown plan gate
+    inspects that form; the default materializes each step's
+    completion frame — see below)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     keys = [user_col] if isinstance(user_col, str) else list(user_col)
@@ -68,16 +72,18 @@ def funnel_steps(
     # steps 0..i — quadratic recomputation in the number of steps. Each
     # materialized frame is one row per surviving entity, shrinking
     # monotonically down the funnel.
+    def _cut(frame):
+        return frame.localCheckpoint(eager=False) if checkpoint else frame
+
     completions = []
-    cur = (
+    cur = _cut(
         ev.where(F.col("_y") == steps[0])
         .groupBy(*kcols)
         .agg(F.min("_t").alias("_done"))
-        .localCheckpoint(eager=False)
     )
     completions.append(cur)
     for step in steps[1:]:
-        nxt = (
+        nxt = _cut(
             ev.where(F.col("_y") == step)
             .join(
                 cur.select(*kcols, F.col("_done").alias("_prev")), kcols
@@ -85,7 +91,6 @@ def funnel_steps(
             .where(F.col("_t") > F.col("_prev"))
             .groupBy(*kcols)
             .agg(F.min("_t").alias("_done"))
-            .localCheckpoint(eager=False)
         )
         completions.append(nxt)
         cur = nxt

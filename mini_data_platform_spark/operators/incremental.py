@@ -240,14 +240,17 @@ def _seg_no(seg: str) -> int:
 
 
 def vacuum_index(index_dir: str) -> list[str]:
-    """Delete ORPHAN segment dirs — leftovers of crashed increments and
-    compactions whose best-effort deletes failed. Anything not in the
-    committed segment log is invisible to every reader, so removal never
-    changes any result; ``pairs/`` outputs (immutable materialized
-    results, not log segments) are untouched. Single-writer discipline
-    applies (the same contract as increments): do not vacuum while an
-    increment is mid-flight, or its not-yet-committed segments get
-    swept. Returns the removed paths."""
+    """Delete ORPHAN segment dirs — leftovers of crashed/ticket-losing
+    increments and compactions whose best-effort deletes failed.
+    Anything not in the committed segment log is invisible to every
+    reader, so removal never changes any result. ``pairs/``: committed
+    outputs (``meta['pairs_segs']`` values, plus every legacy
+    ``batch=N``/``snapshot=N`` dir) are immutable results and are
+    untouched; OCC-era token-named dirs NOT in the committed map are a
+    ticket loser's stale results (computed against a superseded
+    snapshot — wrong to serve, not merely redundant) and are swept.
+    Do not vacuum while an increment is mid-flight, or its
+    not-yet-committed segments get swept. Returns the removed paths."""
     import shutil
 
     meta = _recover_meta(index_dir)
@@ -260,6 +263,18 @@ def vacuum_index(index_dir: str) -> list[str]:
         for name in sorted(os.listdir(tdir)):
             p = os.path.join(tdir, name)
             if os.path.isdir(p) and name not in committed:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+    pdir = os.path.join(index_dir, _PAIRS)
+    if os.path.isdir(pdir):
+        committed_pairs = set(meta.get("pairs_segs", {}).values())
+        for name in sorted(os.listdir(pdir)):
+            p = os.path.join(pdir, name)
+            if (
+                os.path.isdir(p)
+                and "=" not in name  # legacy batch=N / snapshot=N stay
+                and name not in committed_pairs
+            ):
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
     return removed

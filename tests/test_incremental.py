@@ -1400,3 +1400,44 @@ class TestMultiWriterOCC:
             b1.unionByName(b2).unionByName(b3)
         )
         assert _full_pairs(b1) | incr | incr3 == full
+
+    def test_vacuum_sweeps_loser_pairs(self, spark, tmpdir, monkeypatch):
+        """A ticket loser's pairs dir holds results computed against a
+        superseded snapshot — vacuum must sweep it while keeping every
+        committed pairs dir."""
+        import mini_data_platform_spark.operators.incremental as inc
+        from mini_data_platform_spark.operators.incremental import (
+            vacuum_index,
+        )
+
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        real = inc._try_ticket
+
+        def crash_once(index_dir, version, record):
+            monkeypatch.undo()
+            raise RuntimeError("injected pre-ticket crash")
+
+        monkeypatch.setattr(inc, "_try_ticket", crash_once)
+        with pytest.raises(RuntimeError):
+            neardup_index_increment(_mutated(b1, 1000), tmpdir)
+        # the crashed attempt stranded a pairs dir; a clean retry commits
+        incr = _pairs_set(neardup_index_increment(_mutated(b1, 1000), tmpdir))
+        pdir = os.path.join(tmpdir, "pairs")
+        assert len(os.listdir(pdir)) == 2  # stranded + committed
+        removed = vacuum_index(tmpdir)
+        assert any("pairs" in p for p in removed)
+        meta = inc._recover_meta(tmpdir)
+        committed = set(meta["pairs_segs"].values())
+        assert set(os.listdir(pdir)) == committed
+        # committed results still served
+        from mini_data_platform_spark.operators.incremental import (
+            _pairs_path,
+        )
+
+        assert _pairs_set(
+            spark.read.parquet(_pairs_path(tmpdir, meta, 1))
+        ) == incr

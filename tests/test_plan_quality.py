@@ -469,13 +469,28 @@ class TestTimeseriesPlan:
 
 class TestFunnelPlan:
     def test_funnel_pushes_step_filters_to_scan(self, spark):
-        from mini_data_platform_spark.plans.analytics import events_funnel
+        # checkpoint=False keeps one lazy plan so the gate can SEE the
+        # scan (the declared query's default checkpoints each step's
+        # completion frame — round-8 advice — which replaces the scans
+        # with LogicalRDDs in the final plan; the pushdown still happens
+        # inside each step's build, which is exactly this plan)
+        from mini_data_platform_spark.catalog import load_table
+        from mini_data_platform_spark.operators.funnel import funnel_steps
 
-        df = events_funnel(spark, SF)
+        events = load_table(spark, SF, "events")
+        df = funnel_steps(
+            events, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], checkpoint=False,
+        )
         plan = explain_str(df, "formatted")
         # each step's event_type filter must reach the parquet scan
         assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
         assert not uses_python_eval(df)
+
+    def test_declared_funnel_no_python(self, spark):
+        from mini_data_platform_spark.plans.analytics import events_funnel
+
+        assert not uses_python_eval(events_funnel(spark, SF))
 
 
 class TestPagerankPlan:
