@@ -65,7 +65,11 @@ def sq8_train(vecs: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
 
 
 def _lit_arr(xs: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    # one F.expr call, not one py4j round-trip per scalar (the pq.py
+    # _books_lit lesson); D-suffixed repr = exact string→double parse
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+    )
 
 
 def sq8_encode_expr(
