@@ -367,7 +367,12 @@ def ivf_assign(
     )
     structs = []
     for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
+        # one F.expr call per centroid, not one py4j round-trip per
+        # dimension (the pq.py _books_lit lesson); D-suffixed repr is
+        # the exact string→double parse, bit-identical to F.lit
+        c = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cvec) + ")"
+        )
         acc = 0.0
         for x in cvec:
             acc += float(x) * float(x)
