@@ -79,3 +79,34 @@ def test_rotation_staleness_bound():
         and entry_mod.CURRENT_ROUND - entry_mod._LAST_WINDOWED[name] > 2
     ]
     assert not starved, f"queries starved of a driver row: {starved}"
+
+
+def test_last_windowed_matches_recorded_artifacts():
+    """_LAST_WINDOWED must agree with the CORRECTNESS_r*.json ground
+    truth (rounds before CURRENT_ROUND): a hand-maintained dict that
+    drifts from the artifacts would let the staleness bound pass on
+    fiction. tools/advance_round.py regenerates the dict; this test
+    forces that refresh at every round bump."""
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    want = {q: 0 for q in entry_mod.queries()}
+    for fn in os.listdir(repo):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
+        if not m or int(m.group(1)) >= entry_mod.CURRENT_ROUND:
+            continue
+        rnd = int(m.group(1))
+        for q in json.load(open(os.path.join(repo, fn))):
+            if q in want:
+                want[q] = max(want[q], rnd)
+    mismatches = {
+        q: (entry_mod._LAST_WINDOWED[q], want[q])
+        for q in want
+        if entry_mod._LAST_WINDOWED[q] != want[q]
+    }
+    assert not mismatches, (
+        f"_LAST_WINDOWED drifted from the artifacts (dict, truth): "
+        f"{mismatches} — run tools/advance_round.py --write"
+    )
