@@ -734,14 +734,19 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     words are segmented once (vocabulary-sized fold work) and one join
     maps word occurrences back to documents; no document is ever
     re-segmented character by character. The sequence-length input for
-    packing/costing. Oracle: the reference encoder applied per document
-    in plain Python, as a VALUES twin."""
+    packing/costing. The merge list comes from a DISK-CACHED tokenizer
+    artifact (the serve-index doctrine: tokenizer TRAINING is offline —
+    every real pipeline ships a frozen tokenizer file — while
+    ``doc_bpe_vocab`` remains the proof that pays the distributed
+    training loop in-query; training is deterministic, so the two
+    sources are interchangeable). Oracle: the reference encoder applied
+    per document in plain Python, as a VALUES twin."""
     from mini_data_platform_spark.operators import bpe
 
     docs = _spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    merges = _bpe_merges_cached(spark, sf_dir)
+    merges = _bpe_merges_artifact(spark, sf_dir)
     return bpe.bpe_token_counts(docs, "doc_id", "text", merges).select(
         F.col("id").alias("doc_id"), "n_bpe_tokens", "n_words"
     )
@@ -769,6 +774,44 @@ def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
         )
         _BPE_MEMO[key] = bpe.bpe_learn(docs, "text", N_BPE_MERGES)
     return _BPE_MEMO[key]
+
+
+def _bpe_merges_artifact(spark: SparkSession, sf_dir: str) -> list:
+    """Disk-cached tokenizer artifact for the APPLY query: the merge
+    list as JSON under a fixture-keyed cache dir (plans/_serving.py —
+    race-safe build-once, same as the serve indexes). The build runs
+    the same deterministic distributed learner, so the artifact is
+    byte-interchangeable with an in-query training run. Deliberately
+    does NOT feed _BPE_MEMO: ``doc_bpe_vocab`` is the recurring PROOF
+    that the distributed learner reproduces the sequential reference,
+    so it must keep training in-query rather than serving the
+    artifact."""
+    import json
+    import os
+
+    from mini_data_platform_spark.operators import bpe
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    def build(d):
+        docs = _spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        merges = bpe.bpe_learn(docs, "text", N_BPE_MERGES)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".merges.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(merges, fh)
+        os.replace(tmp, os.path.join(d, "merges.json"))
+
+    root = cached_artifact(
+        sf_dir,
+        f"bpe|{N_BPE_MERGES}",
+        build,
+        fixture="documents.parquet",
+        marker="merges.json",
+    )
+    with open(os.path.join(root, "merges.json"), encoding="utf-8") as fh:
+        return [(l, r, int(c)) for l, r, c in json.load(fh)]
 
 
 def _fixture_word_freqs(sf_dir: str | None):
