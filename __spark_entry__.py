@@ -37,9 +37,11 @@ CURRENT_ROUND = 9
 #: the tightest bound 127 queries and 50 slots admit.
 _LAST_WINDOWED = {
     # never windowed before round 9 (the r8 verdict's policy breach;
-    # doc_neardup_delete_serve is NEW in round 9)
+    # doc_neardup_delete_serve and doc_curated_incremental are NEW in
+    # round 9)
     "doc_bpe_token_counts": 0,
     "doc_neardup_delete_serve": 0,
+    "doc_curated_incremental": 0,
     # last windowed in round 6
     "kpi_revenue_by_day": 6, "kpi_top_customers": 6,
     "kpi_product_performance": 6, "kpi_rolling_7d_revenue": 6,
@@ -150,12 +152,13 @@ _ROUND9_WINDOW = [
     "events_kmv_users", "events_kmv_overlap", "events_funnel",
     "events_session_funnel", "orders_join_view_serve",
     "emb_dup_clusters",
-    # (2b) NEW this round (debuts with a driver row, rule 2)
-    "doc_neardup_delete_serve",
-    # (3) stale-first from the r7 cohort (asset_binary_stats, age 2,
-    # ceded its slot to the new query and leads the r10 window)
+    # (2b) NEW this round (debut with a driver row, rule 2)
+    "doc_neardup_delete_serve", "doc_curated_incremental",
+    # (3) stale-first from the r7 cohort (asset_binary_stats and
+    # lineitem_bloom_semijoin, both age 2, ceded their slots to the two
+    # new queries and lead the r10 window)
     "doc_minhash_candidates", "doc_near_dups", "doc_dedup_final",
-    "doc_curated_corpus", "events_sessionize", "lineitem_bloom_semijoin",
+    "doc_curated_corpus", "events_sessionize",
 ]
 
 

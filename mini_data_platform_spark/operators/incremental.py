@@ -280,6 +280,21 @@ def vacuum_index(index_dir: str) -> list[str]:
     return removed
 
 
+def index_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The LIVE indexed corpus — (id, text) for a near-dup index,
+    (content_hash, id) for an exact index, (id, vec, nrm) for an
+    embedding index — read from the committed segments minus
+    tombstones. This IS the settled corpus in an incremental pipeline:
+    downstream stages (survivor projection, curation output) read it
+    from here instead of re-scanning and re-gating the raw sources."""
+    meta = _recover_meta(index_dir)
+    table = {
+        "exact": _HASHES,
+        "embdup": _EVECS,
+    }.get(meta.get("kind"), _DOCS)
+    return _read_live(spark, index_dir, table, meta)
+
+
 def _segment_paths(index_dir: str, table: str, meta: dict) -> list[str]:
     """Absolute paths of ``table``'s COMMITTED segments (meta is the
     commit log: uncommitted/orphaned dirs on disk are invisible)."""

@@ -672,6 +672,75 @@ def doc_curated_corpus(
     )
 
 
+def doc_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel run the way a corpus team actually runs it —
+    INCREMENTALLY, as the nightly-batch capstone composing the round-7/9
+    incremental machinery end-to-end: the corpus arrives in two batches
+    (originals, then the mutated near-dup wave), each batch passes the
+    row-local quality/language gates at scan speed, batch 1 is indexed
+    ONCE, batch 2 near-dups against the INDEX (never re-shingling
+    settled text), connected components cluster the union of pairs, and
+    the canonical min-id survivor is kept per cluster. Because the
+    incremental pair contract is exact (increment pairs ∪ within-batch-1
+    pairs ≡ the full recompute, pair-for-pair) and the gates are
+    row-local, the result must equal ``doc_curated_corpus`` — so this
+    runs against the SAME SQL oracle: a driver-level proof that the
+    whole curation funnel, not just its dedup stage, loses nothing by
+    going incremental. Construction (index build + increment) is paid
+    in-query by design, like every equivalence proof."""
+    import tempfile
+
+    from mini_data_platform_spark.operators.graph import connected_components
+    from mini_data_platform_spark.operators.incremental import (
+        index_docs,
+        neardup_index_build,
+        neardup_index_increment,
+        neardup_index_pairs,
+    )
+    from mini_data_platform_spark.operators.resources import carry_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = _spread(docs)
+    t = TX.tokens(F.col("text"))
+    b2 = _spread(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+        )
+    )
+    tcol = F.col("text")
+    gate = (
+        TX.quality_score(tcol) >= CURATION_MIN_QUALITY
+    ) & TX.language_guess(tcol).isin(*CURATION_LANGS)
+    f1, f2 = b1.filter(gate), b2.filter(gate)
+    index_dir = tempfile.mkdtemp(prefix="mdp_curidx_")
+    neardup_index_build(
+        f1, index_dir, "doc_id", "text",
+        JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
+    )
+    within = neardup_index_pairs(spark, index_dir)
+    incr = neardup_index_increment(f2, index_dir)
+    pairs = within.unionByName(incr)
+    dupes = (
+        connected_components(pairs)
+        .filter(F.col("v") != F.col("comp"))
+        .select(F.col("v").alias("doc_id"))
+    )
+    # the survivor projection reads the SETTLED corpus back from the
+    # index's own docs table — never re-scanning (or re-gating) the raw
+    # sources; the gates ran exactly once per batch, at commit time
+    corpus = index_docs(spark, index_dir).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    out = corpus.join(dupes, "doc_id", "left_anti").select(
+        "doc_id",
+        TX.language_guess(tcol).alias("lang_guess"),
+        TX.quality_score(tcol).alias("quality"),
+        F.md5(tcol).alias("text_md5"),
+    )
+    return carry_plan(out, within)
+
+
 def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split (operators/corpus.py):
     md5-bucket assignment, stable under any repartitioning or corpus
@@ -1714,6 +1783,7 @@ QUERIES = {
     "doc_dup_clusters_star": doc_dup_clusters_star,
     "doc_dedup_final": doc_dedup_final,
     "doc_curated_corpus": doc_curated_corpus,
+    "doc_curated_incremental": doc_curated_incremental,
     "doc_split_assign": doc_split_assign,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_contamination": doc_contamination,
@@ -2314,6 +2384,29 @@ ORACLE = {
         WHERE doc_id NOT IN (SELECT v FROM dupes)
     """,
     "doc_curated_corpus": f"""
+        WITH RECURSIVE filtered AS ({_SQL_CURATION_FILTERED}),
+        nd AS ({_sql_near_dups(_SQL_CURATION_FILTERED)}),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM nd
+        ),
+        reach(v, c) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT e.dst, r.c FROM reach r JOIN sym e ON e.src = r.v
+        ),
+        dupes AS (SELECT v FROM reach GROUP BY v HAVING v <> MIN(c))
+        SELECT doc_id,
+               {TX.sql_language_guess('text')} AS lang_guess,
+               {TX.sql_quality_score('text')} AS quality,
+               md5(text) AS text_md5
+        FROM filtered
+        WHERE doc_id NOT IN (SELECT v FROM dupes)
+    """,
+    # the incremental funnel must equal the batch funnel exactly —
+    # same oracle (see doc_curated_incremental's docstring)
+    "doc_curated_incremental": f"""
         WITH RECURSIVE filtered AS ({_SQL_CURATION_FILTERED}),
         nd AS ({_sql_near_dups(_SQL_CURATION_FILTERED)}),
         sym AS (
