@@ -1441,3 +1441,28 @@ class TestMultiWriterOCC:
         assert _pairs_set(
             spark.read.parquet(_pairs_path(tmpdir, meta, 1))
         ) == incr
+
+    def test_index_docs_reads_live_corpus(self, spark, tmpdir):
+        """index_docs = the settled corpus (committed segments minus
+        tombstones) — what the incremental curation funnel reads back
+        instead of re-scanning raw sources."""
+        from mini_data_platform_spark.operators.incremental import (
+            index_delete,
+            index_docs,
+        )
+
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        neardup_index_increment(_corpus(spark, 100, 10), tmpdir)
+        live = {r["id"] for r in index_docs(spark, tmpdir).collect()}
+        assert live == set(range(30)) | set(range(100, 110))
+        index_delete(
+            b1.where(F.col("doc_id") % 3 == 0), tmpdir
+        )
+        live = {r["id"] for r in index_docs(spark, tmpdir).collect()}
+        assert live == {
+            i for i in range(30) if i % 3
+        } | set(range(100, 110))
