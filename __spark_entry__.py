@@ -108,13 +108,15 @@ _LAST_WINDOWED = {
 }
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 127 queries exist, so 77 sit outside any given
+#: FIRST 50 entries; 129 queries exist, so 79 sit outside any given
 #: round):
 #:   1. MECHANICAL staleness bound (tests/test_entry.py): every query
 #:      not in this round's window must have been windowed within the
 #:      previous two rounds — i.e. every query gets a driver row at
-#:      least every THIRD round, the tightest bound 127 queries and 50
-#:      slots admit. _LAST_WINDOWED above is the enforced record.
+#:      least every THIRD round, the tightest bound 129 queries and 50
+#:      slots admit. _LAST_WINDOWED above is the enforced record
+#:      (tools/advance_round.py regenerates it from the artifacts;
+#:      a second test pins the dict TO the artifacts).
 #:   2. Queries whose code path is touched by this round's diffs are
 #:      forced INTO the window where slots allow; any touched query
 #:      that cannot fit is re-verified exact-multiset with
@@ -130,8 +132,10 @@ _LAST_WINDOWED = {
 #: manifest; events_kmv_* over the persisted synopsis; events_funnel /
 #: events_session_funnel over the checkpointed step chain;
 #: orders_join_view_serve over the multi-fixture cache key;
-#: emb_dup_clusters after the creep profile), then stale-first picks
-#: from the r7 cohort.
+#: emb_dup_clusters after the creep profile), then the TWO queries new
+#: this round (doc_neardup_delete_serve — the takedown read path;
+#: doc_curated_incremental — the incremental curation capstone), then
+#: stale-first picks from the r7 cohort.
 _ROUND9_WINDOW = [
     # (1) stale cohort: never windowed / last windowed r6
     "doc_bpe_token_counts",
