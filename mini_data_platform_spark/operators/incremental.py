@@ -115,6 +115,10 @@ its stale pairs would drop (loser-batch × winner-batch) pairs and
 break the union-equals-recompute equivalence, so conflict means
 re-derive, exactly like the merge table's MERGE INTO. Compaction
 serializes the same way and REFUSES a lost race (raises; re-run).
+Read paths roll forward in memory and checkpoint only BEST-EFFORT —
+a consumer with read-only filesystem access to the index dir can
+always read (its checkpoint write is swallowed; tickets stay the
+source of truth), it just leaves the replay work to the next writer.
 
 No reference-repo counterpart (the reference ingests files, it has no
 similarity ops); part of the §2.8 LLM-pipeline extension surface.
@@ -438,16 +442,30 @@ def _checkpoint_meta(index_dir: str, meta: dict) -> None:
 def _recover_meta(index_dir: str) -> dict:
     """Read the checkpoint and roll any unabsorbed tickets forward.
     Indexes from before OCC have no ``version`` field — their version
-    is ``n_batches`` (every commit was a meta swap)."""
+    is ``n_batches`` (every commit was a meta swap).
+
+    The roll-forward checkpoint is BEST-EFFORT (round-9 advice): this
+    runs on every READ path (lookups, index_docs, view_read), and a
+    read-only consumer — no write permission on the index dir — must
+    still be able to read. Tickets are the source of truth; a skipped
+    checkpoint only means the next recoverer replays a few more
+    records. Writers re-checkpoint on their own commits."""
     from mini_data_platform_spark.operators import occlog
 
     meta = _read_meta(index_dir)
     meta["version"] = meta.get("version", meta["n_batches"])
+
+    def _best_effort_checkpoint(m: dict) -> None:
+        try:
+            _checkpoint_meta(index_dir, m)
+        except OSError:
+            pass  # read-only consumer; tickets remain authoritative
+
     return occlog.roll_forward(
         index_dir,
         meta,
         _apply_record,
-        lambda m: _checkpoint_meta(index_dir, m),
+        _best_effort_checkpoint,
     )
 
 

@@ -73,6 +73,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -310,10 +311,17 @@ def view_increment(
     """Fold an append-only fact delta into the view. O(delta) in delta
     mode (one partial aggregate, zero view reads); O(view + delta) in
     snapshot mode (consolidating rewrite). Replaying an
-    already-committed ``batch_id`` is a no-op — retries are safe."""
+    already-committed ``batch_id`` is a no-op — retries are safe.
+    A caller-less increment (``batch_id=None``) gets a collision-free
+    generated id: under multi-writer OCC two concurrent default-bid
+    writers must not alias each other's commits, so replay protection
+    only applies to caller-supplied ids."""
     meta = _recover_view_meta(view_dir)
-    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
-    if bid in meta["batches"]:
+    bid = (
+        batch_id if batch_id is not None
+        else f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+    )
+    if batch_id is not None and bid in meta["batches"]:
         return meta
     keys = meta["keys"]
     measures = {n: tuple(m) for n, m in meta["measures"].items()}
@@ -432,8 +440,13 @@ def view_apply_changes(
             "_op values must be exactly +1 or -1 (found null/other; "
             "map Debezium-style 'I'/'D' ops before applying)"
         )
-    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
-    if bid in meta["batches"]:
+    # same multi-writer rule as view_increment: caller-less bids are
+    # generated collision-free; replay protection is opt-in via batch_id
+    bid = (
+        batch_id if batch_id is not None
+        else f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+    )
+    if batch_id is not None and bid in meta["batches"]:
         return meta
     keys = meta["keys"]
     aggs = []

@@ -449,11 +449,14 @@ def table_apply(
         meta = _recover_meta(table_dir)
         if meta.get("kind") != "mergetable":
             raise ValueError(f"{table_dir} is not a merge table")
+        # caller-less bids are generated collision-free (multi-writer
+        # OCC: two concurrent default-bid writers must not alias each
+        # other); replay protection is opt-in via a caller batch_id
         bid = (
             batch_id if batch_id is not None
-            else f"batch-{meta['n_batches']}"
+            else f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
         )
-        if bid in meta["batches"]:
+        if batch_id is not None and bid in meta["batches"]:
             return meta  # replay no-op wins over conflict detection
         if expected_version is not None and meta["version"] != expected_version:
             raise ConcurrentCommit(
@@ -717,8 +720,9 @@ def table_merge_into(
     meta = _recover_meta(table_dir)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
-    bid = batch_id if batch_id is not None else f"batch-{meta['n_batches']}"
-    if bid in meta["batches"]:
+    # replay protection is opt-in via a caller batch_id; a caller-less
+    # merge gets a collision-free id from table_apply (multi-writer OCC)
+    if batch_id is not None and batch_id in meta["batches"]:
         return meta
     keys = meta["keys"]
     data_cols = meta["columns"]
@@ -794,7 +798,7 @@ def table_merge_into(
     )
     try:
         return table_apply(
-            batch, table_dir, batch_id=bid, validate=validate,
+            batch, table_dir, batch_id=batch_id, validate=validate,
             expected_version=meta["version"],
         )
     except ConcurrentCommit:

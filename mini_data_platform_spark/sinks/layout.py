@@ -341,6 +341,8 @@ def write_bloom_manifest(
     z-order manifest. Returns the O(1) meta dict."""
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if not cols:
+        raise ValueError("write_bloom_manifest needs at least one key column")
     df = spark.read.parquet(target_dir)
     for c in cols:
         t = dict(df.dtypes)[c]
@@ -379,11 +381,17 @@ def write_bloom_manifest(
     side.write.mode("overwrite").partitionBy("col").parquet(
         os.path.join(target_dir, BLOOM_SIDECAR)
     )
-    n_files = sum(
-        1
-        for name in os.listdir(target_dir)
-        if name.endswith(".parquet") and not name.startswith((".", "_"))
-    )
+    # recursive census (round-9 advice): a partitioned/nested layout
+    # keeps its data files below partition dirs, so a flat listdir
+    # recorded n_files=0 while the sidecar indexed them; walk instead,
+    # skipping the sidecar itself and hidden/_ metadata
+    n_files = 0
+    for root, dirs, names in os.walk(target_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        n_files += sum(
+            1 for name in names
+            if name.endswith(".parquet") and not name.startswith((".", "_"))
+        )
     meta = {
         "num_bits": num_bits,
         "num_hashes": num_hashes,

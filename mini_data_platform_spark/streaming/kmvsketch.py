@@ -84,6 +84,10 @@ def apply_kmv_batch(
     else:
         merged = delta
     os.makedirs(state_dir, exist_ok=True)
+    prev = None
+    if os.path.exists(_meta_path(state_dir)):
+        with open(_meta_path(state_dir)) as fh:
+            prev = json.load(fh).get("current")
     vname = f"v{uuid.uuid4().hex[:12]}"
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, vname))
     tmp = _meta_path(state_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -91,17 +95,16 @@ def apply_kmv_batch(
         json.dump({"current": vname, "k": k}, fh)
     os.replace(tmp, _meta_path(state_dir))
     # GC superseded versions AFTER the swap (round-8 advice: a
-    # long-running stream must not grow the state dir without bound).
-    # The state we just read was fully materialized by the write above
-    # (kmv_state_read → parquet scan feeds the new version's write job),
-    # so deleting old v* dirs races only a concurrent reader mid-scan of
-    # a version it picked up before the swap — single-maintainer state
-    # with point-in-time readers, the documented contract here. Crash
+    # long-running stream must not grow the state dir without bound) —
+    # but KEEP the immediately-previous version (round-9 advice): a
+    # point-in-time reader that resolved meta just before the swap may
+    # still be mid-scan of `prev`; it is deleted only on the NEXT
+    # increment, by which time its scan window has long passed. Crash
     # orphans (v* never published) are reaped by the same sweep.
     import shutil
 
     for name in os.listdir(state_dir):
-        if name.startswith("v") and name != vname:
+        if name.startswith("v") and name not in (vname, prev):
             shutil.rmtree(os.path.join(state_dir, name),
                           ignore_errors=True)
 

@@ -77,15 +77,22 @@ class TestKmvStreamState:
 
     def test_superseded_versions_garbage_collected(self, spark, tmp_path):
         """Round-8 advice: a long-running stream must not grow the
-        state dir without bound — after each publish only the current
-        v* dir survives, and the state still reads correctly."""
+        state dir without bound. Round-9 advice refinement: the
+        immediately-previous version is KEPT one extra increment so a
+        point-in-time reader that resolved meta just before the swap
+        never hits FileNotFound mid-scan — so after N publishes exactly
+        the current + previous v* dirs survive, the state dir is
+        bounded at 2 versions, and the state still reads correctly."""
+        import json
         import os
 
         state = str(tmp_path / "state_gc")
         for lo, hi in [(0, 30), (30, 60), (60, 90)]:
             apply_kmv_batch(_frame(spark, lo, hi), state, ["g"], "v", K)
         vdirs = [n for n in os.listdir(state) if n.startswith("v")]
-        assert len(vdirs) == 1
+        assert len(vdirs) == 2  # bounded: current + crash-safe previous
+        with open(os.path.join(state, "meta.json")) as fh:
+            assert json.load(fh)["current"] in vdirs
         assert _state_tuples(spark, state) == _batch_tuples(
             spark, _frame(spark, 0, 90)
         )
