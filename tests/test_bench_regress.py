@@ -1,0 +1,88 @@
+"""Round-over-round bench regression gate (round-9 verdict item 1).
+
+Pure-logic unit tests for the flag/explain rules, plus the gate itself
+run against the repo's ACTUAL latest two BENCH_DETAIL_r*.json files —
+so the normal pytest sweep fails whenever a round is about to close
+with a per-query creep nobody pinned in SURVEY.md §6. That is the
+mechanization the round-9 verdict asked for: emb_dup_clusters took
+three rounds to catch and emb_near_dups_exact doubled unnoticed,
+both because the 129-entry bench dict was only ever eyeballed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from bench_regress import (  # noqa: E402
+    find_regressions,
+    latest_details,
+    survey_section6,
+    unexplained,
+)
+
+
+class TestFlagRules:
+    def test_both_gates_must_trip(self):
+        old = {"queries": {"a": 1.0, "b": 0.1, "c": 10.0, "d": 1.0}}
+        new = {"queries": {"a": 2.0, "b": 0.3, "c": 11.0, "d": 1.4}}
+        flags = find_regressions(old, new)
+        # a: 2x and +1.0s -> flagged; b: 3x but +0.2s absolute -> no;
+        # c: +1.0s but 1.1x ratio -> no; d: 1.4x and +0.4s -> neither
+        assert [f["name"] for f in flags] == ["a"]
+
+    def test_new_and_removed_queries_ignored(self):
+        old = {"queries": {"gone": 1.0}}
+        new = {"queries": {"fresh": 99.0}}
+        assert find_regressions(old, new) == []
+
+    def test_ingest_throughput_drop_flagged(self):
+        old = {"queries": {}, "ingest": {"rows_per_min": 1_500_000}}
+        new = {"queries": {}, "ingest": {"rows_per_min": 900_000}}
+        flags = find_regressions(old, new)
+        assert len(flags) == 1 and flags[0]["kind"] == "ingest"
+        # a <1.5x drop stays quiet
+        new2 = {"queries": {}, "ingest": {"rows_per_min": 1_100_000}}
+        assert find_regressions(old, new2) == []
+
+    def test_unexplained_matches_on_name_in_notes(self):
+        flags = [
+            {"name": "q_noted", "old": 1, "new": 2, "kind": "query"},
+            {"name": "q_silent", "old": 1, "new": 2, "kind": "query"},
+            {"name": "ingest", "old": 2, "new": 1, "kind": "ingest"},
+        ]
+        notes = "… q_noted slowed because …; ingest rows/min dipped …"
+        bad = unexplained(flags, notes)
+        assert [f["name"] for f in bad] == ["q_silent"]
+
+
+class TestRepoGate:
+    """The actual round-close gate: latest two recorded rounds."""
+
+    @pytest.mark.skipif(
+        len(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json"))) < 2,
+        reason="needs two recorded rounds",
+    )
+    def test_latest_rounds_have_no_unexplained_regressions(self):
+        import json
+
+        old_p, new_p = latest_details(REPO)
+        with open(old_p) as fh:
+            old = json.load(fh)
+        with open(new_p) as fh:
+            new = json.load(fh)
+        flags = find_regressions(old, new)
+        bad = unexplained(flags, survey_section6(REPO))
+        assert not bad, (
+            f"{os.path.basename(new_p)} regressed vs "
+            f"{os.path.basename(old_p)} with no SURVEY §6 note: "
+            + ", ".join(
+                f"{f['name']} {f['old']}->{f['new']}" for f in bad
+            )
+        )
