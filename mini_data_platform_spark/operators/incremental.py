@@ -134,9 +134,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from mini_data_platform_spark.operators.dedup_fuzzy import (
     _staged_shingles,
     jaccard_pairs_from,
+    jaccard_pairs_from_hashes,
     lsh_band_keys,
-    lsh_candidate_pairs,
     minhash_signatures_from,
+    shingle_hash_sets,
 )
 
 _META = "meta.json"
@@ -144,6 +145,19 @@ _BUCKETS = "buckets"
 _DOCS = "docs"
 _PAIRS = "pairs"
 _TOMBSTONES = "tombstones"
+#: docs-table column holding each doc's distinct shingle-HASH set
+#: (dedup_fuzzy.shingle_hash_sets) — written at build/increment commit
+#: so lookups verify Jaccard from 8-byte hashes with the text column
+#: pruned from the scan (round-9 verdict item 2)
+_SHH = "_shh"
+
+#: candidate-doc ceiling for the ZERO-SHUFFLE verify plan
+#: (jaccard_pairs_from_hashes small_pairs=True): unlike the 2M-row id
+#: broadcast dial, these frames carry shingle-hash ARRAYS (~KBs per
+#: doc), so the bound is docs × array bytes, not rows — 20k docs ×
+#: ~3 KB ≈ 60 MB worst case, safely under the driver budget. Above it
+#: verification degrades to the ordinary shuffle joins.
+_VERIFY_BROADCAST_MAX_DOCS = 20_000
 
 #: Default row threshold above which batch-side frames LOSE their
 #: F.broadcast hint. The hint is hard — Spark collects the frame to the
@@ -296,7 +310,10 @@ def index_docs(spark: SparkSession, index_dir: str) -> DataFrame:
         "exact": _HASHES,
         "embdup": _EVECS,
     }.get(meta.get("kind"), _DOCS)
-    return _read_live(spark, index_dir, table, meta)
+    live = _read_live(spark, index_dir, table, meta)
+    # the shingle-hash column is verification state internal to the
+    # index (lookup plumbing), not part of the settled-corpus contract
+    return live.drop(_SHH) if _SHH in live.columns else live
 
 
 def _segment_paths(index_dir: str, table: str, meta: dict) -> list[str]:
@@ -576,15 +593,22 @@ def neardup_index_build(
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text")
     ).persist()
-    sigs = minhash_signatures_from(
-        _staged_shingles(base, "id", "text", shingle_n), "id", num_hashes
-    )
+    shingled = _staged_shingles(base, "id", "text", shingle_n).persist()
+    sigs = minhash_signatures_from(shingled, "id", num_hashes)
     _write_segment(
         lsh_band_keys(sigs, "id", num_hashes, bands),
         index_dir, _BUCKETS, "batch-0",
     )
-    _write_segment(base, index_dir, _DOCS, "batch-0")
+    # the docs segment carries the distinct shingle-HASH set alongside
+    # the text (round-9 verdict item 2): verification at lookup time
+    # reads these 8-byte-per-shingle arrays with the text column pruned
+    # from the scan, instead of re-tokenizing candidate text per lookup
+    _write_segment(
+        base.join(shingle_hash_sets(shingled, "id"), "id"),
+        index_dir, _DOCS, "batch-0",
+    )
     n_docs = base.count()
+    shingled.unpersist(False)
     base.unpersist(False)
     meta = {
         "id_col": id_col,
@@ -614,19 +638,51 @@ def _neardup_batch_pairs(
     ``n_batch`` rows) against the committed corpus — new-vs-corpus ∪
     new-vs-new, exact-Jaccard verified. Pure read: commits nothing.
     Used by both the committing increment and the serving lookup.
-    Returns ``(verified_pairs, bands_new, pinned)`` — ``bands_new`` is
-    the batch's band-key frame (the increment commits it as the new
-    bucket segment) and ``pinned`` the persisted frames backing the lazy
-    plan (release after the action, resources.py contract)."""
+    Returns ``(verified_pairs, bands_new, hsets_new, pinned)`` —
+    ``bands_new`` is the batch's band-key frame (the increment commits
+    it as the new bucket segment), ``hsets_new`` the batch's distinct
+    shingle-hash sets (the increment stores them in its docs segment so
+    FUTURE lookups verify against hashes; None for a legacy index, whose
+    docs schema must stay hash-free), and ``pinned`` the persisted
+    frames backing the lazy plan (release after the action, resources.py
+    contract).
+
+    Verification (round-9 verdict item 2): when the index's docs table
+    carries the ``_shh`` shingle-hash column (every index built/extended
+    since round 10), the corpus side of Jaccard verification reads those
+    arrays directly — the text column is PRUNED from the candidate scan
+    and no tokenize/shingle work runs at lookup time. Pre-round-10
+    indexes (no ``_shh``) fall back to re-shingling candidate text, the
+    original path."""
     num_hashes, bands = meta["num_hashes"], meta["bands"]
     shingle_n, threshold = meta["shingle_n"], meta["threshold"]
     max_bucket = meta.get("max_bucket")
 
+    # n_batch=None is the declared-small latency contract (see
+    # neardup_index_lookup): hint every batch-derived frame broadcast
+    # unconditionally instead of paying count() jobs for the guards
+    declared_small = n_batch is None
+
+    def _guard(df: DataFrame, bound) -> DataFrame:
+        return F.broadcast(df) if declared_small else _hinted(df, bound)
+
     shingled_new = _staged_shingles(batch, "id", "text", shingle_n).persist()
-    sigs_new = minhash_signatures_from(shingled_new, "id", num_hashes)
+    if declared_small:
+        # zero-shuffle projection form of the signature (same hash
+        # family, interchangeable output — dedup_fuzzy doctrine): a
+        # broadcast-sized batch gains nothing from the explode/min-agg
+        # shuffle, and dropping it removes one more stage barrier from
+        # the serving path
+        from mini_data_platform_spark.operators.dedup_fuzzy import (
+            minhash_signature_columns,
+        )
+
+        sigs_new = minhash_signature_columns(shingled_new, ["id"], num_hashes)
+    else:
+        sigs_new = minhash_signatures_from(shingled_new, "id", num_hashes)
     bands_new = lsh_band_keys(sigs_new, "id", num_hashes, bands).persist()
     # lsh_band_keys emits exactly one row per (doc, band)
-    n_bands_new = n_batch * bands
+    n_bands_new = None if declared_small else n_batch * bands
 
     # new-vs-corpus: stream the corpus-sized bucket table against the
     # batch's band keys — broadcast (no index shuffle) while the batch
@@ -642,7 +698,7 @@ def _neardup_batch_pairs(
         new_keys = bands_new.select("band_id", "band_key").distinct()
         old_sizes = (
             buckets_old.join(
-                _hinted(new_keys, n_bands_new),
+                _guard(new_keys, n_bands_new),
                 ["band_id", "band_key"],
                 "left_semi",
             )
@@ -662,7 +718,7 @@ def _neardup_batch_pairs(
             .persist()
         )
         bands_eff = bands_new.join(
-            _hinted(ok_buckets, n_bands_new), ["band_id", "band_key"],
+            _guard(ok_buckets, n_bands_new), ["band_id", "band_key"],
             "left_semi",
         )
     else:
@@ -671,7 +727,7 @@ def _neardup_batch_pairs(
     cand_cross = (
         buckets_old.alias("o")
         .join(
-            _hinted(bands_eff, n_bands_new).alias("n"),
+            _guard(bands_eff, n_bands_new).alias("n"),
             (F.col("o.band_id") == F.col("n.band_id"))
             & (F.col("o.band_key") == F.col("n.band_key"))
             & (F.col("o.id") != F.col("n.id")),
@@ -682,51 +738,99 @@ def _neardup_batch_pairs(
         )
         .distinct()
     )
-    # new-vs-new: the ordinary within-batch LSH self-join over the same
-    # surviving buckets
-    if ok_buckets is not None:
-        nn_a = bands_eff.select(
-            F.col("id").alias("id_a"), "band_id", "band_key"
-        )
-        nn_b = bands_eff.select(
-            F.col("id").alias("id_b"), "band_id", "band_key"
-        )
-        cand_self = (
-            nn_a.join(nn_b, ["band_id", "band_key"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-    else:
-        cand_self = lsh_candidate_pairs(sigs_new, "id", num_hashes, bands)
-    cands = cand_cross.unionByName(cand_self).distinct().persist()
-    n_cands = cands.count()
-
-    # verification shingles: the new batch's are already staged; the
-    # corpus side re-shingles CANDIDATE docs only (guarded-broadcast
-    # semi-join on the bounded candidate id set — settled text stays
-    # untouched)
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
+    # new-vs-new: the within-batch LSH self-join over the same surviving
+    # buckets — from the PERSISTED band-key frame, not a re-signing of
+    # the batch (lsh_candidate_pairs would re-run the minhash aggregate
+    # the bands_new cache already paid for; one fewer shuffle chain on
+    # the serving path)
+    nn_a = bands_eff.select(
+        F.col("id").alias("id_a"), "band_id", "band_key"
+    )
+    nn_b = bands_eff.select(
+        F.col("id").alias("id_b"), "band_id", "band_key"
+    )
+    cand_self = (
+        nn_a.join(nn_b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    docs_old = _read_live(spark, index_dir, _DOCS, meta)
-    involved_old = docs_old.join(
-        _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
-    )
-    shingled_old = _staged_shingles(involved_old, "id", "text", shingle_n)
-    shingled_all = shingled_new.unionByName(shingled_old)
+    cands = cand_cross.unionByName(cand_self).distinct().persist()
+    n_cands = None if declared_small else cands.count()
 
-    verified = (
-        jaccard_pairs_from(shingled_all, cands, "id")
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # verification state: the new batch's shingles are already staged;
+    # the corpus side reads CANDIDATE docs only, from the persisted
+    # hash sets when the index has them
+    def _cand_ids() -> DataFrame:
+        return (
+            cands.select(F.col("id_a").alias("id"))
+            .unionByName(cands.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+
+    docs_old = _read_live(spark, index_dir, _DOCS, meta)
+    hsets_new = shingle_hash_sets(shingled_new, "id")
+    # the verify ceiling also honors the MDP_INCR_BROADCAST_MAX_ROWS
+    # dial: it is the module's one "how much may hard-broadcast" knob,
+    # and the oversized-batch degradation gate pins that setting it to 0
+    # removes every hard hint from the lookup plan
+    small_verify = declared_small or (
+        2 * n_cands <= min(_VERIFY_BROADCAST_MAX_DOCS, _broadcast_max_rows())
     )
-    pinned = [cands, bands_new, shingled_new]
+    if _SHH in docs_old.columns:
+        # hash-verify path: candidate scan reads (id, _shh) — parquet
+        # prunes the text column — and Jaccard runs on bigint sets.
+        # In the broadcast-verify regime the candidate-id SEMI-FILTER is
+        # dropped entirely: the scorer's broadcast-pairs hash join
+        # filters the corpus scan to candidate docs inline, and the semi
+        # saved only shuffle volume — which the broadcast plan has none
+        # of — at the price of an extra broadcast-build job.
+        h_old = docs_old.select("id", _SHH)
+        if not small_verify:
+            h_old = h_old.join(
+                _hinted(_cand_ids(), 2 * n_cands), "id", "left_semi"
+            )
+        # h_old is already candidate-bounded and hsets_new is the batch
+        # itself, so the scorer's involved-filter would be a redundant
+        # extra job — skip it (involved_filtered). The combined sets
+        # frame is PERSISTED: the scorer references it twice (sh_a
+        # stream side + sh_b broadcast side) and without the pin each
+        # side would re-scan the docs segments and re-hash the batch.
+        sets_all = hsets_new.unionByName(h_old).persist()
+        verified = (
+            jaccard_pairs_from_hashes(
+                sets_all, cands, "id",
+                small_pairs=small_verify,
+                involved_filtered=True,
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        pinned_extra = [sets_all]
+    else:
+        # legacy (pre-_shh) index: re-shingle candidate text, and keep
+        # the docs table's legacy schema on future increments (a mixed
+        # docs table would need mergeSchema on every read)
+        hsets_new = None
+        involved_old = docs_old.join(
+            _guard(_cand_ids(), None if declared_small else 2 * n_cands),
+            "id", "left_semi",
+        )
+        shingled_old = _staged_shingles(
+            involved_old, "id", "text", shingle_n
+        )
+        verified = (
+            jaccard_pairs_from(
+                shingled_new.unionByName(shingled_old), cands, "id"
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        pinned_extra = []
+    pinned = [cands, bands_new, shingled_new, *pinned_extra]
     if ok_buckets is not None:
         pinned.append(ok_buckets)
-    return verified, bands_new, pinned
+    return verified, bands_new, hsets_new, pinned
 
 
 def neardup_index_increment(
@@ -787,17 +891,21 @@ def neardup_index_increment(
                 ).persist()
                 n_new = batch.count()
 
-            verified, bands_new, pinned = _neardup_batch_pairs(
+            verified, bands_new, hsets_new, pinned = _neardup_batch_pairs(
                 spark, index_dir, meta, batch, n_new
             )
 
             # materialize pairs + segments (writer-unique names) BEFORE
-            # the commit attempt
+            # the commit attempt; the docs segment carries the batch's
+            # shingle-hash sets so future lookups hash-verify against it
             seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
             pairs_path = os.path.join(index_dir, _PAIRS, seg)
             verified.write.mode("overwrite").parquet(pairs_path)
             _write_segment(bands_new, index_dir, _BUCKETS, seg)
-            _write_segment(batch, index_dir, _DOCS, seg)
+            _write_segment(
+                batch if hsets_new is None else batch.join(hsets_new, "id"),
+                index_dir, _DOCS, seg,
+            )
             for frame in pinned:
                 frame.unpersist(False)
 
@@ -833,6 +941,7 @@ def neardup_index_lookup(
     new_docs: DataFrame,
     index_dir: str,
     as_of: int | None = None,
+    small_batch: bool = False,
 ) -> DataFrame:
     """SERVING lookup: the same verified pairs an increment would return
     for ``new_docs`` — new-vs-corpus ∪ new-vs-new — WITHOUT committing
@@ -847,15 +956,26 @@ def neardup_index_lookup(
 
     ``as_of`` looks up against the index as it stood after that many
     committed batches (``_meta_as_of``) — reproduce yesterday's dedup
-    decision, audit what an increment saw, or diff two index states."""
+    decision, audit what an increment saw, or diff two index states.
+
+    ``small_batch=True`` is the LATENCY contract (round-9 verdict
+    item 2): the caller declares the batch and its candidate set
+    driver-broadcast-sized (the point-lookup / dedup-one-shard regime
+    serving actually runs in), and the plan drops its two blocking
+    ``count()`` jobs — the counts exist only to feed broadcast guards,
+    so a declared-small lookup broadcasts unconditionally and goes from
+    ~10 sequential Spark jobs to the broadcast builds + one final
+    stage. A mis-declared huge batch degrades to Spark's own broadcast
+    limit error, never silence; committing increments keep the guarded
+    path unconditionally."""
     meta = _meta_as_of(_recover_meta(index_dir), as_of)
     id_col, text_col = meta["id_col"], meta["text_col"]
     spark: SparkSession = new_docs.sparkSession
     batch = new_docs.select(
         F.col(id_col).alias("id"), F.col(text_col).cast("string").alias("text")
     ).persist()
-    n_new = batch.count()
-    verified, _bands, pinned = _neardup_batch_pairs(
+    n_new = None if small_batch else batch.count()
+    verified, _bands, _hsets, pinned = _neardup_batch_pairs(
         spark, index_dir, meta, batch, n_new
     )
     # caller runs the action on the lazy plan, then releases the pinned
@@ -1456,12 +1576,26 @@ def neardup_index_pairs(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    docs = _read_live(spark, index_dir, _DOCS, meta).join(
-        _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
-    )
-    shingled = _staged_shingles(docs, "id", "text", shingle_n)
+    docs_live = _read_live(spark, index_dir, _DOCS, meta)
+    if _SHH in docs_live.columns:
+        # hash-verify from the persisted shingle-hash sets (text pruned)
+        hsets = docs_live.select("id", _SHH).join(
+            _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
+        )
+        scored = jaccard_pairs_from_hashes(
+            hsets, cands, "id",
+            small_pairs=2 * n_cands <= _VERIFY_BROADCAST_MAX_DOCS,
+            involved_filtered=True,
+        )
+    else:
+        docs = docs_live.join(
+            _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
+        )
+        scored = jaccard_pairs_from(
+            _staged_shingles(docs, "id", "text", shingle_n), cands, "id"
+        )
     out = (
-        jaccard_pairs_from(shingled, cands, "id")
+        scored
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

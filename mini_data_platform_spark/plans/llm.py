@@ -492,7 +492,10 @@ def doc_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
         ),
     )
-    return neardup_index_lookup(batch, index_dir)
+    # small_batch: the serving latency contract — the 10% batch and its
+    # candidate set are broadcast-sized by construction, so the lookup
+    # drops its guard-count jobs (incremental.neardup_index_lookup)
+    return neardup_index_lookup(batch, index_dir, small_batch=True)
 
 
 def doc_neardup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +579,7 @@ def doc_neardup_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
         )
     )
-    return neardup_index_lookup(batch, index_dir)
+    return neardup_index_lookup(batch, index_dir, small_batch=True)
 
 
 def _cached_index(

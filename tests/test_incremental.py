@@ -715,6 +715,97 @@ class TestLookup:
         assert got == incr
 
 
+class TestShingleHashVerify:
+    """Round-9 verdict item 2: the docs table persists shingle-hash
+    sets at commit time and lookups verify from hashes, not text."""
+
+    def test_docs_segments_carry_hash_sets_and_index_docs_hides_them(
+        self, spark, tmpdir
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            index_docs,
+            neardup_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 60)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        neardup_index_increment(_mutated(b1, 1000), tmpdir)
+        docs = spark.read.parquet(
+            os.path.join(tmpdir, "docs", "batch-0"),
+        )
+        assert "_shh" in docs.columns
+        # every committed segment (build AND increment) carries the sets
+        segs = _read_meta(tmpdir)["segments"]["docs"]
+        assert len(segs) == 2
+        for seg in segs:
+            cols = spark.read.parquet(
+                os.path.join(tmpdir, "docs", seg)
+            ).columns
+            assert "_shh" in cols, seg
+        # ...but the settled-corpus accessor keeps its (id, text) shape
+        assert "_shh" not in index_docs(spark, tmpdir).columns
+
+    def test_hash_verify_equals_text_verify(self, spark, tmpdir):
+        """A lookup against a LEGACY index (docs segments without _shh —
+        simulated by stripping the column) must return the exact same
+        verified pairs as the hash path: the hash is injective on the
+        observed shingles, so Jaccard values are identical doubles."""
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 60)
+        b2 = _mutated(b1, 1000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        looked = neardup_index_lookup(b2, tmpdir)
+        hash_pairs = _pairs_set(looked)
+        release_plan(looked)
+        # strip _shh in place -> the legacy re-shingle fallback engages
+        seg = os.path.join(tmpdir, "docs", "batch-0")
+        legacy = spark.read.parquet(seg).drop("_shh")
+        tmp_out = seg + "_legacy"
+        legacy.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(seg)
+        os.rename(tmp_out, seg)
+        looked = neardup_index_lookup(b2, tmpdir)
+        text_pairs = _pairs_set(looked)
+        release_plan(looked)
+        assert hash_pairs == text_pairs
+        # a legacy index's increments keep the legacy docs schema
+        neardup_index_increment(b2, tmpdir)
+        segs = _read_meta(tmpdir)["segments"]["docs"]
+        for s in segs:
+            assert "_shh" not in spark.read.parquet(
+                os.path.join(tmpdir, "docs", s)
+            ).columns
+
+    def test_small_batch_contract_equals_guarded_lookup(
+        self, spark, tmpdir
+    ):
+        """small_batch=True (the serving latency contract: no count
+        jobs, unconditional broadcasts) returns the identical verified
+        pair set as the guarded default path."""
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 60)
+        b2 = _mutated(b1, 1000)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS, SHINGLE_N
+        )
+        guarded = neardup_index_lookup(b2, tmpdir)
+        want = _pairs_set(guarded)
+        release_plan(guarded)
+        fast = neardup_index_lookup(b2, tmpdir, small_batch=True)
+        assert _pairs_set(fast) == want
+        release_plan(fast)
+
+
 class TestLookupTwins:
     def test_exact_lookup_equals_increment_and_commits_nothing(
         self, spark, tmpdir
