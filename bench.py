@@ -172,6 +172,49 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: event-log dir for per-query execution metrics (verdict r9 item 7).
+#: compress=false + rolling disabled: the zstd module is absent, so a
+#: compressed/rolled log would be unparseable (SURVEY §6 note).
+_EVENTLOG = "/tmp/mdp_bench_eventlog"
+
+
+def _shuffle_by_window(windows: dict[str, tuple[float, float]]) -> dict:
+    """Attribute per-task shuffle-write bytes from the event log to the
+    query whose [t0, t1] wall window the task finished in. One pass over
+    the log (substring pre-filter, the probe_scale.py recipe); queries
+    run sequentially so windows are disjoint."""
+    spans = sorted(
+        (t0, t1, name) for name, (t0, t1) in windows.items()
+    )
+    out = {name: 0 for name in windows}
+    if not os.path.isdir(_EVENTLOG):
+        return {}
+    import bisect
+
+    starts = [s[0] for s in spans]
+    for fn in os.listdir(_EVENTLOG):
+        path = os.path.join(_EVENTLOG, fn)
+        if not os.path.isfile(path):
+            continue
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                fin = (ev.get("Task Info") or {}).get("Finish Time", 0) / 1000
+                i = bisect.bisect_right(starts, fin) - 1
+                if i < 0 or fin > spans[i][1]:
+                    continue
+                m = ev.get("Task Metrics") or {}
+                out[spans[i][2]] += (
+                    m.get("Shuffle Write Metrics") or {}
+                ).get("Shuffle Bytes Written", 0)
+    return {k: round(v / 2**20, 2) for k, v in out.items()}
+
+
 def main() -> None:
     global _LOAD0
     _LOAD0 = os.getloadavg()
@@ -179,7 +222,19 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("bench")
+    import shutil
+
+    shutil.rmtree(_EVENTLOG, ignore_errors=True)
+    os.makedirs(_EVENTLOG, exist_ok=True)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": _EVENTLOG,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
 
     import __spark_entry__ as entry_mod
 
@@ -246,14 +301,27 @@ def main() -> None:
     # Per-query error isolation: one broken query must not abort the run
     # (rounds 3+4 lost all bench signal to a single failing query). Errors
     # are recorded in a parallel dict and the JSON line ALWAYS prints.
+    from pyspark.sql import Observation, functions as _F
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    windows: dict[str, tuple[float, float]] = {}
+    out_rows: dict[str, int] = {}
     for name, fn in queries.items():
+        w0 = time.time()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # observed output-row count (verdict r9 item 7): a
+            # CollectMetrics node over the final plan — rides the same
+            # noop action, no extra job
+            obs = Observation(f"bench_{name}")
+            df.observe(obs, _F.count(_F.lit(1)).alias("rows")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            windows[name] = (w0, time.time())
+            out_rows[name] = int(obs.get["rows"])
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: query {name!r} FAILED: {errors[name]}", file=sys.stderr)
@@ -264,6 +332,42 @@ def main() -> None:
                 release_plan(df)
             except Exception:  # noqa: BLE001 — cleanup is advisory
                 pass
+
+    # steady-state serving latencies (verdict r9 item 6): the timed
+    # loop's *_serve numbers still carry plan-translation/codegen noise
+    # from the session's history; re-run each serve query 3x against the
+    # already-cached artifacts and report the MEDIAN — the number a
+    # serving loop actually sees.
+    serve_steady: dict[str, float] = {}
+    import statistics
+
+    for name, fn in queries.items():
+        if not name.endswith("_serve") or name in errors:
+            continue
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001 — timed loop already reported
+                break
+            finally:
+                try:
+                    release_plan(df)
+                except Exception:  # noqa: BLE001 — cleanup is advisory
+                    pass
+        if runs:
+            serve_steady[name] = round(statistics.median(runs), 3)
+
+    # per-query shuffle-write bytes from the event log (item 7); the
+    # log is JSON-lines flushed per event, parseable while in progress
+    try:
+        shuffle_mb = _shuffle_by_window(windows)
+    except Exception as exc:  # noqa: BLE001 — metrics are advisory
+        print(f"bench: event-log parse failed: {exc}", file=sys.stderr)
+        shuffle_mb = {}
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -279,6 +383,13 @@ def main() -> None:
         # one-time offline artifact builds for the *_serve queries,
         # paid in warmup so the timed numbers measure SERVING
         "serve_first_touch": serve_first_touch,
+        # median of 3 post-warmup re-runs per *_serve query — the
+        # steady-state serving latency (r9 item 6)
+        "serve_steady": serve_steady,
+        # per-query execution metrics from the event log + observed
+        # row counts (r9 item 7)
+        "shuffle_write_mb": shuffle_mb,
+        "output_rows": out_rows,
         # contention metadata: a driver run on a loaded machine inflates
         # sub-second fixed-overhead queries uniformly (r6 verdict item 3)
         # — loadavg at start/end makes that self-diagnosing
