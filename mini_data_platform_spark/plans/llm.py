@@ -1473,6 +1473,125 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "knn_rank")
 
 
+def _pq_serve_shape(out: DataFrame) -> DataFrame:
+    """Align a LUT-path pq_topk/ivfpq_topk result with the parity/oracle
+    convention: the LUT paths keep self-matches (a corpus that contains
+    the query scores it; exact rerank puts it at cos 1.0), the oracle
+    excludes self — so the serve twins over-fetch by one (k+1, rerank+1)
+    and re-rank after dropping self. cos_sim itself is already the
+    JVM fold-exact rerank score, hash-identical to the oracle's."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cos_sim")
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= KNN_K)
+    )
+
+
+def emb_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ serving shape (round-9 verdict item 8):
+    ``emb_ann_pq`` is the oracle-parity PROOF and pays codebook training
+    + expression-tree ADC in-query by design; this twin measures what a
+    deployment runs — the numpy/LUT ``pq_topk`` over a PREBUILT
+    disk-cached codes table (codes encoded offline once, 16 B/vector vs
+    256 B raw), BLAS LUT builds, vectorized gather-sum ADC, exact
+    JVM-fold rerank. Same oracle as emb_ann_pq: ADC only shortlists
+    (numpy float64 vs expression folds differ in ulps, far below any
+    shortlist boundary gap), and the reranked cos_sim is the identical
+    sequential fold — so the LUT path is value-checked end to end."""
+    import json
+    import os
+
+    from mini_data_platform_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(d):
+        books = train_pq_codebooks(
+            emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB
+        )
+        pq_encode(emb, "vec_id", "embedding", books).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "codes"))
+        with open(os.path.join(d, "pq_meta.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"codebooks": books}, f)
+
+    d = cached_artifact(
+        sf_dir, f"pqserve|{PQ_M}|{PQ_KSUB}", build,
+        fixture="embeddings.parquet", marker="pq_meta.json",
+    )
+    with open(os.path.join(d, "pq_meta.json"), encoding="utf-8") as f:
+        books = json.load(f)["codebooks"]
+    codes = spark.read.parquet(os.path.join(d, "codes"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = pq_topk(
+        queries, emb, "vec_id", "embedding", books,
+        k=KNN_K + 1, rerank=PQ_RERANK + 1, codes=codes,
+    )
+    return _pq_serve_shape(out)
+
+
+def emb_ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ serving shape (round-9 verdict item 8):
+    ``emb_ann_ivfpq`` is the oracle-parity proof; this twin runs the
+    numpy/LUT ``ivfpq_topk`` against a SAVED cell-partitioned index
+    (``ivfpq_index_save``/``load`` — the FAISS offline-build /
+    online-serve loop): the probed-cell prefilter partition-prunes the
+    codes scan at listing time, ADC scores only probed cells' codes,
+    exact JVM-fold rerank. Shares emb_ann_ivfpq's oracle — trained
+    centroids and codebooks are deterministic, so the saved index and
+    the oracle's literal unroll agree; see emb_ann_pq_serve for why the
+    LUT shortlist is oracle-safe."""
+    from mini_data_platform_spark.operators.pq import (
+        ivfpq_index_load,
+        ivfpq_index_save,
+        ivfpq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from mini_data_platform_spark.operators.similarity import ivf_assign
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(d):
+        books = train_pq_codebooks(
+            emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB
+        )
+        cents = SIM.kmeans_centroids(
+            emb, "vec_id", "embedding", k=N_CELLS, n_iter=1
+        )
+        assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+        codes = pq_encode(
+            assigned, "vec_id", "embedding", books, carry=("cell",)
+        )
+        ivfpq_index_save(d, codes, books, cents)
+
+    d = cached_artifact(
+        sf_dir, f"ivfpqserve|{PQ_M}|{PQ_KSUB}|{N_CELLS}|{N_PROBE}", build,
+        fixture="embeddings.parquet", marker="ann_meta.json",
+    )
+    codes, books, cents = ivfpq_index_load(spark, d)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk(
+        queries, emb, "vec_id", "embedding", books,
+        k=KNN_K + 1, n_cells=N_CELLS, n_probe=N_PROBE,
+        rerank=PQ_RERANK + 1, centroids=cents, codes=codes,
+    )
+    return _pq_serve_shape(out)
+
+
 def emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup (operators/incremental.py embdup_*):
     batch 1 = the embeddings (cast double), indexed once with frozen
@@ -1801,6 +1920,8 @@ QUERIES = {
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_ann_pq": emb_ann_pq,
     "emb_ann_ivfpq": emb_ann_ivfpq,
+    "emb_ann_pq_serve": emb_ann_pq_serve,
+    "emb_ann_ivfpq_serve": emb_ann_ivfpq_serve,
     "emb_near_dups_exact": emb_near_dups_exact,
     "emb_near_dups_lsh": emb_near_dups_lsh,
     "emb_neardup_incremental": emb_neardup_incremental,
@@ -2506,6 +2627,10 @@ ORACLE = {
     # recurring no_oracle rows flip to value-checked
     "emb_ann_pq": _sql_pq_oracle,
     "emb_ann_ivfpq": _sql_ivfpq_oracle,
+    # the LUT serve twins share the parity oracles: ADC only shortlists
+    # and the reranked cos_sim is the same JVM sequential fold
+    "emb_ann_pq_serve": _sql_pq_oracle,
+    "emb_ann_ivfpq_serve": _sql_ivfpq_oracle,
     "emb_ann_knn": f"""
         WITH e AS ({_SQL_EMB}),
         bucketed AS ({_SQL_BUCKETED}),

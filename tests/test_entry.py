@@ -65,7 +65,7 @@ def test_rotation_staleness_bound():
     r8 breach (doc_bpe_token_counts never windowed) fails this test if
     reintroduced."""
     q = entry_mod.queries()
-    window = entry_mod._ROUND9_WINDOW
+    window = entry_mod._ROUND10_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50, "duplicate window entries"
     assert list(q)[:50] == window, "window must lead the queries() order"

@@ -12,6 +12,7 @@ Usage: python tools/verify_local.py [query ...] [--sf-dir DIR]
 from __future__ import annotations
 
 import argparse
+import os
 import datetime
 import decimal
 import math
@@ -98,6 +99,12 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="subset of query names to check")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
+
+    # lazy oracle builders fold fixture-trained constants (PQ codebooks,
+    # SQ8 mins/scales, BM25 stats) — they must train on the SAME sf_dir
+    # the Spark queries run at, or a --sf-dir run compares two different
+    # models (the env default is the driver's sf0.01)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf_dir
 
     import __spark_entry__ as entry_mod
     from mini_data_platform_spark.session import get_spark
