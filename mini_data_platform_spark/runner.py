@@ -222,8 +222,23 @@ def _run_batch_ingest(
     report = IngestReport()
     files = discover_files(incoming_dir)
     valid: list[str] = []
-    for path in files:
-        ok, err = validate_file(spark, path)
+    # validation is a per-FILE verdict (sampled, O(1) per file), but a
+    # sequential loop serializes 2+ tiny Spark jobs per file on the
+    # driver — at 10k files that loop, not the data, is the wall.
+    # Spark job submission is thread-safe, so validate concurrently;
+    # verdicts are collected back IN LISTING ORDER and the driver-side
+    # side effects (quarantine moves, audit writes) stay sequential, so
+    # routing and precedence semantics are byte-identical to the loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if files:
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
+            verdicts = list(
+                pool.map(lambda p: validate_file(spark, p), files)
+            )
+    else:
+        verdicts = []
+    for path, (ok, err) in zip(files, verdicts):
         if ok:
             if audit:
                 audit.log_file_status(path, incoming_dir, "validated")
