@@ -1,0 +1,172 @@
+"""FULL-SUITE one-order-of-magnitude probe (round-9 verdict item 4).
+
+tools/probe_scale.py probes six hand-picked heavy queries at 10×; this
+runs the ENTIRE ``queries()`` surface once at the same 10×-sf0.1
+replica scale (see probe_scale.build_probe_dir — ids shifted per copy,
+document tokens per-copy-suffixed so text-similarity workloads scale
+exactly 10×). Constants that hide at sf0.1 (interpreted-HOF
+projections, literal-tree planning, driver loops) surface here as
+super-linear walls.
+
+Coverage caveat, stated loudly (the no-silent-caps rule): the replica
+builder scales documents/orders/lineitem/customer 10× but COPIES
+embeddings/events/part/supplier/region/nation verbatim — so the emb_*
+family and pure-events queries run at 1× data here and their walls
+measure session overhead, not scale. The deliberate quadratic twins
+(emb_near_dups_exact and friends) are probed for scale separately via
+their own SURVEY §6 notes; scaling them 10× would measure the
+documented O(n²) by design, not a plan defect.
+
+Usage:
+  python tools/probe_full.py [--skip-build] [--out FILE]
+
+Writes one JSON object {query: wall_s} plus totals to --out (default
+/tmp/mdp_probe_full.json) and prints a SURVEY-pastable summary: total,
+top-10 walls, and the wall ratio vs the given baseline detail file
+(--baseline BENCH_DETAIL_r*.json, default the latest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from probe_scale import PROBE_DIR, build_probe_dir  # noqa: E402
+
+REPO = "/root/repo"
+
+
+def _session(label: str):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .appName(label)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--out", default="/tmp/mdp_probe_full.json")
+    ap.add_argument("--baseline", default=None)
+    args = ap.parse_args()
+
+    if not args.skip_build:
+        spark = _session("probe-build")
+        print("building 10x probe dir ...", flush=True)
+        build_probe_dir(spark)
+        spark.stop()
+
+    spark = _session("probe-full")
+    import __spark_entry__ as entry_mod
+
+    from mini_data_platform_spark.operators.resources import release_plan
+
+    queries = entry_mod.queries()
+    # warmup, mirroring bench.py: JVM, python workers, serve caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(64)
+        .withColumn("g", F.col("id") % 8)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pdf, "id long, g long")
+        .write.format("noop").mode("overwrite").save()
+    )
+    first_touch: dict[str, float] = {}
+    for name, fn in queries.items():
+        if not name.endswith("_serve"):
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, PROBE_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            first_touch[name] = round(time.perf_counter() - t0, 2)
+            release_plan(df)
+        except Exception as exc:  # noqa: BLE001 — timed loop reports it
+            print(f"  warmup {name} failed: {exc}", file=sys.stderr)
+
+    walls: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, PROBE_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            walls[name] = round(time.perf_counter() - t0, 2)
+            print(f"  {name}: {walls[name]}s", flush=True)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"  {name} FAILED: {errors[name]}", flush=True)
+        finally:
+            try:
+                release_plan(df)
+            except Exception:  # noqa: BLE001
+                pass
+    spark.stop()
+
+    base_path = args.baseline
+    if base_path is None:
+        stamped = sorted(
+            (int(m.group(1)), fn)
+            for fn in os.listdir(REPO)
+            if (m := re.match(r"BENCH_DETAIL_r(\d+)\.json$", fn))
+        )
+        base_path = os.path.join(REPO, stamped[-1][1]) if stamped else None
+    base = {}
+    if base_path and os.path.exists(base_path):
+        with open(base_path, encoding="utf-8") as fh:
+            base = json.load(fh).get("queries", {})
+
+    out = {
+        "sf": "10x-sf0.1 replicas (docs/orders/lineitem/customer scaled; "
+              "embeddings/events copied 1x)",
+        "total_s": round(sum(walls.values()), 1),
+        "n_queries": len(walls),
+        "n_errors": len(errors),
+        "errors": errors,
+        "walls": walls,
+        "serve_first_touch": first_touch,
+        "baseline": os.path.basename(base_path) if base_path else None,
+    }
+    with open(args.out, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    print(f"\nTOTAL: {out['total_s']}s over {len(walls)} queries, "
+          f"{len(errors)} errors")
+    print("\nTop-10 walls (vs sf0.1 baseline where recorded):")
+    print("| query | 10x wall | sf0.1 wall | ratio |")
+    print("|---|---|---|---|")
+    for name, w in sorted(walls.items(), key=lambda kv: -kv[1])[:10]:
+        b = base.get(name)
+        ratio = f"{w / b:.1f}x" if b else "—"
+        print(f"| {name} | {w}s | {b if b is not None else '—'}s | {ratio} |")
+    sup = [
+        (n, w, base[n])
+        for n, w in walls.items()
+        if base.get(n) and w / base[n] > 12 and w - base[n] > 2
+    ]
+    print(f"\nqueries >12x sf0.1 wall (super-linear suspects): "
+          f"{sorted(sup, key=lambda t: -t[1]) or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
