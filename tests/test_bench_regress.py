@@ -86,3 +86,49 @@ class TestRepoGate:
                 f"{f['name']} {f['old']}->{f['new']}" for f in bad
             )
         )
+
+
+class TestShuffleAttribution:
+    """bench._shuffle_by_window: event-log task metrics bin into the
+    query whose wall window the task finished in (r9 verdict item 7)."""
+
+    def test_tasks_bin_by_finish_time(self, tmp_path, monkeypatch):
+        import json as _json
+
+        import bench
+
+        monkeypatch.setattr(bench, "_EVENTLOG", str(tmp_path))
+
+        def task_end(finish_s, bytes_written):
+            return _json.dumps(
+                {
+                    "Event": "SparkListenerTaskEnd",
+                    "Task Info": {"Finish Time": finish_s * 1000},
+                    "Task Metrics": {
+                        "Shuffle Write Metrics": {
+                            "Shuffle Bytes Written": bytes_written
+                        }
+                    },
+                }
+            )
+
+        lines = [
+            task_end(10.5, 2**20),   # inside q1
+            task_end(11.9, 2**20),   # inside q1
+            task_end(12.5, 2**21),   # between queries -> dropped
+            task_end(14.0, 2**22),   # inside q2
+            task_end(99.0, 2**23),   # after everything -> dropped
+            '{"Event": "SparkListenerJobStart"}',  # non-task noise
+            "not json at all",
+        ]
+        (tmp_path / "app-123").write_text("\n".join(lines))
+        got = bench._shuffle_by_window(
+            {"q1": (10.0, 12.0), "q2": (13.0, 15.0)}
+        )
+        assert got == {"q1": 2.0, "q2": 4.0}
+
+    def test_empty_log_dir_and_no_windows(self, tmp_path, monkeypatch):
+        import bench
+
+        monkeypatch.setattr(bench, "_EVENTLOG", str(tmp_path / "missing"))
+        assert bench._shuffle_by_window({"q": (0, 1)}) == {}
