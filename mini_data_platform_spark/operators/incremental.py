@@ -1248,6 +1248,14 @@ def _embdup_batch_pairs(
     from mini_data_platform_spark.functions.vectors import cosine
     from mini_data_platform_spark.operators.similarity import lsh_bucket
 
+    # n_new=None is the declared-small serving contract, mirroring
+    # _neardup_batch_pairs: broadcast every batch-derived frame
+    # unconditionally and skip the blocking guard counts
+    declared_small = n_new is None
+
+    def _guard(df: DataFrame, bound) -> DataFrame:
+        return F.broadcast(df) if declared_small else _hinted(df, bound)
+
     threshold, planes = meta["threshold"], meta["planes"]
     bucketed_new = (
         lsh_bucket(batch, planes, "id", "vec")
@@ -1259,7 +1267,7 @@ def _embdup_batch_pairs(
     cand_cross = (
         buckets_old.alias("o")
         .join(
-            _hinted(bucketed_new, n_new).alias("n"),
+            _guard(bucketed_new, n_new).alias("n"),
             (F.col("o.bucket") == F.col("n.bucket"))
             & (F.col("o.id") != F.col("n.id")),
         )
@@ -1280,16 +1288,24 @@ def _embdup_batch_pairs(
         .select("id_a", "id_b")
     )
     cands = cand_cross.unionByName(cand_self).distinct().persist()
-    n_cands = cands.count()
+    n_cands = None if declared_small else cands.count()
 
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    vecs_old = _read_live(spark, index_dir, _EVECS, meta).join(
-        _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
-    )
+    vecs_old = _read_live(spark, index_dir, _EVECS, meta)
+    if declared_small:
+        # broadcast-verify: the broadcast-cands hash joins filter the
+        # vector scan to candidate docs inline, so the candidate-id
+        # semi-filter (and its count/broadcast jobs) is pure overhead —
+        # same zero-shuffle serve plan as the text index
+        pass
+    else:
+        cand_ids = (
+            cands.select(F.col("id_a").alias("id"))
+            .unionByName(cands.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        vecs_old = vecs_old.join(
+            _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
+        )
     all_vecs = batch.unionByName(vecs_old)
     va = all_vecs.select(
         F.col("id").alias("id_a"), F.col("vec").alias("_va"),
@@ -1299,9 +1315,11 @@ def _embdup_batch_pairs(
         F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
         F.col("nrm").alias("_nb"),
     )
+    cands_j = F.broadcast(cands) if declared_small else cands
+    vb_j = F.broadcast(vb) if declared_small else vb
     verified = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands_j.join(va, "id_a")
+        .join(vb_j, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1318,12 +1336,15 @@ def embdup_index_lookup(
     new_vecs: DataFrame,
     index_dir: str,
     as_of: int | None = None,
+    small_batch: bool = False,
 ) -> DataFrame:
     """SERVING lookup against an embedding near-dup index: the same
     verified (id_a, id_b, cos_sim) pairs ``embdup_index_increment``
     returns, WITHOUT committing the batch — read-only, idempotent (the
     same query/commit split as ``neardup_index_lookup``, including its
-    ``as_of`` time travel)."""
+    ``as_of`` time travel and the same ``small_batch`` latency
+    contract: batch + candidates declared broadcast-sized, guard-count
+    jobs dropped, verification collapses to broadcast joins)."""
     from mini_data_platform_spark.functions.vectors import l2_norm
     from mini_data_platform_spark.operators.resources import attach_plan
 
@@ -1337,7 +1358,7 @@ def embdup_index_lookup(
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     ).persist()
-    n_new = batch.count()
+    n_new = None if small_batch else batch.count()
     verified, _bucketed, pinned = _embdup_batch_pairs(
         spark, index_dir, meta, batch, n_new
     )

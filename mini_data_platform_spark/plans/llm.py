@@ -1748,7 +1748,7 @@ def emb_neardup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, f"embdup|{COS_THRESHOLD}|{N_PLANES}", build,
         fixture="embeddings.parquet",
     )
-    return embdup_index_lookup(batch, index_dir)
+    return embdup_index_lookup(batch, index_dir, small_batch=True)
 
 
 def emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
