@@ -315,6 +315,38 @@ class TestIncrementalIndexPlan:
         assert "SortMergeJoin" not in plan
         release_plan(out)
 
+    def test_small_batch_serve_plan_shape(self, spark, tmp_path):
+        """The declared-small serving lookup (round-9 verdict item 2)
+        must compile to broadcast joins ONLY — zero sort-merge/shuffled
+        hash joins, zero Python boundaries, and at most the candidate
+        dedup's handful of exchanges. This is the zero-shuffle-verify
+        contract: the serve-latency win comes from deleting stage
+        barriers, and a regression that reintroduces a shuffled join
+        would silently give the latency back."""
+        import re
+
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
+        )
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        d, batch = self._fixture(spark, tmp_path)
+        out = neardup_index_lookup(batch, d, small_batch=True)
+        out.write.format("noop").mode("overwrite").save()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "EvalPython" not in plan
+        n_exch = len(
+            re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|"
+                r"SinglePartition)", plan,
+            )
+        )
+        assert n_exch <= 4, f"serve plan grew to {n_exch} exchanges"
+        release_plan(out)
+
     def test_broadcast_guard_degrades_to_shuffle_join(
         self, spark, tmp_path, monkeypatch
     ):
