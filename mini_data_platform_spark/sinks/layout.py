@@ -306,44 +306,15 @@ def _bloom_positions_py(value, num_bits: int, num_hashes: int) -> list[int]:
 _BLOOM_KEY_TYPES = ("string", "int", "bigint", "smallint", "tinyint", "long")
 
 
-def write_bloom_manifest(
-    spark: SparkSession,
-    target_dir: str,
-    cols: Sequence[str],
-    num_bits: int = 1 << 17,
-    num_hashes: int = 5,
-) -> dict:
-    """Per-FILE Bloom filters over high-cardinality key columns — the
-    point-lookup pruning the min/max manifest cannot give. Range stats
-    prune only columns the layout concentrated (z-ordered or sorted); an
-    unsorted id column spans ~the full key range in EVERY file, so a
-    lookup of one sale_id still lists-and-opens everything. A per-file
-    Bloom filter answers "might this file contain key k?" with zero
-    false negatives, so ``read_bloom_filtered`` skips non-matching files
-    at LISTING time — no IO, not even a footer fetch. This is the
-    file-skipping index Parquet exposes as column bloom_filters and
-    Delta as the Bloom filter index, kept engine-readable here (plain
-    JSON + md5 positions) like the z-order manifest.
-
-    Build = ONE distributed pass over the directory: every row emits k
-    bit positions per key column (JVM md5, no Python), positions pack
-    into (file, word, mask), a ``bit_or`` aggregate folds them into
-    ≤ num_bits/64 words per file, and the folded words are WRITTEN
-    STRAIGHT to the parquet sidecar (partitioned by key column) — the
-    driver never holds a single filter word, at any file count. The
-    probe side (``bloom_prune_files``) is a broadcast join, so the
-    whole index lives its life distributed.
-
-    Sizing: fpp ≈ (1 - e^(-k·n/m))^k per file of n rows. The 2^17/5
-    default holds fpp ≈ 4% at 20k rows/file (16 KiB per file per
-    column); raise num_bits for bigger files. The sidecar snapshots the
-    CURRENT file set — rewrite it after appending files, like the
-    z-order manifest. Returns the O(1) meta dict."""
-    if num_bits % 64:
-        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
-    if not cols:
-        raise ValueError("write_bloom_manifest needs at least one key column")
-    df = spark.read.parquet(target_dir)
+def _bloom_sidecar_rows(
+    df: DataFrame, cols: Sequence[str], num_bits: int, num_hashes: int
+) -> DataFrame:
+    """The (col, file, word, bits) sidecar rows for ``df`` — the shared
+    distributed build pipeline behind the full rebuild and the
+    incremental append. One pass: every row emits k bit positions per
+    key column, positions pack into (file, word, mask), a ``bit_or``
+    aggregate folds them into ≤ num_bits/64 words per file. The driver
+    never holds a filter word."""
     for c in cols:
         t = dict(df.dtypes)[c]
         if t not in _BLOOM_KEY_TYPES:
@@ -378,13 +349,14 @@ def write_bloom_manifest(
     side = parts[0]
     for p in parts[1:]:
         side = side.unionByName(p)
-    side.write.mode("overwrite").partitionBy("col").parquet(
-        os.path.join(target_dir, BLOOM_SIDECAR)
-    )
-    # recursive census (round-9 advice): a partitioned/nested layout
-    # keeps its data files below partition dirs, so a flat listdir
-    # recorded n_files=0 while the sidecar indexed them; walk instead,
-    # skipping the sidecar itself and hidden/_ metadata
+    return side
+
+
+def _bloom_census(target_dir: str) -> int:
+    """Recursive data-file count (round-9 advice): a partitioned/nested
+    layout keeps its files below partition dirs, so a flat listdir
+    recorded n_files=0 while the sidecar indexed them; walk instead,
+    skipping the sidecar itself and hidden/_ metadata."""
     n_files = 0
     for root, dirs, names in os.walk(target_dir):
         dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
@@ -392,6 +364,53 @@ def write_bloom_manifest(
             1 for name in names
             if name.endswith(".parquet") and not name.startswith((".", "_"))
         )
+    return n_files
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    target_dir: str,
+    cols: Sequence[str],
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> dict:
+    """Per-FILE Bloom filters over high-cardinality key columns — the
+    point-lookup pruning the min/max manifest cannot give. Range stats
+    prune only columns the layout concentrated (z-ordered or sorted); an
+    unsorted id column spans ~the full key range in EVERY file, so a
+    lookup of one sale_id still lists-and-opens everything. A per-file
+    Bloom filter answers "might this file contain key k?" with zero
+    false negatives, so ``read_bloom_filtered`` skips non-matching files
+    at LISTING time — no IO, not even a footer fetch. This is the
+    file-skipping index Parquet exposes as column bloom_filters and
+    Delta as the Bloom filter index, kept engine-readable here (plain
+    JSON + md5 positions) like the z-order manifest.
+
+    Build = ONE distributed pass over the directory: every row emits k
+    bit positions per key column (JVM md5, no Python), positions pack
+    into (file, word, mask), a ``bit_or`` aggregate folds them into
+    ≤ num_bits/64 words per file, and the folded words are WRITTEN
+    STRAIGHT to the parquet sidecar (partitioned by key column) — the
+    driver never holds a single filter word, at any file count. The
+    probe side (``bloom_prune_files``) is a broadcast join, so the
+    whole index lives its life distributed.
+
+    Sizing: fpp ≈ (1 - e^(-k·n/m))^k per file of n rows. The 2^17/5
+    default holds fpp ≈ 4% at 20k rows/file (16 KiB per file per
+    column); raise num_bits for bigger files. The sidecar snapshots the
+    CURRENT file set — extend it after appends with
+    ``update_bloom_manifest`` (O(batch)); a full rewrite is only needed
+    when files are REPLACED. Returns the O(1) meta dict."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if not cols:
+        raise ValueError("write_bloom_manifest needs at least one key column")
+    df = spark.read.parquet(target_dir)
+    side = _bloom_sidecar_rows(df, cols, num_bits, num_hashes)
+    side.write.mode("overwrite").partitionBy("col").parquet(
+        os.path.join(target_dir, BLOOM_SIDECAR)
+    )
+    n_files = _bloom_census(target_dir)
     meta = {
         "num_bits": num_bits,
         "num_hashes": num_hashes,
@@ -401,6 +420,66 @@ def write_bloom_manifest(
     with open(os.path.join(target_dir, BLOOM_META), "w",
               encoding="utf-8") as fh:
         json.dump(meta, fh)
+    return meta
+
+
+def update_bloom_manifest(
+    spark: SparkSession,
+    target_dir: str,
+    new_files: Sequence[str],
+) -> dict:
+    """Index ONLY ``new_files`` into an existing Bloom sidecar —
+    O(batch), not O(lake). A 10⁶-file lake appends a few files per
+    batch; rebuilding the whole sidecar per append
+    (``write_bloom_manifest``) would re-scan every key column of every
+    file, which is exactly the cost the index exists to avoid. The new
+    files' (col, file, word, bits) rows are computed with the same
+    distributed pipeline and APPENDED into the cell-partitioned sidecar;
+    existing rows are untouched and stay valid because filters are
+    per-FILE. Hyperparameters come from the manifest meta (an index is
+    only ever extended the way it was built).
+
+    Refuses file names already present in the sidecar: per-file filter
+    rows must be unique per (col, file, word) — a silently re-indexed
+    (or worse, rewritten-in-place) file would leave two generations of
+    rows for one name. REPLACED files need the full rebuild. Returns
+    the refreshed meta."""
+    if not new_files:
+        raise ValueError("update_bloom_manifest needs at least one file")
+    meta_path = os.path.join(target_dir, BLOOM_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no bloom manifest at {target_dir}; build one first with "
+            "write_bloom_manifest"
+        )
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    names = [os.path.basename(f) for f in new_files]
+    side_path = os.path.join(target_dir, BLOOM_SIDECAR)
+    dup = (
+        spark.read.parquet(side_path)
+        .where(F.col("file").isin(names))
+        .select("file")
+        .distinct()
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"files already indexed: {sorted(r['file'] for r in dup)} — "
+            "per-file filters cannot be re-appended; rebuild with "
+            "write_bloom_manifest after replacing files"
+        )
+    df = spark.read.parquet(*list(new_files))
+    side = _bloom_sidecar_rows(
+        df, meta["cols"], meta["num_bits"], meta["num_hashes"]
+    )
+    side.write.mode("append").partitionBy("col").parquet(side_path)
+    meta["n_files"] = _bloom_census(target_dir)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
     return meta
 
 
@@ -478,7 +557,11 @@ def _bloom_survivors_df(
     )
     key_hits = (
         matched.groupBy("file", "col", "key")
-        .agg(F.count(F.lit(1)).alias("nw"))
+        # DISTINCT words, not row count: duplicate sidecar rows for one
+        # (col, file, word) — e.g. a crashed-then-retried incremental
+        # append — must never inflate the match count past nwords and
+        # turn a true hit into a false NEGATIVE
+        .agg(F.countDistinct("word").alias("nw"))
         .join(F.broadcast(nwords), ["col", "key"])
         .where(F.col("nw") == F.col("nwords"))
     )

@@ -234,6 +234,70 @@ class TestBloomManifest:
         kept, total = bloom_prune_files(spark, d, {"k": keys})
         assert total == 8 and len(kept) < total  # listing-time skipping
 
+    def test_incremental_update_equals_rebuild(self, spark, tmp_path):
+        """update_bloom_manifest indexes ONLY the appended files
+        (O(batch) at a 10^6-file lake) yet must prune and read exactly
+        like a full rebuild over the grown directory."""
+        import os as _os
+        import shutil as _shutil
+
+        from mini_data_platform_spark.sinks.layout import (
+            bloom_prune_files,
+            read_bloom_filtered,
+            update_bloom_manifest,
+            write_bloom_manifest,
+        )
+
+        d = str(tmp_path / "bl")
+        self._write(spark, d, n=10_000, files=4)
+        # "append a batch": write 4 more files elsewhere, move them in
+        extra = str(tmp_path / "extra")
+        (
+            spark.range(10_000, 20_000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("string").alias("tag"),
+            )
+            .repartition(4, (F.col("k") * 2654435761) % 1_000_003)
+            .write.mode("overwrite")
+            .parquet(extra)
+        )
+        moved = []
+        for fn in sorted(_os.listdir(extra)):
+            if fn.endswith(".parquet"):
+                dst = _os.path.join(d, f"app-{fn}")
+                _shutil.move(_os.path.join(extra, fn), dst)
+                moved.append(dst)
+        meta = update_bloom_manifest(spark, d, moved)
+        assert meta["n_files"] == 8
+        # lookups spanning old AND new files: exact rows, real pruning
+        keys = [3, 4444, 15_000, 19_999]
+        got = sorted(
+            r["k"] for r in read_bloom_filtered(
+                spark, d, {"k": keys}
+            ).collect()
+        )
+        assert got == keys
+        kept, total = bloom_prune_files(spark, d, {"k": keys})
+        assert total == 8 and 0 < len(kept) < total
+        # ...and byte-for-byte the same decisions as a full rebuild
+        rebuilt = str(tmp_path / "bl2")
+        _shutil.copytree(
+            d, rebuilt,
+            ignore=_shutil.ignore_patterns("_bloom*"),
+        )
+        write_bloom_manifest(spark, rebuilt, ["k", "tag"])
+        kept2, total2 = bloom_prune_files(spark, rebuilt, {"k": keys})
+        assert total2 == total
+        assert sorted(_os.path.basename(p) for p in kept) == sorted(
+            _os.path.basename(p) for p in kept2
+        )
+        # re-appending an already-indexed file name must refuse
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="already indexed"):
+            update_bloom_manifest(spark, d, [moved[0]])
+
     def test_absent_key_keeps_nothing(self, spark, tmp_path):
         from mini_data_platform_spark.sinks.layout import (
             bloom_prune_files,
