@@ -134,6 +134,80 @@ def doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embed(docs, "doc_id", "text", dim=16)
 
 
+#: model-based quality filter hyperparameters (operators/classify.py):
+#: hash-bucket dim, the label rule the model is trained to imitate
+#: (token count ≥ K — cross-engine-exact via the proven token
+#: machinery), training-sample size
+QUALITY_MODEL_DIM = 16
+QUALITY_MODEL_MIN_TOKENS = 54
+QUALITY_MODEL_SAMPLE = 512
+
+
+def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classify.py — the
+    fasttext-shaped linear gate of CCNet/RefinedWeb/FineWeb pipelines):
+    train a logistic-regression filter on hashed bag-of-words features
+    over a bounded lowest-id sample, then score EVERY document with a
+    pure-expression linear margin and a keep decision. The margin is a
+    left-nested literal fold, so the DuckDB oracle — which re-derives
+    the identical integer features, trains the identical numpy model,
+    and evaluates the identical parenthesization — matches bit for bit.
+    Training in-query is the proof shape (doc_bpe_vocab convention);
+    a deployment trains offline and ships the dim+1 floats."""
+    from mini_data_platform_spark.operators import classify as CLF
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    label = (
+        F.size(TX.tokens(F.col("text"))) >= QUALITY_MODEL_MIN_TOKENS
+    )
+    sample = CLF.quality_training_sample(
+        docs, "doc_id", "text", label,
+        dim=QUALITY_MODEL_DIM, sample_n=QUALITY_MODEL_SAMPLE,
+    )
+    w, b = CLF.train_lr(sample)
+    return CLF.quality_model_scores(
+        docs, "doc_id", "text", w, b, dim=QUALITY_MODEL_DIM
+    )
+
+
+def _sql_quality_model_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle for doc_quality_model: fetch the SAME bounded sample
+    through DuckDB (identical integer hash-bucket features + labels),
+    train the SAME deterministic numpy model, and emit the scoring SQL
+    with the weights as literals — the PQ/SQ8 train-once doctrine."""
+    import duckdb
+
+    from mini_data_platform_spark.operators import classify as CLF
+    from mini_data_platform_spark.operators import embed as EMB
+
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    src = f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    emb_sql = EMB.sql_hash_embed(src, "doc_id", "text", dim=QUALITY_MODEL_DIM)
+    cols = [f"h_{b}" for b in EMB.HEX]
+    rows = duckdb.sql(f"""
+        WITH emb AS ({emb_sql})
+        SELECT {', '.join('emb.' + c for c in cols)},
+               CAST(len({TX.sql_tokens('d.text')})
+                    >= {QUALITY_MODEL_MIN_TOKENS} AS INT) AS _y
+        FROM emb JOIN {src} d USING (doc_id)
+        ORDER BY doc_id LIMIT {QUALITY_MODEL_SAMPLE}
+    """).fetchall()
+    w, b = CLF.train_lr([tuple(r) for r in rows])
+    margin = CLF.sql_lr_margin(w, b, cols)
+    return f"""
+        WITH emb AS (
+            {EMB.sql_hash_embed('documents', 'doc_id', 'text',
+                                QUALITY_MODEL_DIM)}
+        )
+        SELECT doc_id, {margin} AS margin, ({margin}) > 0 AS keep
+        FROM emb
+    """
+
+
 def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing layout (operators/packing.py): per document, the
     global token start offset and chunk span under concat-and-chunk at
@@ -1881,6 +1955,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
+    "doc_quality_model": doc_quality_model,
     "doc_bm25": doc_bm25,
     "doc_title_editjoin": doc_title_editjoin,
     "doc_title_editjoin_freq": doc_title_editjoin_freq,
@@ -2318,6 +2393,9 @@ ORACLE = {
         FROM documents
     """,
     "doc_hash_embedding": EMB_OPS.sql_hash_embed("documents", "doc_id", "text", dim=16),
+    # callable: lazy builder trains the quality LR from the same
+    # DuckDB-fetched sample and folds the weights as literals
+    "doc_quality_model": _sql_quality_model_oracle,
     "doc_exact_dedup": f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
