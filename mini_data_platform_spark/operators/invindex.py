@@ -1,0 +1,160 @@
+"""Persisted inverted index + BM25 serving lookups.
+
+operators/ranking.py scores BM25 by SCANNING the corpus per query —
+correct, and the right shape for one-off analytical ranking, but a
+retrieval SERVICE answers thousands of queries against a settled corpus
+and must not pay a corpus scan each time. This module is the
+offline-build / online-serve split for lexical search (the Lucene
+shape, reduced to its Spark-native core):
+
+- BUILD (once): one tokenize pass over the corpus →
+  * ``postings/`` — (term, id, tf) rows, parquet PARTITIONED BY a
+    term-hash bucket, so a query's terms prune to ≤ |terms| buckets at
+    LISTING time (directory pruning; unprobed buckets are never even
+    listed — the layout.py z-order/bloom discipline applied to terms);
+  * ``docstats/`` — (id, dl) document lengths;
+  * ``invindex_meta.json`` — N and Σdl as INTEGERS (avgdl is derived at
+    query time with the same float division the full scorer uses, so
+    constants stay bit-identical).
+- SERVE (per query): read the terms' buckets only → per-term df counts
+  (|terms| scalars) → idf in Python (driver-side math.log, the
+  ranking.py doctrine — ln() is the one libm call whose last ulp
+  varies) → candidate docs = union of the terms' postings → per-term tf
+  pivot → join docstats for dl → the SHARED ``bm25_score_expr``. Cost
+  is O(matched postings), never O(corpus).
+
+Scores are bit-identical to ``bm25_scores`` over the same corpus: tf
+and dl are the same integers (a posting row is exactly
+``size(filter(tokens, = term))``), the constants are the same Python
+floats, and the scoring expression is literally the same code — which
+is what lets the serving twin run against the full scorer's SQL oracle
+restricted to candidate docs.
+
+Documents with NO query term score exactly 0 under BM25 and emit no
+posting, so the candidate restriction loses nothing — that equivalence
+IS the inverted-index contract.
+
+No reference-repo counterpart; part of the §2.8 LLM-pipeline extension
+surface (retrieval/search serving).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_data_platform_spark.functions.text import tokens
+from mini_data_platform_spark.operators.ranking import bm25_score_expr
+
+META = "invindex_meta.json"
+#: term-hash partition fan-out: small enough that a build's file count
+#: stays sane, large enough that a few-term query prunes ~98% of the
+#: postings at listing time
+N_TERM_BUCKETS = 64
+
+
+def invindex_build(
+    docs: DataFrame, index_dir: str, id_col: str, text_col: str
+) -> dict:
+    """Build the index at ``index_dir`` (must not already hold one).
+    One tokenize pass feeds both tables; the corpus never collects."""
+    if os.path.exists(os.path.join(index_dir, META)):
+        raise ValueError(f"index already exists at {index_dir}")
+    os.makedirs(index_dir, exist_ok=True)
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    ).persist()
+    postings = (
+        toked.select("id", F.explode("_toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+        )
+    )
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    docstats = toked.select("id", F.size("_toks").alias("dl"))
+    docstats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "docstats")
+    )
+    row = docstats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    toked.unpersist(False)
+    meta = {"n": int(row["n"]), "dl_sum": int(row["dl_sum"] or 0)}
+    with open(os.path.join(index_dir, META), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def invindex_bm25_lookup(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, dl, bm25) for every document containing ≥1 query term —
+    exactly ``bm25_scores``'s rows for those documents (zero-score docs
+    emit no posting and are definitionally excluded). Read-only and
+    idempotent; repeated lookups share the one-time build."""
+    seen: dict[str, None] = {}
+    for t in query_terms:
+        seen.setdefault(t, None)
+    terms = list(seen)
+    if not terms:
+        raise ValueError("invindex_bm25_lookup: empty query")
+    with open(os.path.join(index_dir, META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    n = meta["n"]
+    if n == 0:
+        raise ValueError("invindex_bm25_lookup: empty corpus")
+    avgdl = meta["dl_sum"] / n  # the same float division corpus_stats does
+
+    # the terms' partition buckets, via the SAME JVM hash the build used
+    # (one tiny driver job over |terms| literal rows — xxhash64 has no
+    # faithful Python twin, and guessing one risks silent full scans)
+    bks = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b")
+            )
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .where(F.col("bucket").isin(bks))  # listing-time pruning
+        .where(F.col("term").isin(terms))
+    )
+    # per-term document frequencies: |terms| scalars to the driver
+    df_rows = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).collect()
+    dfs = {t: 0 for t in terms}
+    dfs.update({r["term"]: int(r["_df"]) for r in df_rows})
+    idf = {
+        t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) for t in terms
+    }
+    # candidate pivot: one row per matched doc, a tf column per term
+    tf_frame = postings.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0))
+            ).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    staged = tf_frame.join(docstats, "id")
+    score = bm25_score_expr(terms, idf, avgdl, k1, b)
+    return staged.select(F.col("id"), F.col("dl"), score.alias("bm25"))

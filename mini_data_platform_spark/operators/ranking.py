@@ -101,11 +101,27 @@ def bm25_scores(
             for i, t in enumerate(terms)
         ],
     )
-    # every constant product is pre-folded in PYTHON so each engine-side
-    # expression carries exactly ONE constant: Catalyst's
-    # ReorderAssociativeOperator regroups chains like idf*tf*(k1+1) into
-    # (idf*(k1+1))*tf, which costs an ulp vs the SQL oracle's
-    # left-association — folding removes anything to reorder
+    score = bm25_score_expr(terms, idf, avgdl, k1, b)
+    return staged.select(F.col(id_col), F.col("dl"), score.alias("bm25"))
+
+
+def bm25_score_expr(
+    terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """The BM25 scoring expression over a staged frame carrying ``dl``
+    and ``_tf_0.._tf_{n-1}`` columns — shared by the full-corpus scorer
+    above and the inverted-index serving lookup (operators/invindex.py),
+    so both paths fold bit-identical arithmetic.
+
+    Every constant product is pre-folded in PYTHON so each engine-side
+    expression carries exactly ONE constant: Catalyst's
+    ReorderAssociativeOperator regroups chains like idf*tf*(k1+1) into
+    (idf*(k1+1))*tf, which costs an ulp vs the SQL oracle's
+    left-association — folding removes anything to reorder."""
     c_fixed = k1 * (1.0 - b)
     c_slope = k1 * b / avgdl
     norm = F.lit(c_fixed) + F.lit(c_slope) * F.col("dl").cast("double")
@@ -114,7 +130,7 @@ def bm25_scores(
         tf = F.col(f"_tf_{i}").cast("double")
         part = F.lit(idf[t] * (k1 + 1.0)) * tf / (tf + norm)
         score = part if score is None else score + part
-    return staged.select(F.col(id_col), F.col("dl"), score.alias("bm25"))
+    return score
 
 
 def sql_bm25_scores(

@@ -434,6 +434,46 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, "doc_id", "text", BM25_TERMS)
 
 
+def doc_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of lexical retrieval (operators/invindex.py):
+    ``doc_bm25`` scans and re-aggregates the corpus per query by design
+    (the analytical proof); this twin answers the SAME query from a
+    PREBUILT persisted inverted index — postings partitioned by term
+    hash so the 3 query terms prune to ≤3 of 64 buckets at LISTING
+    time, df/idf from |terms| scalars, candidate-bounded tf pivot, and
+    the shared bm25_score_expr. Oracle: the full-corpus BM25 oracle
+    restricted to documents containing ≥1 query term — zero-score docs
+    emit no posting, which is the inverted-index contract."""
+    from mini_data_platform_spark.operators.invindex import (
+        invindex_bm25_lookup,
+        invindex_build,
+    )
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = cached_artifact(
+        sf_dir, "invindex|v1",
+        lambda p: invindex_build(docs, p, "doc_id", "text"),
+        "documents.parquet", "invindex_meta.json",
+    )
+    out = invindex_bm25_lookup(spark, d, BM25_TERMS)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_bm25_serve_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle for doc_bm25_serve: the full-corpus BM25 oracle
+    restricted to candidate docs (≥1 query term present)."""
+    inner = _sql_bm25_for_sf001(sf_dir)
+    toks = "string_split_regex(trim(d.text), ' +')"
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    return f"""
+        SELECT s.doc_id, s.dl, s.bm25
+        FROM ({inner}) s
+        JOIN documents d ON s.doc_id = d.doc_id
+        WHERE list_has_any({toks}, {terms_sql})
+    """
+
+
 def doc_title_editjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded edit-distance similarity join (operators/editjoin.py)
     over derived document titles (first 3 tokens, doc_id < 2000): all
@@ -1957,6 +1997,7 @@ QUERIES = {
     "doc_hash_embedding": doc_hash_embedding,
     "doc_quality_model": doc_quality_model,
     "doc_bm25": doc_bm25,
+    "doc_bm25_serve": doc_bm25_serve,
     "doc_title_editjoin": doc_title_editjoin,
     "doc_title_editjoin_freq": doc_title_editjoin_freq,
     "doc_chunks": doc_chunks,
@@ -2456,6 +2497,7 @@ ORACLE = {
     # from DuckDB, the ln() from Python's math.log, exactly as the Spark
     # plan computes them, so the folded literals are bit-identical.
     "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
+    "doc_bm25_serve": _sql_bm25_serve_oracle,  # candidate-restricted twin
     "doc_unigram_lm": _sql_unigram_lm_oracle,  # callable: lazy, BM25-style
     "doc_source_mix": _sql_source_mix_oracle,  # callable: lazy count fold
     # callables: lazy builders running the independent sequential BPE

@@ -1,0 +1,98 @@
+"""Persisted inverted index + BM25 serving (operators/invindex.py):
+the lookup must return EXACTLY the full-corpus scorer's rows for
+candidate documents, with bit-identical scores, reading only the query
+terms' partition buckets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators.invindex import (
+    N_TERM_BUCKETS,
+    invindex_bm25_lookup,
+    invindex_build,
+)
+from mini_data_platform_spark.operators.ranking import bm25_scores
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha beta"),
+            F.when(F.col("id") % 3 == 0, F.lit("vector vector")).otherwise(
+                F.lit("gamma")
+            ),
+            F.when(F.col("id") % 5 == 0, F.lit("hash")).otherwise(
+                F.concat(F.lit("w"), F.col("id") % 11)
+            ),
+            F.lit("tail"),
+        ).alias("text"),
+    )
+
+
+TERMS = ["vector", "hash", "nosuchterm"]
+
+
+class TestInvIndex:
+    def test_lookup_equals_full_scorer_on_candidates(self, spark, tmp_path):
+        docs = _docs(spark)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        got = {
+            (r["id"], r["dl"], r["bm25"])
+            for r in invindex_bm25_lookup(spark, d, TERMS).collect()
+        }
+        toks = F.split(F.trim(F.col("text")), " +")
+        cand = docs.where(
+            F.array_contains(toks, "vector") | F.array_contains(toks, "hash")
+        ).select("doc_id")
+        want = {
+            (r["doc_id"], r["dl"], r["bm25"])
+            for r in bm25_scores(docs, "doc_id", "text", TERMS)
+            .join(cand, "doc_id")
+            .collect()
+        }
+        assert got == want  # same rows, bit-identical doubles
+        assert got, "fixture must produce candidates"
+
+    def test_zero_score_docs_absent(self, spark, tmp_path):
+        docs = _docs(spark)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        out = invindex_bm25_lookup(spark, d, ["nosuchterm"])
+        assert out.count() == 0
+
+    def test_postings_partition_pruned(self, spark, tmp_path):
+        """The postings scan must keep only the query terms' buckets —
+        directory-level pruning, the index's whole point."""
+        docs = _docs(spark)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        n_dirs = len(
+            [
+                x
+                for x in os.listdir(os.path.join(d, "postings"))
+                if x.startswith("bucket=")
+            ]
+        )
+        assert n_dirs > 3  # the corpus spreads over many buckets
+        out = invindex_bm25_lookup(spark, d, ["vector"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[[^\]]*bucket", plan)
+        assert m, "postings scan lost its bucket partition filter"
+
+    def test_refuses_empty_query_and_double_build(self, spark, tmp_path):
+        docs = _docs(spark)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        with pytest.raises(ValueError, match="empty query"):
+            invindex_bm25_lookup(spark, d, [])
+        with pytest.raises(ValueError, match="already exists"):
+            invindex_build(docs, d, "doc_id", "text")
