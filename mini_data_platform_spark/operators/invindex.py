@@ -92,6 +92,56 @@ def invindex_build(
     return meta
 
 
+def invindex_add(
+    docs: DataFrame, index_dir: str, id_col: str, text_col: str
+) -> dict:
+    """Append a document batch to a saved index WITHOUT rebuilding —
+    O(batch): the batch's postings and docstats rows append into the
+    existing tables (bucket partitioning keeps locality) and the
+    integer N/Σdl meta advances. Because EVERYTHING a lookup consumes —
+    tf, dl, per-term df, N, avgdl — is (re)derived from those tables and
+    integers at query time, ``add`` then ``lookup`` equals a rebuild
+    over the union EXACTLY, bit for bit (pinned in tests). Unlike the
+    ANN indexes there is no trained state to freeze, so adds never
+    degrade anything. New ids must be disjoint from indexed ids (an
+    appended duplicate id would double its postings); returns the
+    refreshed meta."""
+    meta_path = os.path.join(index_dir, META)
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    ).persist()
+    postings = (
+        toked.select("id", F.explode("_toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+        )
+    )
+    postings.write.partitionBy("bucket").mode("append").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    docstats = toked.select("id", F.size("_toks").alias("dl"))
+    docstats.write.mode("append").parquet(
+        os.path.join(index_dir, "docstats")
+    )
+    row = docstats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    toked.unpersist(False)
+    meta = {
+        "n": meta["n"] + int(row["n"]),
+        "dl_sum": meta["dl_sum"] + int(row["dl_sum"] or 0),
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta
+
+
 def invindex_bm25_lookup(
     spark: SparkSession,
     index_dir: str,

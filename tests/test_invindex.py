@@ -88,6 +88,31 @@ class TestInvIndex:
         m = re.search(r"PartitionFilters: \[[^\]]*bucket", plan)
         assert m, "postings scan lost its bucket partition filter"
 
+    def test_add_equals_rebuild_bit_for_bit(self, spark, tmp_path):
+        """build(half) + add(half) must serve EXACTLY what build(all)
+        serves — same rows, same double bits — because tf/dl/df/N/avgdl
+        are all re-derived from the appended tables at query time."""
+        docs = _docs(spark, 200)
+        first = docs.where(F.col("doc_id") < 120)
+        second = docs.where(F.col("doc_id") >= 120)
+        from mini_data_platform_spark.operators.invindex import invindex_add
+
+        d1 = str(tmp_path / "incr")
+        invindex_build(first, d1, "doc_id", "text")
+        meta = invindex_add(second, d1, "doc_id", "text")
+        d2 = str(tmp_path / "full")
+        full_meta = invindex_build(docs, d2, "doc_id", "text")
+        assert meta == full_meta
+        got = {
+            tuple(r)
+            for r in invindex_bm25_lookup(spark, d1, TERMS).collect()
+        }
+        want = {
+            tuple(r)
+            for r in invindex_bm25_lookup(spark, d2, TERMS).collect()
+        }
+        assert got == want and got
+
     def test_refuses_empty_query_and_double_build(self, spark, tmp_path):
         docs = _docs(spark)
         d = str(tmp_path / "inv")
