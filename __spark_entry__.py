@@ -39,6 +39,7 @@ _LAST_WINDOWED = {
     # never windowed
     "emb_ann_ivfpq_serve": 0, "emb_ann_pq_serve": 0,
     "doc_quality_model": 0, "doc_bm25_serve": 0,
+    "doc_quality_model_serve": 0,
     # last windowed in round 7
     "asset_binary_stats": 7, "asset_features": 7, "asset_frame_samples": 7,
     "click_before_purchase": 7, "customer_rank_in_nation": 7,
@@ -126,14 +127,15 @@ _LAST_WINDOWED = {
 #: views over the collision-free caller-less batch ids, and
 #: the kmv GC change. Touched queries that could not fit
 #: (events_kmv_users/overlap, emb_neardup_incremental,
-#: orders_merge_table/_view, the four kpi_*_ivm views,
+#: orders_merge_table/_view, orders_bloom_lookup, the four kpi_*_ivm
+#: views,
 #: doc_contamination_fuzzy and the other dedup_fuzzy consumers, plus
 #: doc_bm25 over the factored score expression) were each re-verified
 #: exact-multiset with tools/verify_local.py this round (SURVEY §6).
 _ROUND10_WINDOW = [
     # (1a) NEW this round (debut with a driver row, rule 2)
     "emb_ann_pq_serve", "emb_ann_ivfpq_serve", "doc_quality_model",
-    "doc_bm25_serve",
+    "doc_bm25_serve", "doc_quality_model_serve",
     # (1b) stale cohort: all 38 queries last windowed in r7
     "asset_binary_stats", "asset_features", "asset_frame_samples",
     "click_before_purchase", "customer_rank_in_nation",
@@ -153,7 +155,7 @@ _ROUND10_WINDOW = [
     "doc_neardup_serve", "doc_neardup_delete_serve",
     "doc_neardup_incremental", "doc_neardup_delete",
     "doc_curated_incremental", "emb_neardup_serve",
-    "orders_bloom_lookup", "orders_join_view",
+    "orders_join_view",
 ]
 
 

@@ -170,6 +170,49 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_model_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOY shape of model-based quality filtering:
+    ``doc_quality_model`` trains in-query as the proof; this twin scores
+    with a FROZEN model read from a disk-cached artifact (dim+1 floats
+    trained offline once per fixture — what a production pipeline ships
+    to every filtering job). Training is deterministic, so the frozen
+    weights equal the in-query ones and the SAME oracle applies; the
+    serving cost is the scoring projection alone."""
+    import json as _json
+    import os
+
+    from mini_data_platform_spark.operators import classify as CLF
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(d):
+        label = (
+            F.size(TX.tokens(F.col("text"))) >= QUALITY_MODEL_MIN_TOKENS
+        )
+        sample = CLF.quality_training_sample(
+            docs, "doc_id", "text", label,
+            dim=QUALITY_MODEL_DIM, sample_n=QUALITY_MODEL_SAMPLE,
+        )
+        w, b = CLF.train_lr(sample)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "qlr_model.json"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump({"w": w, "b": b}, fh)
+
+    d = cached_artifact(
+        sf_dir,
+        f"qlr|{QUALITY_MODEL_DIM}|{QUALITY_MODEL_MIN_TOKENS}"
+        f"|{QUALITY_MODEL_SAMPLE}",
+        build, "documents.parquet", "qlr_model.json",
+    )
+    with open(os.path.join(d, "qlr_model.json"), encoding="utf-8") as fh:
+        m = _json.load(fh)
+    return CLF.quality_model_scores(
+        docs, "doc_id", "text", m["w"], m["b"], dim=QUALITY_MODEL_DIM
+    )
+
+
 def _sql_quality_model_oracle(sf_dir: str | None = None) -> str:
     """LAZY oracle for doc_quality_model: fetch the SAME bounded sample
     through DuckDB (identical integer hash-bucket features + labels),
@@ -1996,6 +2039,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_hash_embedding": doc_hash_embedding,
     "doc_quality_model": doc_quality_model,
+    "doc_quality_model_serve": doc_quality_model_serve,
     "doc_bm25": doc_bm25,
     "doc_bm25_serve": doc_bm25_serve,
     "doc_title_editjoin": doc_title_editjoin,
@@ -2437,6 +2481,9 @@ ORACLE = {
     # callable: lazy builder trains the quality LR from the same
     # DuckDB-fetched sample and folds the weights as literals
     "doc_quality_model": _sql_quality_model_oracle,
+    # frozen-model deploy twin: deterministic training makes the cached
+    # weights equal the in-query ones, so the same oracle applies
+    "doc_quality_model_serve": _sql_quality_model_oracle,
     "doc_exact_dedup": f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
