@@ -104,8 +104,10 @@ def invindex_add(
     over the union EXACTLY, bit for bit (pinned in tests). Unlike the
     ANN indexes there is no trained state to freeze, so adds never
     degrade anything. New ids must be disjoint from indexed ids (an
-    appended duplicate id would double its postings); returns the
-    refreshed meta."""
+    appended duplicate id would double its postings) AND from tombstoned
+    ids (tombstones hide every posting for an id, so a re-added id would
+    stay hidden — use a fresh id, the incremental.py terminal-id rule);
+    returns the refreshed meta."""
     meta_path = os.path.join(index_dir, META)
     with open(meta_path, encoding="utf-8") as fh:
         meta = json.load(fh)
@@ -140,6 +142,73 @@ def invindex_add(
         json.dump(meta, fh)
     os.replace(tmp, meta_path)
     return meta
+
+
+def invindex_delete(
+    del_ids: DataFrame, index_dir: str, id_col: str
+) -> dict:
+    """Retract documents from the index — the takedown path, O(delete
+    set): the ids append to a ``tombstones/`` table and the integer
+    corpus stats roll back by the deleted docs' recorded lengths (one
+    semi-join against docstats — the postings are NOT rewritten; lookups
+    filter them through the tombstone set, and physical purge is a
+    rebuild's job, the incremental.py compaction split). Because df, N
+    and avgdl all re-derive from live rows + adjusted integers,
+    delete-then-lookup equals a rebuild over the remaining corpus
+    EXACTLY (pinned in tests). Deleting an absent id is a no-op by
+    construction; a re-deleted id is counted once (the tombstone scan
+    deduplicates)."""
+    spark = del_ids.sparkSession
+    meta_path = os.path.join(index_dir, META)
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    ids = del_ids.select(F.col(id_col).alias("id")).distinct()
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_path):
+        # only NEWLY-deleted docs may roll the stats back
+        ids = ids.join(
+            spark.read.parquet(tomb_path), "id", "left_anti"
+        )
+    ids = ids.persist()
+    docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    row = (
+        docstats.join(ids, "id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum"))
+        .collect()[0]
+    )
+    ids.write.mode("append").parquet(tomb_path)
+    ids.unpersist(False)
+    meta = {
+        "n": meta["n"] - int(row["n"]),
+        "dl_sum": meta["dl_sum"] - int(row["dl_sum"] or 0),
+        "n_deleted": meta.get("n_deleted", 0) + int(row["n"]),
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+#: tombstone rows above which the live-filter anti-join loses its hard
+#: broadcast hint (a takedown set is tiny; a bulk purge degrades to a
+#: shuffle anti-join instead of OOM-ing the driver — the incremental.py
+#: guard doctrine)
+_TOMB_BROADCAST_MAX = 2_000_000
+
+
+def _live(
+    spark: SparkSession, index_dir: str, df: DataFrame, meta: dict
+) -> DataFrame:
+    """``df`` minus tombstoned ids — zero plan overhead for the common
+    never-deleted index (no tombstones dir, no join)."""
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_path):
+        return df
+    tombs = spark.read.parquet(tomb_path).distinct()
+    if meta.get("n_deleted", 0) <= _TOMB_BROADCAST_MAX:
+        tombs = F.broadcast(tombs)
+    return df.join(tombs, "id", "left_anti")
 
 
 def invindex_bm25_lookup(
@@ -181,10 +250,13 @@ def invindex_bm25_lookup(
             .collect()
         }
     )
-    postings = (
+    postings = _live(
+        spark,
+        index_dir,
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .where(F.col("bucket").isin(bks))  # listing-time pruning
-        .where(F.col("term").isin(terms))
+        .where(F.col("term").isin(terms)),
+        meta,
     )
     # per-term document frequencies: |terms| scalars to the driver
     df_rows = postings.groupBy("term").agg(
@@ -204,6 +276,8 @@ def invindex_bm25_lookup(
             for i, t in enumerate(terms)
         ]
     )
+    # docstats joins INNER against live postings ids, so tombstoned docs
+    # are already excluded via the postings filter; no second anti-join
     docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
     staged = tf_frame.join(docstats, "id")
     score = bm25_score_expr(terms, idf, avgdl, k1, b)

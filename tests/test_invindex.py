@@ -113,6 +113,43 @@ class TestInvIndex:
         }
         assert got == want and got
 
+    def test_delete_equals_rebuild_on_remaining(self, spark, tmp_path):
+        """Takedown: build(all) + delete(some) must serve EXACTLY what
+        build(all minus some) serves — df, N, avgdl and the candidate
+        set all reflect only live docs."""
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_delete,
+        )
+
+        docs = _docs(spark, 200)
+        doomed = docs.where(F.col("doc_id") % 4 == 0)
+        d1 = str(tmp_path / "del")
+        invindex_build(docs, d1, "doc_id", "text")
+        meta = invindex_delete(doomed, d1, "doc_id")
+        d2 = str(tmp_path / "remain")
+        remain_meta = invindex_build(
+            docs.where(F.col("doc_id") % 4 != 0), d2, "doc_id", "text"
+        )
+        assert {k: meta[k] for k in ("n", "dl_sum")} == remain_meta
+        got = {
+            tuple(r)
+            for r in invindex_bm25_lookup(spark, d1, TERMS).collect()
+        }
+        want = {
+            tuple(r)
+            for r in invindex_bm25_lookup(spark, d2, TERMS).collect()
+        }
+        assert got == want and got
+        # re-deleting (and deleting an absent id) is stat-neutral
+        meta2 = invindex_delete(
+            doomed.unionByName(
+                doomed.select((F.col("doc_id") + 10**9).alias("doc_id"),
+                              "text")
+            ),
+            d1, "doc_id",
+        )
+        assert {k: meta2[k] for k in ("n", "dl_sum")} == remain_meta
+
     def test_refuses_empty_query_and_double_build(self, spark, tmp_path):
         docs = _docs(spark)
         d = str(tmp_path / "inv")
