@@ -780,23 +780,35 @@ def _neardup_batch_pairs(
     if _SHH in docs_old.columns:
         # hash-verify path: candidate scan reads (id, _shh) — parquet
         # prunes the text column — and Jaccard runs on bigint sets.
-        # In the broadcast-verify regime the candidate-id SEMI-FILTER is
-        # dropped entirely: the scorer's broadcast-pairs hash join
-        # filters the corpus scan to candidate docs inline, and the semi
-        # saved only shuffle volume — which the broadcast plan has none
-        # of — at the price of an extra broadcast-build job.
+        # The candidate-id SEMI-FILTER applies in BOTH regimes: the
+        # scorer's sb side is broadcast WHOLE under small_pairs (a
+        # broadcast hash join prunes only the streamed side, never its
+        # own build side), so an unfiltered h_old would broadcast the
+        # entire corpus — the exact OOM _VERIFY_BROADCAST_MAX_DOCS
+        # exists to prevent (round-10 advice, high). In the
+        # broadcast-verify regime the candidate-id set is itself
+        # bounded (2·n_cands under the verify ceiling, or the
+        # declared-small contract), so the semi costs one small
+        # broadcast build and stays shuffle-free; the WHOLE union is
+        # filtered so a large batch with few candidates cannot ride
+        # into the broadcast either.
         h_old = docs_old.select("id", _SHH)
-        if not small_verify:
+        if small_verify:
+            sets_all = (
+                hsets_new.unionByName(h_old)
+                .join(F.broadcast(_cand_ids()), "id", "left_semi")
+                .persist()
+            )
+        else:
             h_old = h_old.join(
                 _hinted(_cand_ids(), 2 * n_cands), "id", "left_semi"
             )
-        # h_old is already candidate-bounded and hsets_new is the batch
-        # itself, so the scorer's involved-filter would be a redundant
-        # extra job — skip it (involved_filtered). The combined sets
-        # frame is PERSISTED: the scorer references it twice (sh_a
-        # stream side + sh_b broadcast side) and without the pin each
-        # side would re-scan the docs segments and re-hash the batch.
-        sets_all = hsets_new.unionByName(h_old).persist()
+            sets_all = hsets_new.unionByName(h_old).persist()
+        # sets_all is candidate-bounded and PERSISTED: the scorer
+        # references it twice (sh_a stream side + sh_b broadcast side)
+        # and without the pin each side would re-scan the docs segments
+        # and re-hash the batch; involved_filtered skips the scorer's
+        # redundant internal re-derivation of the same id set.
         verified = (
             jaccard_pairs_from_hashes(
                 sets_all, cands, "id",
@@ -1291,21 +1303,24 @@ def _embdup_batch_pairs(
     n_cands = None if declared_small else cands.count()
 
     vecs_old = _read_live(spark, index_dir, _EVECS, meta)
-    if declared_small:
-        # broadcast-verify: the broadcast-cands hash joins filter the
-        # vector scan to candidate docs inline, so the candidate-id
-        # semi-filter (and its count/broadcast jobs) is pure overhead —
-        # same zero-shuffle serve plan as the text index
-        pass
-    else:
-        cand_ids = (
-            cands.select(F.col("id_a").alias("id"))
-            .unionByName(cands.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        vecs_old = vecs_old.join(
-            _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
-        )
+    # the candidate-id semi-filter applies in BOTH regimes: under
+    # declared_small the vb side below is broadcast WHOLE, and a
+    # broadcast hash join never prunes its own build side by the
+    # streamed cands — an unfiltered vecs_old would broadcast every
+    # indexed vector on a tiny lookup (round-10 advice, medium). The
+    # candidate-id set is bounded by the declared-small contract (or
+    # hinted under the 2·n_cands guard), so the semi is one small
+    # broadcast build, zero shuffles.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    vecs_old = vecs_old.join(
+        F.broadcast(cand_ids) if declared_small
+        else _hinted(cand_ids, 2 * n_cands),
+        "id", "left_semi",
+    )
     all_vecs = batch.unionByName(vecs_old)
     va = all_vecs.select(
         F.col("id").alias("id_a"), F.col("vec").alias("_va"),
@@ -1603,9 +1618,13 @@ def neardup_index_pairs(
         hsets = docs_live.select("id", _SHH).join(
             _hinted(cand_ids, 2 * n_cands), "id", "left_semi"
         )
+        # same gate as the batch path: the MDP_INCR_BROADCAST_MAX_ROWS
+        # dial is the module's ONE hard-broadcast knob — dial=0 must
+        # strip every hard hint from this plan too (round-10 advice)
         scored = jaccard_pairs_from_hashes(
             hsets, cands, "id",
-            small_pairs=2 * n_cands <= _VERIFY_BROADCAST_MAX_DOCS,
+            small_pairs=2 * n_cands
+            <= min(_VERIFY_BROADCAST_MAX_DOCS, _broadcast_max_rows()),
             involved_filtered=True,
         )
     else:

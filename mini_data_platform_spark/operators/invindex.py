@@ -163,6 +163,13 @@ def invindex_delete(
     with open(meta_path, encoding="utf-8") as fh:
         meta = json.load(fh)
     ids = del_ids.select(F.col(id_col).alias("id")).distinct()
+    docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
+    # absent-id delete is a documented no-op — drop unknown ids BEFORE
+    # the append, so repeated deletes of ids the index never held cannot
+    # grow tombstones/ past what n_deleted (the _live broadcast gate's
+    # measure) accounts for (round-10 advice, low): every appended row
+    # is now counted in n_deleted exactly once
+    ids = ids.join(docstats.select("id"), "id", "left_semi")
     tomb_path = os.path.join(index_dir, "tombstones")
     if os.path.exists(tomb_path):
         # only NEWLY-deleted docs may roll the stats back
@@ -170,13 +177,15 @@ def invindex_delete(
             spark.read.parquet(tomb_path), "id", "left_anti"
         )
     ids = ids.persist()
-    docstats = spark.read.parquet(os.path.join(index_dir, "docstats"))
     row = (
         docstats.join(ids, "id", "left_semi")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum"))
         .collect()[0]
     )
-    ids.write.mode("append").parquet(tomb_path)
+    if int(row["n"]) > 0:
+        # skip the all-absent append outright: a zero-row parquet append
+        # can leave a part-less directory that later reads reject
+        ids.write.mode("append").parquet(tomb_path)
     ids.unpersist(False)
     meta = {
         "n": meta["n"] - int(row["n"]),

@@ -1557,3 +1557,122 @@ class TestMultiWriterOCC:
         assert live == {
             i for i in range(30) if i % 3
         } | set(range(100, 110))
+
+
+class TestAdviceR10BroadcastBounds:
+    """Round-10 advice regressions. Under the small-batch serving
+    contract the scorer's broadcast side must be CANDIDATE-bounded, not
+    corpus-sized: a broadcast hash join never prunes its own build side
+    by the streamed pairs, so the candidate-id semi-filter has to sit
+    BELOW the BroadcastExchange in both the text and embedding lookups
+    (before the fix the whole docs/vecs table rode into the broadcast —
+    a driver OOM on any real corpus). And neardup_index_pairs must
+    honor the MDP_INCR_BROADCAST_MAX_ROWS dial exactly like the batch
+    path: dial=0 strips every hard hint from the snapshot plan too."""
+
+    def test_small_batch_text_verify_semi_filters_corpus(
+        self, spark, tmpdir
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            neardup_index_lookup,
+        )
+
+        b1 = _corpus(spark, 0, 120)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        batch = _mutated(b1.where(F.col("doc_id") < 15), 1000)
+        out = neardup_index_lookup(batch, tmpdir, small_batch=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the candidate-id semi-join below the broadcast: absent before
+        # the fix, so the full docs table was collected to the driver
+        assert "LeftSemi" in plan
+        # still the zero-shuffle serve plan — the semi is broadcast too
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        got = _pairs_set(out)
+        release_plan(out)
+        # semantics unchanged vs the guarded/counted lookup path
+        ref = neardup_index_lookup(batch, tmpdir)
+        want = _pairs_set(ref)
+        release_plan(ref)
+        assert got == want
+        # and the known near-dups are actually in there
+        assert {(a, a + 1000) for a in range(15)} <= {
+            (a, b) for a, b, _ in got
+        }
+
+    def test_small_batch_embdup_verify_semi_filters_corpus(
+        self, spark, tmpdir
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_lookup,
+        )
+
+        b1 = spark.range(0, 60).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("double") + 1.0,
+                (F.col("id") % 7 - 3).cast("double"),
+                (F.col("id") % 5 - 2).cast("double"),
+            ).alias("embedding"),
+        )
+        embdup_index_build(b1, tmpdir, "vec_id", "embedding", threshold=0.9)
+        b2 = b1.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 0.5).alias(
+                "embedding"
+            ),
+        )
+
+        def _got(df):
+            out = {
+                (r["id_a"], r["id_b"], round(r["cos_sim"], 12))
+                for r in df.collect()
+            }
+            release_plan(df)
+            return out
+
+        out = embdup_index_lookup(b2, tmpdir, small_batch=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        got = _got(out)
+        want = _got(embdup_index_lookup(b2, tmpdir))
+        assert got == want
+        # the scaled copies are cosine-1 duplicates of their originals
+        dup_pairs = {(a, b) for a, b, c in got if c > 0.999999}
+        assert {(a, a + 1000) for a in range(10)} <= dup_pairs
+
+    def test_index_pairs_honors_broadcast_dial(
+        self, spark, tmpdir, monkeypatch
+    ):
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 60)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        captured = {}
+        real = inc.jaccard_pairs_from_hashes
+
+        def spy(*a, **kw):
+            captured.update(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(inc, "jaccard_pairs_from_hashes", spy)
+
+        monkeypatch.setenv("MDP_INCR_BROADCAST_MAX_ROWS", "0")
+        with_dial_0 = _pairs_set(inc.neardup_index_pairs(spark, tmpdir))
+        assert captured.get("small_pairs") is False
+
+        captured.clear()
+        monkeypatch.delenv("MDP_INCR_BROADCAST_MAX_ROWS")
+        default = _pairs_set(inc.neardup_index_pairs(spark, tmpdir))
+        assert captured.get("small_pairs") is True
+        # the dial changes strategy, never semantics
+        assert with_dial_0 == default == _full_pairs(b1)

@@ -158,3 +158,49 @@ class TestInvIndex:
             invindex_bm25_lookup(spark, d, [])
         with pytest.raises(ValueError, match="already exists"):
             invindex_build(docs, d, "doc_id", "text")
+
+
+class TestTombstoneBounds:
+    """Round-10 advice (low): deleting ids the index never held must
+    append NOTHING to tombstones/ — otherwise repeated absent-id deletes
+    grow the tombstone table unboundedly past what ``n_deleted`` (the
+    ``_live`` broadcast gate's measure) accounts for, eventually
+    hard-broadcasting an oversized frame. Every appended tombstone row
+    is counted in ``n_deleted`` exactly once."""
+
+    def test_absent_and_repeated_deletes_stay_bounded(
+        self, spark, tmp_path
+    ):
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_delete,
+        )
+
+        d = str(tmp_path / "idx")
+        invindex_build(_docs(spark, 50), d, "doc_id", "text")
+        tomb = os.path.join(d, "tombstones")
+
+        # all-absent delete: a documented no-op — no tombstone rows,
+        # no stat movement
+        absent = spark.range(10_000, 10_050).select(
+            F.col("id").alias("doc_id")
+        )
+        meta = invindex_delete(absent, d, "doc_id")
+        assert meta["n_deleted"] == 0
+        assert (not os.path.exists(tomb)) or (
+            spark.read.parquet(tomb).count() == 0
+        )
+
+        # mixed present/absent, delivered TWICE: the two live ids land
+        # once each, the absent id never lands
+        mixed = spark.createDataFrame([(3,), (4,), (99_999,)], "doc_id long")
+        invindex_delete(mixed, d, "doc_id")
+        meta = invindex_delete(mixed, d, "doc_id")
+        assert meta["n_deleted"] == 2
+        assert spark.read.parquet(tomb).count() == 2
+
+        # lookups still serve the live corpus (doc 3 carried 'vector')
+        ids = {
+            r["id"] for r in invindex_bm25_lookup(spark, d, ["vector"])
+            .collect()
+        }
+        assert 3 not in ids and 0 in ids

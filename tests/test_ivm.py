@@ -981,6 +981,85 @@ class TestMultiWriterOCC:
                 want[k]["revenue"], abs=1e-9
             )
 
+    def test_concurrent_callerless_increments_no_lost_update(
+        self, spark, tmpdir
+    ):
+        """21a02db regression (round-10 verdict item): ``batch_id=None``
+        writers get collision-free generated bids — before the fix both
+        racers derived ``batch-{n_batches}``, the loser's replay check
+        matched the winner's committed bid, and its delta was SILENTLY
+        dropped. Both caller-less deltas must land."""
+        import threading
+
+        import mini_data_platform_spark.operators.ivm as ivm
+
+        d = str(tmpdir)
+        view_build(_facts(spark, _ROWS[:2]), d, ["k"], MEASURES)
+        chunks = [_ROWS[2:5], _ROWS[5:]]
+        errs = []
+
+        def run(i):
+            try:
+                view_increment(_facts(spark, chunks[i]), d)  # no batch_id
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        meta = ivm._recover_view_meta(d)
+        assert meta["n_batches"] == 3  # build + both, none aliased away
+        got = _as_dict(view_read(spark, d))
+        want = _expected(_ROWS)
+        assert {k: v["n"] for k, v in got.items()} == {
+            k: v["n"] for k, v in want.items()
+        }
+        for k in want:
+            assert got[k]["revenue"] == pytest.approx(
+                want[k]["revenue"], abs=1e-9
+            )
+
+    def test_callerless_changes_and_replay_protection_split(
+        self, spark, tmpdir
+    ):
+        """The other half of the 21a02db contract: caller-less
+        ``view_apply_changes`` also gets unique bids (two identical
+        caller-less change batches BOTH apply — dedup is the caller's
+        opt-in), while a caller-SUPPLIED id keeps exact replay-no-op
+        semantics."""
+        import mini_data_platform_spark.operators.ivm as ivm
+
+        d = str(tmpdir)
+        # change batches need retraction-closed measures (no min/max)
+        retractable = {"revenue": ("sum", "amount"), "n": ("count", "*")}
+        view_build(_facts(spark, _ROWS[:4]), d, ["k"], retractable)
+        ch = spark.createDataFrame(
+            [("a", 5.0, 1)], "k string, amount double, _op int"
+        )
+        view_apply_changes(ch, d)
+        view_apply_changes(ch, d)  # caller-less: NOT a replay — applies
+        meta = ivm._recover_view_meta(d)
+        assert meta["n_batches"] == 3
+        got = {
+            r["k"]: (r["n"], r["revenue"])
+            for r in view_read(spark, d).collect()
+        }
+        want = _expected(_ROWS[:4] + [("a", 5.0), ("a", 5.0)])
+        assert got["a"][0] == want["a"]["n"]
+        assert got["a"][1] == pytest.approx(want["a"]["revenue"], abs=1e-9)
+        # caller-supplied id: second delivery is the no-op replay
+        view_increment(_facts(spark, [("c", 1.0)]), d, batch_id="once")
+        view_increment(_facts(spark, [("c", 1.0)]), d, batch_id="once")
+        meta = ivm._recover_view_meta(d)
+        assert meta["n_batches"] == 4
+        got = {r["k"]: r["n"] for r in view_read(spark, d).collect()}
+        assert got["c"] == 1  # delivered twice, landed once
+
     def test_compaction_refuses_concurrent_commit(
         self, spark, tmpdir, monkeypatch
     ):

@@ -96,3 +96,38 @@ class TestKmvStreamState:
         assert _state_tuples(spark, state) == _batch_tuples(
             spark, _frame(spark, 0, 90)
         )
+
+
+class TestStaleReaderWindow:
+    """21a02db regression (round-10 verdict item): the GC sweep keeps
+    the immediately-previous version one extra increment, so a reader
+    that resolved ``meta.json`` just before the swap can still finish
+    its scan of that version — and only the NEXT increment reaps it."""
+
+    def test_pre_swap_version_survives_one_increment(
+        self, spark, tmp_path
+    ):
+        import json
+        import os
+
+        state = str(tmp_path / "state_stale")
+        apply_kmv_batch(_frame(spark, 0, 30), state, ["g"], "v", K)
+        with open(os.path.join(state, "meta.json")) as fh:
+            v1 = json.load(fh)["current"]
+
+        # a stale reader resolved meta -> v1; a writer swaps to v2
+        apply_kmv_batch(_frame(spark, 30, 60), state, ["g"], "v", K)
+        # v1 must still be fully scannable for the in-flight reader
+        stale = spark.read.parquet(os.path.join(state, v1)).collect()
+        assert stale  # non-empty: the v1 synopsis is intact
+        with open(os.path.join(state, "meta.json")) as fh:
+            v2 = json.load(fh)["current"]
+        assert v2 != v1
+
+        # the NEXT increment reaps v1 (bounded at current + previous)
+        apply_kmv_batch(_frame(spark, 60, 90), state, ["g"], "v", K)
+        vdirs = {n for n in os.listdir(state) if n.startswith("v")}
+        assert v1 not in vdirs and len(vdirs) == 2
+        assert _state_tuples(spark, state) == _batch_tuples(
+            spark, _frame(spark, 0, 90)
+        )

@@ -806,6 +806,66 @@ class TestOptimisticConcurrency:
         for i in range(4):
             assert state[10 + i] == (f"w{i}", float(i))
 
+    def test_concurrent_callerless_appliers_no_lost_update(
+        self, spark, tmp_path
+    ):
+        """21a02db regression: ``batch_id=None`` appliers get
+        collision-free uuid-suffixed bids — before the fix both racers
+        derived ``batch-{n_batches}`` and the loser's replay check
+        aliased the winner's commit, silently dropping its batch."""
+        import threading
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        errs = []
+
+        def apply(rows):
+            try:
+                table_apply(_frame(spark, rows), d)  # no batch_id
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(
+                target=apply, args=([(10 + i, f"w{i}", float(i))],)
+            )
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        meta = mergetable._recover_meta(d)
+        assert meta["n_batches"] == 4  # build + all three, none aliased
+        state = _as_dict(table_read(spark, d))
+        for i in range(3):
+            assert state[10 + i] == (f"w{i}", float(i))
+        # caller-supplied replay protection is UNCHANGED: same id twice
+        table_apply(_frame(spark, [(20, "x", 1.0)]), d, batch_id="same")
+        table_apply(_frame(spark, [(21, "y", 2.0)]), d, batch_id="same")
+        state = _as_dict(table_read(spark, d))
+        assert state[20] == ("x", 1.0) and 21 not in state
+
+    def test_callerless_merge_into_generates_unique_bids(
+        self, spark, tmp_path
+    ):
+        """table_merge_into with no batch_id must not replay-skip a
+        second caller-less merge at the same version epoch (it delegates
+        bid generation to table_apply now)."""
+        from mini_data_platform_spark.operators.mergetable import (
+            table_merge_into,
+        )
+
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        src = _frame(spark, [(7, "g", 7.0)])
+        table_merge_into(spark, src, d)
+        src2 = _frame(spark, [(8, "h", 8.0)])
+        table_merge_into(spark, src2, d)
+        state = _as_dict(table_read(spark, d))
+        assert state[7] == ("g", 7.0) and state[8] == ("h", 8.0)
+
     def test_stale_checkpoint_recovers_foreign_ticket(
         self, spark, tmp_path
     ):
