@@ -110,3 +110,25 @@ def test_last_windowed_matches_recorded_artifacts():
         f"_LAST_WINDOWED drifted from the artifacts (dict, truth): "
         f"{mismatches} — run tools/advance_round.py --write"
     )
+
+
+def test_survey_contract_counts():
+    """SURVEY.md's driver-contract paragraph is GENERATED
+    (tools/advance_round.py --contract) — this pins it against the
+    entry module so the headline counts can never drift again
+    (round-10 verdict item 4: the hand-written paragraph was two
+    rounds stale)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import advance_round
+
+    survey = open(os.path.join(repo, "SURVEY.md"), encoding="utf-8").read()
+    m = re.search(advance_round.CONTRACT_RE, survey, flags=re.S)
+    assert m, "SURVEY.md lost its contract:begin/end markers"
+    assert m.group(0) == advance_round.contract_block(), (
+        "SURVEY.md contract block is stale — run "
+        "tools/advance_round.py --contract"
+    )
