@@ -1,0 +1,220 @@
+"""Kafka real-time ingestion (reference README.md:201 "Real-time
+ingestion via Kafka" — the reference's top declared future enhancement,
+implemented here Spark-first).
+
+Spark already ships a native Kafka source (``format("kafka")``, the
+Structured Streaming + Kafka integration): offsets are tracked in the
+query checkpoint exactly like the file source's consumed-file log, so
+every micro-batch internal this engine already has — clean → dedup →
+keyed upsert (streaming/ingest.py), persisted dedup-index increments
+(streaming/dedup_index.py), IVM view maintenance (streaming/ivm.py),
+merge-table apply (streaming/mergetable.py) — runs UNCHANGED on a
+Kafka-fed frame. What this module adds is the two seams those
+internals need:
+
+1. :func:`kafka_source` / :func:`kafka_options` — the reader assembly
+   (bootstrap servers, subscribe/assign, startingOffsets,
+   maxOffsetsPerTrigger admission control), validated driver-side so a
+   misconfigured deployment fails at build time, not at runtime.
+2. :func:`kafka_records` — the WIRE-to-TYPED decode: Spark's Kafka
+   source emits a fixed 7-column wire schema (:data:`KAFKA_WIRE_SCHEMA`
+   — key/value binary, topic, partition, offset, timestamp,
+   timestampType); this projects it to typed rows via ``from_json`` /
+   ``from_csv`` (JVM expressions — no Python in the record path) and
+   attaches the provenance column the ingest composition orders
+   cross-record precedence by.
+
+Precedence: the file pipeline breaks same-key ties lexicographically by
+source file name (runner contract). Kafka's only defined order is
+per-partition offset order, so the provenance string is
+``kafka://{topic}/{partition}@{offset:020d}`` — zero-padded so the
+LEXICOGRAPHIC comparison the dedup already does equals numeric offset
+order within a partition, and cross-partition ties (which Kafka itself
+leaves unordered) resolve deterministically by topic/partition id.
+
+Exactly-once: the Kafka source is at-least-once into ``foreachBatch``
+(a crashed epoch replays under the SAME epoch id with the SAME
+offsets); every downstream fold here is idempotent per epoch id
+(commit-log ``batch_id`` replay protection — streaming/ivm.py's
+protocol), which composes to exactly-once, source-independently. The
+tests prove that with a SUBSTITUTED source: a file stream carrying the
+exact Kafka wire schema drives the same decode + fold path (no broker
+in CI; the seam — wire schema in, committed state out — is what the
+protocol depends on, not the broker).
+
+Deployment (no broker in this sandbox — documented, not imported):
+the Kafka connector ships separately from pyspark; submit with
+``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver>``
+(public Maven coordinates from the Spark docs). Nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+#: The exact columns Spark's Kafka source emits (Structured Streaming +
+#: Kafka integration guide). A substituted test source MUST carry this
+#: schema — kafka_records refuses anything else, so a drifted fake
+#: can't silently pass tests the real source would fail.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+#: Provenance column attached by kafka_records — the same column name
+#: the file ingest uses, so the clean→dedup composition is shared
+#: verbatim (streaming/ingest.py SRC_FILE_COL).
+SRC_COL = "_src_file"
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    subscribe: str | None = None,
+    subscribe_pattern: str | None = None,
+    assign: str | None = None,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
+    include_headers: bool = False,
+) -> dict[str, str]:
+    """Validated option map for ``spark.readStream.format("kafka")``.
+
+    Exactly ONE of ``subscribe`` (topic list), ``subscribe_pattern``
+    (regex), ``assign`` (JSON topic→partitions) must be given — the
+    same exclusivity the Kafka source enforces at runtime, surfaced at
+    build time. ``max_offsets_per_trigger`` is the admission-control
+    knob (the Kafka analog of ``maxFilesPerTrigger``); leave it unset
+    for drain-as-fast-as-committed. ``starting_offsets`` accepts
+    ``earliest`` / ``latest`` / a per-partition JSON map."""
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers is required")
+    chosen = {
+        k: v
+        for k, v in (
+            ("subscribe", subscribe),
+            ("subscribePattern", subscribe_pattern),
+            ("assign", assign),
+        )
+        if v
+    }
+    if len(chosen) != 1:
+        raise ValueError(
+            "exactly one of subscribe / subscribe_pattern / assign "
+            f"must be set (got {sorted(chosen) or 'none'})"
+        )
+    if starting_offsets not in ("earliest", "latest") and not (
+        starting_offsets.strip().startswith("{")
+    ):
+        raise ValueError(
+            "starting_offsets must be 'earliest', 'latest', or a "
+            f"per-partition JSON offset map, got {starting_offsets!r}"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        **chosen,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        if max_offsets_per_trigger <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if include_headers:
+        opts["includeHeaders"] = "true"
+    return opts
+
+
+def kafka_source(spark: SparkSession, **kwargs) -> DataFrame:
+    """The streaming Kafka wire frame (:data:`KAFKA_WIRE_SCHEMA`
+    columns). Thin by design: all knob validation lives in
+    :func:`kafka_options` (unit-testable without a broker/connector);
+    this call requires the spark-sql-kafka connector on the classpath
+    (see the module docstring's ``--packages`` line)."""
+    return (
+        spark.readStream.format("kafka")
+        .options(**kafka_options(**kwargs))
+        .load()
+    )
+
+
+def _check_wire(df: DataFrame) -> None:
+    want = {f.name: f.dataType for f in KAFKA_WIRE_SCHEMA.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
+    missing = [
+        n for n, t in want.items() if n not in have or have[n] != t
+    ]
+    if missing:
+        raise ValueError(
+            "kafka_records expects the Kafka source wire schema; "
+            f"missing/mistyped columns: {missing} (have {df.schema.simpleString()})"
+        )
+
+
+def kafka_records(
+    wire: DataFrame,
+    value_schema: T.StructType,
+    value_format: str = "json",
+    drop_tombstones: bool = True,
+    csv_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Typed rows from the Kafka wire frame: one output row per record,
+    ``value`` decoded via ``from_json`` (default) or ``from_csv`` into
+    ``value_schema``'s columns, plus:
+
+    - ``_src_file`` — ``kafka://{topic}/{partition}@{offset:020d}``,
+      the sortable provenance the shared dedup orders precedence by
+      (module docstring);
+    - ``_kafka_key`` — the record key as string (partitioning entity);
+    - ``_kafka_ts`` — the broker/producer timestamp (event-time input
+      for watermarked windows downstream).
+
+    Null-value records are Kafka TOMBSTONES (deletion markers in
+    compacted topics): dropped by default; ``drop_tombstones=False``
+    keeps them with null payload columns and ``_tombstone=true`` so a
+    CDC consumer can map them to ``_op = -1`` retractions
+    (streaming/ivm.py ``changes=True``). Malformed payloads decode to
+    null columns (PERMISSIVE mode) rather than killing the stream —
+    the null-key filter downstream quarantines them, mirroring the
+    batch runner's never-raise ingestion contract.
+
+    Pure wire→typed projection, JVM expressions only — composes under
+    any source that carries :data:`KAFKA_WIRE_SCHEMA` (the real Kafka
+    source in deployment; a wire-schema file stream in tests)."""
+    _check_wire(wire)
+    if value_format == "json":
+        parsed = F.from_json(F.col("value").cast("string"), value_schema)
+    elif value_format == "csv":
+        parsed = F.from_csv(
+            F.col("value").cast("string"),
+            F.lit(value_schema.simpleString()),
+            csv_options or {},
+        )
+    else:
+        raise ValueError(
+            f"value_format must be 'json' or 'csv', got {value_format!r}"
+        )
+    out = wire.select(
+        parsed.alias("_rec"),
+        F.col("value").isNull().alias("_tombstone"),
+        F.format_string(
+            "kafka://%s/%d@%020d",
+            F.col("topic"),
+            F.col("partition"),
+            F.col("offset"),
+        ).alias(SRC_COL),
+        F.col("key").cast("string").alias("_kafka_key"),
+        F.col("timestamp").alias("_kafka_ts"),
+    )
+    if drop_tombstones:
+        out = out.where(~F.col("_tombstone")).drop("_tombstone")
+    return out.select(
+        "_rec.*", *[c for c in out.columns if c != "_rec"]
+    )
