@@ -184,6 +184,35 @@ def _hinted(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= _broadcast_max_rows() else df
 
 
+def _ids_local(id_frame: DataFrame, cap: int) -> list | None:
+    """Materialize a (declared-)bounded single-column id frame to a
+    driver-side list for an ``isin``/InSet filter, or ``None`` when it
+    overflows ``cap`` (a mis-declared small batch) so the caller
+    degrades to the guarded semi-join instead of an unbounded collect.
+
+    Why a literal list and not a broadcast semi-join: the serve paths'
+    candidate-id frame carries the WHOLE candidate-generation lineage
+    (LSH banding, bucket joins, distincts), and a broadcast build
+    against it embeds that lineage into every frame that references the
+    filtered result — the round-11 plan defect, where the
+    twice-referenced verify frame compiled to a 76-exchange serve plan
+    against the ≤4-exchange zero-shuffle contract
+    (tests/test_plan_quality.py small_batch gate). An InSet filter is
+    lineage-free, pushes into the parquet candidate scan, and costs one
+    bounded collect that prepays the persisted candidate cache the
+    scorer reads anyway."""
+    rows = id_frame.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
+
+
+def _isin_filter(ids: list):
+    """``col("id") IN (<ids>)`` as a pushable predicate; empty candidate
+    sets filter everything (``isin([])`` is not valid Spark)."""
+    return F.col("id").isin(ids) if ids else F.lit(False)
+
+
 def _read_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, _META), encoding="utf-8") as f:
         return json.load(f)
@@ -780,28 +809,39 @@ def _neardup_batch_pairs(
     if _SHH in docs_old.columns:
         # hash-verify path: candidate scan reads (id, _shh) — parquet
         # prunes the text column — and Jaccard runs on bigint sets.
-        # The candidate-id SEMI-FILTER applies in BOTH regimes: the
-        # scorer's sb side is broadcast WHOLE under small_pairs (a
-        # broadcast hash join prunes only the streamed side, never its
-        # own build side), so an unfiltered h_old would broadcast the
-        # entire corpus — the exact OOM _VERIFY_BROADCAST_MAX_DOCS
-        # exists to prevent (round-10 advice, high). In the
-        # broadcast-verify regime the candidate-id set is itself
-        # bounded (2·n_cands under the verify ceiling, or the
-        # declared-small contract), so the semi costs one small
-        # broadcast build and stays shuffle-free; the WHOLE union is
-        # filtered so a large batch with few candidates cannot ride
-        # into the broadcast either.
+        # The candidate-id FILTER applies in BOTH regimes: the scorer's
+        # sb side is broadcast WHOLE under small_pairs (a broadcast hash
+        # join prunes only the streamed side, never its own build side),
+        # so an unfiltered h_old would broadcast the entire corpus — the
+        # exact OOM _VERIFY_BROADCAST_MAX_DOCS exists to prevent
+        # (round-10 advice, high). In the broadcast-verify regime the
+        # bound comes from a LITERAL InSet filter (_ids_local), not a
+        # semi-join: the id set is small (2·n_cands under the verify
+        # ceiling, or the declared-small contract), the filter pushes
+        # into the candidate parquet scan, and — unlike a broadcast
+        # build against _cand_ids() — it embeds no candidate-generation
+        # lineage into the twice-referenced verify frame (the round-11
+        # 76-exchange plan defect). A mis-declared batch whose id set
+        # overflows the verify ceiling degrades to the guarded
+        # shuffle-verify path instead of an unbounded driver collect.
         h_old = docs_old.select("id", _SHH)
         if small_verify:
+            cand_ids_local = _ids_local(
+                _cand_ids(), _VERIFY_BROADCAST_MAX_DOCS
+            )
+            small_verify = cand_ids_local is not None
+        if small_verify:
+            in_cands = _isin_filter(cand_ids_local)
             sets_all = (
-                hsets_new.unionByName(h_old)
-                .join(F.broadcast(_cand_ids()), "id", "left_semi")
+                hsets_new.where(in_cands)
+                .unionByName(h_old.where(in_cands))
                 .persist()
             )
         else:
             h_old = h_old.join(
-                _hinted(_cand_ids(), 2 * n_cands), "id", "left_semi"
+                _cand_ids() if n_cands is None
+                else _hinted(_cand_ids(), 2 * n_cands),
+                "id", "left_semi",
             )
             sets_all = hsets_new.unionByName(h_old).persist()
         # sets_all is candidate-bounded and PERSISTED: the scorer
@@ -1303,24 +1343,34 @@ def _embdup_batch_pairs(
     n_cands = None if declared_small else cands.count()
 
     vecs_old = _read_live(spark, index_dir, _EVECS, meta)
-    # the candidate-id semi-filter applies in BOTH regimes: under
+    # the candidate-id filter applies in BOTH regimes: under
     # declared_small the vb side below is broadcast WHOLE, and a
     # broadcast hash join never prunes its own build side by the
     # streamed cands — an unfiltered vecs_old would broadcast every
-    # indexed vector on a tiny lookup (round-10 advice, medium). The
-    # candidate-id set is bounded by the declared-small contract (or
-    # hinted under the 2·n_cands guard), so the semi is one small
-    # broadcast build, zero shuffles.
+    # indexed vector on a tiny lookup (round-10 advice, medium). Under
+    # declared_small the bound is a LITERAL InSet filter (_ids_local,
+    # same rationale as the text path: a broadcast semi against the
+    # cands frame embeds the whole bucketing lineage into the
+    # broadcast vb side — the round-11 plan defect); a mis-declared
+    # batch degrades to an unhinted semi-join. The counted path keeps
+    # the 2·n_cands-guarded semi-join.
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    vecs_old = vecs_old.join(
-        F.broadcast(cand_ids) if declared_small
-        else _hinted(cand_ids, 2 * n_cands),
-        "id", "left_semi",
+    cand_ids_local = (
+        _ids_local(cand_ids, _VERIFY_BROADCAST_MAX_DOCS)
+        if declared_small else None
     )
+    if cand_ids_local is not None:
+        vecs_old = vecs_old.where(_isin_filter(cand_ids_local))
+    else:
+        vecs_old = vecs_old.join(
+            cand_ids if declared_small
+            else _hinted(cand_ids, 2 * n_cands),
+            "id", "left_semi",
+        )
     all_vecs = batch.unionByName(vecs_old)
     va = all_vecs.select(
         F.col("id").alias("id_a"), F.col("vec").alias("_va"),

@@ -36,11 +36,13 @@ Exactly-once: the Kafka source is at-least-once into ``foreachBatch``
 (a crashed epoch replays under the SAME epoch id with the SAME
 offsets); every downstream fold here is idempotent per epoch id
 (commit-log ``batch_id`` replay protection — streaming/ivm.py's
-protocol), which composes to exactly-once, source-independently. The
-tests prove that with a SUBSTITUTED source: a file stream carrying the
-exact Kafka wire schema drives the same decode + fold path (no broker
-in CI; the seam — wire schema in, committed state out — is what the
-protocol depends on, not the broker).
+protocol), which composes to exactly-once, source-independently.
+tests/test_kafka.py proves that with a SUBSTITUTED source: a file
+stream carrying the exact Kafka wire schema drives the same decode +
+clean + dedup + sink path through ``start_streaming_ingest``'s
+``source_df`` seam (no broker in CI; the seam — wire schema in,
+committed state out — is what the protocol depends on, not the
+broker).
 
 Deployment (no broker in this sandbox — documented, not imported):
 the Kafka connector ships separately from pyspark; submit with

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from bench_regress import (  # noqa: E402
     find_regressions,
     latest_details,
+    round_of,
     survey_section6,
     unexplained,
 )
@@ -61,6 +62,38 @@ class TestFlagRules:
         bad = unexplained(flags, notes)
         assert [f["name"] for f in bad] == ["q_silent"]
 
+    def test_stale_prose_does_not_explain_a_stamped_round(self):
+        """The round-11 laundering hole: a §6 note written about an
+        OLDER round's numbers must not satisfy this round's flag — the
+        needle must share a paragraph with the regressing round's
+        ``r{N}:`` stamp."""
+        flags = [{"name": "q_slow", "old": 1, "new": 2, "kind": "query"}]
+        stale = "q_slow regressed in round 9 because of contention."
+        assert [f["name"] for f in unexplained(flags, stale, 12)] == [
+            "q_slow"
+        ]
+        # the same prose in a paragraph stamped for THIS round passes
+        fresh = (
+            "old stuff about other queries.\n\n"
+            "r12: q_slow 1.0->2.0 s — cause pinned here."
+        )
+        assert unexplained(flags, fresh, 12) == []
+        # a stamp in a DIFFERENT paragraph from the name does not count
+        split = "r12: something else regressed.\n\nq_slow is slow."
+        assert [f["name"] for f in unexplained(flags, split, 12)] == [
+            "q_slow"
+        ]
+        # ingest matches its prose aliases inside a stamped paragraph
+        iflags = [{"name": "ingest", "old": 2, "new": 1, "kind": "ingest"}]
+        assert unexplained(
+            iflags, "r12: ingest rows/min dipped under load.", 12
+        ) == []
+
+    def test_round_of_parses_detail_filenames(self):
+        assert round_of("/x/BENCH_DETAIL_r12.json") == 12
+        assert round_of("BENCH_DETAIL_r08.json") == 8
+        assert round_of("/x/custom.json") is None
+
 
 class TestRepoGate:
     """The actual round-close gate: latest two recorded rounds."""
@@ -78,7 +111,7 @@ class TestRepoGate:
         with open(new_p) as fh:
             new = json.load(fh)
         flags = find_regressions(old, new)
-        bad = unexplained(flags, survey_section6(REPO))
+        bad = unexplained(flags, survey_section6(REPO), round_of(new_p))
         assert not bad, (
             f"{os.path.basename(new_p)} regressed vs "
             f"{os.path.basename(old_p)} with no SURVEY §6 note: "

@@ -1563,12 +1563,19 @@ class TestAdviceR10BroadcastBounds:
     """Round-10 advice regressions. Under the small-batch serving
     contract the scorer's broadcast side must be CANDIDATE-bounded, not
     corpus-sized: a broadcast hash join never prunes its own build side
-    by the streamed pairs, so the candidate-id semi-filter has to sit
-    BELOW the BroadcastExchange in both the text and embedding lookups
-    (before the fix the whole docs/vecs table rode into the broadcast —
-    a driver OOM on any real corpus). And neardup_index_pairs must
-    honor the MDP_INCR_BROADCAST_MAX_ROWS dial exactly like the batch
-    path: dial=0 strips every hard hint from the snapshot plan too."""
+    by the streamed pairs, so the corpus docs/vecs scan has to be
+    candidate-filtered BELOW the BroadcastExchange in both the text and
+    embedding lookups (before the round-10 fix the whole table rode
+    into the broadcast — a driver OOM on any real corpus). Since round
+    12 the bound is a driver-materialized LITERAL In filter pushed into
+    the parquet scan, not a semi-join: the round-11 semi-join broadcast
+    `_cand_ids()` whole and embedded the candidate-generation lineage
+    into the twice-referenced verify frame (the 76-exchange serve-plan
+    defect). These tests pin the BOUND (a pushed In(id,...) on the
+    corpus scan) and the zero-shuffle shape, not the mechanism's join
+    type. And neardup_index_pairs must honor the
+    MDP_INCR_BROADCAST_MAX_ROWS dial exactly like the batch path:
+    dial=0 strips every hard hint from the snapshot plan too."""
 
     def test_small_batch_text_verify_semi_filters_corpus(
         self, spark, tmpdir
@@ -1585,10 +1592,12 @@ class TestAdviceR10BroadcastBounds:
         batch = _mutated(b1.where(F.col("doc_id") < 15), 1000)
         out = neardup_index_lookup(batch, tmpdir, small_batch=True)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # the candidate-id semi-join below the broadcast: absent before
-        # the fix, so the full docs table was collected to the driver
-        assert "LeftSemi" in plan
-        # still the zero-shuffle serve plan — the semi is broadcast too
+        # the candidate-id bound on the corpus docs scan: a literal In
+        # filter PUSHED into parquet (absent before the round-10 fix,
+        # so the full docs table was collected to the driver; a
+        # semi-join in round 11 kept the bound but bloated the plan)
+        assert "In(id, [" in plan, "candidate In filter not pushed"
+        # still the zero-shuffle serve plan
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
         got = _pairs_set(out)
@@ -1637,7 +1646,8 @@ class TestAdviceR10BroadcastBounds:
 
         out = embdup_index_lookup(b2, tmpdir, small_batch=True)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "LeftSemi" in plan
+        # candidate-id bound pushed into the corpus vectors scan
+        assert "In(id, [" in plan, "candidate In filter not pushed"
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
         got = _got(out)
@@ -1646,6 +1656,32 @@ class TestAdviceR10BroadcastBounds:
         # the scaled copies are cosine-1 duplicates of their originals
         dup_pairs = {(a, b) for a, b, c in got if c > 0.999999}
         assert {(a, a + 1000) for a in range(10)} <= dup_pairs
+
+    def test_misdeclared_small_batch_degrades_not_collects(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """A small_batch=True lookup whose candidate-id set overflows
+        the verify ceiling must DEGRADE to the guarded semi-join verify
+        — never an unbounded driver collect — with identical results
+        (round-12: _ids_local returns None past the cap)."""
+        import mini_data_platform_spark.operators.incremental as inc
+
+        b1 = _corpus(spark, 0, 80)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text", THRESH, NUM_HASHES, BANDS,
+            SHINGLE_N,
+        )
+        batch = _mutated(b1.where(F.col("doc_id") < 12), 1000)
+        ref = inc.neardup_index_lookup(batch, tmpdir, small_batch=True)
+        want = _pairs_set(ref)
+        release_plan(ref)
+        monkeypatch.setattr(inc, "_VERIFY_BROADCAST_MAX_DOCS", 1)
+        out = inc.neardup_index_lookup(batch, tmpdir, small_batch=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "In(id, [" not in plan  # the literal path is OFF
+        got = _pairs_set(out)
+        release_plan(out)
+        assert got == want
 
     def test_index_pairs_honors_broadcast_dial(
         self, spark, tmpdir, monkeypatch

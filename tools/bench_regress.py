@@ -19,7 +19,12 @@ a gate failure):
 The ingest block regresses on rows_per_min dropping below 1/RATIO of
 the previous round. Every flagged name must be EXPLAINED — named in
 SURVEY.md §6 (the performance-notes section, where the cause lives as
-prose with numbers) — or the gate exits 1. tests/test_bench_regress.py
+prose with numbers) in a note STAMPED with the regressing round
+(``r{N}:`` in the same paragraph as the query name; N parsed from the
+new detail file) — or the gate exits 1. The stamp requirement is the
+round-11 hardening: a bare substring match let that round's two flags
+pass on §6 prose written in rounds 9-10 about different numbers with
+different causes, laundering the creep. tests/test_bench_regress.py
 runs the same gate against the repo's latest two detail files inside
 the normal pytest sweep, so a round cannot close with an unexplained
 creep.
@@ -91,10 +96,26 @@ def find_regressions(
     return flags
 
 
-def unexplained(flags: list[dict], notes: str) -> list[dict]:
-    """Flags whose name never appears in the §6 notes text. The ingest
-    block is matched on 'rows/min' OR 'ingest' (that is how the prose
-    refers to it)."""
+def round_of(path: str) -> int | None:
+    """Round number from a BENCH_DETAIL_r{N}.json filename, else None."""
+    m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+def unexplained(
+    flags: list[dict], notes: str, round_no: int | None = None
+) -> list[dict]:
+    """Flags not explained in the §6 notes text. The ingest block is
+    matched on 'rows/min' OR 'ingest' (that is how the prose refers to
+    it). With ``round_no`` (the regressing round, parsed from the new
+    detail filename — the repo gate always passes it), the needle must
+    share a PARAGRAPH with an ``r{N}:`` stamp: a note written about a
+    different round's numbers never explains this round's creep
+    (round-11: both flags passed on rounds-9/10 prose)."""
+    if round_no is not None:
+        stamp = f"r{round_no}:"
+        blocks = [b for b in re.split(r"\n\s*\n", notes) if stamp in b]
+        notes = "\n\n".join(blocks)
     out = []
     for f in flags:
         needles = (
@@ -142,7 +163,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"no regressions (> {a.ratio}x and > {a.abs_sec}s)")
         return 0
     notes = survey_section6()
-    bad = unexplained(flags, notes)
+    new_round = round_of(new_path)
+    if new_round is not None:
+        print(f"explanations must carry an 'r{new_round}:' stamp in §6")
+    bad = unexplained(flags, notes, new_round)
     for f in flags:
         tag = "UNEXPLAINED" if f in bad else "explained in SURVEY §6"
         unit = "s" if f["kind"] == "query" else " rows/min"
