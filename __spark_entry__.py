@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROUND the current window targets (bump each round).
-CURRENT_ROUND = 10
+CURRENT_ROUND = 12
 
 #: Last round each query had a slot in the driver's 50-row correctness
 #: window, as recorded in CORRECTNESS_r0{N}.json — the MECHANICAL input
@@ -36,51 +36,28 @@ CURRENT_ROUND = 10
 #: query gets a driver-recorded check at least every third round —
 #: the tightest bound 127 queries and 50 slots admit.
 _LAST_WINDOWED = {
-    # never windowed
-    "emb_ann_ivfpq_serve": 0, "emb_ann_pq_serve": 0,
-    "doc_quality_model": 0, "doc_bm25_serve": 0,
-    "doc_quality_model_serve": 0,
-    # last windowed in round 7
-    "asset_binary_stats": 7, "asset_features": 7, "asset_frame_samples": 7,
-    "click_before_purchase": 7, "customer_rank_in_nation": 7,
-    "customers_with_orders": 7, "customers_without_orders": 7,
-    "daily_revenue_delta": 7, "doc_chunks": 7, "doc_contamination": 7,
-    "doc_dup_clusters": 7, "doc_dup_clusters_star": 7, "doc_epoch_shuffle": 7,
-    "doc_hash_embedding": 7, "doc_language_guess": 7, "doc_packing": 7,
-    "doc_pii_scan": 7, "doc_quality": 7, "doc_repetition": 7,
-    "doc_segment_dups": 7, "doc_simhash": 7, "doc_split_assign": 7,
-    "doc_stratified_sample": 7, "doc_token_stats": 7, "doc_window_dups": 7,
-    "errors_near_click": 7, "events_cms_users": 7, "events_heavy_users": 7,
-    "kpi_revenue_by_customer": 7, "latest_order_per_customer": 7,
-    "lineitem_bloom_semijoin": 7, "monthly_running_revenue": 7,
-    "pricing_summary": 7, "region_nation_rollup": 7, "regional_revenue": 7,
-    "status_priority_cube": 7, "top_building_orders": 7,
-    "wealthy_active_customers": 7,
     # last windowed in round 8
     "customer_segment_impute": 8, "customer_spend_distribution": 8,
     "doc_bm25": 8, "doc_bpe_vocab": 8, "doc_chunk_knn": 8,
     "doc_contamination_fuzzy": 8, "doc_exact_dedup_incremental": 8,
     "doc_exact_dedup_serve": 8, "doc_longest_repeat": 8,
-    "doc_neardup_delete": 8, "doc_neardup_incremental": 8,
-    "doc_neardup_serve": 8, "doc_repeat_coverage": 8, "doc_source_mix": 8,
-    "doc_suffix_dedup": 8, "doc_title_editjoin": 8,
-    "doc_title_editjoin_freq": 8, "doc_unigram_lm": 8,
-    "doc_weighted_sample": 8, "emb_ann_ivf_trained": 8, "emb_ann_sq8": 8,
-    "emb_near_dups_lsh": 8, "emb_neardup_incremental": 8,
-    "emb_neardup_serve": 8, "emb_semdedup": 8, "events_cohort_retention": 8,
+    "doc_repeat_coverage": 8, "doc_source_mix": 8, "doc_suffix_dedup": 8,
+    "doc_title_editjoin": 8, "doc_title_editjoin_freq": 8,
+    "doc_unigram_lm": 8, "doc_weighted_sample": 8, "emb_ann_ivf_trained": 8,
+    "emb_ann_sq8": 8, "emb_near_dups_lsh": 8, "emb_neardup_incremental": 8,
+    "emb_semdedup": 8, "events_cohort_retention": 8,
     "events_hourly_anomalies": 8, "events_purchase_join_salted": 8,
     "events_user_stats_salted": 8, "kpi_distinct_customers_ivm": 8,
     "kpi_price_quantiles_ivm": 8, "kpi_revenue_by_day_ivm": 8,
     "kpi_top_customers_ivm": 8, "orders_interpolated_revenue": 8,
-    "orders_join_view": 8, "orders_merge_table": 8, "orders_merge_view": 8,
+    "orders_merge_table": 8, "orders_merge_view": 8,
     "orders_merge_view_serve": 8, "orders_price_outliers": 8,
     "orders_scd2_revenue": 8, "partsupp_pagerank": 8,
     # last windowed in round 9
     "big_orders": 9, "cheapest_supplier_per_part": 9, "customer_deciles": 9,
-    "doc_bpe_token_counts": 9, "doc_curated_corpus": 9,
-    "doc_curated_incremental": 9, "doc_dedup_final": 9, "doc_exact_dedup": 9,
-    "doc_fingerprint": 9, "doc_minhash_candidates": 9, "doc_near_dups": 9,
-    "doc_neardup_delete_serve": 9, "emb_ann_ivf": 9, "emb_ann_ivfpq": 9,
+    "doc_bpe_token_counts": 9, "doc_curated_corpus": 9, "doc_dedup_final": 9,
+    "doc_exact_dedup": 9, "doc_fingerprint": 9, "doc_minhash_candidates": 9,
+    "doc_near_dups": 9, "emb_ann_ivf": 9, "emb_ann_ivfpq": 9,
     "emb_ann_knn": 9, "emb_ann_pq": 9, "emb_dedup_final": 9,
     "emb_dup_clusters": 9, "emb_knn": 9, "emb_near_dups_exact": 9,
     "emb_norms": 9, "events_approx_users": 9, "events_distinct_users": 9,
@@ -97,6 +74,28 @@ _LAST_WINDOWED = {
     "price_quantiles_approx": 9, "priority_status_matrix": 9,
     "promo_revenue_share": 9, "quantity_price_corr": 9,
     "revenue_by_day_dense": 9,
+    # last windowed in round 11
+    "asset_binary_stats": 11, "asset_features": 11, "asset_frame_samples": 11,
+    "click_before_purchase": 11, "customer_rank_in_nation": 11,
+    "customers_with_orders": 11, "customers_without_orders": 11,
+    "daily_revenue_delta": 11, "doc_bm25_serve": 11, "doc_chunks": 11,
+    "doc_contamination": 11, "doc_curated_incremental": 11,
+    "doc_dup_clusters": 11, "doc_dup_clusters_star": 11,
+    "doc_epoch_shuffle": 11, "doc_hash_embedding": 11,
+    "doc_language_guess": 11, "doc_neardup_delete": 11,
+    "doc_neardup_delete_serve": 11, "doc_neardup_incremental": 11,
+    "doc_neardup_serve": 11, "doc_packing": 11, "doc_pii_scan": 11,
+    "doc_quality": 11, "doc_quality_model": 11, "doc_quality_model_serve": 11,
+    "doc_repetition": 11, "doc_segment_dups": 11, "doc_simhash": 11,
+    "doc_split_assign": 11, "doc_stratified_sample": 11,
+    "doc_token_stats": 11, "doc_window_dups": 11, "emb_ann_ivfpq_serve": 11,
+    "emb_ann_pq_serve": 11, "emb_neardup_serve": 11, "errors_near_click": 11,
+    "events_cms_users": 11, "events_heavy_users": 11,
+    "kpi_revenue_by_customer": 11, "latest_order_per_customer": 11,
+    "lineitem_bloom_semijoin": 11, "monthly_running_revenue": 11,
+    "orders_join_view": 11, "pricing_summary": 11, "region_nation_rollup": 11,
+    "regional_revenue": 11, "status_priority_cube": 11,
+    "top_building_orders": 11, "wealthy_active_customers": 11,
 }
 
 #: ROTATION POLICY (the driver's correctness harness records only the
@@ -116,46 +115,41 @@ _LAST_WINDOWED = {
 #:      SURVEY §6).
 #:   3. The rotated-out remainder must be all green in a previous
 #:      round's CORRECTNESS file and re-verified locally if touched.
-#: Round 10 window: the full stale cohort first — the TWO queries new
-#: this round (emb_ann_pq_serve / emb_ann_ivfpq_serve: the numpy-LUT
-#: production ANN paths over prebuilt code tables, r9 verdict item 8,
-#: debuting with driver rows) plus all 38 queries last windowed in r7 —
-#: then the queries touched by round-10 diffs: the near-dup index
-#: family over the persisted shingle-hash verification state + the
-#: zero-shuffle serve plan (incremental.py/dedup_fuzzy.py),
-#: orders_bloom_lookup over the recursive file census, the ivm/merge
-#: views over the collision-free caller-less batch ids, and
-#: the kmv GC change. Touched queries that could not fit
-#: (events_kmv_users/overlap, emb_neardup_incremental,
-#: orders_merge_table/_view, orders_bloom_lookup, the four kpi_*_ivm
-#: views,
-#: doc_contamination_fuzzy and the other dedup_fuzzy consumers, plus
-#: doc_bm25 over the factored score expression) were each re-verified
-#: exact-multiset with tools/verify_local.py this round (SURVEY §6).
-_ROUND10_WINDOW = [
-    # (1a) NEW this round (debut with a driver row, rule 2)
-    "emb_ann_pq_serve", "emb_ann_ivfpq_serve", "doc_quality_model",
-    "doc_bm25_serve", "doc_quality_model_serve",
-    # (1b) stale cohort: all 38 queries last windowed in r7
-    "asset_binary_stats", "asset_features", "asset_frame_samples",
-    "click_before_purchase", "customer_rank_in_nation",
-    "customers_with_orders", "customers_without_orders",
-    "daily_revenue_delta", "doc_chunks", "doc_contamination",
-    "doc_dup_clusters", "doc_dup_clusters_star", "doc_epoch_shuffle",
-    "doc_hash_embedding", "doc_language_guess", "doc_packing",
-    "doc_pii_scan", "doc_quality", "doc_repetition", "doc_segment_dups",
-    "doc_simhash", "doc_split_assign", "doc_stratified_sample",
-    "doc_token_stats", "doc_window_dups", "errors_near_click",
-    "events_cms_users", "events_heavy_users", "kpi_revenue_by_customer",
-    "latest_order_per_customer", "lineitem_bloom_semijoin",
-    "monthly_running_revenue", "pricing_summary", "region_nation_rollup",
-    "regional_revenue", "status_priority_cube", "top_building_orders",
-    "wealthy_active_customers",
-    # (2) touched by round-10 diffs
-    "doc_neardup_serve", "doc_neardup_delete_serve",
-    "doc_neardup_incremental", "doc_neardup_delete",
-    "doc_curated_incremental", "emb_neardup_serve",
-    "orders_join_view",
+#: Round 12 window — REMEDIATION round: round 11 never advanced the
+#: window (CORRECTNESS_r11 re-ran r10's keys verbatim), so 84 of 134
+#: queries now exceed the age<=2 bound with only 50 slots. Selection is
+#: purely MECHANICAL this round: the 50 stalest by (last_windowed,
+#: name) — all 36 r8-last queries plus the first 14 r9-last
+#: alphabetically. The 34-query remainder (r9-last, alphabetical tail)
+#: is the OVERFLOW: each re-verified exact-multiset with
+#: `tools/verify_local.py --record-round 12` into VERIFY_LOCAL_r12.json
+#: — the artifact tests/test_entry.py's staleness bound accepts IN
+#: LIEU of a driver row, and ONLY in a round where the must-set
+#: overflows the slots (so local verification can never dodge rotation
+#: when slots suffice). The bound heals in round 13: the 34 overflow
+#: queries are then the entire must-set.
+_ROUND12_WINDOW = [
+    # all 36 queries last windowed in r8 (stalest cohort)
+    "customer_segment_impute", "customer_spend_distribution",
+    "doc_bm25", "doc_bpe_vocab", "doc_chunk_knn",
+    "doc_contamination_fuzzy", "doc_exact_dedup_incremental",
+    "doc_exact_dedup_serve", "doc_longest_repeat", "doc_repeat_coverage",
+    "doc_source_mix", "doc_suffix_dedup", "doc_title_editjoin",
+    "doc_title_editjoin_freq", "doc_unigram_lm", "doc_weighted_sample",
+    "emb_ann_ivf_trained", "emb_ann_sq8", "emb_near_dups_lsh",
+    "emb_neardup_incremental", "emb_semdedup", "events_cohort_retention",
+    "events_hourly_anomalies", "events_purchase_join_salted",
+    "events_user_stats_salted", "kpi_distinct_customers_ivm",
+    "kpi_price_quantiles_ivm", "kpi_revenue_by_day_ivm",
+    "kpi_top_customers_ivm", "orders_interpolated_revenue",
+    "orders_merge_table", "orders_merge_view", "orders_merge_view_serve",
+    "orders_price_outliers", "orders_scd2_revenue", "partsupp_pagerank",
+    # first 14 of the 48 r9-last queries (alphabetical)
+    "big_orders", "cheapest_supplier_per_part", "customer_deciles",
+    "doc_bpe_token_counts", "doc_curated_corpus", "doc_dedup_final",
+    "doc_exact_dedup", "doc_fingerprint", "doc_minhash_candidates",
+    "doc_near_dups", "emb_ann_ivf", "emb_ann_ivfpq", "emb_ann_knn",
+    "emb_ann_pq",
 ]
 
 
@@ -166,7 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND10_WINDOW:
+    for name in _ROUND12_WINDOW:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)

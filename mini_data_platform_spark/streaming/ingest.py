@@ -41,9 +41,16 @@ SRC_FILE_COL = "_src_file"
 
 
 def _clean_micro_batch(batch: DataFrame) -> DataFrame:
-    """clean+dedup with per-file precedence, preserving the source-file tag
-    for audit row counts. Mirrors runner._clean_keep_tags."""
-    tagged = batch.withColumn(SRC_FILE_COL, F.input_file_name())
+    """clean+dedup with per-source precedence, preserving the source tag
+    for audit row counts. Mirrors runner._clean_keep_tags. A batch that
+    already carries ``_src_file`` (an external source frame — e.g.
+    streaming/kafka.py's ``kafka_records``, whose provenance strings
+    sort by partition/offset) keeps its tag; file-source batches are
+    stamped with the file name here."""
+    if SRC_FILE_COL in batch.columns:
+        tagged = batch
+    else:
+        tagged = batch.withColumn(SRC_FILE_COL, F.input_file_name())
     out = clean_strings(tagged, columns=list(SALES_COLUMNS))
     out = coerce_sales_types(out)
     out = drop_null_keys(out, "sale_id")
@@ -52,28 +59,54 @@ def _clean_micro_batch(batch: DataFrame) -> DataFrame:
 
 def start_streaming_ingest(
     spark: SparkSession,
-    incoming_dir: str,
+    incoming_dir: str | None,
     checkpoint_dir: str,
     sink: Callable[[DataFrame], int],
     audit: AuditLog | None = None,
     archive_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
+    source_df: DataFrame | None = None,
 ) -> StreamingQuery:
-    """Start the sales CSV ingestion stream. ``sink`` receives each
+    """Start the sales ingestion stream. ``sink`` receives each
     micro-batch's cleaned+deduped canonical DataFrame (same contract as
-    the batch runner's sink)."""
-    reader = (
-        spark.readStream.schema(SALES_RAW_SCHEMA)
-        .option("header", True)
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if archive_dir:
-        reader = reader.option("cleanSource", "archive").option(
-            "sourceArchiveDir", archive_dir
+    the batch runner's sink).
+
+    ``source_df`` is the SOURCE SEAM (round-10 item 1): a caller-built
+    streaming DataFrame carrying the sales columns — e.g.
+    ``kafka_records(kafka_source(...), SALES_RAW_SCHEMA)`` — replaces
+    the default file reader, and the same clean → dedup → sink
+    micro-batch composition runs unchanged. A frame that already
+    carries ``_src_file`` keeps its provenance (Kafka's
+    partition/offset strings order same-key precedence exactly as file
+    names do); the file-reader knobs (``incoming_dir``,
+    ``archive_dir``, ``max_files_per_trigger``) are file-source-only
+    and rejected alongside ``source_df``."""
+    if source_df is not None:
+        if not source_df.isStreaming:
+            raise ValueError("source_df must be a streaming DataFrame")
+        if archive_dir or max_files_per_trigger or incoming_dir:
+            raise ValueError(
+                "file-source options (incoming_dir / archive_dir / "
+                "max_files_per_trigger) do not apply to source_df"
+            )
+        stream = source_df
+    else:
+        if not incoming_dir:
+            raise ValueError("incoming_dir is required without source_df")
+        reader = (
+            spark.readStream.schema(SALES_RAW_SCHEMA)
+            .option("header", True)
         )
-    stream = reader.csv(incoming_dir)
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        if archive_dir:
+            reader = reader.option("cleanSource", "archive").option(
+                "sourceArchiveDir", archive_dir
+            )
+        stream = reader.csv(incoming_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         cleaned = _clean_micro_batch(batch)
@@ -92,7 +125,8 @@ def start_streaming_ingest(
         if audit is not None:
             for row in counts:
                 audit.log_file_status(
-                    row[SRC_FILE_COL], incoming_dir, "loaded", rows=int(row["n"])
+                    row[SRC_FILE_COL], incoming_dir or "stream",
+                    "loaded", rows=int(row["n"]),
                 )
 
     writer = (

@@ -191,6 +191,14 @@ def kafka_records(
     any source that carries :data:`KAFKA_WIRE_SCHEMA` (the real Kafka
     source in deployment; a wire-schema file stream in tests)."""
     _check_wire(wire)
+    reserved = {SRC_COL, "_kafka_key", "_kafka_ts", "_tombstone"}
+    clash = sorted(reserved & set(value_schema.fieldNames()))
+    if clash:
+        raise ValueError(
+            f"value_schema fields {clash} collide with kafka_records' "
+            "metadata columns — duplicate output names would make the "
+            "downstream dedup's provenance ordering ambiguous"
+        )
     if value_format == "json":
         parsed = F.from_json(F.col("value").cast("string"), value_schema)
     elif value_format == "csv":

@@ -1,0 +1,306 @@
+"""Kafka ingestion source (streaming/kafka.py — reference
+README.md:201's declared future enhancement).
+
+No broker exists in CI, and none is needed for what the protocol
+actually depends on: the decode seam (wire schema in → typed rows with
+sortable provenance out) and the micro-batch fold it feeds. These tests
+drive both:
+
+- ``kafka_options`` / ``_check_wire`` validation — pure unit tests.
+- ``kafka_records`` decode semantics on wire-schema frames: JSON and
+  CSV payloads (the from_csv schema-string form is pinned — it accepts
+  ``StructType.simpleString()``), tombstone handling, malformed-payload
+  null-out, provenance format and its numeric-order-preserving
+  zero-padding.
+- The SUBSTITUTED-source end-to-end: a checkpointed file stream
+  carrying the exact ``KAFKA_WIRE_SCHEMA`` through ``kafka_records``
+  into ``start_streaming_ingest(source_df=...)`` — same clean → dedup
+  → upsert path as file ingest, offset-ordered same-key precedence,
+  exactly-once admission across restarts.
+"""
+
+import datetime
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from mini_data_platform_spark.schema import SALES_COLUMNS, SALES_RAW_SCHEMA
+from mini_data_platform_spark.sinks.upsert import upsert_parquet
+from mini_data_platform_spark.streaming import start_streaming_ingest
+from mini_data_platform_spark.streaming.kafka import (
+    KAFKA_WIRE_SCHEMA,
+    kafka_options,
+    kafka_records,
+)
+
+TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _wire_rows(records):
+    """(topic, partition, offset, key, value) -> full wire-schema rows."""
+    return [
+        (key.encode() if key is not None else None,
+         value.encode() if value is not None else None,
+         topic, partition, offset, TS, 0)
+        for topic, partition, offset, key, value in records
+    ]
+
+
+def _wire_df(spark, records):
+    return spark.createDataFrame(_wire_rows(records), KAFKA_WIRE_SCHEMA)
+
+
+def _sale_json(sale_id, date="2024-01-01 00:00:00", amount="10.0"):
+    return json.dumps(
+        {
+            "sale_id": sale_id,
+            "sale_date": date,
+            "customer_id": "C1",
+            "product_id": "P1",
+            "quantity": "1",
+            "amount": amount,
+        }
+    )
+
+
+class TestKafkaOptions:
+    def test_happy_path_subscribe(self):
+        opts = kafka_options("broker:9092", subscribe="sales")
+        assert opts == {
+            "kafka.bootstrap.servers": "broker:9092",
+            "subscribe": "sales",
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "true",
+        }
+
+    def test_exactly_one_subscription_mode(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            kafka_options("b:9092")
+        with pytest.raises(ValueError, match="exactly one"):
+            kafka_options("b:9092", subscribe="t", subscribe_pattern="t.*")
+        # each mode alone is fine, with its camelCase source option name
+        assert "subscribePattern" in kafka_options(
+            "b:9092", subscribe_pattern="t.*"
+        )
+        assert "assign" in kafka_options(
+            "b:9092", assign='{"t":[0,1]}'
+        )
+
+    def test_bootstrap_required(self):
+        with pytest.raises(ValueError, match="bootstrap_servers"):
+            kafka_options("", subscribe="t")
+
+    def test_starting_offsets_validation(self):
+        with pytest.raises(ValueError, match="starting_offsets"):
+            kafka_options("b:9092", subscribe="t", starting_offsets="begin")
+        ok = kafka_options(
+            "b:9092", subscribe="t",
+            starting_offsets='{"t":{"0":42}}',
+        )
+        assert ok["startingOffsets"] == '{"t":{"0":42}}'
+        assert kafka_options(
+            "b:9092", subscribe="t", starting_offsets="latest"
+        )["startingOffsets"] == "latest"
+
+    def test_admission_control_and_flags(self):
+        opts = kafka_options(
+            "b:9092", subscribe="t", max_offsets_per_trigger=5000,
+            fail_on_data_loss=False, include_headers=True,
+        )
+        assert opts["maxOffsetsPerTrigger"] == "5000"
+        assert opts["failOnDataLoss"] == "false"
+        assert opts["includeHeaders"] == "true"
+        with pytest.raises(ValueError, match="positive"):
+            kafka_options("b:9092", subscribe="t", max_offsets_per_trigger=0)
+
+
+class TestKafkaRecords:
+    def test_wire_schema_enforced(self, spark):
+        bad = spark.createDataFrame(
+            [("t", 0, 1)], "topic string, partition int, offset long"
+        )
+        with pytest.raises(ValueError, match="wire schema"):
+            kafka_records(bad, SALES_RAW_SCHEMA)
+        # mistyped column (offset as int) refused too
+        cols = [
+            ("key", T.BinaryType()), ("value", T.BinaryType()),
+            ("topic", T.StringType()), ("partition", T.IntegerType()),
+            ("offset", T.IntegerType()), ("timestamp", T.TimestampType()),
+            ("timestampType", T.IntegerType()),
+        ]
+        mistyped = spark.createDataFrame(
+            [], T.StructType([T.StructField(n, t) for n, t in cols])
+        )
+        with pytest.raises(ValueError, match="offset"):
+            kafka_records(mistyped, SALES_RAW_SCHEMA)
+
+    def test_reserved_metadata_names_rejected(self, spark):
+        wire = _wire_df(spark, [("t", 0, 1, "k", _sale_json("a"))])
+        clash = T.StructType(
+            [T.StructField("_src_file", T.StringType())]
+        )
+        with pytest.raises(ValueError, match="_src_file"):
+            kafka_records(wire, clash)
+
+    def test_json_decode_and_provenance(self, spark):
+        wire = _wire_df(
+            spark,
+            [
+                ("sales", 0, 9, "k1", _sale_json("a", amount="1.0")),
+                ("sales", 0, 10, "k2", _sale_json("b", amount="2.0")),
+                ("sales", 3, 7, None, _sale_json("c", amount="3.0")),
+            ],
+        )
+        rows = {
+            r["sale_id"]: r
+            for r in kafka_records(wire, SALES_RAW_SCHEMA).collect()
+        }
+        assert rows["a"]["_src_file"] == "kafka://sales/0@" + "9".zfill(20)
+        assert rows["c"]["_src_file"] == "kafka://sales/3@" + "7".zfill(20)
+        assert rows["a"]["_kafka_key"] == "k1"
+        assert rows["c"]["_kafka_key"] is None
+        assert rows["b"]["amount"] == "2.0"  # raw schema: still string
+        assert rows["a"]["_kafka_ts"] == TS
+        # the zero-padding is what makes LEXICOGRAPHIC provenance order
+        # equal NUMERIC offset order within a partition (offset 9 < 10,
+        # but "9" > "10" unpadded)
+        assert rows["a"]["_src_file"] < rows["b"]["_src_file"]
+
+    def test_tombstones_dropped_or_flagged(self, spark):
+        wire = _wire_df(
+            spark,
+            [("t", 0, 1, "k", _sale_json("a")), ("t", 0, 2, "k", None)],
+        )
+        kept = kafka_records(wire, SALES_RAW_SCHEMA).collect()
+        assert [r["sale_id"] for r in kept] == ["a"]
+        assert "_tombstone" not in kept[0].asDict()
+        flagged = kafka_records(
+            wire, SALES_RAW_SCHEMA, drop_tombstones=False
+        ).collect()
+        got = {r["_tombstone"]: r for r in flagged}
+        assert got[True]["sale_id"] is None  # null payload columns
+        assert got[False]["sale_id"] == "a"
+
+    def test_malformed_payload_nulls_not_crash(self, spark):
+        wire = _wire_df(spark, [("t", 0, 1, "k", "{not json")])
+        rows = kafka_records(wire, SALES_RAW_SCHEMA).collect()
+        assert len(rows) == 1 and rows[0]["sale_id"] is None
+
+    def test_csv_payload_decode(self, spark):
+        """Pins that from_csv accepts StructType.simpleString() as its
+        schema string (flagged untested in round 11)."""
+        wire = _wire_df(
+            spark,
+            [("t", 1, 5, None,
+              "s1,2024-01-01 00:00:00,C1,P1,1,10.0")],
+        )
+        rows = kafka_records(
+            wire, SALES_RAW_SCHEMA, value_format="csv"
+        ).collect()
+        assert rows[0]["sale_id"] == "s1"
+        assert rows[0]["amount"] == "10.0"
+        with pytest.raises(ValueError, match="value_format"):
+            kafka_records(wire, SALES_RAW_SCHEMA, value_format="avro")
+
+
+class TestSubstitutedSourceIngest:
+    """The module-docstring proof: a file stream carrying the EXACT
+    Kafka wire schema drives kafka_records + the shared clean → dedup →
+    upsert micro-batch path via start_streaming_ingest's source_df
+    seam. Offset order decides same-key precedence; the checkpoint
+    makes re-runs exactly-once."""
+
+    @staticmethod
+    def _land_wire(df, wire_dir, name):
+        """Land a wire batch as plain parquet FILES in the stream dir
+        (the file source lists the dir root, not nested write dirs)."""
+        stage = f"{wire_dir}__stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(glob.glob(os.path.join(stage, "part-*"))):
+            shutil.move(f, os.path.join(wire_dir, f"{name}-{i}.parquet"))
+        shutil.rmtree(stage)
+
+    def _run(self, spark, wire_dir, ckpt, target):
+        stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(
+            wire_dir
+        )
+        typed = kafka_records(stream, SALES_RAW_SCHEMA).select(
+            *SALES_COLUMNS, "_src_file"
+        )
+
+        def sink(df):
+            return upsert_parquet(spark, df, target, ["sale_id"])
+
+        q = start_streaming_ingest(
+            spark, None, ckpt, sink=sink, available_now=True,
+            source_df=typed,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def test_offset_precedence_and_exactly_once(self, spark, tmp_path):
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        target = str(tmp_path / "target")
+        os.makedirs(wire_dir)
+
+        # same sale_id + same sale_date at offsets 9 and 10: the HIGHER
+        # offset must win (zero-padded provenance = numeric order; an
+        # unpadded string would pick offset 9)
+        batch1 = _wire_df(
+            spark,
+            [
+                ("sales", 0, 9, "k", _sale_json("b", amount="1.0")),
+                ("sales", 0, 10, "k", _sale_json("b", amount="2.0")),
+                ("sales", 0, 11, "k", _sale_json("a", amount="5.0")),
+                ("sales", 0, 12, "k", None),  # tombstone: dropped
+                ("sales", 0, 13, "k", "{malformed"),  # -> null-key drop
+            ],
+        )
+        self._land_wire(batch1, wire_dir, "w1")
+        self._run(spark, wire_dir, ckpt, target)
+        got = {
+            r["sale_id"]: r["amount"]
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {"a": 5.0, "b": 2.0}
+
+        # second wire file, SAME checkpoint: old offsets not replayed,
+        # new record upserts over the old key
+        batch2 = _wire_df(
+            spark, [("sales", 0, 14, "k", _sale_json("b", amount="9.0"))]
+        )
+        self._land_wire(batch2, wire_dir, "w2")
+        self._run(spark, wire_dir, ckpt, target)
+        got = {
+            r["sale_id"]: r["amount"]
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {"a": 5.0, "b": 9.0}
+
+    def test_source_df_rejects_file_knobs_and_batch_frames(
+        self, spark, tmp_path
+    ):
+        batch = spark.range(1)
+        with pytest.raises(ValueError, match="streaming"):
+            start_streaming_ingest(
+                spark, None, str(tmp_path / "c"), sink=lambda d: 0,
+                source_df=batch,
+            )
+        stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(
+            str(tmp_path)
+        )
+        with pytest.raises(ValueError, match="file-source options"):
+            start_streaming_ingest(
+                spark, "/tmp/in", str(tmp_path / "c"), sink=lambda d: 0,
+                source_df=stream,
+            )
+        with pytest.raises(ValueError, match="incoming_dir"):
+            start_streaming_ingest(
+                spark, None, str(tmp_path / "c"), sink=lambda d: 0
+            )

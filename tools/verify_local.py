@@ -7,6 +7,16 @@ row count, sorted column-name sets, and the exact multiset of row values
 hash compare — if this passes, the driver's hash passes.
 
 Usage: python tools/verify_local.py [query ...] [--sf-dir DIR]
+                                    [--record-round N]
+
+``--record-round N`` additionally MERGES each query's outcome into
+``VERIFY_LOCAL_r{N}.json`` at the repo root: {name: {"ok": bool,
+"oracle": bool, "rows": int, "secs": float, "sf_dir": str}}. This is
+the mechanical evidence the rotation staleness test accepts for
+OVERFLOW queries — rounds where more queries exceed the age bound than
+the 50-slot driver window can hold (round 11 skipped its rotation, so
+round 12 owes 84 slots) get their remainder verified here instead, and
+tests/test_entry.py checks the artifact, not prose.
 """
 
 from __future__ import annotations
@@ -94,10 +104,39 @@ def spark_kind(dt) -> str:
     return name
 
 
+def record_outcome(
+    round_no: int, name: str, ok: bool, oracle: bool, rows: int, secs: float,
+    sf_dir: str,
+) -> None:
+    """Merge one query's outcome into VERIFY_LOCAL_r{N}.json (read-
+    modify-write; the file is tiny and this tool is single-process)."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"VERIFY_LOCAL_r{round_no}.json",
+    )
+    data = {}
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    data[name] = {
+        "ok": ok, "oracle": oracle, "rows": rows,
+        "secs": round(secs, 2), "sf_dir": sf_dir,
+    }
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="subset of query names to check")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--record-round", type=int, default=None,
+        help="merge outcomes into VERIFY_LOCAL_r{N}.json (rotation "
+        "overflow evidence)",
+    )
     args = ap.parse_args()
 
     # lazy oracle builders fold fixture-trained constants (PQ codebooks,
@@ -130,10 +169,20 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
+            if args.record_round:
+                record_outcome(
+                    args.record_round, name, False, True, 0,
+                    time.time() - t0, args.sf_dir,
+                )
             continue
         if name not in oracles:
             print(f"weak  {name}: no oracle; spark rows={len(srows)} ({time.time()-t0:.1f}s)")
             n_noracle += 1
+            if args.record_round:
+                record_outcome(
+                    args.record_round, name, True, False, len(srows),
+                    time.time() - t0, args.sf_dir,
+                )
             continue
         try:
             res = con.execute(oracles[name])
@@ -142,6 +191,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
+            if args.record_round:
+                record_outcome(
+                    args.record_round, name, False, True, len(srows),
+                    time.time() - t0, args.sf_dir,
+                )
             continue
 
         problems = []
@@ -173,6 +227,11 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+        if args.record_round:
+            record_outcome(
+                args.record_round, name, not problems, True, len(srows),
+                time.time() - t0, args.sf_dir,
+            )
 
     print(f"\n{n_pass} ok, {n_fail} fail, {n_noracle} weak (no oracle)")
     return 1 if n_fail else 0
