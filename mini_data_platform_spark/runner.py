@@ -45,12 +45,18 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_data_platform_spark.operators.clean import clean_sales
+from mini_data_platform_spark.operators.clean import clean_sales  # noqa: F401 — kept for API compat
 from mini_data_platform_spark.operators.dedup import (
+    INGEST_ORDER_COL,
     dedup_keep_latest,
     with_ingest_order,
 )
-from mini_data_platform_spark.schema import SALES_COLUMNS
+from mini_data_platform_spark.registry import (
+    SALES_SPEC,
+    TableSpec,
+    clean_table,
+)
+from mini_data_platform_spark.schema import SALES_COLUMNS  # noqa: F401
 from mini_data_platform_spark.sinks.audit import AuditLog
 from mini_data_platform_spark.sinks.objects import move_object
 from mini_data_platform_spark.sources.readers import read_file_as_strings
@@ -73,6 +79,10 @@ class FileOutcome:
 class IngestReport:
     outcomes: list[FileOutcome] = field(default_factory=list)
     rows_upserted: int = 0
+    #: wall time of the batch (set by run_batch_ingest) — feeds the
+    #: metrics surface (metrics.ingest_metrics rows/min vs the
+    #: reference's 10k baseline)
+    duration_s: float | None = None
 
     @property
     def loaded(self) -> list[FileOutcome]:
@@ -101,14 +111,16 @@ def _quarantine(
     return FileOutcome(path, reason, error=error)
 
 
-def _prepare_one(spark: SparkSession, path: str, rank: int) -> DataFrame:
+def _prepare_one(
+    spark: SparkSession, path: str, rank: int, spec: TableSpec
+) -> DataFrame:
     """Read one validated file and stage it for the unioned clean: string
     cast, canonical columns, file-rank + ingest-order tags."""
     df = read_file_as_strings(spark, path)
-    for c in SALES_COLUMNS:
+    for c in spec.columns:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast("string"))
-    return with_ingest_order(df.select(*SALES_COLUMNS)).withColumn(
+    return with_ingest_order(df.select(*spec.columns)).withColumn(
         FILE_RANK_COL, F.lit(rank)
     )
 
@@ -122,6 +134,7 @@ def run_batch_ingest(
     audit: AuditLog | None = None,
     per_file: bool = False,
     on_complete: Callable[[IngestReport], None] | None = None,
+    spec: TableSpec = SALES_SPEC,
 ) -> IngestReport:
     """One ingestion batch over every file in ``incoming_dir``. ``sink``
     receives the cleaned, deduped, canonically-typed sales DataFrame and
@@ -134,10 +147,25 @@ def run_batch_ingest(
     baking in a transport): it receives the final IngestReport on EVERY
     exit path — success and failure alike; distinguish via
     ``report.failed`` — and, like the audit log, can never fail the
-    pipeline (exceptions are logged and swallowed)."""
+    pipeline (exceptions are logged and swallowed).
+
+    ``spec`` selects the registered table contract
+    (registry.SchemaRegistry) — validation, cleaning, coercion, key
+    filtering and keep-latest dedup all derive from it; the default is
+    the reference's sales table.
+
+    Operational metrics: the report carries ``duration_s``; wire
+    ``on_complete=metrics.prometheus_hook(...)`` to publish
+    files/rows/throughput to a node_exporter textfile or a /metrics
+    endpoint (metrics.py)."""
+    import time as _time
+
+    _t0 = _time.monotonic()
     report = _run_batch_ingest(
-        spark, incoming_dir, processed_dir, failed_dir, sink, audit, per_file
+        spark, incoming_dir, processed_dir, failed_dir, sink, audit,
+        per_file, spec,
     )
+    report.duration_s = _time.monotonic() - _t0
     if on_complete is not None:
         try:
             on_complete(report)
@@ -161,6 +189,7 @@ def reprocess_failed(
     reasons: tuple[str, ...] = FAILURE_REASONS,
     per_file: bool = False,
     on_complete: Callable[[IngestReport], None] | None = None,
+    spec: TableSpec = SALES_SPEC,
 ) -> IngestReport:
     """Requeue quarantined files and run one ordinary ingest batch over
     the incoming prefix — the reference's own declared future work
@@ -207,6 +236,7 @@ def reprocess_failed(
         audit=audit,
         per_file=per_file,
         on_complete=on_complete,
+        spec=spec,
     )
 
 
@@ -218,6 +248,7 @@ def _run_batch_ingest(
     sink: Callable[[DataFrame], int],
     audit: AuditLog | None = None,
     per_file: bool = False,
+    spec: TableSpec = SALES_SPEC,
 ) -> IngestReport:
     report = IngestReport()
     files = discover_files(incoming_dir)
@@ -234,7 +265,7 @@ def _run_batch_ingest(
     if files:
         with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
             verdicts = list(
-                pool.map(lambda p: validate_file(spark, p), files)
+                pool.map(lambda p: validate_file(spark, p, spec=spec), files)
             )
     else:
         verdicts = []
@@ -253,20 +284,23 @@ def _run_batch_ingest(
     if per_file:
         for path in valid:
             report.outcomes.append(
-                _ingest_one(spark, path, processed_dir, failed_dir, sink, audit)
+                _ingest_one(
+                    spark, path, processed_dir, failed_dir, sink, audit,
+                    spec,
+                )
             )
         report.rows_upserted = sum(o.rows or 0 for o in report.loaded)
         return report
 
     # ---- scale mode: one job over all valid files -------------------------
     try:
-        staged = _prepare_one(spark, valid[0], 0)
+        staged = _prepare_one(spark, valid[0], 0, spec)
         for rank, path in enumerate(valid[1:], start=1):
-            staged = staged.unionByName(_prepare_one(spark, path, rank))
-        # clean_sales conforms to exactly the canonical 6 columns; the batch
-        # job must keep the bookkeeping tags, so the same P4-P8 stages are
-        # applied with the tags carried through.
-        cleaned = _clean_keep_tags(staged)
+            staged = staged.unionByName(_prepare_one(spark, path, rank, spec))
+        # clean_table conforms to exactly the spec's canonical columns;
+        # the batch job must keep the bookkeeping tags, so the same
+        # P4-P8 stages are applied with the tags carried through.
+        cleaned = _clean_keep_tags(staged, spec)
     except Exception as e:  # noqa: BLE001 — read/plan failure: quarantine all
         for path in valid:
             report.outcomes.append(
@@ -275,8 +309,8 @@ def _run_batch_ingest(
         return report
     deduped = dedup_keep_latest(
         cleaned,
-        keys=("sale_id",),
-        order_col="sale_date",
+        keys=spec.keys,
+        order_col=spec.order_col or INGEST_ORDER_COL,
         null_wins=True,
         precedence_cols=(FILE_RANK_COL,),
     )
@@ -305,23 +339,23 @@ def _run_batch_ingest(
     return report
 
 
-def _clean_keep_tags(staged: DataFrame) -> DataFrame:
-    """clean_sales over the data columns while preserving the
-    _file_rank/_ingest_order bookkeeping columns (positionally joined via a
-    row tag would shuffle; instead the cleaning expressions are applied
-    in-place — they are all narrow per-column transforms)."""
+def _clean_keep_tags(staged: DataFrame, spec: TableSpec) -> DataFrame:
+    """The spec's cleaning bundle over the data columns while preserving
+    the _file_rank/_ingest_order bookkeeping columns (positionally joined
+    via a row tag would shuffle; instead the cleaning expressions are
+    applied in-place — they are all narrow per-column transforms)."""
     from mini_data_platform_spark.operators.clean import (
         clean_strings,
-        coerce_sales_types,
         drop_null_keys,
     )
-    from mini_data_platform_spark.operators.dedup import INGEST_ORDER_COL
+    from mini_data_platform_spark.registry import coerce_types
 
     tags = [FILE_RANK_COL, INGEST_ORDER_COL]
-    out = clean_strings(staged, columns=[c for c in SALES_COLUMNS])
-    out = coerce_sales_types(out)
-    out = drop_null_keys(out, "sale_id")
-    return out.select(*SALES_COLUMNS, *tags)
+    out = clean_strings(staged, columns=list(spec.columns))
+    out = coerce_types(out, spec)
+    for k in spec.keys:
+        out = drop_null_keys(out, k)
+    return out.select(*spec.columns, *tags)
 
 
 def _ingest_one(
@@ -331,12 +365,23 @@ def _ingest_one(
     failed_dir: str,
     sink: Callable[[DataFrame], int],
     audit: AuditLog | None,
+    spec: TableSpec = SALES_SPEC,
 ) -> FileOutcome:
     """Per-file mode body (reference process_file + load_to_postgres,
     process_sales_dags.py:156-198)."""
     try:
         df = with_ingest_order(read_file_as_strings(spark, path))
-        cleaned = dedup_keep_latest(clean_sales(df))
+        cleaned = clean_table(df, spec)
+        if spec.order_col is None:
+            # order-less spec: arrival order is the only precedence;
+            # the typed conform dropped the tag, so re-stamp it (the
+            # clean pipeline is narrow transforms — row order holds)
+            cleaned = with_ingest_order(cleaned)
+        cleaned = dedup_keep_latest(
+            cleaned,
+            keys=spec.keys,
+            order_col=spec.order_col or INGEST_ORDER_COL,
+        ).drop(INGEST_ORDER_COL)
         n = cleaned.count()
     except Exception as e:  # noqa: BLE001
         return _quarantine(path, failed_dir, "processing_failed", audit, str(e))

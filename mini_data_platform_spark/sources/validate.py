@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
+from mini_data_platform_spark.registry import SALES_SPEC, TableSpec
 from mini_data_platform_spark.schema import SALES_COLUMNS
 from mini_data_platform_spark.sources import readers
 from mini_data_platform_spark.sources.formats import detect_format_path
@@ -40,32 +41,50 @@ def _parseable_ts(col):
     )
 
 
-def _missing(cols: list[str]) -> list[str]:
+def _missing(cols: list[str], spec: TableSpec) -> list[str]:
     have = {c.strip().lower() for c in cols}
-    return sorted(REQUIRED_COLUMNS - have)
+    return sorted(spec.required - have)
 
 
-def validate_csv(spark: SparkSession, path: str) -> tuple[bool, str]:
+def validate_csv(
+    spark: SparkSession, path: str, spec: TableSpec = SALES_SPEC
+) -> tuple[bool, str]:
     try:
         sample = readers.read_csv(spark, path).limit(CSV_SAMPLE_ROWS)
         cols = sample.columns
     except Exception as e:  # noqa: BLE001 — any parse failure quarantines the file
         return False, f"CSV parse error: {e}"
-    missing = _missing(cols)
+    missing = _missing(cols, spec)
     if missing:
         return False, f"Missing required columns: {missing}"
-    bad = (
-        sample.select(F.col("sale_date"))
-        .limit(DATE_SAMPLE_ROWS)
-        .where(F.col("sale_date").isNotNull() & _parseable_ts(F.col("sale_date")).isNull())
-        .count()
-    )
-    if bad:
-        return False, f"sale_date parse issue: {bad} unparseable in first {DATE_SAMPLE_ROWS}"
+    # the reference's date probe (first 50 non-null must ALL parse),
+    # applied to every timestamp column the spec declares
+    lower = {c.strip().lower(): c for c in cols}
+    for ts_col in spec.timestamp_columns:
+        probe = lower.get(ts_col)
+        if probe is None:
+            continue
+        bad = (
+            sample.select(F.col(probe))
+            .limit(DATE_SAMPLE_ROWS)
+            .where(
+                F.col(probe).isNotNull()
+                & _parseable_ts(F.col(probe)).isNull()
+            )
+            .count()
+        )
+        if bad:
+            return (
+                False,
+                f"{ts_col} parse issue: {bad} unparseable in first "
+                f"{DATE_SAMPLE_ROWS}",
+            )
     return True, ""
 
 
-def validate_json(spark: SparkSession, path: str) -> tuple[bool, str]:
+def validate_json(
+    spark: SparkSession, path: str, spec: TableSpec = SALES_SPEC
+) -> tuple[bool, str]:
     try:
         lines = (
             spark.read.text(path)
@@ -84,7 +103,7 @@ def validate_json(spark: SparkSession, path: str) -> tuple[bool, str]:
                 F.lower,
             ).alias("keys")
         )
-        required = F.array(*[F.lit(c) for c in sorted(REQUIRED_COLUMNS)])
+        required = F.array(*[F.lit(c) for c in sorted(spec.required)])
         bad = rec.where(F.size(F.array_except(required, F.col("keys"))) > 0)
         first_bad = bad.select(
             F.array_except(required, F.col("keys")).alias("missing")
@@ -96,40 +115,49 @@ def validate_json(spark: SparkSession, path: str) -> tuple[bool, str]:
     return True, ""
 
 
-def validate_parquet(spark: SparkSession, path: str) -> tuple[bool, str]:
+def validate_parquet(
+    spark: SparkSession, path: str, spec: TableSpec = SALES_SPEC
+) -> tuple[bool, str]:
     try:
         schema = spark.read.parquet(path).schema  # footer only — no data IO
     except Exception as e:  # noqa: BLE001
         return False, f"Parquet parse error: {e}"
-    missing = _missing(schema.fieldNames())
+    missing = _missing(schema.fieldNames(), spec)
     if missing:
         return False, f"Missing required columns: {missing}"
     return True, ""
 
 
-def validate_orc(spark: SparkSession, path: str) -> tuple[bool, str]:
+def validate_orc(
+    spark: SparkSession, path: str, spec: TableSpec = SALES_SPEC
+) -> tuple[bool, str]:
     try:
         schema = spark.read.orc(path).schema  # metadata only — no data IO
     except Exception as e:  # noqa: BLE001
         return False, f"ORC parse error: {e}"
-    missing = _missing(schema.fieldNames())
+    missing = _missing(schema.fieldNames(), spec)
     if missing:
         return False, f"Missing required columns: {missing}"
     return True, ""
 
 
 def validate_file(
-    spark: SparkSession, path: str, fmt: str | None = None
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    spec: TableSpec = SALES_SPEC,
 ) -> tuple[bool, str]:
     """Dispatch on detected format (reference validate_file task,
-    /root/reference/dags/process_sales_dags.py:117-141)."""
+    /root/reference/dags/process_sales_dags.py:117-141). ``spec``
+    selects the registered table contract to validate against
+    (registry.REGISTRY; default: the reference's sales table)."""
     fmt = fmt or detect_format_path(path)
     if fmt == "csv":
-        return validate_csv(spark, path)
+        return validate_csv(spark, path, spec)
     if fmt == "json":
-        return validate_json(spark, path)
+        return validate_json(spark, path, spec)
     if fmt == "parquet":
-        return validate_parquet(spark, path)
+        return validate_parquet(spark, path, spec)
     if fmt == "orc":
-        return validate_orc(spark, path)
+        return validate_orc(spark, path, spec)
     return False, f"Unsupported format: {fmt}"

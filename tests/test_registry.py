@@ -1,0 +1,241 @@
+"""Schema registry (registry.py — reference README.md:178 "Schema
+registry for dynamic table support", round-10 verdict item 5).
+
+The bar: multi-table ingestion must be EXPRESSIBLE — a second table
+spec drives validation, cleaning, coercion and the batch runner end to
+end — while the sales default stays bit-identical to the specialized
+pipeline it generalizes."""
+
+import os
+
+import pytest
+
+from pyspark.sql import Row, functions as F, types as T
+
+from mini_data_platform_spark.operators.clean import clean_sales
+from mini_data_platform_spark.registry import (
+    REGISTRY,
+    SALES_SPEC,
+    SchemaRegistry,
+    TableSpec,
+    clean_table,
+)
+
+DEVICE_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType(), False),
+        T.StructField("reading_ts", T.TimestampType(), True),
+        T.StructField("metric", T.StringType(), True),
+        T.StructField("count", T.LongType(), True),
+        T.StructField("temp", T.DoubleType(), True),
+    ]
+)
+
+DEVICE_SPEC = TableSpec(
+    name="device_readings",
+    schema=DEVICE_SCHEMA,
+    keys=("device_id", "metric"),
+    order_col="reading_ts",
+    int_defaults={"count": 0},
+    double_defaults={"temp": -1.0},
+)
+
+
+class TestTableSpec:
+    def test_derived_groups_from_schema_types(self):
+        assert SALES_SPEC.timestamp_columns == ("sale_date",)
+        assert SALES_SPEC.int_columns == ("quantity",)
+        assert SALES_SPEC.double_columns == ("amount",)
+        assert SALES_SPEC.required == frozenset(
+            ("sale_id", "sale_date", "customer_id", "product_id",
+             "quantity", "amount")
+        )
+        assert DEVICE_SPEC.int_columns == ("count",)
+        raw = DEVICE_SPEC.raw_schema()
+        assert all(isinstance(f.dataType, T.StringType) for f in raw.fields)
+        assert raw.fieldNames() == list(DEVICE_SPEC.columns)
+
+    def test_spec_validation_fails_loudly(self):
+        with pytest.raises(ValueError, match="keys"):
+            TableSpec("t", DEVICE_SCHEMA, keys=())
+        with pytest.raises(ValueError, match="keys"):
+            TableSpec("t", DEVICE_SCHEMA, keys=("nope",))
+        with pytest.raises(ValueError, match="order_col"):
+            TableSpec("t", DEVICE_SCHEMA, keys=("device_id",),
+                      order_col="nope")
+        with pytest.raises(ValueError, match="unknown columns"):
+            TableSpec("t", DEVICE_SCHEMA, keys=("device_id",),
+                      int_defaults={"nope": 3})
+
+
+class TestRegistry:
+    def test_default_registry_has_sales(self):
+        assert REGISTRY.get("sales") is SALES_SPEC
+        assert "sales" in REGISTRY.names()
+
+    def test_register_collision_and_replace(self):
+        reg = SchemaRegistry(SALES_SPEC)
+        reg.register(DEVICE_SPEC)
+        assert reg.get("device_readings") is DEVICE_SPEC
+        with pytest.raises(ValueError, match="already registered"):
+            reg.register(DEVICE_SPEC)
+        reg.register(DEVICE_SPEC, replace=True)
+        with pytest.raises(KeyError, match="unknown table"):
+            reg.get("nope")
+
+
+class TestCleanTable:
+    def test_sales_spec_is_bit_identical_to_clean_sales(self, spark):
+        """clean_table(df, SALES_SPEC) must be the SAME pipeline as the
+        specialized clean_sales — every parity rule, same rows, same
+        schema — on a fixture exercising all of P1-P8."""
+        rows = [
+            # messy names handled by toDF below; nan sentinel; truncating
+            # int parse; bad date -> null; extra col dropped
+            Row(**{"  Sale_ID ": "s1", "SALE_DATE": "2024-01-05 10:00:00",
+                   "customer_id": " C1 ", "product_id": "nan",
+                   "quantity": "12.5", "amount": "3.75", "extra": "x"}),
+            Row(**{"  Sale_ID ": "s2", "SALE_DATE": "not-a-date",
+                   "customer_id": "", "product_id": "P2",
+                   "quantity": "junk", "amount": "junk", "extra": "y"}),
+            Row(**{"  Sale_ID ": None, "SALE_DATE": "2024-01-06",
+                   "customer_id": "C3", "product_id": "P3",
+                   "quantity": "1", "amount": "1.0", "extra": "z"}),
+            Row(**{"  Sale_ID ": "nan", "SALE_DATE": "2024-01-07",
+                   "customer_id": "C4", "product_id": "P4",
+                   "quantity": "2", "amount": "2.0", "extra": "w"}),
+        ]
+        df = spark.createDataFrame(rows)
+        a = clean_sales(df)
+        b = clean_table(df, SALES_SPEC)
+        assert a.schema == b.schema
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
+        # and the fixture actually exercised the rules
+        by_id = {r["sale_id"]: r for r in b.collect()}
+        assert set(by_id) == {"s1", "s2"}  # null + "nan" keys dropped
+        assert by_id["s1"]["quantity"] == 12  # via-double truncation
+        assert by_id["s1"]["product_id"] is None  # nan sentinel
+        assert by_id["s2"]["sale_date"] is None  # bad date -> null
+        assert by_id["s2"]["quantity"] == 1  # int default
+        assert by_id["s2"]["amount"] == 0.0  # double default
+
+    def test_custom_spec_coercions_and_defaults(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("d1", "2024-03-01 00:00:00", "m", "7.9", "1.5"),
+                ("d2", "bad-ts", "m", "x", "y"),
+                (None, "2024-03-01 00:00:00", "m", "1", "1.0"),
+            ],
+            ["device_id", "reading_ts", "metric", "count", "temp"],
+        )
+        out = {r["device_id"]: r for r in clean_table(df, DEVICE_SPEC).collect()}
+        assert set(out) == {"d1", "d2"}  # null key dropped
+        assert out["d1"]["count"] == 7  # truncating parse
+        assert out["d2"]["count"] == 0  # spec's int default
+        assert out["d2"]["temp"] == -1.0  # spec's double default
+        assert out["d2"]["reading_ts"] is None
+
+
+class TestValidatePerSpec:
+    def test_csv_validates_against_custom_spec(self, spark, tmp_path):
+        from mini_data_platform_spark.sources.validate import validate_csv
+
+        good = tmp_path / "good.csv"
+        good.write_text(
+            "device_id,reading_ts,metric,count,temp\n"
+            "d1,2024-03-01 00:00:00,m,1,1.0\n"
+        )
+        ok, err = validate_csv(spark, str(good), DEVICE_SPEC)
+        assert ok, err
+        # a sales file fails the device contract (missing columns)...
+        sales = tmp_path / "sales.csv"
+        sales.write_text(
+            "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+            "a,2024-01-01,C1,P1,1,10.0\n"
+        )
+        ok, err = validate_csv(spark, str(sales), DEVICE_SPEC)
+        assert not ok and "device_id" in err
+        # ...and vice versa, while each passes its own
+        ok, _ = validate_csv(spark, str(sales))
+        assert ok
+        ok, err = validate_csv(spark, str(good), SALES_SPEC)
+        assert not ok
+
+    def test_timestamp_probe_uses_spec_columns(self, spark, tmp_path):
+        from mini_data_platform_spark.sources.validate import validate_csv
+
+        bad_ts = tmp_path / "bad_ts.csv"
+        bad_ts.write_text(
+            "device_id,reading_ts,metric,count,temp\n"
+            "d1,THIS-IS-NOT-A-TS,m,1,1.0\n"
+        )
+        ok, err = validate_csv(spark, str(bad_ts), DEVICE_SPEC)
+        assert not ok and "reading_ts" in err
+
+    def test_parquet_validates_against_custom_spec(self, spark, tmp_path):
+        from mini_data_platform_spark.sources.validate import (
+            validate_parquet,
+        )
+
+        p = str(tmp_path / "dev.parquet")
+        spark.createDataFrame(
+            [("d1", "m")], ["device_id", "metric"]
+        ).write.parquet(p)
+        ok, err = validate_parquet(spark, p, DEVICE_SPEC)
+        assert not ok and "reading_ts" in err
+
+
+class TestRunnerWithSpec:
+    def test_batch_ingest_second_table_end_to_end(self, spark, tmp_path):
+        """The registry's whole point: run_batch_ingest(..., spec=...)
+        ingests a NON-sales table — validation, clean, keep-latest on
+        composite keys, quarantine routing — without touching sales
+        code."""
+        from mini_data_platform_spark.runner import run_batch_ingest
+        from mini_data_platform_spark.sinks.upsert import upsert_parquet
+
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        (incoming / "a.csv").write_text(
+            "device_id,reading_ts,metric,count,temp\n"
+            "d1,2024-03-01 00:00:00,m,1,1.0\n"
+            "d1,2024-03-02 00:00:00,m,2,2.0\n"  # later ts wins for (d1,m)
+            "d2,2024-03-01 00:00:00,m,5,5.0\n"
+        )
+        (incoming / "b.csv").write_text(  # later FILE wins for (d2,m)
+            "device_id,reading_ts,metric,count,temp\n"
+            "d2,2024-01-01 00:00:00,m,9,9.0\n"
+        )
+        (incoming / "notdevice.csv").write_text(  # quarantined
+            "x,y\n1,2\n"
+        )
+        target = str(tmp_path / "target")
+
+        def sink(df):
+            return upsert_parquet(
+                spark, df, target, list(DEVICE_SPEC.keys)
+            )
+
+        report = run_batch_ingest(
+            spark,
+            str(incoming),
+            str(tmp_path / "processed"),
+            str(tmp_path / "failed"),
+            sink,
+            spec=DEVICE_SPEC,
+        )
+        assert len(report.loaded) == 2
+        assert [os.path.basename(o.path) for o in report.failed] == [
+            "notdevice.csv"
+        ]
+        got = {
+            (r["device_id"], r["metric"]): r["count"]
+            for r in spark.read.parquet(target).collect()
+        }
+        # d1: later reading_ts wins; d2: later file rank beats the
+        # earlier file despite its older timestamp? No — file rank is
+        # the OUTER precedence (reference sequential-upsert parity), so
+        # b.csv's row wins for d2 regardless of reading_ts.
+        assert got == {("d1", "m"): 2, ("d2", "m"): 9}
