@@ -96,6 +96,11 @@ _LAST_WINDOWED = {
     "orders_join_view": 11, "pricing_summary": 11, "region_nation_rollup": 11,
     "regional_revenue": 11, "status_priority_cube": 11,
     "top_building_orders": 11, "wealthy_active_customers": 11,
+    # added in round 12 (positional postings + compaction), never
+    # driver-windowed yet: verified exact-multiset into
+    # VERIFY_LOCAL_r12.json via the overflow mechanism; window in r13
+    "doc_bm25_takedown_serve": 0, "doc_phrase_search": 0,
+    "doc_phrase_serve": 0,
 }
 
 #: ROTATION POLICY (the driver's correctness harness records only the

@@ -8,10 +8,14 @@ offline-build / online-serve split for lexical search (the Lucene
 shape, reduced to its Spark-native core):
 
 - BUILD (once): one tokenize pass over the corpus →
-  * ``postings/`` — (term, id, tf) rows, parquet PARTITIONED BY a
-    term-hash bucket, so a query's terms prune to ≤ |terms| buckets at
-    LISTING time (directory pruning; unprobed buckets are never even
-    listed — the layout.py z-order/bloom discipline applied to terms);
+  * ``postings/`` — (term, id, tf, positions) rows, parquet PARTITIONED
+    BY a term-hash bucket, so a query's terms prune to ≤ |terms| buckets
+    at LISTING time (directory pruning; unprobed buckets are never even
+    listed — the layout.py z-order/bloom discipline applied to terms).
+    ``positions`` is the sorted 1-based token-offset list (the Lucene
+    positional-postings shape) and feeds PHRASE queries; BM25 lookups
+    never select it, so parquet column pruning keeps the scoring path's
+    I/O identical to a tf-only index;
   * ``docstats/`` — (id, dl) document lengths;
   * ``invindex_meta.json`` — N and Σdl as INTEGERS (avgdl is derived at
     query time with the same float division the full scorer uses, so
@@ -56,6 +60,29 @@ META = "invindex_meta.json"
 N_TERM_BUCKETS = 64
 
 
+def _postings_from(toked: DataFrame) -> DataFrame:
+    """(term, id, tf, positions, bucket) postings from a tokenized
+    frame — the ONE schema build and add share, so an appended batch's
+    rows are indistinguishable from a rebuild's. ``positions`` is
+    1-based (SQL/DuckDB list indexing, so the phrase oracle reads
+    ``tk[i]`` with no off-by-one) and array_sort'd: collect_list order
+    is partition-nondeterministic, and the phrase intersection needs a
+    canonical array for bit-stable plans."""
+    return (
+        toked.select("id", F.posexplode("_toks"))
+        .groupBy(F.col("col").alias("term"), F.col("id"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list(F.col("pos") + 1)).alias(
+                "positions"
+            ),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
+        )
+    )
+
+
 def invindex_build(
     docs: DataFrame, index_dir: str, id_col: str, text_col: str
 ) -> dict:
@@ -67,17 +94,9 @@ def invindex_build(
     toked = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
     ).persist()
-    postings = (
-        toked.select("id", F.explode("_toks").alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
-        )
-    )
-    postings.write.partitionBy("bucket").mode("overwrite").parquet(
-        os.path.join(index_dir, "postings")
-    )
+    _postings_from(toked).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "postings"))
     docstats = toked.select("id", F.size("_toks").alias("dl"))
     docstats.write.mode("overwrite").parquet(
         os.path.join(index_dir, "docstats")
@@ -114,17 +133,9 @@ def invindex_add(
     toked = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
     ).persist()
-    postings = (
-        toked.select("id", F.explode("_toks").alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS))
-        )
-    )
-    postings.write.partitionBy("bucket").mode("append").parquet(
-        os.path.join(index_dir, "postings")
-    )
+    _postings_from(toked).write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "postings"))
     docstats = toked.select("id", F.size("_toks").alias("dl"))
     docstats.write.mode("append").parquet(
         os.path.join(index_dir, "docstats")
@@ -244,27 +255,16 @@ def invindex_bm25_lookup(
         raise ValueError("invindex_bm25_lookup: empty corpus")
     avgdl = meta["dl_sum"] / n  # the same float division corpus_stats does
 
-    # the terms' partition buckets, via the SAME JVM hash the build used
-    # (one tiny driver job over |terms| literal rows — xxhash64 has no
-    # faithful Python twin, and guessing one risks silent full scans)
-    bks = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b")
-            )
-            .collect()
-        }
-    )
+    bks = _query_buckets(spark, terms)
     postings = _live(
         spark,
         index_dir,
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .where(F.col("bucket").isin(bks))  # listing-time pruning
-        .where(F.col("term").isin(terms)),
+        .where(F.col("term").isin(terms))
+        # positions never selected — parquet prunes the column, so the
+        # scoring path's I/O matches a tf-only index
+        .select("id", "term", "tf"),
         meta,
     )
     # per-term document frequencies: |terms| scalars to the driver
@@ -291,3 +291,132 @@ def invindex_bm25_lookup(
     staged = tf_frame.join(docstats, "id")
     score = bm25_score_expr(terms, idf, avgdl, k1, b)
     return staged.select(F.col("id"), F.col("dl"), score.alias("bm25"))
+
+
+def _query_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
+    """The terms' postings buckets via the SAME JVM hash the build used
+    (one tiny driver job over |terms| literal rows — xxhash64 has no
+    faithful Python twin, and guessing one risks silent full scans)."""
+    return sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b")
+            )
+            .collect()
+        }
+    )
+
+
+def invindex_phrase_lookup(
+    spark: SparkSession, index_dir: str, phrase: list[str]
+) -> DataFrame:
+    """(id, n_hits) for every live document containing the EXACT
+    consecutive token sequence ``phrase``, n_hits = occurrence count —
+    the positional-postings query BM25's bag-of-words scoring cannot
+    answer (Lucene's PhraseQuery shape). Plan: the phrase's distinct
+    terms prune to ≤|terms| of the 64 buckets at listing time, then ONE
+    hash aggregate on id pivots each phrase offset's position list
+    shifted by its offset (pos − i), and a document matches where the k
+    shifted lists intersect — ``array_intersect`` over per-doc arrays,
+    all JVM expressions, zero Python, cost O(matched postings) like the
+    BM25 path. A document missing ANY phrase term leaves that offset's
+    pivot NULL, the intersection NULL, and the row filtered — exactly
+    the semantics (every term must appear). Repeated phrase terms work
+    per-offset: each offset shifts the same posting row's positions by
+    its own i, so "a b a" requires pos p, p+1, p+2 with t[p]=t[p+2]=a."""
+    if not phrase:
+        raise ValueError("invindex_phrase_lookup: empty phrase")
+    with open(os.path.join(index_dir, META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    distinct_terms = list(dict.fromkeys(phrase))
+    bks = _query_buckets(spark, distinct_terms)
+    postings = _live(
+        spark,
+        index_dir,
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .where(F.col("bucket").isin(bks))  # listing-time pruning
+        .where(F.col("term").isin(distinct_terms))
+        .select("id", "term", "positions"),
+        meta,
+    )
+    def _shift(off: int):
+        # single-arg lambda ON PURPOSE: a 2-arg transform lambda is
+        # (element, array_index) in PySpark — a `lambda p, i=i:`
+        # closure trick would silently receive the array index as i
+        return lambda p: p - F.lit(off)
+
+    staged = postings.groupBy("id").agg(
+        *[
+            F.first(
+                F.when(
+                    F.col("term") == t,
+                    F.transform("positions", _shift(i)),
+                ),
+                ignorenulls=True,
+            ).alias(f"_p{i}")
+            for i, t in enumerate(phrase)
+        ]
+    )
+    inter = F.col("_p0")
+    for i in range(1, len(phrase)):
+        inter = F.array_intersect(inter, F.col(f"_p{i}"))
+    return staged.select(
+        "id", F.size(inter).alias("n_hits")
+    ).where(F.col("n_hits") > 0)
+
+
+def invindex_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Physically purge tombstoned documents: rewrite ``postings/`` and
+    ``docstats/`` minus the tombstone set and drop ``tombstones/`` —
+    the rebuild half of the incremental.py tombstone/compaction split.
+    Lookups before and after are BIT-IDENTICAL (pinned in tests): the
+    live row set, the integer N/Σdl, and hence every folded constant
+    are unchanged — compaction trades a one-time full rewrite for
+    removing the per-lookup anti-join and the dead bytes takedowns left
+    behind. No-op (and cheap) when nothing was ever deleted.
+
+    Single-writer, like add/delete: the rewrite stages into fresh
+    directories and publishes with two ``os.replace``-style renames; a
+    reader holding the OLD DataFrames may fail mid-swap — run compaction
+    in the same maintenance window rebuilds already need."""
+    import shutil
+
+    meta_path = os.path.join(index_dir, META)
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_path):
+        return meta
+    tombs = spark.read.parquet(tomb_path).distinct()
+    if meta.get("n_deleted", 0) <= _TOMB_BROADCAST_MAX:
+        tombs = F.broadcast(tombs)
+    for table in ("postings", "docstats"):
+        cur = os.path.join(index_dir, table)
+        staging = cur + ".compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        live = spark.read.parquet(cur).join(tombs, "id", "left_anti")
+        writer = live.write.mode("overwrite")
+        if table == "postings":
+            writer = writer.partitionBy("bucket")
+        writer.parquet(staging)
+        old = cur + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cur, old)
+        os.rename(staging, cur)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    meta = {
+        "n": meta["n"],
+        "dl_sum": meta["dl_sum"],
+        "n_deleted": 0,
+        "n_compactions": meta.get("n_compactions", 0) + 1,
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta

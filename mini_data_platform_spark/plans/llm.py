@@ -495,7 +495,9 @@ def doc_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = cached_artifact(
-        sf_dir, "invindex|v1",
+        # v2: postings gained the positional column (r12) — an index
+        # cached by an older build lacks it and must miss
+        sf_dir, "invindex|v2",
         lambda p: invindex_build(docs, p, "doc_id", "text"),
         "documents.parquet", "invindex_meta.json",
     )
@@ -507,6 +509,147 @@ def _sql_bm25_serve_oracle(sf_dir: str | None = None) -> str:
     """LAZY oracle for doc_bm25_serve: the full-corpus BM25 oracle
     restricted to candidate docs (≥1 query term present)."""
     inner = _sql_bm25_for_sf001(sf_dir)
+    toks = "string_split_regex(trim(d.text), ' +')"
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    return f"""
+        SELECT s.doc_id, s.dl, s.bm25
+        FROM ({inner}) s
+        JOIN documents d ON s.doc_id = d.doc_id
+        WHERE list_has_any({toks}, {terms_sql})
+    """
+
+
+#: Phrase query for the positional-postings lookups: a trigram present
+#: in BOTH verification fixtures (5 matching docs each at
+#: sf0.001/sf0.01), so the smoke and oracle gates both see rows.
+PHRASE_TERMS = ["query", "big", "part"]
+
+
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase occurrence counts, CORPUS-SCAN proof
+    shape: per document, count the token offsets i where
+    tokens[i..i+k-1] equals the phrase — one higher-order-function
+    projection (sequence → filter → size), zero shuffle, zero Python.
+    Docs shorter than the phrase short-circuit through the CASE guard
+    (sequence(1, size−k+1) would DESCEND for size < k — Spark's
+    sequence generates downward when stop < start, and element_at(t, 0)
+    throws even non-ANSI). The serving twin ``doc_phrase_serve``
+    answers the same query from positional postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    k = len(PHRASE_TERMS)
+
+    def match(i):
+        c = F.element_at(t, i) == PHRASE_TERMS[0]
+        for j, w in enumerate(PHRASE_TERMS[1:], start=1):
+            c = c & (F.element_at(t, i + F.lit(j)) == w)
+        return c
+
+    hits = F.when(
+        F.size(t) >= k,
+        F.size(
+            F.filter(F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)), match)
+        ),
+    ).otherwise(F.lit(0))
+    return docs.select("doc_id", hits.alias("n_hits")).where(
+        F.col("n_hits") > 0
+    )
+
+
+def doc_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING shape of phrase search (invindex_phrase_lookup —
+    Lucene's PhraseQuery over positional postings): the phrase's terms
+    prune to ≤3 of 64 postings buckets at listing time, one hash
+    aggregate pivots each offset's positions shifted by −offset, and
+    matches fall out of array_intersect — cost O(matched postings),
+    never O(corpus). Shares the ONE persisted index with
+    ``doc_bm25_serve`` (same artifact key): a positional index serves
+    both ranked and phrase retrieval, which is the point of paying for
+    positions at build time. Oracle: the corpus-scan phrase count
+    (identical SQL to doc_phrase_search) — equality IS the
+    positional-postings contract."""
+    from mini_data_platform_spark.operators.invindex import (
+        invindex_build,
+        invindex_phrase_lookup,
+    )
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = cached_artifact(
+        sf_dir, "invindex|v2",
+        lambda p: invindex_build(docs, p, "doc_id", "text"),
+        "documents.parquet", "invindex_meta.json",
+    )
+    out = invindex_phrase_lookup(spark, d, PHRASE_TERMS)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+#: Takedown set for the compacted-index serving twin: every 10th doc.
+_TAKEDOWN_WHERE = "doc_id % 10 = 0"
+
+
+def doc_bm25_takedown_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving after TAKEDOWN + COMPACTION (invindex_delete →
+    invindex_compact): the artifact build deletes every 10th document
+    (tombstones + integer stat rollback), then physically purges —
+    postings/docstats rewritten minus the dead ids, tombstones dropped
+    — so the lookup this query measures runs with NO tombstone
+    anti-join in its plan (compaction's whole point). Oracle: the
+    full-corpus BM25 oracle over the REMAINING corpus, restricted to
+    candidate docs; matching it proves delete+compact+serve equals a
+    fresh build over the survivors — the invindex equivalence contract
+    extended through the maintenance path."""
+    from mini_data_platform_spark.operators.invindex import (
+        invindex_bm25_lookup,
+        invindex_build,
+        invindex_compact,
+        invindex_delete,
+    )
+    from mini_data_platform_spark.plans._serving import cached_artifact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(p: str) -> None:
+        invindex_build(docs, p, "doc_id", "text")
+        invindex_delete(
+            docs.where(F.expr(_TAKEDOWN_WHERE)).select("doc_id"), p, "doc_id"
+        )
+        invindex_compact(spark, p)
+
+    d = cached_artifact(
+        sf_dir, "invindex|takedown|v2", build,
+        "documents.parquet", "invindex_meta.json",
+    )
+    out = invindex_bm25_lookup(spark, d, BM25_TERMS)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_phrase_hits() -> str:
+    """Corpus-scan phrase-count oracle, shared by doc_phrase_search and
+    doc_phrase_serve (the serving twin's contract is equality with the
+    scan). DuckDB lists are 1-based like the index's stored positions;
+    range(a, b) is empty when b <= a, so short docs fall out without a
+    guard."""
+    k = len(PHRASE_TERMS)
+    cond = " AND ".join(
+        f"tk[i+{j}] = '{w}'" for j, w in enumerate(PHRASE_TERMS)
+    )
+    return f"""
+        SELECT doc_id, n_hits FROM (
+            SELECT doc_id,
+                   CAST(len(list_filter(range(1, len(tk) - {k} + 2),
+                        i -> {cond})) AS INT) AS n_hits
+            FROM (SELECT doc_id, {TX.sql_tokens('text')} AS tk
+                  FROM documents)
+        ) WHERE n_hits > 0
+    """
+
+
+def _sql_bm25_takedown_oracle(sf_dir: str | None = None) -> str:
+    """LAZY oracle for doc_bm25_takedown_serve: the BM25 oracle with
+    constants recomputed over the post-takedown corpus, restricted to
+    candidate docs."""
+    inner = _sql_bm25_for_sf001(sf_dir, where=f"NOT ({_TAKEDOWN_WHERE})")
     toks = "string_split_regex(trim(d.text), ' +')"
     terms_sql = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
     return f"""
@@ -1186,8 +1329,10 @@ def doc_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source == BENCH_SOURCE) — the leakage class exact n-gram overlap
     (`doc_contamination`) cannot see. The corpus is salted with planted
     leaks (every benchmark doc re-enters with its first token dropped
-    and id + 1,000,000 — the `_mutated_corpus` move), which the LSH
-    cross-join must flag. Benchmark band keys broadcast, so the
+    and id + 10⁹ — the `_mutated_corpus` move), which the LSH
+    cross-join must flag. The leak offset sits above any probe-replica
+    id (copies shift by copy·10⁶), keeping cross_near_dup_pairs'
+    disjoint-id contract intact at 10× scale (r12 probe fix). Benchmark band keys broadcast, so the
     corpus-side scan joins map-side with zero corpus shuffle; Jaccard
     verification is candidate-bounded as always."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1196,7 +1341,7 @@ def doc_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = TX.tokens(F.col("text"))
     leaked = bench.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
         F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
     )
     corpus = (
@@ -2042,6 +2187,9 @@ QUERIES = {
     "doc_quality_model_serve": doc_quality_model_serve,
     "doc_bm25": doc_bm25,
     "doc_bm25_serve": doc_bm25_serve,
+    "doc_bm25_takedown_serve": doc_bm25_takedown_serve,
+    "doc_phrase_search": doc_phrase_search,
+    "doc_phrase_serve": doc_phrase_serve,
     "doc_title_editjoin": doc_title_editjoin,
     "doc_title_editjoin_freq": doc_title_editjoin_freq,
     "doc_chunks": doc_chunks,
@@ -2380,7 +2528,7 @@ _SQL_CURATION_FILTERED = f"""
 """
 
 
-def _sql_bm25_for_sf001(sf_dir: str | None = None) -> str:
+def _sql_bm25_for_sf001(sf_dir: str | None = None, where: str = "") -> str:
     """Construct the doc_bm25 oracle for the verification fixture:
     integer corpus stats via DuckDB + Python math.log — the same
     constants the Spark plan folds (see operators/ranking.py docstring).
@@ -2403,7 +2551,11 @@ def _sql_bm25_for_sf001(sf_dir: str | None = None) -> str:
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    src = f"SELECT doc_id, text FROM '{docs_path}'"
+    # ``where`` narrows the corpus (takedown twin): constants AND rows
+    # both derive from the filtered set, exactly like the engine's
+    # rolled-back integer stats
+    cond = f" WHERE {where}" if where else ""
+    src = f"SELECT doc_id, text FROM '{docs_path}'{cond}"
     toks = "string_split_regex(trim(text), ' +')"
     flags = ", ".join(
         f"SUM(CASE WHEN list_contains({toks}, '{t}') THEN 1 ELSE 0 END)"
@@ -2419,7 +2571,7 @@ def _sql_bm25_for_sf001(sf_dir: str | None = None) -> str:
         for i, t in enumerate(BM25_TERMS)
     }
     return sql_bm25_scores(
-        "SELECT doc_id, text FROM documents", "doc_id", "text",
+        f"SELECT doc_id, text FROM documents{cond}", "doc_id", "text",
         BM25_TERMS, n, avgdl, idf,
     )
 
@@ -2545,6 +2697,9 @@ ORACLE = {
     # plan computes them, so the folded literals are bit-identical.
     "doc_bm25": _sql_bm25_for_sf001,  # callable: evaluated lazily by oracle_sql()
     "doc_bm25_serve": _sql_bm25_serve_oracle,  # candidate-restricted twin
+    "doc_bm25_takedown_serve": _sql_bm25_takedown_oracle,  # post-compact
+    "doc_phrase_search": _sql_phrase_hits(),
+    "doc_phrase_serve": _sql_phrase_hits(),  # serve == scan is the contract
     "doc_unigram_lm": _sql_unigram_lm_oracle,  # callable: lazy, BM25-style
     "doc_source_mix": _sql_source_mix_oracle,  # callable: lazy count fold
     # callables: lazy builders running the independent sequential BPE
@@ -2739,7 +2894,7 @@ ORACLE = {
         f"""
         SELECT doc_id, text FROM documents WHERE source <> '{BENCH_SOURCE}'
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id,
+        SELECT doc_id + 1000000000 AS doc_id,
                array_to_string((string_split_regex(trim(text), ' +'))[2:len(string_split_regex(trim(text), ' +'))], ' ') AS text
         FROM documents WHERE source = '{BENCH_SOURCE}'
         """,

@@ -204,3 +204,210 @@ class TestTombstoneBounds:
             .collect()
         }
         assert 3 not in ids and 0 in ids
+
+
+def _phrase_hits_py(rows, phrase):
+    """Independent oracle: per-doc count of (overlapping) phrase
+    occurrences via plain Python token slices."""
+    k = len(phrase)
+    out = {}
+    for r in rows:
+        t = r["text"].strip().split()
+        n = sum(
+            1 for i in range(len(t) - k + 1) if t[i : i + k] == phrase
+        )
+        if n:
+            out[r["doc_id"]] = n
+    return out
+
+
+class TestPhraseLookup:
+    """Positional postings (round-10 task 6): phrase lookups must count
+    exact consecutive occurrences — BM25's bag-of-words candidates that
+    carry the terms NON-adjacently must not match."""
+
+    def test_phrase_equals_python_scan(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_phrase_lookup,
+        )
+
+        docs = _docs(spark, 200)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        phrase = ["alpha", "beta", "gamma"]
+        got = {
+            (r["id"], r["n_hits"])
+            for r in invindex_phrase_lookup(spark, d, phrase).collect()
+        }
+        want = set(_phrase_hits_py(docs.collect(), phrase).items())
+        assert got == want and got
+        # the same terms NON-adjacently ordered match nothing, even
+        # though every BM25 candidate carries all three terms
+        assert (
+            invindex_phrase_lookup(spark, d, ["beta", "alpha", "gamma"])
+            .count()
+            == 0
+        )
+
+    def test_repeated_term_phrase_counts_overlaps(self, spark, tmp_path):
+        """'vector vector' must match only ADJACENT repeats: the same
+        postings row serves both offsets with different shifts."""
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_phrase_lookup,
+        )
+
+        docs = _docs(spark, 60)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        phrase = ["vector", "vector"]
+        got = {
+            (r["id"], r["n_hits"])
+            for r in invindex_phrase_lookup(spark, d, phrase).collect()
+        }
+        want = set(_phrase_hits_py(docs.collect(), phrase).items())
+        assert got == want and got
+
+    def test_phrase_respects_tombstones_and_rejects_empty(
+        self, spark, tmp_path
+    ):
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_delete,
+            invindex_phrase_lookup,
+        )
+
+        docs = _docs(spark, 50)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        phrase = ["alpha", "beta"]
+        before = {
+            r["id"]
+            for r in invindex_phrase_lookup(spark, d, phrase).collect()
+        }
+        assert 7 in before
+        invindex_delete(
+            spark.createDataFrame([(7,)], "doc_id long"), d, "doc_id"
+        )
+        after = {
+            r["id"]
+            for r in invindex_phrase_lookup(spark, d, phrase).collect()
+        }
+        assert after == before - {7}
+        with pytest.raises(ValueError, match="empty phrase"):
+            invindex_phrase_lookup(spark, d, [])
+
+    def test_bm25_path_never_reads_positions(self, spark, tmp_path):
+        """Paying for positions at build time must cost the SCORING
+        path nothing: the BM25 lookup's postings scan prunes the
+        positions column (parquet column pruning) — its plan must not
+        mention the column at all."""
+        docs = _docs(spark, 50)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        plan = (
+            invindex_bm25_lookup(spark, d, ["vector"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "positions" not in plan
+
+
+class TestCompaction:
+    """invindex_compact: the physical-purge half of the tombstone/
+    compaction split — lookups before and after must be BIT-identical,
+    with the tombstone anti-join gone from the plan."""
+
+    def test_compact_preserves_lookups_and_drops_tombstones(
+        self, spark, tmp_path
+    ):
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_compact,
+            invindex_delete,
+            invindex_phrase_lookup,
+        )
+
+        docs = _docs(spark, 200)
+        d = str(tmp_path / "inv")
+        invindex_build(docs, d, "doc_id", "text")
+        doomed = docs.where(F.col("doc_id") % 4 == 0)
+        meta_del = invindex_delete(doomed, d, "doc_id")
+        assert meta_del["n_deleted"] == 50
+        before = {
+            tuple(r) for r in invindex_bm25_lookup(spark, d, TERMS).collect()
+        }
+        before_ph = {
+            tuple(r)
+            for r in invindex_phrase_lookup(
+                spark, d, ["alpha", "beta"]
+            ).collect()
+        }
+        meta = invindex_compact(spark, d)
+        assert not os.path.exists(os.path.join(d, "tombstones"))
+        assert meta["n_deleted"] == 0
+        assert meta["n"] == meta_del["n"]
+        assert meta["dl_sum"] == meta_del["dl_sum"]
+        after = {
+            tuple(r) for r in invindex_bm25_lookup(spark, d, TERMS).collect()
+        }
+        after_ph = {
+            tuple(r)
+            for r in invindex_phrase_lookup(
+                spark, d, ["alpha", "beta"]
+            ).collect()
+        }
+        assert after == before and after  # bit-identical doubles
+        assert after_ph == before_ph and after_ph
+        # the purge is PHYSICAL: no dead id survives in the tables
+        post_ids = {
+            r["id"]
+            for r in spark.read.parquet(os.path.join(d, "postings"))
+            .select("id").distinct().collect()
+        }
+        assert not any(i % 4 == 0 for i in post_ids)
+        # ... and the serving plan lost its tombstone anti-join
+        plan = (
+            invindex_bm25_lookup(spark, d, TERMS)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftAnti" not in plan
+
+    def test_compact_noop_without_tombstones_and_add_after(
+        self, spark, tmp_path
+    ):
+        from mini_data_platform_spark.operators.invindex import (
+            invindex_add,
+            invindex_compact,
+            invindex_delete,
+        )
+
+        docs = _docs(spark, 200)
+        d = str(tmp_path / "inv")
+        built = invindex_build(
+            docs.where(F.col("doc_id") < 120), d, "doc_id", "text"
+        )
+        assert invindex_compact(spark, d) == built  # no tombstones: no-op
+
+        # delete + compact + add == rebuild over (live ∪ added)
+        invindex_delete(
+            docs.where(F.col("doc_id") % 4 == 0), d, "doc_id"
+        )
+        invindex_compact(spark, d)
+        invindex_add(
+            docs.where(F.col("doc_id") >= 120), d, "doc_id", "text"
+        )
+        d2 = str(tmp_path / "ref")
+        invindex_build(
+            docs.where(
+                (F.col("doc_id") % 4 != 0) | (F.col("doc_id") >= 120)
+            ),
+            d2, "doc_id", "text",
+        )
+        got = {
+            tuple(r) for r in invindex_bm25_lookup(spark, d, TERMS).collect()
+        }
+        want = {
+            tuple(r) for r in invindex_bm25_lookup(spark, d2, TERMS).collect()
+        }
+        assert got == want and got

@@ -61,6 +61,28 @@ def _session(label: str):
     return spark
 
 
+def _partsupp_pagerank_autoscale(spark, sf_dir):
+    """10× probe twin of partsupp_pagerank. The declared query PINS
+    scale=SCALE (1e12) because its DuckDB oracle folds that literal into
+    the chained-CTE arithmetic; at the probe's ~210k nodes the pin
+    overflows 64-bit mass BY DESIGN (100·N·scale ≥ 2⁶³), so the probe
+    runs the operator's documented auto-scale path (pagerank_fixed
+    scale=None, which picks the largest safe power of 10 from the actual
+    node count — round-8 verdict item 7) and records the wall under this
+    twin's own name instead of an error (round-11 verdict item 6)."""
+    from pyspark.sql import functions as F
+
+    from mini_data_platform_spark.operators.pagerank import pagerank_fixed
+    from mini_data_platform_spark.plans.analytics import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(1_000_000_000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    ).distinct()
+    return pagerank_fixed(edges, "src", "dst", iterations=6, scale=None)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
@@ -79,7 +101,17 @@ def main() -> None:
 
     from mini_data_platform_spark.operators.resources import release_plan
 
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    if "partsupp_pagerank" in queries:
+        # named substitution, not an error (see the twin's docstring)
+        del queries["partsupp_pagerank"]
+        queries["partsupp_pagerank_autoscale"] = _partsupp_pagerank_autoscale
+        print(
+            "note: partsupp_pagerank pins scale=1e12 for its oracle and "
+            "overflows by design at 10x nodes; probing the auto-scale "
+            "twin partsupp_pagerank_autoscale instead",
+            flush=True,
+        )
     # warmup, mirroring bench.py: JVM, python workers, serve caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from pyspark.sql import functions as F
