@@ -184,33 +184,65 @@ def _hinted(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= _broadcast_max_rows() else df
 
 
-def _ids_local(id_frame: DataFrame, cap: int) -> list | None:
-    """Materialize a (declared-)bounded single-column id frame to a
-    driver-side list for an ``isin``/InSet filter, or ``None`` when it
-    overflows ``cap`` (a mis-declared small batch) so the caller
+#: Candidate-pair rows admissible as a driver-side literal frame: each
+#: row is two ids (~32 B), so the cap is a few MB collected/broadcast —
+#: DISTINCT from the id cap below because LSH pairs fan out quadratically
+#: within hot buckets (sf0.1 emb serve: 27.8k pairs over 2.2k ids, which
+#: the id-bounded regime has always admitted).
+_VERIFY_BROADCAST_MAX_PAIRS = 200_000
+
+
+def _pairs_local(
+    cands: DataFrame, max_pairs: int, max_ids: int
+) -> tuple[list, list] | None:
+    """Materialize the (declared-)bounded candidate PAIR frame to a
+    driver-side (rows, distinct-sorted-ids) pair, or ``None`` when it
+    overflows either cap (a mis-declared small batch) so the caller
     degrades to the guarded semi-join instead of an unbounded collect.
 
     Why a literal list and not a broadcast semi-join: the serve paths'
-    candidate-id frame carries the WHOLE candidate-generation lineage
+    candidate frame carries the WHOLE candidate-generation lineage
     (LSH banding, bucket joins, distincts), and a broadcast build
     against it embeds that lineage into every frame that references the
     filtered result — the round-11 plan defect, where the
     twice-referenced verify frame compiled to a 76-exchange serve plan
     against the ≤4-exchange zero-shuffle contract
-    (tests/test_plan_quality.py small_batch gate). An InSet filter is
-    lineage-free, pushes into the parquet candidate scan, and costs one
-    bounded collect that prepays the persisted candidate cache the
-    scorer reads anyway."""
-    rows = id_frame.limit(cap + 1).collect()
-    if len(rows) > cap:
+    (tests/test_plan_quality.py small_batch gate). A literal pair frame
+    plus an InSet id filter are lineage-free, the filter pushes into
+    the parquet candidate scan, and the one bounded collect is the ONLY
+    action before the verify job — collecting PAIRS directly off the
+    persisted cands frame (rather than a derived distinct-id frame, the
+    first round-12 cut) saves a per-lookup union+distinct shuffle job,
+    and handing the literal pairs back to the scorer keeps the
+    candidate lineage out of the verify plan entirely."""
+    rows = cands.limit(max_pairs + 1).collect()
+    if len(rows) > max_pairs:
         return None
-    return [r[0] for r in rows]
+    ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    if len(ids) > max_ids:
+        return None
+    return rows, ids
 
 
 def _isin_filter(ids: list):
-    """``col("id") IN (<ids>)`` as a pushable predicate; empty candidate
-    sets filter everything (``isin([])`` is not valid Spark)."""
-    return F.col("id").isin(ids) if ids else F.lit(False)
+    """``id IN (<ids>)`` as a pushable In predicate; empty candidate
+    sets filter everything (``isin([])`` is not valid Spark).
+
+    Built as ONE SQL expression string on purpose: ``Column.isin(ids)``
+    creates a py4j literal per element — ~4 ms of driver↔JVM round trip
+    EACH, measured 4.8 s of the serve wall at 1k candidate ids (the
+    round-12 latency profile's top entry) — while the parser folds the
+    same thousand-element list in one call, microseconds JVM-side."""
+    if not ids:
+        return F.lit(False)
+
+    def fmt(v):
+        if isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
+        return str(v)
+
+    return F.expr(f"id IN ({', '.join(fmt(v) for v in ids)})")
 
 
 def _read_meta(index_dir: str) -> dict:
@@ -815,7 +847,7 @@ def _neardup_batch_pairs(
         # so an unfiltered h_old would broadcast the entire corpus — the
         # exact OOM _VERIFY_BROADCAST_MAX_DOCS exists to prevent
         # (round-10 advice, high). In the broadcast-verify regime the
-        # bound comes from a LITERAL InSet filter (_ids_local), not a
+        # bound comes from a LITERAL InSet filter (_pairs_local), not a
         # semi-join: the id set is small (2·n_cands under the verify
         # ceiling, or the declared-small contract), the filter pushes
         # into the candidate parquet scan, and — unlike a broadcast
@@ -825,13 +857,20 @@ def _neardup_batch_pairs(
         # overflows the verify ceiling degrades to the guarded
         # shuffle-verify path instead of an unbounded driver collect.
         h_old = docs_old.select("id", _SHH)
+        cands_v = cands
         if small_verify:
-            cand_ids_local = _ids_local(
-                _cand_ids(), _VERIFY_BROADCAST_MAX_DOCS
+            loc = _pairs_local(
+                cands, _VERIFY_BROADCAST_MAX_PAIRS,
+                _VERIFY_BROADCAST_MAX_DOCS,
             )
-            small_verify = cand_ids_local is not None
+            small_verify = loc is not None
         if small_verify:
-            in_cands = _isin_filter(cand_ids_local)
+            cand_pairs, cand_id_list = loc
+            in_cands = _isin_filter(cand_id_list)
+            # the scorer gets the LITERAL pair frame: the verify plan
+            # then contains no candidate-generation lineage at all —
+            # one cand-gen action (the collect above), one verify job
+            cands_v = spark.createDataFrame(cand_pairs, cands.schema)
             sets_all = (
                 hsets_new.where(in_cands)
                 .unionByName(h_old.where(in_cands))
@@ -851,7 +890,7 @@ def _neardup_batch_pairs(
         # redundant internal re-derivation of the same id set.
         verified = (
             jaccard_pairs_from_hashes(
-                sets_all, cands, "id",
+                sets_all, cands_v, "id",
                 small_pairs=small_verify,
                 involved_filtered=True,
             )
@@ -1348,24 +1387,31 @@ def _embdup_batch_pairs(
     # broadcast hash join never prunes its own build side by the
     # streamed cands — an unfiltered vecs_old would broadcast every
     # indexed vector on a tiny lookup (round-10 advice, medium). Under
-    # declared_small the bound is a LITERAL InSet filter (_ids_local,
+    # declared_small the bound is a LITERAL InSet filter (_pairs_local,
     # same rationale as the text path: a broadcast semi against the
     # cands frame embeds the whole bucketing lineage into the
     # broadcast vb side — the round-11 plan defect); a mis-declared
     # batch degrades to an unhinted semi-join. The counted path keeps
     # the 2·n_cands-guarded semi-join.
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    cand_ids_local = (
-        _ids_local(cand_ids, _VERIFY_BROADCAST_MAX_DOCS)
+    cands_v = cands
+    loc = (
+        _pairs_local(
+            cands, _VERIFY_BROADCAST_MAX_PAIRS, _VERIFY_BROADCAST_MAX_DOCS
+        )
         if declared_small else None
     )
-    if cand_ids_local is not None:
-        vecs_old = vecs_old.where(_isin_filter(cand_ids_local))
+    if loc is not None:
+        cand_pairs, cand_id_list = loc
+        vecs_old = vecs_old.where(_isin_filter(cand_id_list))
+        # literal pair frame for the verify joins: no candidate lineage
+        # in the serve plan, no second action (see _pairs_local)
+        cands_v = spark.createDataFrame(cand_pairs, cands.schema)
     else:
+        cand_ids = (
+            cands.select(F.col("id_a").alias("id"))
+            .unionByName(cands.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
         vecs_old = vecs_old.join(
             cand_ids if declared_small
             else _hinted(cand_ids, 2 * n_cands),
@@ -1380,7 +1426,7 @@ def _embdup_batch_pairs(
         F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
         F.col("nrm").alias("_nb"),
     )
-    cands_j = F.broadcast(cands) if declared_small else cands
+    cands_j = F.broadcast(cands_v) if declared_small else cands_v
     vb_j = F.broadcast(vb) if declared_small else vb
     verified = (
         cands_j.join(va, "id_a")

@@ -1663,7 +1663,7 @@ class TestAdviceR10BroadcastBounds:
         """A small_batch=True lookup whose candidate-id set overflows
         the verify ceiling must DEGRADE to the guarded semi-join verify
         — never an unbounded driver collect — with identical results
-        (round-12: _ids_local returns None past the cap)."""
+        (round-12: _pairs_local returns None past the cap)."""
         import mini_data_platform_spark.operators.incremental as inc
 
         b1 = _corpus(spark, 0, 80)
