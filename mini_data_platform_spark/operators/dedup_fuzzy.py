@@ -23,11 +23,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from mini_data_platform_spark.functions.text import (
-    normalize_text,
-    shingles_of,
-    tokens,
-)
+from mini_data_platform_spark.functions.text import normalize_text, tokens
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for a generated SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _staged_shingles(
@@ -40,10 +41,24 @@ def _staged_shingles(
     shingle element (O(tokens²·len) per row — measured 10× slower at sf0.1).
     CollapseProject keeps both stages: the aliases are non-cheap and
     referenced more than once.
+
+    Built as generated-SQL ``selectExpr`` stages (the exact expression
+    trees :func:`~mini_data_platform_spark.functions.text.tokens` /
+    ``shingles_of`` produce — one parser call each) rather than Column
+    chains: per-Column py4j construction cost dominated the serving
+    lookups' wall (round-12 profile: 448 ms → 75 ms for the batch band
+    plan, bit-identical output — tools/profile_plan.py).
     """
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    return toked.select(
-        F.col(id_col), shingles_of(F.col("_toks"), shingle_n).alias(out)
+    n = int(shingle_n)
+    toked = df.selectExpr(
+        _bt(id_col), f"split(trim({_bt(text_col)}), ' +') AS _toks"
+    )
+    return toked.selectExpr(
+        _bt(id_col),
+        f"if(size(_toks) >= {n}, "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))), "
+        f"cast(array() as array<string>)) AS {_bt(out)}",
     )
 
 
@@ -142,30 +157,25 @@ def minhash_signature_columns(
     The md5 arrays are staged in their own select so the four slice
     references per md5 share one evaluation, mirroring the staged
     projection in the batch pipeline."""
-    # NB: the transform lambdas MUST be single-argument — F.transform
-    # dispatches on lambda arity, and a second parameter (even a bound
-    # default) is silently fed the ELEMENT INDEX
-    def _md5_of(m: int):
-        prefix = f"{m}#"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    def _slice_at(off: int):
-        return lambda h: F.substring(h, off, 8)
-
+    # Generated-SQL selectExpr stages (one parser call per select) — the
+    # Column-chain formulation paid ~0.5 s of py4j construction per serve
+    # lookup (round-12 profile); the parsed trees are identical, including
+    # the staging contract (md5 arrays in their OWN select so the four
+    # slice references share one evaluation).
+    ids = [_bt(c) for c in id_cols]
     n_md5 = (num_hashes + 3) // 4
-    staged = shingled.select(
-        *[F.col(c) for c in id_cols],
+    staged = shingled.selectExpr(
+        *ids,
         *[
-            F.transform(F.col(sh_col), _md5_of(m)).alias(f"_md5a_{m}")
+            f"transform({_bt(sh_col)}, s -> md5(concat('{m}#', s))) AS _md5a_{m}"
             for m in range(n_md5)
         ],
     )
-    return staged.select(
-        *[F.col(c) for c in id_cols],
+    return staged.selectExpr(
+        *ids,
         *[
-            F.array_min(
-                F.transform(F.col(f"_md5a_{i // 4}"), _slice_at((i % 4) * 8 + 1))
-            ).alias(f"mh_{i}")
+            f"array_min(transform(_md5a_{i // 4}, "
+            f"h -> substring(h, {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
             for i in range(num_hashes)
         ],
     )
@@ -200,22 +210,20 @@ def lsh_band_keys(
     batches against it."""
     r = num_hashes // bands
     assert bands * r == num_hashes, "bands must divide num_hashes"
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
-            f"band_{b}"
-        )
+    # generated-SQL stages (see _staged_shingles): band md5s in their own
+    # projection, then one stack() generator — same rows/schema as the
+    # original explode-of-structs formulation, one parser call per select
+    band_exprs = [
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + f")) AS band_{b}"
         for b in range(bands)
     ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    return banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "bk.band_id", "bk.band_key")
+    banded = signatures.selectExpr(_bt(id_col), *band_exprs)
+    stacked = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    return banded.selectExpr(
+        _bt(id_col), f"stack({bands}, {stacked}) AS (band_id, band_key)"
+    )
 
 
 def lsh_candidate_pairs(
@@ -338,14 +346,11 @@ def shingle_hash_sets(
     A null shingle array (empty doc under explode_outer conventions)
     maps to the EMPTY set — same null-safety contract as
     :func:`jaccard_pairs_from`."""
-    empty = F.array().cast("array<string>")
-    return shingled.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.coalesce(F.col(sh_col), empty), lambda s: F.xxhash64(s)
-            )
-        ).alias(out),
+    return shingled.selectExpr(
+        _bt(id_col),
+        f"array_distinct(transform("
+        f"coalesce({_bt(sh_col)}, cast(array() as array<string>)), "
+        f"s -> xxhash64(s))) AS {_bt(out)}",
     )
 
 

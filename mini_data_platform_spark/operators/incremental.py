@@ -128,6 +128,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -224,8 +226,8 @@ def _pairs_local(
     return rows, ids
 
 
-def _isin_filter(ids: list):
-    """``id IN (<ids>)`` as a pushable In predicate; empty candidate
+def _isin_filter(ids: list, col: str = "id"):
+    """``<col> IN (<ids>)`` as a pushable In predicate; empty candidate
     sets filter everything (``isin([])`` is not valid Spark).
 
     Built as ONE SQL expression string on purpose: ``Column.isin(ids)``
@@ -242,7 +244,87 @@ def _isin_filter(ids: list):
             return f"'{esc}'"
         return str(v)
 
-    return F.expr(f"id IN ({', '.join(fmt(v) for v in ids)})")
+    quoted = "`" + col.replace("`", "``") + "`"
+    return F.expr(f"{quoted} IN ({', '.join(fmt(v) for v in ids)})")
+
+
+#: Corpus-side bucket entries a serving probe may pull to the driver:
+#: the probe scan is already In-filtered to the batch's band keys, so
+#: this only trips on pathological hot buckets — which the candidate
+#: caps would reject anyway; overflowing degrades to the distributed
+#: candidate join, never an unbounded collect.
+_PROBE_MAX_ENTRIES = 200_000
+
+
+def _literal_pairs_frame(spark: SparkSession, pairs: list, schema):
+    """Driver pairs → DataFrame via the Arrow path: pandas-backed
+    ``createDataFrame`` serializes one Arrow batch instead of a py4j
+    pickle per row — at the embedding serve's ~28k candidate pairs the
+    row path alone cost ~0.4 s of lookup wall. Falls back to the plain
+    row path when the pandas conversion rejects the id type."""
+    rows = [tuple(p) for p in pairs]
+    if rows:
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            return spark.createDataFrame(pdf, schema)
+        except Exception:  # noqa: BLE001 — fall back to the row path
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
+def _local_bucket_pairs(
+    new_rows: list,
+    old_rows: list,
+    max_bucket: int | None,
+    max_pairs: int,
+    max_ids: int,
+) -> tuple[list, list] | None:
+    """DRIVER-side candidate-pair generation for the declared-small
+    serving probe: ``new_rows``/``old_rows`` are (id, bucket_key)
+    tuples — the batch's band keys and the In-probed corpus bucket
+    entries. Emits exactly the pairs the distributed form produces:
+    new-vs-corpus (id != id, (least, greatest)) ∪ new-vs-new (a < b)
+    over buckets surviving the hot-bucket cap (old occupancy + new
+    occupancy ≤ ``max_bucket``; occupancies counted per touched bucket,
+    the same current-corpus semantics as the distributed count
+    aggregate), set-deduped. Returns (sorted pairs, sorted distinct
+    ids) or ``None`` when either cap overflows — the caller then falls
+    back to the distributed candidate join. Python ``<`` on the ids
+    matches Spark's least/greatest for the integral and string id
+    types an index carries (UTF-8 byte order ≡ code-point order)."""
+    from collections import defaultdict
+
+    new_by: dict = defaultdict(list)
+    old_by: dict = defaultdict(list)
+    for i, k in new_rows:
+        new_by[k].append(i)
+    for i, k in old_rows:
+        old_by[k].append(i)
+    pairs: set = set()
+    for k, news in new_by.items():
+        olds = old_by.get(k, ())
+        if max_bucket is not None and len(olds) + len(news) > max_bucket:
+            continue
+        for n in news:
+            for o in olds:
+                if o != n:
+                    pairs.add((o, n) if o < n else (n, o))
+            if len(pairs) > max_pairs:
+                return None
+        for x in range(len(news)):
+            a = news[x]
+            for y in range(x + 1, len(news)):
+                b = news[y]
+                if a != b:
+                    pairs.add((a, b) if a < b else (b, a))
+        if len(pairs) > max_pairs:
+            return None
+    ids = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    if len(ids) > max_ids:
+        return None
+    return sorted(pairs), ids
 
 
 def _read_meta(index_dir: str) -> dict:
@@ -399,6 +481,20 @@ def _write_segment(df: DataFrame, index_dir: str, table: str, seg: str) -> None:
     df.write.mode("overwrite").parquet(os.path.join(index_dir, table, seg))
 
 
+#: Analyzed-plan cache for the live corpus views (serving-session
+#: shape): a lookup loop re-reads the SAME committed segment set every
+#: request, and each ``spark.read.parquet`` pays file listing, footer
+#: schema reads, and plan analysis on the driver — pure latency at any
+#: scale (the corpus itself never moves; this caches the *plan*, not
+#: data). Keyed by (application, index, table, exact segment lists), so
+#: any commit — increment, takedown, compaction — changes the key and
+#: the stale entry simply ages out of the small LRU. DataFrames are
+#: immutable, so handing the same object to concurrent lookups is safe.
+_LIVE_PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_LIVE_PLAN_CACHE_MAX = 32
+_LIVE_PLAN_LOCK = threading.Lock()
+
+
 def _read_live(
     spark: SparkSession, index_dir: str, table: str, meta: dict
 ) -> DataFrame:
@@ -409,6 +505,44 @@ def _read_live(
     id set, guarded-broadcast on the running delete count (a takedown
     set is tiny next to the corpus; a bulk purge past the threshold
     degrades to a shuffle anti-join instead of OOM-ing the driver)."""
+    # committed segments are immutable by the commit-log doctrine, but
+    # the key still carries each segment dir's mtime so an out-of-band
+    # rewrite (legacy-index surgery, manual repair) can never be served
+    # a stale file listing; a missing dir skips caching entirely
+    tomb_segs = tuple(meta["segments"].get(_TOMBSTONES, []))
+    try:
+        stamps = tuple(
+            os.stat(p).st_mtime_ns
+            for p in _segment_paths(index_dir, table, meta)
+            + [os.path.join(index_dir, _TOMBSTONES, s) for s in tomb_segs]
+        )
+    except OSError:
+        return _build_live(spark, index_dir, table, meta)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(index_dir),
+        table,
+        tuple(meta["segments"][table]),
+        tomb_segs,
+        stamps,
+        meta.get("n_deleted", 0),
+    )
+    with _LIVE_PLAN_LOCK:
+        hit = _LIVE_PLAN_CACHE.get(key)
+        if hit is not None:
+            _LIVE_PLAN_CACHE.move_to_end(key)
+            return hit
+    df = _build_live(spark, index_dir, table, meta)
+    with _LIVE_PLAN_LOCK:
+        _LIVE_PLAN_CACHE[key] = df
+        while len(_LIVE_PLAN_CACHE) > _LIVE_PLAN_CACHE_MAX:
+            _LIVE_PLAN_CACHE.popitem(last=False)
+    return df
+
+
+def _build_live(
+    spark: SparkSession, index_dir: str, table: str, meta: dict
+) -> DataFrame:
     df = _read_table(spark, index_dir, table, meta)
     segs = meta["segments"].get(_TOMBSTONES, [])
     if not segs:
@@ -749,6 +883,80 @@ def _neardup_batch_pairs(
     # batch's band keys — broadcast (no index shuffle) while the batch
     # is under the guard threshold, shuffle join above it
     buckets_old = _read_live(spark, index_dir, _BUCKETS, meta)
+    docs_old_early = _read_live(spark, index_dir, _DOCS, meta)
+    # the probe also serves COUNTED small batches (steady incremental
+    # ingest is exactly this regime): the band-row collect is bounded
+    # by n_batch·bands, so the gate admits it only under the entry cap
+    # — bulk backfills keep the distributed joins below
+    probe_ok = declared_small or (
+        n_batch is not None and n_batch * bands <= _PROBE_MAX_ENTRIES
+    )
+    if probe_ok and _SHH in docs_old_early.columns:
+        # DRIVER-SIDE POINT PROBE — the declared-small serving fast
+        # path (round-12): the batch's band keys are broadcast-sized by
+        # contract, so candidate generation needs no distributed join
+        # at all. One collect of the batch's band frame (materializing
+        # the persisted shingle cache the verify reuses), ONE pushed-In
+        # scan of the bucket table for the touched band keys, and the
+        # hot-bucket cap + pair/self-join semantics run as plain Python
+        # over those bounded lists (_local_bucket_pairs — identical
+        # output to the distributed joins, set-deduped). The serve
+        # lookup collapses from ~18 jobs (guard joins, broadcast
+        # builds, distincts) to 3: batch bands, bucket probe, verify.
+        # At cluster scale this is the shape a serving tier wants — the
+        # corpus never shuffles, the bucket scan prunes to the probed
+        # keys, and the verify scan prunes to candidate ids. Any cap
+        # overflow (mis-declared batch, pathological bucket) falls
+        # through to the distributed path below, never an error.
+        band_rows = bands_new.collect()
+        probe_keys = sorted({r[2] for r in band_rows})
+        entries = (
+            buckets_old.where(_isin_filter(probe_keys, "band_key"))
+            .limit(_PROBE_MAX_ENTRIES + 1)
+            .collect()
+        )
+        if len(entries) <= _PROBE_MAX_ENTRIES:
+            loc = _local_bucket_pairs(
+                [(r[0], (r[1], r[2])) for r in band_rows],
+                [(r[0], (r[1], r[2])) for r in entries],
+                max_bucket,
+                _VERIFY_BROADCAST_MAX_PAIRS,
+                min(_VERIFY_BROADCAST_MAX_DOCS, _broadcast_max_rows()),
+            )
+            if loc is not None:
+                cand_pairs, cand_id_list = loc
+                in_cands = _isin_filter(cand_id_list)
+                idt = bands_new.schema["id"].dataType
+                from pyspark.sql import types as T
+
+                pair_schema = T.StructType(
+                    [T.StructField("id_a", idt), T.StructField("id_b", idt)]
+                )
+                cands_v = _literal_pairs_frame(spark, cand_pairs, pair_schema)
+                hsets_new = shingle_hash_sets(shingled_new, "id")
+                h_old = docs_old_early.select("id", _SHH)
+                # coalesce: the In-filtered union is candidate-sized
+                # (≤ 2·max_ids rows) but inherits batch+corpus
+                # partition counts; without it the verify's repeated
+                # scans schedule hundreds of near-empty tasks
+                sets_all = (
+                    hsets_new.where(in_cands)
+                    .unionByName(h_old.where(in_cands))
+                    .coalesce(8)
+                    .persist()
+                )
+                verified = (
+                    jaccard_pairs_from_hashes(
+                        sets_all, cands_v, "id",
+                        small_pairs=True,
+                        involved_filtered=True,
+                    )
+                    .filter(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "jaccard")
+                )
+                return verified, bands_new, hsets_new, [
+                    bands_new, shingled_new, sets_all,
+                ]
     if max_bucket is not None:
         # hot-bucket cap with CURRENT-corpus semantics: a bucket's size
         # is its OLD occupancy + the batch's — the same total a capped
@@ -870,7 +1078,7 @@ def _neardup_batch_pairs(
             # the scorer gets the LITERAL pair frame: the verify plan
             # then contains no candidate-generation lineage at all —
             # one cand-gen action (the collect above), one verify job
-            cands_v = spark.createDataFrame(cand_pairs, cands.schema)
+            cands_v = _literal_pairs_frame(spark, cand_pairs, cands.schema)
             sets_all = (
                 hsets_new.where(in_cands)
                 .unionByName(h_old.where(in_cands))
@@ -1355,31 +1563,59 @@ def _embdup_batch_pairs(
     )
 
     buckets_old = _read_live(spark, index_dir, _EBUCKETS, meta)
-    cand_cross = (
-        buckets_old.alias("o")
-        .join(
-            _guard(bucketed_new, n_new).alias("n"),
-            (F.col("o.bucket") == F.col("n.bucket"))
-            & (F.col("o.id") != F.col("n.id")),
+    probe_loc = None
+    if declared_small or (n_new is not None and n_new <= _PROBE_MAX_ENTRIES):
+        # DRIVER-SIDE POINT PROBE (round-12, same design as the text
+        # path): collect the broadcast-sized batch's bucket keys, probe
+        # the corpus bucket table with ONE pushed-In scan, and generate
+        # the candidate pairs in Python — the serve lookup drops the
+        # distributed candidate joins entirely. Counted small batches
+        # (steady increments) qualify under the same entry cap. Cap
+        # overflow falls through to the distributed path below.
+        new_rows = bucketed_new.collect()
+        probe_keys = sorted({r[1] for r in new_rows})
+        entries = (
+            buckets_old.where(_isin_filter(probe_keys, "bucket"))
+            .limit(_PROBE_MAX_ENTRIES + 1)
+            .collect()
         )
-        .select(
-            F.least(F.col("o.id"), F.col("n.id")).alias("id_a"),
-            F.greatest(F.col("o.id"), F.col("n.id")).alias("id_b"),
+        if len(entries) <= _PROBE_MAX_ENTRIES:
+            probe_loc = _local_bucket_pairs(
+                [(r[0], r[1]) for r in new_rows],
+                [(r[0], r[1]) for r in entries],
+                None,
+                _VERIFY_BROADCAST_MAX_PAIRS,
+                min(_VERIFY_BROADCAST_MAX_DOCS, _broadcast_max_rows()),
+            )
+    if probe_loc is None:
+        cand_cross = (
+            buckets_old.alias("o")
+            .join(
+                _guard(bucketed_new, n_new).alias("n"),
+                (F.col("o.bucket") == F.col("n.bucket"))
+                & (F.col("o.id") != F.col("n.id")),
+            )
+            .select(
+                F.least(F.col("o.id"), F.col("n.id")).alias("id_a"),
+                F.greatest(F.col("o.id"), F.col("n.id")).alias("id_b"),
+            )
         )
-    )
-    nn_a = bucketed_new.select(
-        F.col("id").alias("id_a"), F.col("bucket").alias("_bk")
-    )
-    nn_b = bucketed_new.select(
-        F.col("id").alias("id_b"), F.col("bucket").alias("_bk")
-    )
-    cand_self = (
-        nn_a.join(nn_b, "_bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    cands = cand_cross.unionByName(cand_self).distinct().persist()
-    n_cands = None if declared_small else cands.count()
+        nn_a = bucketed_new.select(
+            F.col("id").alias("id_a"), F.col("bucket").alias("_bk")
+        )
+        nn_b = bucketed_new.select(
+            F.col("id").alias("id_b"), F.col("bucket").alias("_bk")
+        )
+        cand_self = (
+            nn_a.join(nn_b, "_bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = cand_cross.unionByName(cand_self).distinct().persist()
+        n_cands = None if declared_small else cands.count()
+    else:
+        cands = None
+        n_cands = None
 
     vecs_old = _read_live(spark, index_dir, _EVECS, meta)
     # the candidate-id filter applies in BOTH regimes: under
@@ -1394,18 +1630,27 @@ def _embdup_batch_pairs(
     # batch degrades to an unhinted semi-join. The counted path keeps
     # the 2·n_cands-guarded semi-join.
     cands_v = cands
-    loc = (
-        _pairs_local(
-            cands, _VERIFY_BROADCAST_MAX_PAIRS, _VERIFY_BROADCAST_MAX_DOCS
+    if probe_loc is not None:
+        loc = probe_loc
+    else:
+        loc = (
+            _pairs_local(
+                cands, _VERIFY_BROADCAST_MAX_PAIRS, _VERIFY_BROADCAST_MAX_DOCS
+            )
+            if declared_small else None
         )
-        if declared_small else None
-    )
     if loc is not None:
         cand_pairs, cand_id_list = loc
         vecs_old = vecs_old.where(_isin_filter(cand_id_list))
         # literal pair frame for the verify joins: no candidate lineage
         # in the serve plan, no second action (see _pairs_local)
-        cands_v = spark.createDataFrame(cand_pairs, cands.schema)
+        from pyspark.sql import types as T
+
+        idt = bucketed_new.schema["id"].dataType
+        pair_schema = T.StructType(
+            [T.StructField("id_a", idt), T.StructField("id_b", idt)]
+        )
+        cands_v = _literal_pairs_frame(spark, cand_pairs, pair_schema)
     else:
         cand_ids = (
             cands.select(F.col("id_a").alias("id"))
@@ -1426,8 +1671,12 @@ def _embdup_batch_pairs(
         F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
         F.col("nrm").alias("_nb"),
     )
-    cands_j = F.broadcast(cands_v) if declared_small else cands_v
-    vb_j = F.broadcast(vb) if declared_small else vb
+    # a literal candidate frame is dial-bounded by construction
+    # (max_ids ≤ min(verify ceiling, broadcast dial)), so it earns the
+    # hard hint in the counted regime too — same bound _hinted enforces
+    small_literal = declared_small or loc is not None
+    cands_j = F.broadcast(cands_v) if small_literal else cands_v
+    vb_j = F.broadcast(vb) if small_literal else vb
     verified = (
         cands_j.join(va, "id_a")
         .join(vb_j, "id_b")
@@ -1440,7 +1689,10 @@ def _embdup_batch_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
-    return verified, bucketed_new, [cands, bucketed_new]
+    pinned = (
+        [bucketed_new] if cands is None else [cands, bucketed_new]
+    )
+    return verified, bucketed_new, pinned
 
 
 def embdup_index_lookup(

@@ -74,14 +74,30 @@ def lsh_bucket(
     """Attach the hyperplane-LSH bucket signature ('0'/'1' per plane,
     concatenated) to every vector. ``planes`` is a driver-side list of
     plane vectors (small: P×dim floats, shipped in the plan as literals)."""
+    # One generated-SQL projection instead of P×dim py4j literal calls:
+    # the Column formulation cost ~0.34 s of driver time per serve
+    # lookup at 8 planes × 64 dims (round-12 profile). CAST('<repr>' AS
+    # DOUBLE) round-trips each plane component exactly (repr is
+    # shortest-exact), so the parsed tree is value-identical to
+    # F.lit(float(x)); the fold mirrors functions/vectors.dot verbatim.
+    vq = "`" + vec_col.replace("`", "``") + "`"
     bits = []
     for p in planes:
-        plane_col = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        arr = (
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)
+            + ")"
         )
-    return df.select(
-        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+        d = (
+            f"aggregate(zip_with({vq}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bits.append(f"IF({d} >= 0, '1', '0')")
+    return df.selectExpr(
+        "`" + id_col.replace("`", "``") + "`",
+        vq,
+        "concat(" + ", ".join(bits) + ") AS bucket",
     )
 
 

@@ -1,0 +1,259 @@
+"""The round-12 driver-side point probe (operators/incremental.py
+``_local_bucket_pairs`` + the probe blocks in ``_neardup_batch_pairs``
+/ ``_embdup_batch_pairs``): declared-small serving lookups and small
+counted increments generate their candidate pairs from two bounded
+driver collects (batch band keys + an In-probed bucket scan) instead
+of distributed joins. These tests pin that the probe is a pure
+STRATEGY change — identical pairs to the distributed path in every
+regime (serve, increment, hot-bucket cap, embedding) — that every cap
+overflow degrades to the distributed path rather than erroring, and
+that the live-view plan cache can never serve a stale index state."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_data_platform_spark.operators import incremental as inc
+from mini_data_platform_spark.operators.dedup_fuzzy import near_dup_pairs
+from mini_data_platform_spark.operators.incremental import (
+    neardup_index_build,
+    neardup_index_increment,
+    neardup_index_lookup,
+)
+from mini_data_platform_spark.operators.resources import release_plan
+
+NUM_HASHES, BANDS, SHINGLE_N, THRESH = 16, 4, 3, 0.5
+
+
+def _corpus(spark, start, n):
+    w = "alpha beta gamma delta"
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(w),
+            F.concat(F.lit("tok"), F.col("id")),
+            F.concat(F.lit("word"), F.col("id") % 7),
+            F.lit(w),
+            F.concat(F.lit("x"), F.col("id") % 3),
+        ).alias("text"),
+    )
+
+
+def _mutated(docs, offset):
+    t = F.split(F.trim(F.col("text")), " +")
+    return docs.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+    )
+
+
+def _pairs_set(df):
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in df.collect()
+    }
+    release_plan(df)
+    return got
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="probeidx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestLocalBucketPairs:
+    """Unit semantics of the driver-side pair generator."""
+
+    def test_cross_and_self_pairs_deduped_and_ordered(self):
+        new = [(10, "b1"), (11, "b1"), (10, "b2")]
+        old = [(1, "b1"), (2, "b1"), (3, "b2"), (10, "b2")]
+        pairs, ids = inc._local_bucket_pairs(new, old, None, 1000, 1000)
+        # cross: b1 -> (1,10),(2,10),(1,11),(2,11); b2 -> (3,10); the
+        # old entry (10,'b2') is the SAME id as new 10 -> excluded
+        # self: b1 -> (10,11)
+        assert set(pairs) == {
+            (1, 10), (2, 10), (1, 11), (2, 11), (3, 10), (10, 11),
+        }
+        assert pairs == sorted(pairs)
+        assert ids == [1, 2, 3, 10, 11]
+
+    def test_hot_bucket_cap_skips_whole_bucket(self):
+        new = [(10, "hot"), (11, "hot"), (12, "cold")]
+        old = [(1, "hot"), (2, "hot"), (3, "cold")]
+        # hot occupancy 2 old + 2 new = 4 > 3 -> dropped entirely,
+        # including its new-vs-new pair; cold survives
+        pairs, ids = inc._local_bucket_pairs(new, old, 3, 1000, 1000)
+        assert set(pairs) == {(3, 12)}
+        assert ids == [3, 12]
+
+    def test_pair_cap_overflow_returns_none(self):
+        new = [(i, "b") for i in range(100, 130)]
+        old = [(i, "b") for i in range(30)]
+        assert (
+            inc._local_bucket_pairs(new, old, None, 10, 10_000) is None
+        )
+
+    def test_id_cap_overflow_returns_none(self):
+        new = [(100, "b")]
+        old = [(i, "b") for i in range(50)]
+        assert (
+            inc._local_bucket_pairs(new, old, None, 10_000, 3) is None
+        )
+
+    def test_duplicate_batch_ids_no_self_pair(self):
+        # a doc appearing twice in one bucket pairs with others once
+        # and never with itself — mirrors the distinct() + (a < b)
+        # semantics of the distributed join
+        new = [(10, "b"), (10, "b"), (11, "b")]
+        pairs, ids = inc._local_bucket_pairs(new, [], None, 1000, 1000)
+        assert set(pairs) == {(10, 11)}
+
+
+class TestProbeEquivalence:
+    """Probe path ≡ distributed path, pinned by forcing the fallback
+    with a zero entry cap and diffing the pair sets."""
+
+    def _build(self, spark, tmpdir, n=60, max_bucket=None):
+        b1 = _corpus(spark, 0, n)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N, max_bucket=max_bucket,
+        )
+        return b1, _mutated(b1.where(F.col("doc_id") % 3 == 0), 1000)
+
+    def test_serve_lookup_probe_equals_distributed(
+        self, spark, tmpdir, monkeypatch
+    ):
+        _, batch = self._build(spark, tmpdir)
+        probed = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        monkeypatch.setattr(inc, "_PROBE_MAX_ENTRIES", 0)
+        fallback = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        assert probed == fallback and probed
+
+    def test_counted_increment_probe_equals_recompute(
+        self, spark, tmpdir, monkeypatch
+    ):
+        b1, batch = self._build(spark, tmpdir)
+        probed = _pairs_set(neardup_index_increment(batch, tmpdir))
+        # the increment committed; rebuild fresh for the fallback twin
+        d2 = tempfile.mkdtemp(prefix="probeidx_")
+        try:
+            neardup_index_build(
+                b1, d2, "doc_id", "text",
+                THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+            )
+            monkeypatch.setattr(inc, "_PROBE_MAX_ENTRIES", 0)
+            fallback = _pairs_set(neardup_index_increment(batch, d2))
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+        assert probed == fallback and probed
+        # and both equal the full-corpus recompute restricted to batch
+        full = near_dup_pairs(
+            b1.unionByName(batch), "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        want = {p for p in _pairs_set(full) if p[1] >= 1000}
+        assert probed == want
+
+    def test_hot_bucket_cap_probe_equals_distributed(
+        self, spark, tmpdir, monkeypatch
+    ):
+        CAP = 8
+        _, batch = self._build(spark, tmpdir, n=40, max_bucket=CAP)
+        probed = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        monkeypatch.setattr(inc, "_PROBE_MAX_ENTRIES", 0)
+        fallback = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        assert probed == fallback
+
+    def test_embdup_probe_equals_distributed(
+        self, spark, tmpdir, monkeypatch
+    ):
+        from mini_data_platform_spark.operators.incremental import (
+            embdup_index_build,
+            embdup_index_lookup,
+        )
+
+        b1 = spark.range(0, 40).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("double") + 1.0,
+                (F.col("id") % 7 - 3).cast("double"),
+                (F.col("id") % 5 - 2).cast("double"),
+            ).alias("embedding"),
+        )
+        b2 = b1.select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 0.5).alias(
+                "embedding"
+            ),
+        )
+        embdup_index_build(b1, tmpdir, "vec_id", "embedding", threshold=0.9)
+
+        def pairs(df):
+            got = {
+                (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+                for r in df.collect()
+            }
+            release_plan(df)
+            return got
+
+        probed = pairs(embdup_index_lookup(b2, tmpdir, small_batch=True))
+        monkeypatch.setattr(inc, "_PROBE_MAX_ENTRIES", 0)
+        fallback = pairs(embdup_index_lookup(b2, tmpdir, small_batch=True))
+        assert probed == fallback and probed
+
+
+class TestLivePlanCache:
+    """The analyzed-plan cache keys on the exact committed segment
+    lists — any commit (increment, takedown) must change the key, so a
+    lookup after a commit can never see the pre-commit corpus."""
+
+    def test_lookup_sees_post_increment_state(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 30)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        batch1 = _mutated(b1.where(F.col("doc_id") < 5), 1000)
+        # a lookup warms the cache for the batch-0-only state
+        before = _pairs_set(
+            neardup_index_lookup(batch1, tmpdir, small_batch=True)
+        )
+        assert {(a, a + 1000) for a in range(5)} <= {
+            (a, b) for a, b, _ in before
+        }
+        # commit an increment, then look up a batch that collides with
+        # the NEW segment's docs — a stale cached corpus view would
+        # miss every one of these pairs
+        release_plan(neardup_index_increment(batch1, tmpdir))
+        batch2 = _mutated(b1.where(F.col("doc_id") < 5), 2000)
+        after = _pairs_set(
+            neardup_index_lookup(batch2, tmpdir, small_batch=True)
+        )
+        got = {(a, b) for a, b, _ in after}
+        assert {(a + 1000, a + 2000) for a in range(5)} <= got
+
+    def test_cache_hit_returns_same_plan_object(self, spark, tmpdir):
+        b1 = _corpus(spark, 0, 10)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        meta = inc._recover_meta(tmpdir)
+        d1 = inc._read_live(spark, tmpdir, "docs", meta)
+        d2 = inc._read_live(spark, tmpdir, "docs", meta)
+        assert d1 is d2
