@@ -94,3 +94,107 @@ def maintain_neardup_index_stream(
         neardup_index_increment, docs, index_dir, checkpoint_dir,
         available_now,
     )
+
+
+def maintain_index_from_wire(
+    wire: DataFrame,
+    value_schema,
+    columns: list[str],
+    index_dir: str,
+    checkpoint_dir: str,
+    fold,
+    key_type: str = "string",
+    value_format: str = "json",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Kafka-wire → incremental index, tombstones included — the
+    real-time corpus-maintenance capstone (SURVEY §2.9 S10 + the
+    incremental-index family): a frame carrying the Kafka wire schema
+    (the real Kafka source in deployment; a wire-schema file stream in
+    tests) decodes via ``streaming/kafka.kafka_records`` and each
+    micro-batch becomes ONE index commit pair:
+
+    - live records (non-null value) increment the index via ``fold``
+      (``neardup_index_increment`` / ``exact_index_increment`` — the
+      same O(batch + candidates) point-probe path serving uses);
+    - TOMBSTONE records (null value — a compacted topic's deletion
+      markers) become ``index_delete`` takedowns keyed by the record
+      KEY cast to ``key_type`` (the indexed id type, e.g. ``bigint``).
+      A compacted Kafka topic's retention contract thus maps 1:1 onto
+      the index's takedown/compaction contract: key deleted upstream ⇒
+      doc retracted from every later lookup, physically purged at the
+      next ``compact_index``.
+
+    Exactly-once: foreachBatch replays a crashed epoch under the same
+    epoch id, and BOTH halves carry derived ``batch_id``s
+    (``...-{epoch}`` / ``...-{epoch}-del``), so each is a no-op on
+    replay — a crash between the two halves replays into
+    increment-no-op + delete-apply, converging to the same state.
+
+    ``columns`` are the payload fields to feed ``fold`` (e.g.
+    ``[id_col, text_col]``); extra payload fields are dropped here so
+    the index segments never absorb unrelated wire columns."""
+    from pyspark.sql import functions as F
+
+    from mini_data_platform_spark.operators.incremental import index_delete
+    from mini_data_platform_spark.streaming.kafka import kafka_records
+
+    recs = kafka_records(
+        wire, value_schema, value_format=value_format,
+        drop_tombstones=False,
+    )
+    ckpt_key = checkpoint_key(checkpoint_dir)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        base = f"epoch-{ckpt_key}-{epoch_id}"
+        live = batch.where(~F.col("_tombstone")).select(*columns)
+        fold(live, index_dir, batch_id=base)
+        dead = (
+            batch.where(F.col("_tombstone"))
+            .select(F.col("_kafka_key").cast(key_type).alias("id"))
+            .where(F.col("id").isNotNull())
+            .distinct()
+            .persist()
+        )
+        try:
+            # only commit a tombstone segment when the epoch actually
+            # carries deletions — most epochs are pure appends and must
+            # not grow the tombstone log
+            if dead.limit(1).count() > 0:
+                index_delete(dead, index_dir, batch_id=base + "-del")
+        finally:
+            dead.unpersist()
+
+    writer = (
+        recs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_neardup_index_from_wire(
+    wire: DataFrame,
+    value_schema,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    key_type: str = "bigint",
+    value_format: str = "json",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """``maintain_index_from_wire`` specialized to a near-dup index:
+    live wire records near-dup-increment the corpus, tombstoned keys
+    are taken down. See the generic for the exactly-once argument."""
+    from mini_data_platform_spark.operators.incremental import (
+        neardup_index_increment,
+    )
+
+    return maintain_index_from_wire(
+        wire, value_schema, [id_col, text_col], index_dir,
+        checkpoint_dir, neardup_index_increment, key_type=key_type,
+        value_format=value_format, available_now=available_now,
+    )

@@ -304,3 +304,115 @@ class TestSubstitutedSourceIngest:
             start_streaming_ingest(
                 spark, None, str(tmp_path / "c"), sink=lambda d: 0
             )
+
+
+class TestWireToNeardupIndex:
+    """The real-time corpus-maintenance capstone
+    (streaming/dedup_index.maintain_neardup_index_from_wire): a
+    wire-schema stream increments a persisted near-dup index, and
+    compacted-topic TOMBSTONES become index takedowns — one durable
+    dedup state shared by batch, streaming, and serving, with
+    exactly-once commits across restarts."""
+
+    @staticmethod
+    def _land(spark, wire_dir, name, records):
+        df = _wire_df(spark, records)
+        stage = f"{wire_dir}__stage_{name}"
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(glob.glob(os.path.join(stage, "part-*"))):
+            shutil.move(f, os.path.join(wire_dir, f"{name}-{i}.parquet"))
+        shutil.rmtree(stage)
+
+    @staticmethod
+    def _doc_json(doc_id, text):
+        return json.dumps({"doc_id": doc_id, "text": text})
+
+    def _run(self, spark, wire_dir, ckpt, idx):
+        from mini_data_platform_spark.streaming.dedup_index import (
+            maintain_neardup_index_from_wire,
+        )
+
+        stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+        q = maintain_neardup_index_from_wire(
+            stream,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            ),
+            "doc_id", "text", idx, ckpt,
+            key_type="bigint", available_now=True,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    def test_increments_takedown_and_replay(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.incremental import (
+            _recover_meta,
+            index_docs,
+            neardup_index_build,
+            neardup_index_lookup,
+        )
+        from mini_data_platform_spark.operators.resources import release_plan
+
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        idx = str(tmp_path / "idx")
+        os.makedirs(wire_dir)
+
+        base_text = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(i, f"{base_text} doc{i}") for i in range(8)],
+            "doc_id bigint, text string",
+        )
+        neardup_index_build(corpus, idx, "doc_id", "text", 0.5, 16, 4, 3)
+
+        # epoch 1: two live near-dup copies of docs 0 and 1
+        self._land(
+            spark, wire_dir, "b1",
+            [
+                ("docs", 0, 1, "100", self._doc_json(100, f"{base_text} doc0")),
+                ("docs", 0, 2, "101", self._doc_json(101, f"{base_text} doc1")),
+            ],
+        )
+        self._run(spark, wire_dir, ckpt, idx)
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert {100, 101} <= docs_now
+
+        # the streamed docs are live corpus: a serving lookup of a copy
+        # of doc0's text must pair with BOTH 0 and its streamed twin 100
+        probe = spark.createDataFrame(
+            [(500, f"{base_text} doc0")], "doc_id bigint, text string"
+        )
+        out = neardup_index_lookup(probe, idx, small_batch=True)
+        partners = {
+            r["id_a"] for r in out.collect() if r["id_b"] == 500
+        }
+        release_plan(out)
+        assert {0, 100} <= partners
+
+        # epoch 2: tombstone key 100 (compacted-topic deletion) plus
+        # one more live doc — the takedown must retract 100 from every
+        # later lookup while 102 joins the corpus
+        self._land(
+            spark, wire_dir, "b2",
+            [
+                ("docs", 0, 3, "100", None),
+                ("docs", 0, 4, "102", self._doc_json(102, f"{base_text} doc2")),
+            ],
+        )
+        self._run(spark, wire_dir, ckpt, idx)
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 100 not in docs_now and 102 in docs_now
+
+        out = neardup_index_lookup(probe, idx, small_batch=True)
+        partners = {r["id_a"] for r in out.collect() if r["id_b"] == 500}
+        release_plan(out)
+        assert 0 in partners and 100 not in partners
+
+        # replay: a fresh run over the same checkpoint with no new wire
+        # files must commit nothing (exactly-once across restarts)
+        before = _recover_meta(idx)["n_batches"]
+        self._run(spark, wire_dir, ckpt, idx)
+        assert _recover_meta(idx)["n_batches"] == before
