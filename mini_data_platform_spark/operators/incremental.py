@@ -255,6 +255,39 @@ def _isin_filter(ids: list, col: str = "id"):
 #: candidate join, never an unbounded collect.
 _PROBE_MAX_ENTRIES = 200_000
 
+#: Distinct bucket keys a probe will push as one In predicate (a
+#: single parsed array — 32k strings is ~1 MB of plan, fine); past
+#: this the batch is no point lookup: skip the probe entirely.
+_PROBE_MAX_KEYS = 32_000
+
+#: Above this many probe keys, COUNT the In-filtered bucket scan
+#: before collecting it: a large probe against a large corpus can
+#: match far more entries than the collect cap, and the 10×-scale
+#: probe measured ~2 s of collected-then-discarded rows on exactly
+#: that shape — one cheap pushed-scan count makes overflow detection
+#: O(scan), not O(collect). Small probes keep the single-collect path
+#: (no extra job on the point-lookup latency profile).
+_PROBE_COUNT_FIRST = 4_000
+
+
+
+def _probe_entries(buckets_old, key_col: str, probe_keys: list):
+    """The bounded corpus-side probe collect shared by the text and
+    embedding point probes: the bucket table In-filtered to the batch's
+    keys, pulled to the driver, or ``None`` when any bound trips (the
+    caller falls back to the distributed candidate join). See
+    _PROBE_MAX_KEYS / _PROBE_COUNT_FIRST / _PROBE_MAX_ENTRIES for the
+    three bounds and their rationale."""
+    if len(probe_keys) > _PROBE_MAX_KEYS:
+        return None
+    flt = buckets_old.where(_isin_filter(probe_keys, key_col))
+    if len(probe_keys) > _PROBE_COUNT_FIRST:
+        if flt.count() > _PROBE_MAX_ENTRIES:
+            return None
+        return flt.collect()
+    entries = flt.limit(_PROBE_MAX_ENTRIES + 1).collect()
+    return entries if len(entries) <= _PROBE_MAX_ENTRIES else None
+
 
 def _literal_pairs_frame(spark: SparkSession, pairs: list, schema):
     """Driver pairs → DataFrame via the Arrow path: pandas-backed
@@ -910,12 +943,8 @@ def _neardup_batch_pairs(
         # through to the distributed path below, never an error.
         band_rows = bands_new.collect()
         probe_keys = sorted({r[2] for r in band_rows})
-        entries = (
-            buckets_old.where(_isin_filter(probe_keys, "band_key"))
-            .limit(_PROBE_MAX_ENTRIES + 1)
-            .collect()
-        )
-        if len(entries) <= _PROBE_MAX_ENTRIES:
+        entries = _probe_entries(buckets_old, "band_key", probe_keys)
+        if entries is not None:
             loc = _local_bucket_pairs(
                 [(r[0], (r[1], r[2])) for r in band_rows],
                 [(r[0], (r[1], r[2])) for r in entries],
@@ -1574,12 +1603,8 @@ def _embdup_batch_pairs(
         # overflow falls through to the distributed path below.
         new_rows = bucketed_new.collect()
         probe_keys = sorted({r[1] for r in new_rows})
-        entries = (
-            buckets_old.where(_isin_filter(probe_keys, "bucket"))
-            .limit(_PROBE_MAX_ENTRIES + 1)
-            .collect()
-        )
-        if len(entries) <= _PROBE_MAX_ENTRIES:
+        entries = _probe_entries(buckets_old, "bucket", probe_keys)
+        if entries is not None:
             probe_loc = _local_bucket_pairs(
                 [(r[0], r[1]) for r in new_rows],
                 [(r[0], r[1]) for r in entries],
