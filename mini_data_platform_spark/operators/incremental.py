@@ -260,31 +260,26 @@ _PROBE_MAX_ENTRIES = 200_000
 #: this the batch is no point lookup: skip the probe entirely.
 _PROBE_MAX_KEYS = 32_000
 
-#: Above this many probe keys, COUNT the In-filtered bucket scan
-#: before collecting it: a large probe against a large corpus can
-#: match far more entries than the collect cap, and the 10×-scale
-#: probe measured ~2 s of collected-then-discarded rows on exactly
-#: that shape — one cheap pushed-scan count makes overflow detection
-#: O(scan), not O(collect). Small probes keep the single-collect path
-#: (no extra job on the point-lookup latency profile).
-_PROBE_COUNT_FIRST = 4_000
+
 
 
 
 def _probe_entries(buckets_old, key_col: str, probe_keys: list):
     """The bounded corpus-side probe collect shared by the text and
     embedding point probes: the bucket table In-filtered to the batch's
-    keys, pulled to the driver, or ``None`` when any bound trips (the
-    caller falls back to the distributed candidate join). See
-    _PROBE_MAX_KEYS / _PROBE_COUNT_FIRST / _PROBE_MAX_ENTRIES for the
-    three bounds and their rationale."""
+    keys, pulled to the driver, or ``None`` when a bound trips (the
+    caller falls back to the distributed candidate join).
+
+    ONE limited collect on purpose: a count-before-collect variant was
+    tried (round 12) and reverted — the batch's key count cannot
+    predict overflow (the corpus side's bucket occupancy decides it),
+    so counting first taxes EVERY steady increment one extra scan
+    (~0.3 s × N increments in the curation funnel) to save a bounded
+    ~1-2 s discarded collect in the rare overflow case, which precedes
+    a multi-second distributed fallback anyway. Expected case wins."""
     if len(probe_keys) > _PROBE_MAX_KEYS:
         return None
     flt = buckets_old.where(_isin_filter(probe_keys, key_col))
-    if len(probe_keys) > _PROBE_COUNT_FIRST:
-        if flt.count() > _PROBE_MAX_ENTRIES:
-            return None
-        return flt.collect()
     entries = flt.limit(_PROBE_MAX_ENTRIES + 1).collect()
     return entries if len(entries) <= _PROBE_MAX_ENTRIES else None
 
