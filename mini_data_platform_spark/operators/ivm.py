@@ -332,10 +332,12 @@ def view_increment(
 def _read_segments(
     spark: SparkSession, view_dir: str, meta: dict
 ) -> DataFrame:
+    from mini_data_platform_spark.operators.plancache import cached_parquet
+
     paths = [
         os.path.join(view_dir, _AGG, s) for s in meta["segments"][_AGG]
     ]
-    return spark.read.parquet(*paths)
+    return cached_parquet(spark, paths)
 
 
 def view_read(

@@ -350,7 +350,14 @@ def _read_rows(
     if paths is None:
         paths = _segment_paths(table_dir, _ROWS, meta)
     if not meta.get("evolved"):
-        return spark.read.parquet(*paths)
+        # committed segments are immutable → the analyzed plan is
+        # reusable across the many reads a refresh/apply loop makes of
+        # the same log (operators/plancache.py)
+        from mini_data_platform_spark.operators.plancache import (
+            cached_parquet,
+        )
+
+        return cached_parquet(spark, paths)
     out = None
     for p in paths:
         df = spark.read.parquet(p)
