@@ -416,3 +416,58 @@ class TestWireToNeardupIndex:
         before = _recover_meta(idx)["n_batches"]
         self._run(spark, wire_dir, ckpt, idx)
         assert _recover_meta(idx)["n_batches"] == before
+
+    def test_generic_fold_drives_exact_index(self, spark, tmp_path):
+        """The generic ``maintain_index_from_wire`` composes with any
+        index fold: the EXACT-hash index here — streamed duplicates
+        resolve against the indexed corpus, a tombstoned key is
+        retracted."""
+        from mini_data_platform_spark.operators.incremental import (
+            exact_index_build,
+            exact_index_increment,
+            index_docs,
+        )
+        from mini_data_platform_spark.streaming.dedup_index import (
+            maintain_index_from_wire,
+        )
+
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        idx = str(tmp_path / "idx")
+        os.makedirs(wire_dir)
+        corpus = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(6)],
+            "doc_id bigint, text string",
+        )
+        exact_index_build(corpus, idx, "doc_id", "text")
+
+        # one exact copy of doc 2 under a new id, plus a tombstone for
+        # the streamed id from a later epoch
+        self._land(
+            spark, wire_dir, "e1",
+            [("docs", 0, 1, "200", self._doc_json(200, "text number 2"))],
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        q = maintain_index_from_wire(
+            spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir),
+            schema, ["doc_id", "text"], idx, ckpt,
+            exact_index_increment, key_type="bigint", available_now=True,
+        )
+        q.awaitTermination(120)
+        ids = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 200 in ids
+
+        self._land(spark, wire_dir, "e2", [("docs", 0, 2, "200", None)])
+        q = maintain_index_from_wire(
+            spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir),
+            schema, ["doc_id", "text"], idx, ckpt,
+            exact_index_increment, key_type="bigint", available_now=True,
+        )
+        q.awaitTermination(120)
+        ids = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 200 not in ids and 2 in ids
