@@ -257,3 +257,49 @@ class TestLivePlanCache:
         d1 = inc._read_live(spark, tmpdir, "docs", meta)
         d2 = inc._read_live(spark, tmpdir, "docs", meta)
         assert d1 is d2
+
+
+class TestStringIdProbe:
+    """String-keyed indexes through the point probe: the literal In
+    filter must escape quote/backslash ids, and Python's pair ordering
+    (min/max on str) must agree with Spark's least/greatest — pinned by
+    diffing the probe against the distributed path on ids built to
+    stress both."""
+
+    def test_quoted_ids_probe_equals_distributed(
+        self, spark, tmpdir, monkeypatch
+    ):
+        base = "alpha beta gamma delta epsilon zeta"
+        rows = []
+        for i in range(12):
+            # ids carrying single quotes, backslashes, and unicode —
+            # every one must survive the In-literal round trip
+            rows.append((f"d'{i}\\xé", f"{base} doc{i}"))
+        corpus = spark.createDataFrame(rows, "doc_id string, text string")
+        neardup_index_build(
+            corpus, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        t = F.split(F.trim(F.col("text")), " +")
+        batch = corpus.select(
+            F.concat(F.lit("q'"), F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+        )
+
+        def pairs(df):
+            got = {
+                (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+                for r in df.collect()
+            }
+            release_plan(df)
+            return got
+
+        probed = pairs(neardup_index_lookup(batch, tmpdir, small_batch=True))
+        monkeypatch.setattr(inc, "_PROBE_MAX_ENTRIES", 0)
+        fallback = pairs(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        assert probed == fallback and probed
+        # every id in the output still carries its special characters
+        ids = {a for a, _, _ in probed} | {b for _, b, _ in probed}
+        assert all("'" in i and "\\" in i and "é" in i for i in ids)
