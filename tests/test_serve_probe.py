@@ -303,3 +303,32 @@ class TestStringIdProbe:
         # every id in the output still carries its special characters
         ids = {a for a, _, _ in probed} | {b for _, b, _ in probed}
         assert all("'" in i and "\\" in i and "é" in i for i in ids)
+
+    def test_key_ceiling_falls_back_identically(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """A probe whose distinct key set exceeds _PROBE_MAX_KEYS skips
+        the corpus probe entirely (no oversized In predicate) and the
+        distributed path returns the identical pairs."""
+        base = "alpha beta gamma delta epsilon zeta"
+        corpus = spark.createDataFrame(
+            [(str(i), f"{base} doc{i}") for i in range(20)],
+            "doc_id string, text string",
+        )
+        neardup_index_build(
+            corpus, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        t = F.split(F.trim(F.col("text")), " +")
+        batch = corpus.select(
+            F.concat(F.lit("n"), F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
+        )
+        probed = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        monkeypatch.setattr(inc, "_PROBE_MAX_KEYS", 0)
+        skipped = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        assert probed == skipped and probed
