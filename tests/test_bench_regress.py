@@ -21,6 +21,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from bench_regress import (  # noqa: E402
+    CONTENTION_LOAD,
+    ambient_load,
+    contention,
+    evaluate,
     find_regressions,
     latest_details,
     round_of,
@@ -95,6 +99,78 @@ class TestFlagRules:
         assert round_of("/x/custom.json") is None
 
 
+def _run(load_start, queries):
+    return {"load": {"loadavg_start": load_start}, "queries": queries}
+
+
+class TestContention:
+    """Round-12 verdict item 1: the driver's post-close bench rerun
+    overwrote BENCH_DETAIL_r12.json with a loaded-machine run (ambient
+    start loadavg 6.3-10.9 vs the committed quiet run's 2.2) and the
+    gate failed the delivered tree on 10 contention-class queries. The
+    gate must use the load signal it already records: a contended
+    compare downgrades (ratio gate ×2), never fails on ambient noise."""
+
+    def test_ambient_load_is_max_of_start_triple(self):
+        # the 5/15-min averages catch load the 1-min number already shed
+        assert ambient_load(_run([6.33, 9.95, 10.86], {})) == 10.86
+        assert ambient_load({"queries": {}}) == 0.0
+
+    def test_quiet_pair_is_clean(self):
+        assert contention(_run([2.2, 2.0, 1.8], {}),
+                          _run([1.9, 2.1, 2.3], {})) is None
+
+    def test_absolute_load_trips_contention(self):
+        v = contention(_run([2.19, 2.0, 1.8], {}),
+                       _run([6.33, 9.95, 10.86], {}))
+        assert v is not None and str(CONTENTION_LOAD) in v
+
+    def test_load_delta_trips_contention_below_absolute_bar(self):
+        v = contention(_run([1.0, 1.0, 1.0], {}),
+                       _run([2.5, 2.0, 2.0], {}))
+        assert v is not None and "2.5x" in v
+
+    def test_contended_compare_downgrades_not_skips(self):
+        """The exact r12 shape: ~1.5-2.1x uniform inflation under load
+        passes; a genuine plan blowup (the 2.3->8.6 s class this gate
+        exists for) still flags and still needs its §6 note."""
+        old = _run([2.2, 2.0, 1.8], {"noise": 1.767, "blowup": 2.3})
+        new = _run([6.33, 9.95, 10.86], {"noise": 3.697, "blowup": 8.6})
+        flags, bad, verdict, eff = evaluate(old, new, notes="", round_no=13)
+        assert verdict is not None and eff == 3.0
+        assert [f["name"] for f in flags] == ["blowup"]
+        assert [f["name"] for f in bad] == ["blowup"]
+
+    def test_quiet_compare_keeps_the_tight_gate(self):
+        old = _run([1.0, 1.0, 1.0], {"q": 1.767})
+        new = _run([1.2, 1.1, 1.0], {"q": 3.697})
+        flags, bad, verdict, eff = evaluate(old, new, notes="", round_no=13)
+        assert verdict is None and eff == 1.5
+        assert [f["name"] for f in flags] == ["q"]
+
+    def test_r12_overwrite_artifact_passes_clean(self):
+        """The incident itself, pinned: the driver-overwritten r12
+        artifact vs r11 must evaluate clean (contention verdict named,
+        zero unexplained flags) on the tree as the driver leaves it."""
+        import json
+
+        r11 = os.path.join(REPO, "BENCH_DETAIL_r11.json")
+        r12 = os.path.join(REPO, "BENCH_DETAIL_r12.json")
+        if not (os.path.exists(r11) and os.path.exists(r12)):
+            pytest.skip("r11/r12 artifacts not present")
+        with open(r11) as fh:
+            old = json.load(fh)
+        with open(r12) as fh:
+            new = json.load(fh)
+        if ambient_load(new) <= CONTENTION_LOAD >= ambient_load(old):
+            pytest.skip("artifact pair is quiet — nothing to downgrade")
+        flags, bad, verdict, _ = evaluate(
+            old, new, survey_section6(REPO), 12
+        )
+        assert verdict is not None
+        assert bad == []
+
+
 class TestRepoGate:
     """The actual round-close gate: latest two recorded rounds."""
 
@@ -110,11 +186,18 @@ class TestRepoGate:
             old = json.load(fh)
         with open(new_p) as fh:
             new = json.load(fh)
-        flags = find_regressions(old, new)
-        bad = unexplained(flags, survey_section6(REPO), round_of(new_p))
+        # evaluate() is the same call main() makes — contention-aware,
+        # so the driver's loaded-machine bench reruns (which overwrite
+        # the round artifact post-close) downgrade instead of failing
+        # the delivered tree (round-12 verdict item 1)
+        flags, bad, verdict, eff = evaluate(
+            old, new, survey_section6(REPO), round_of(new_p)
+        )
         assert not bad, (
             f"{os.path.basename(new_p)} regressed vs "
-            f"{os.path.basename(old_p)} with no SURVEY §6 note: "
+            f"{os.path.basename(old_p)} (gate {eff}x"
+            + (f", contended: {verdict}" if verdict else "")
+            + ") with no SURVEY §6 note: "
             + ", ".join(
                 f"{f['name']} {f['old']}->{f['new']}" for f in bad
             )

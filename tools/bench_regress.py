@@ -34,6 +34,24 @@ A contended driver machine inflates CPU-bound queries ~uniformly
 (round-6 note: two bench attempts read 480 s and 200 s under ambient
 load) — when the loadavg ratio is >2× the report says so, because the
 right fix is then a re-run or a §6 contention note, not a plan hunt.
+
+CONTENTION-AWARE COMPARE (round-12 verdict item 1). The driver's
+post-close bench rerun overwrote BENCH_DETAIL_r12.json with a run
+recorded at ambient loadavg 6.3-10.9 (the committed quiet run started
+at 2.2), and this gate then failed the delivered tree's pytest on 10
+queries — every one in the contention-sensitive numpy class §6
+documents, none a plan regression. The artifact already records the
+signal (``load.loadavg_start``), so the gate now uses it instead of
+failing on noise it can detect: a compare is CONTENDED when either
+run's ambient start load exceeds ``CONTENTION_LOAD`` (a quiet bench
+box here idles at ~0-2; the r12 overwrite read 10.9) or the two runs'
+ambient loads differ by ≥2×. A contended compare is DOWNGRADED, not
+skipped: the ratio gate doubles (1.5×→3×, ``CONTENTION_FACTOR``), so
+uniform ~1.5-2.1× contention inflation passes while a genuine plan
+blowup (the creeps this gate exists for ran 2.3→8.6 s) still flags
+and still needs its §6 note. The report names the contention verdict
+whenever it downgrades. The authoritative artifact remains the quiet
+committed run — this only keeps reruns from failing the tree.
 """
 
 from __future__ import annotations
@@ -48,6 +66,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RATIO = 1.5
 ABS_SEC = 0.5
+
+#: Ambient (bench-start) loadavg above which a run counts as contended.
+#: Quiet recorded rounds start at ~0.5-2.2; the r12 driver-overwrite
+#: started at 6.33/9.95/10.86. 4.0 (12.5% of the 32-cpu box) splits
+#: those regimes with margin on both sides.
+CONTENTION_LOAD = 4.0
+#: Ratio-gate multiplier for a contended compare (1.5x -> 3.0x).
+CONTENTION_FACTOR = 2.0
 
 
 def latest_details(repo: str = REPO) -> tuple[str, str]:
@@ -133,6 +159,54 @@ def _load_ctx(d: dict) -> str:
     return f"loadavg {s} -> {e}" if s else "loadavg unrecorded"
 
 
+def ambient_load(d: dict) -> float:
+    """A run's ambient load: max of the start loadavg triple (the 5/15
+    minute averages catch a machine that was hammered moments before
+    the 1-minute number decayed — the r12 overwrite read
+    [6.33, 9.95, 10.86]). 0.0 when unrecorded (old artifacts)."""
+    la = (d.get("load") or {}).get("loadavg_start") or []
+    return float(max(la)) if la else 0.0
+
+
+def contention(old: dict, new: dict) -> str | None:
+    """None for a clean compare, else a sentence naming why this pair
+    is contended (absolute ambient load over CONTENTION_LOAD on either
+    run, or a ≥2x ambient delta between them). Pure — unit-tested."""
+    ol, nl = ambient_load(old), ambient_load(new)
+    worst = max(ol, nl)
+    if worst > CONTENTION_LOAD:
+        return (
+            f"ambient loadavg {worst:.2f} > {CONTENTION_LOAD} at bench "
+            f"start (old {ol:.2f}, new {nl:.2f})"
+        )
+    if ol and nl and max(nl / ol, ol / nl) >= 2:
+        return (
+            f"ambient loadavg differs {max(nl / ol, ol / nl):.1f}x "
+            f"between runs (old {ol:.2f}, new {nl:.2f})"
+        )
+    return None
+
+
+def evaluate(
+    old: dict,
+    new: dict,
+    notes: str,
+    round_no: int | None,
+    ratio: float = RATIO,
+    abs_sec: float = ABS_SEC,
+) -> tuple[list[dict], list[dict], str | None, float]:
+    """The whole gate as one pure call, shared by main() and
+    tests/test_bench_regress.py's repo gate so the two can never
+    diverge. Returns (flags, unexplained, contention_verdict,
+    effective_ratio). A contended compare multiplies the ratio gate by
+    CONTENTION_FACTOR — downgraded, never skipped."""
+    verdict = contention(old, new)
+    eff = ratio * (CONTENTION_FACTOR if verdict else 1.0)
+    flags = find_regressions(old, new, eff, abs_sec)
+    bad = unexplained(flags, notes, round_no)
+    return flags, bad, verdict, eff
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--old")
@@ -151,22 +225,21 @@ def main(argv: list[str] | None = None) -> int:
         new = json.load(fh)
     print(f"old: {os.path.basename(old_path)}  ({_load_ctx(old)})")
     print(f"new: {os.path.basename(new_path)}  ({_load_ctx(new)})")
-    ol = (old.get("load") or {}).get("loadavg_start") or [0]
-    nl = (new.get("load") or {}).get("loadavg_start") or [0]
-    if ol[0] and nl[0] and max(nl[0] / ol[0], ol[0] / nl[0]) > 2:
-        print(
-            "NOTE: >2x loadavg delta between runs — uniform inflation "
-            "here is the contention signature, not a plan regression"
-        )
-    flags = find_regressions(old, new, a.ratio, a.abs_sec)
-    if not flags:
-        print(f"no regressions (> {a.ratio}x and > {a.abs_sec}s)")
-        return 0
-    notes = survey_section6()
     new_round = round_of(new_path)
+    flags, bad, verdict, eff = evaluate(
+        old, new, survey_section6(), new_round, a.ratio, a.abs_sec
+    )
+    if verdict:
+        print(
+            f"CONTENTION RERUN: {verdict} — uniform inflation here is "
+            "the contention signature, not a plan regression; compare "
+            f"downgraded to {eff}x ratio gate"
+        )
+    if not flags:
+        print(f"no regressions (> {eff}x and > {a.abs_sec}s)")
+        return 0
     if new_round is not None:
         print(f"explanations must carry an 'r{new_round}:' stamp in §6")
-    bad = unexplained(flags, notes, new_round)
     for f in flags:
         tag = "UNEXPLAINED" if f in bad else "explained in SURVEY §6"
         unit = "s" if f["kind"] == "query" else " rows/min"
