@@ -23,46 +23,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROUND the current window targets (bump each round).
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 #: Last round each query had a slot in the driver's 50-row correctness
 #: window, as recorded in CORRECTNESS_r0{N}.json — the MECHANICAL input
 #: to the rotation policy (round-8 verdict item 2: comments don't
 #: enforce invariants; this dict + tests/test_entry.py's staleness
-#: assertion do). Maintained per round: after choosing the window,
-#: every windowed query's entry becomes CURRENT_ROUND.
+#: assertion do). Maintained per round by `tools/advance_round.py
+#: --write`, which regenerates it from the CORRECTNESS_r*.json
+#: artifacts at the CURRENT_ROUND bump — entries reflect RECORDED
+#: rounds only (a test pins the dict to the artifacts), never the
+#: not-yet-recorded current window.
 #: INVARIANT (tested): a query NOT in this round's window must have
 #: been windowed within the previous two rounds (age <= 2), so every
 #: query gets a driver-recorded check at least every third round —
 #: the tightest bound 127 queries and 50 slots admit.
 _LAST_WINDOWED = {
-    # last windowed in round 8
-    "customer_segment_impute": 8, "customer_spend_distribution": 8,
-    "doc_bm25": 8, "doc_bpe_vocab": 8, "doc_chunk_knn": 8,
-    "doc_contamination_fuzzy": 8, "doc_exact_dedup_incremental": 8,
-    "doc_exact_dedup_serve": 8, "doc_longest_repeat": 8,
-    "doc_repeat_coverage": 8, "doc_source_mix": 8, "doc_suffix_dedup": 8,
-    "doc_title_editjoin": 8, "doc_title_editjoin_freq": 8,
-    "doc_unigram_lm": 8, "doc_weighted_sample": 8, "emb_ann_ivf_trained": 8,
-    "emb_ann_sq8": 8, "emb_near_dups_lsh": 8, "emb_neardup_incremental": 8,
-    "emb_semdedup": 8, "events_cohort_retention": 8,
-    "events_hourly_anomalies": 8, "events_purchase_join_salted": 8,
-    "events_user_stats_salted": 8, "kpi_distinct_customers_ivm": 8,
-    "kpi_price_quantiles_ivm": 8, "kpi_revenue_by_day_ivm": 8,
-    "kpi_top_customers_ivm": 8, "orders_interpolated_revenue": 8,
-    "orders_merge_table": 8, "orders_merge_view": 8,
-    "orders_merge_view_serve": 8, "orders_price_outliers": 8,
-    "orders_scd2_revenue": 8, "partsupp_pagerank": 8,
+    # never windowed
+    "doc_bm25_takedown_serve": 0, "doc_phrase_search": 0,
+    "doc_phrase_serve": 0,
     # last windowed in round 9
-    "big_orders": 9, "cheapest_supplier_per_part": 9, "customer_deciles": 9,
-    "doc_bpe_token_counts": 9, "doc_curated_corpus": 9, "doc_dedup_final": 9,
-    "doc_exact_dedup": 9, "doc_fingerprint": 9, "doc_minhash_candidates": 9,
-    "doc_near_dups": 9, "emb_ann_ivf": 9, "emb_ann_ivfpq": 9,
-    "emb_ann_knn": 9, "emb_ann_pq": 9, "emb_dedup_final": 9,
-    "emb_dup_clusters": 9, "emb_knn": 9, "emb_near_dups_exact": 9,
-    "emb_norms": 9, "events_approx_users": 9, "events_distinct_users": 9,
-    "events_funnel": 9, "events_hourly": 9, "events_json_value": 9,
-    "events_kmv_overlap": 9, "events_kmv_users": 9,
+    "emb_dedup_final": 9, "emb_dup_clusters": 9, "emb_knn": 9,
+    "emb_near_dups_exact": 9, "emb_norms": 9, "events_approx_users": 9,
+    "events_distinct_users": 9, "events_funnel": 9, "events_hourly": 9,
+    "events_json_value": 9, "events_kmv_overlap": 9, "events_kmv_users": 9,
     "events_session_funnel": 9, "events_sessionize": 9,
     "kpi_failed_events_trend": 9, "kpi_product_performance": 9,
     "kpi_revenue_by_day": 9, "kpi_rolling_7d_revenue": 9,
@@ -96,11 +80,30 @@ _LAST_WINDOWED = {
     "orders_join_view": 11, "pricing_summary": 11, "region_nation_rollup": 11,
     "regional_revenue": 11, "status_priority_cube": 11,
     "top_building_orders": 11, "wealthy_active_customers": 11,
-    # added in round 12 (positional postings + compaction), never
-    # driver-windowed yet: verified exact-multiset into
-    # VERIFY_LOCAL_r12.json via the overflow mechanism; window in r13
-    "doc_bm25_takedown_serve": 0, "doc_phrase_search": 0,
-    "doc_phrase_serve": 0,
+    # last windowed in round 12
+    "big_orders": 12, "cheapest_supplier_per_part": 12,
+    "customer_deciles": 12, "customer_segment_impute": 12,
+    "customer_spend_distribution": 12, "doc_bm25": 12,
+    "doc_bpe_token_counts": 12, "doc_bpe_vocab": 12, "doc_chunk_knn": 12,
+    "doc_contamination_fuzzy": 12, "doc_curated_corpus": 12,
+    "doc_dedup_final": 12, "doc_exact_dedup": 12,
+    "doc_exact_dedup_incremental": 12, "doc_exact_dedup_serve": 12,
+    "doc_fingerprint": 12, "doc_longest_repeat": 12,
+    "doc_minhash_candidates": 12, "doc_near_dups": 12,
+    "doc_repeat_coverage": 12, "doc_source_mix": 12, "doc_suffix_dedup": 12,
+    "doc_title_editjoin": 12, "doc_title_editjoin_freq": 12,
+    "doc_unigram_lm": 12, "doc_weighted_sample": 12, "emb_ann_ivf": 12,
+    "emb_ann_ivf_trained": 12, "emb_ann_ivfpq": 12, "emb_ann_knn": 12,
+    "emb_ann_pq": 12, "emb_ann_sq8": 12, "emb_near_dups_lsh": 12,
+    "emb_neardup_incremental": 12, "emb_semdedup": 12,
+    "events_cohort_retention": 12, "events_hourly_anomalies": 12,
+    "events_purchase_join_salted": 12, "events_user_stats_salted": 12,
+    "kpi_distinct_customers_ivm": 12, "kpi_price_quantiles_ivm": 12,
+    "kpi_revenue_by_day_ivm": 12, "kpi_top_customers_ivm": 12,
+    "orders_interpolated_revenue": 12, "orders_merge_table": 12,
+    "orders_merge_view": 12, "orders_merge_view_serve": 12,
+    "orders_price_outliers": 12, "orders_scd2_revenue": 12,
+    "partsupp_pagerank": 12,
 }
 
 #: ROTATION POLICY (the driver's correctness harness records only the
@@ -120,41 +123,38 @@ _LAST_WINDOWED = {
 #:      SURVEY §6).
 #:   3. The rotated-out remainder must be all green in a previous
 #:      round's CORRECTNESS file and re-verified locally if touched.
-#: Round 12 window — REMEDIATION round: round 11 never advanced the
-#: window (CORRECTNESS_r11 re-ran r10's keys verbatim), so 84 of 134
-#: queries now exceed the age<=2 bound with only 50 slots. Selection is
-#: purely MECHANICAL this round: the 50 stalest by (last_windowed,
-#: name) — all 36 r8-last queries plus the first 14 r9-last
-#: alphabetically. The 34-query remainder (r9-last, alphabetical tail)
-#: is the OVERFLOW: each re-verified exact-multiset with
-#: `tools/verify_local.py --record-round 12` into VERIFY_LOCAL_r12.json
-#: — the artifact tests/test_entry.py's staleness bound accepts IN
-#: LIEU of a driver row, and ONLY in a round where the must-set
-#: overflows the slots (so local verification can never dodge rotation
-#: when slots suffice). The bound heals in round 13: the 34 overflow
-#: queries are then the entire must-set.
-_ROUND12_WINDOW = [
-    # all 36 queries last windowed in r8 (stalest cohort)
-    "customer_segment_impute", "customer_spend_distribution",
-    "doc_bm25", "doc_bpe_vocab", "doc_chunk_knn",
-    "doc_contamination_fuzzy", "doc_exact_dedup_incremental",
-    "doc_exact_dedup_serve", "doc_longest_repeat", "doc_repeat_coverage",
-    "doc_source_mix", "doc_suffix_dedup", "doc_title_editjoin",
-    "doc_title_editjoin_freq", "doc_unigram_lm", "doc_weighted_sample",
-    "emb_ann_ivf_trained", "emb_ann_sq8", "emb_near_dups_lsh",
-    "emb_neardup_incremental", "emb_semdedup", "events_cohort_retention",
-    "events_hourly_anomalies", "events_purchase_join_salted",
-    "events_user_stats_salted", "kpi_distinct_customers_ivm",
-    "kpi_price_quantiles_ivm", "kpi_revenue_by_day_ivm",
-    "kpi_top_customers_ivm", "orders_interpolated_revenue",
-    "orders_merge_table", "orders_merge_view", "orders_merge_view_serve",
-    "orders_price_outliers", "orders_scd2_revenue", "partsupp_pagerank",
-    # first 14 of the 48 r9-last queries (alphabetical)
-    "big_orders", "cheapest_supplier_per_part", "customer_deciles",
-    "doc_bpe_token_counts", "doc_curated_corpus", "doc_dedup_final",
-    "doc_exact_dedup", "doc_fingerprint", "doc_minhash_candidates",
-    "doc_near_dups", "emb_ann_ivf", "emb_ann_ivfpq", "emb_ann_knn",
-    "emb_ann_pq",
+#: Round 13 window — the HEAL round planned when round 12's overflow
+#: was accepted: the must-set (age > 2) is exactly the 34 r9-last
+#: overflow queries plus the 3 queries added in round 12 that have
+#: never held a driver slot (doc_phrase_search, doc_phrase_serve,
+#: doc_bm25_takedown_serve — exact-multiset rows in
+#: VERIFY_LOCAL_r12.json until now). That is 37 <= 50, so NO overflow
+#: clause is needed this round; the remaining 13 slots go to the
+#: stalest cohort (r11-last, alphabetical). Selection stays purely
+#: mechanical: must-set first, then stalest by (last_windowed, name).
+_ROUND13_WINDOW = [
+    # never driver-windowed (added in r12) — must-set
+    "doc_bm25_takedown_serve", "doc_phrase_search", "doc_phrase_serve",
+    # all 34 r9-last queries (the r12 overflow) — must-set
+    "emb_dedup_final", "emb_dup_clusters", "emb_knn",
+    "emb_near_dups_exact", "emb_norms", "events_approx_users",
+    "events_distinct_users", "events_funnel", "events_hourly",
+    "events_json_value", "events_kmv_overlap", "events_kmv_users",
+    "events_session_funnel", "events_sessionize",
+    "kpi_failed_events_trend", "kpi_product_performance",
+    "kpi_revenue_by_day", "kpi_rolling_7d_revenue", "kpi_top_customers",
+    "lineitem_unpivot_stats", "nation_top_customer_names",
+    "order_grouping_sets", "order_moments", "order_priority_pivot",
+    "order_stats_distinct", "orders_bloom_lookup", "orders_dq_report",
+    "orders_join_view_serve", "price_quantiles", "price_quantiles_approx",
+    "priority_status_matrix", "promo_revenue_share",
+    "quantity_price_corr", "revenue_by_day_dense",
+    # stalest fill: first 13 of the 50 r11-last queries (alphabetical)
+    "asset_binary_stats", "asset_features", "asset_frame_samples",
+    "click_before_purchase", "customer_rank_in_nation",
+    "customers_with_orders", "customers_without_orders",
+    "daily_revenue_delta", "doc_bm25_serve", "doc_chunks",
+    "doc_contamination", "doc_curated_incremental", "doc_dup_clusters",
 ]
 
 
@@ -165,7 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND12_WINDOW:
+    for name in _ROUND13_WINDOW:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)
