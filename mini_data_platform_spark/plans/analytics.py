@@ -303,17 +303,37 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: percentile_approx accuracy when none is passed and MDP_PCTL_ACCURACY
+#: is unset. 1e6 keeps the GK sketch in its exact-rank regime at oracle
+#: scales (sf0.01/sf0.1 groups are smaller than it), so the approx
+#: operator is VALUE-oracle-checked — but it also makes each map-side
+#: partial's buffer ~group-sized, which is the r12-measured super-linear
+#: wall at 10x (27.2 s vs the exact sort's 8.3 s). Production dials to
+#: ~1e4 (0.01% rank error, constant-size sketches); tools/probe_full.py
+#: probes THAT shape so the scale claim carries evidence.
+_PCTL_ORACLE_ACCURACY = 1_000_000
+
+
+def price_quantiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int | None = None
+) -> DataFrame:
     """Sketch-based percentiles — the 100 TB default. approx_percentile
     keeps one fixed-size mergeable GK sketch per group (map-side partials,
-    no per-group sort), vs the exact variant's full sort per group. With
-    ``accuracy >= |group|`` the sketch is in its exact-rank regime and
-    returns the discrete quantile (an actual data value), which DuckDB's
-    quantile_disc reproduces — so even the approx operator is
-    value-oracle-checked at test scale; production would dial accuracy
-    down (1e4 ≈ 0.01% rank error) and keep the identical plan."""
+    no per-group sort), vs the exact variant's full sort per group.
+    ``accuracy`` (arg, else env MDP_PCTL_ACCURACY, else 1e6) trades
+    sketch size for rank error: with ``accuracy >= |group|`` the sketch
+    is exact-rank and returns the discrete quantile (an actual data
+    value), which DuckDB's quantile_disc reproduces — the oracle runs
+    that regime; the 10x probe runs the production 1e4 shape on the
+    IDENTICAL plan (only the aggregate's literal changes)."""
+    import os as _os
+
     li = load_table(spark, sf_dir, "lineitem")
-    acc = F.lit(1_000_000)
+    acc = F.lit(
+        int(accuracy)
+        if accuracy is not None
+        else int(_os.environ.get("MDP_PCTL_ACCURACY", _PCTL_ORACLE_ACCURACY))
+    )
     price = F.col("l_extendedprice")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.percentile_approx(price, F.lit(0.25), acc).alias("p25"),
