@@ -77,12 +77,25 @@ def lsh_bucket(
     # One generated-SQL projection instead of P×dim py4j literal calls:
     # the Column formulation cost ~0.34 s of driver time per serve
     # lookup at 8 planes × 64 dims (round-12 profile). CAST('<repr>' AS
-    # DOUBLE) round-trips each plane component exactly (repr is
+    # DOUBLE) round-trips each FINITE plane component exactly (repr is
     # shortest-exact), so the parsed tree is value-identical to
-    # F.lit(float(x)); the fold mirrors functions/vectors.dot verbatim.
+    # F.lit(float(x)). Non-finite components (possible only through a
+    # hand-edited frozen meta.json — planes_from_corpus reads real
+    # vectors) are rejected loudly: the string cast would yield NULL
+    # ('inf'/'nan' don't parse as DOUBLE) and silently flip that
+    # plane's bit to '0', a corrupted-index symptom that must not look
+    # like a valid bucketing (round-12 advice).
+    import math as _math
+
     vq = "`" + vec_col.replace("`", "``") + "`"
     bits = []
     for p in planes:
+        if not all(_math.isfinite(float(x)) for x in p):
+            raise ValueError(
+                "lsh_bucket: non-finite plane component in "
+                f"{[float(x) for x in p]!r} — the index's frozen planes "
+                "are corrupt; rebuild the index"
+            )
         arr = (
             "array("
             + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)

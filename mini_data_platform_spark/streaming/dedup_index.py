@@ -120,10 +120,28 @@ def maintain_index_from_wire(
     - TOMBSTONE records (null value — a compacted topic's deletion
       markers) become ``index_delete`` takedowns keyed by the record
       KEY cast to ``key_type`` (the indexed id type, e.g. ``bigint``).
-      A compacted Kafka topic's retention contract thus maps 1:1 onto
-      the index's takedown/compaction contract: key deleted upstream ⇒
+      A compacted Kafka topic's retention contract thus maps onto the
+      index's takedown/compaction contract: key deleted upstream ⇒
       doc retracted from every later lookup, physically purged at the
       next ``compact_index``.
+
+    Compaction-order semantics (round-12 advice): WITHIN an epoch the
+    per-key outcome follows wire order, exactly like log compaction —
+    a key's LAST record (max ``_src_file``, which is zero-padded
+    per-partition offset order, and Kafka keys a key to one partition)
+    decides: tombstone-last ⇒ deleted, live-last ⇒ present, so a
+    tombstone followed by a same-epoch re-add keeps the re-add.
+    ACROSS epochs the index's takedown contract applies and diverges
+    from compacted-topic re-creation: ``index_delete`` tombstones are
+    TERMINAL for an id (they hide later re-adds of the same id too —
+    that is what makes takedowns irreversible by design). A key
+    re-created in a later epoch after its tombstoned epoch must carry
+    a FRESH id to re-enter the index.
+
+    Malformed payloads (PERMISSIVE decode ⇒ null columns) and live
+    records with a null id are dropped before the fold — the
+    batch-runner's never-raise quarantine contract; nothing downstream
+    exists here to absorb a null key.
 
     Exactly-once: foreachBatch replays a crashed epoch under the same
     epoch id, and BOTH halves carry derived ``batch_id``s
@@ -147,10 +165,29 @@ def maintain_index_from_wire(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         base = f"epoch-{ckpt_key}-{epoch_id}"
-        live = batch.where(~F.col("_tombstone")).select(*columns)
+        # null-id quarantine (never-raise contract): malformed
+        # PERMISSIVE-decoded payloads must not reach the fold — a null
+        # id would either crash the probe's Python pair loop or commit
+        # an unprobeable doc
+        live = (
+            batch.where(~F.col("_tombstone"))
+            .select(*columns)
+            .where(F.col(columns[0]).isNotNull())
+        )
         fold(live, index_dir, batch_id=base)
+        # per-key LAST record decides (log-compaction order): a key
+        # whose max-offset record is live was re-created after its
+        # tombstone inside this epoch and must NOT enter the delete
+        # set; _src_file is zero-padded per-partition offset order and
+        # a key maps to one partition, so lexicographic max == latest
         dead = (
-            batch.where(F.col("_tombstone"))
+            batch.groupBy("_kafka_key")
+            .agg(
+                F.max_by(F.col("_tombstone"), F.col("_src_file")).alias(
+                    "_dead"
+                )
+            )
+            .where(F.col("_dead"))
             .select(F.col("_kafka_key").cast(key_type).alias("id"))
             .where(F.col("id").isNotNull())
             .distinct()

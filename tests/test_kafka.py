@@ -417,6 +417,65 @@ class TestWireToNeardupIndex:
         self._run(spark, wire_dir, ckpt, idx)
         assert _recover_meta(idx)["n_batches"] == before
 
+    def test_compaction_order_and_null_id_quarantine(self, spark, tmp_path):
+        """Round-12 advice pair. (1) Within an epoch the per-key LAST
+        wire record decides, exactly like log compaction: add-then-
+        tombstone deletes, tombstone-then-re-add keeps the re-add.
+        (2) Malformed payloads (PERMISSIVE decode -> null id) and
+        non-castable tombstone keys are quarantined before the fold —
+        the epoch neither crashes nor commits a null-id doc. Also pins
+        the DOCUMENTED cross-epoch divergence: index_delete tombstones
+        are terminal, so a later-epoch re-add of a tombstoned id stays
+        hidden (a re-created key needs a fresh id)."""
+        from mini_data_platform_spark.operators.incremental import (
+            index_docs,
+            neardup_index_build,
+        )
+
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        idx = str(tmp_path / "idx")
+        os.makedirs(wire_dir)
+        base_text = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(i, f"{base_text} doc{i}") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        neardup_index_build(corpus, idx, "doc_id", "text", 0.5, 16, 4, 3)
+
+        # ONE epoch, offset order per key:
+        #   200: live@1, tombstone@2   -> deleted (tombstone last)
+        #   201: tombstone@3, live@4   -> present (re-add last)
+        #   999: malformed live@5      -> null id, quarantined
+        #   abc: tombstone@6           -> key casts to null, ignored
+        self._land(
+            spark, wire_dir, "b1",
+            [
+                ("docs", 0, 1, "200", self._doc_json(200, f"{base_text} doc0")),
+                ("docs", 0, 2, "200", None),
+                ("docs", 0, 3, "201", None),
+                ("docs", 0, 4, "201", self._doc_json(201, f"{base_text} doc1")),
+                ("docs", 0, 5, "999", "{malformed"),
+                ("docs", 0, 6, "abc", None),
+            ],
+        )
+        self._run(spark, wire_dir, ckpt, idx)
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 201 in docs_now, "same-epoch re-add after tombstone lost"
+        assert 200 not in docs_now, "tombstone-last key survived"
+        assert None not in docs_now and 999 not in docs_now
+
+        # cross-epoch terminal delete (documented divergence from
+        # compacted-topic re-creation): re-adding id 200 later changes
+        # nothing — takedowns are irreversible per id
+        self._land(
+            spark, wire_dir, "b2",
+            [("docs", 0, 7, "200", self._doc_json(200, f"{base_text} doc0"))],
+        )
+        self._run(spark, wire_dir, ckpt, idx)
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 200 not in docs_now and 201 in docs_now
+
     def test_generic_fold_drives_exact_index(self, spark, tmp_path):
         """The generic ``maintain_index_from_wire`` composes with any
         index fold: the EXACT-hash index here — streamed duplicates

@@ -179,6 +179,25 @@ class TestProbeEquivalence:
         )
         assert probed == fallback
 
+    def test_misdeclared_small_batch_degrades_not_collects(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """Round-12 advice: the probe's FIRST collect is capped too. A
+        batch DECLARED small but actually over the entry cap must take
+        the limit+1 collect and degrade to the distributed path with
+        identical pairs — never an unbounded driver collect (the
+        counted gate only bounds the n_batch-known regime)."""
+        _, batch = self._build(spark, tmpdir)
+        want = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        # 20 batch docs x 8 bands = 160 band rows >> 5: mis-declared
+        monkeypatch.setattr(inc, "_PROBE_MAX_ENTRIES", 5)
+        got = _pairs_set(
+            neardup_index_lookup(batch, tmpdir, small_batch=True)
+        )
+        assert got == want and got
+
     def test_embdup_probe_equals_distributed(
         self, spark, tmpdir, monkeypatch
     ):
@@ -257,6 +276,57 @@ class TestLivePlanCache:
         d1 = inc._read_live(spark, tmpdir, "docs", meta)
         d2 = inc._read_live(spark, tmpdir, "docs", meta)
         assert d1 is d2
+
+    def test_remote_paths_hit_cache_via_segment_lists(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """Round-12 verdict item 7: non-stat-able paths (s3a:// in
+        deployment — mocked here by an os.stat that refuses the index
+        dir) must still hit BOTH plan caches via the committed-segment
+        lists, because remote object stores are exactly where listing
+        and footer latency hurt most. A commit must still change the
+        key (the segment list changes)."""
+        import os as _os
+
+        from mini_data_platform_spark.operators import plancache as pc
+
+        b1 = _corpus(spark, 0, 10)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        seg = _os.path.join(
+            tmpdir, "docs", inc._recover_meta(tmpdir)["segments"]["docs"][0]
+        )
+        real_stat = _os.stat
+
+        def refuse_index_dir(path, *a, **k):
+            if str(path).startswith(str(tmpdir)):
+                raise OSError(f"mock remote URI: {path}")
+            return real_stat(path, *a, **k)
+
+        monkeypatch.setattr(pc.os, "stat", refuse_index_dir)
+        # shared primitive: same object on the second call, plan works
+        c1 = pc.cached_parquet(spark, [seg])
+        c2 = pc.cached_parquet(spark, [seg])
+        assert c1 is c2 and c1.count() == 10
+        # live-view cache: same object on a cache hit under no-stat
+        meta = inc._recover_meta(tmpdir)
+        d1 = inc._read_live(spark, tmpdir, "docs", meta)
+        d2 = inc._read_live(spark, tmpdir, "docs", meta)
+        assert d1 is d2 and d1.count() == 10
+        # a commit changes the segment list -> new key even without
+        # stat-able paths: the post-increment lookup must see new docs
+        monkeypatch.setattr(pc.os, "stat", real_stat)
+        release_plan(
+            neardup_index_increment(
+                _mutated(b1.where(F.col("doc_id") < 3), 500), tmpdir
+            )
+        )
+        monkeypatch.setattr(pc.os, "stat", refuse_index_dir)
+        meta2 = inc._recover_meta(tmpdir)
+        d3 = inc._read_live(spark, tmpdir, "docs", meta2)
+        assert d3 is not d1 and d3.count() == 13
 
 
 class TestStringIdProbe:

@@ -81,6 +81,16 @@ class TestLshBuckets:
         }
         assert all(set(r["bucket"]) <= {"0", "1"} and len(r["bucket"]) == 4 for r in b1)
 
+    def test_non_finite_plane_rejected_loudly(self, spark, vecs):
+        """Round-12 advice: the generated-SQL literal encoding would
+        cast 'inf'/'nan' to NULL and silently zero that plane's bit —
+        a corrupt frozen meta.json must fail loudly instead."""
+        planes = SIM.planes_from_corpus(vecs, "vec_id", "embedding", n_planes=2)
+        for bad in (float("inf"), float("-inf"), float("nan")):
+            corrupt = [planes[0], [bad] + list(planes[1][1:])]
+            with pytest.raises(ValueError, match="non-finite plane"):
+                SIM.lsh_bucket(vecs, corrupt, "vec_id", "embedding")
+
     def test_ivf_cells_partition_corpus(self, spark, vecs):
         cents = SIM.planes_from_corpus(vecs, "vec_id", "embedding", n_planes=4)
         assigned = SIM.ivf_assign(vecs, list(enumerate(cents)), "vec_id", "embedding")

@@ -1,0 +1,224 @@
+"""Horizontal-drivers serving proof (round-12 verdict item 4).
+
+Round 12 measured the single-driver serve-concurrency ceiling honestly:
+8 in-process threads against one SparkSession top out near ~4 lookups/s
+because per-lookup plan construction is Python/py4j driver work under
+one GIL (BENCH_DETAIL_r12 ``serve_concurrent``; SURVEY §6). The scale-out
+story — N independent read-only driver PROCESSES over the same prebuilt
+parquet artifacts, zero coordination — was prose until now. This tool
+measures it:
+
+  python tools/serve_multiproc.py                        # full matrix
+  python tools/serve_multiproc.py --queries doc_neardup_serve \
+      --procs 1 2 --seconds 20 --out SERVE_MULTIPROC_r13.json
+
+Design: the parent prebuilds the serve artifacts once (first touch paid
+offline, exactly like bench.py's warmup), then for each process count N
+spawns N worker processes. Each worker builds its OWN SparkSession
+(``local[cpus]``; serving is driver-bound, so executor threads mostly
+idle — that is the point), warms its per-process plan/artifact caches
+with two untimed lookups, blocks on a wall-clock start barrier so the
+timed windows overlap, then runs lookups for a fixed duration and
+reports its own throughput. Aggregate lookups/s = sum over workers; the
+artifact also records each pairing's window overlap so a straggler JVM
+cannot fake a concurrency win (windows that overlap < 80% are flagged
+and the pairing is not trusted).
+
+Nothing here is engine code — it is measurement for the serving tier's
+horizontal claim: the per-index serve caches (plans/_serving.py) are
+per-process and publish via atomic rename, so concurrent readers share
+disk artifacts and nothing else.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = ["doc_neardup_serve", "emb_ann_pq_serve"]
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _session(label: str, cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .appName(label)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _lookup_once(spark, fn, sf_dir: str) -> None:
+    from mini_data_platform_spark.operators.resources import release_plan
+
+    df = fn(spark, sf_dir)
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        try:
+            release_plan(df)
+        except Exception:  # noqa: BLE001 — cleanup is advisory
+            pass
+
+
+def worker(query: str, sf_dir: str, start_at: float, seconds: float,
+           cpus: int) -> None:
+    """One driver process: warm, barrier, run lookups for ``seconds``,
+    print a single JSON line on stdout (the parent parses it)."""
+    spark = _session(f"serve-mp-{query}-{os.getpid()}", cpus)
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[query]
+    for _ in range(2):  # per-process plan/artifact cache warmup
+        _lookup_once(spark, fn, sf_dir)
+    now = time.time()
+    if start_at > now:
+        time.sleep(start_at - now)
+    t0 = time.time()
+    deadline = t0 + seconds
+    lats = []
+    while time.time() < deadline:
+        l0 = time.perf_counter()
+        _lookup_once(spark, fn, sf_dir)
+        lats.append(time.perf_counter() - l0)
+    t1 = time.time()
+    spark.stop()
+    print(json.dumps({
+        "query": query,
+        "pid": os.getpid(),
+        "n": len(lats),
+        "window": [round(t0, 3), round(t1, 3)],
+        "wall": round(t1 - t0, 3),
+        "lps": round(len(lats) / (t1 - t0), 3),
+        "p50": round(statistics.median(lats), 3) if lats else None,
+    }))
+
+
+def _spawn(query: str, sf_dir: str, start_at: float, seconds: float,
+           cpus: int) -> subprocess.Popen:
+    return subprocess.Popen(
+        [
+            sys.executable, os.path.abspath(__file__), "--worker", query,
+            "--sf-dir", sf_dir, "--start-at", repr(start_at),
+            "--seconds", repr(seconds), "--cpus", str(cpus),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        cwd=REPO,
+        text=True,
+    )
+
+
+def run_matrix(queries: list[str], procs: list[int], sf_dir: str,
+               seconds: float, cpus: int, warm_allowance: float) -> dict:
+    # prebuild the shared disk artifacts once so every worker's first
+    # touch is a cache READ (bench.py does the same in its warmup)
+    spark = _session("serve-mp-prebuild", 16)
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+    for q in queries:
+        _lookup_once(spark, qmap[q], sf_dir)
+        print(f"prebuilt artifacts for {q}", flush=True)
+    spark.stop()
+
+    results: dict[str, dict] = {}
+    for q in queries:
+        results[q] = {}
+        for n in procs:
+            start_at = time.time() + warm_allowance
+            ps = [_spawn(q, sf_dir, start_at, seconds, cpus)
+                  for _ in range(n)]
+            rows = []
+            for p in ps:
+                out, _ = p.communicate(timeout=warm_allowance + seconds + 120)
+                line = out.strip().splitlines()[-1] if out.strip() else "{}"
+                rows.append(json.loads(line))
+            windows = [r["window"] for r in rows]
+            overlap0, overlap1 = max(w[0] for w in windows), min(
+                w[1] for w in windows
+            )
+            overlap = max(0.0, overlap1 - overlap0)
+            min_wall = min(r["wall"] for r in rows)
+            agg = round(sum(r["lps"] for r in rows), 3)
+            entry = {
+                "n_procs": n,
+                "aggregate_lps": agg,
+                "per_proc_lps": [r["lps"] for r in rows],
+                "per_proc_p50": [r["p50"] for r in rows],
+                "lookups": sum(r["n"] for r in rows),
+                "overlap_frac": round(overlap / min_wall, 3) if min_wall else 0,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+            if entry["overlap_frac"] < 0.8:
+                entry["untrusted"] = (
+                    "timed windows overlap <80% — straggler JVM; rerun"
+                )
+            results[q][str(n)] = entry
+            print(f"{q} x{n}: {agg} lookups/s "
+                  f"(per-proc {entry['per_proc_lps']}, "
+                  f"overlap {entry['overlap_frac']})", flush=True)
+        solo = results[q].get("1", {}).get("aggregate_lps")
+        for n in procs:
+            if n > 1 and solo:
+                results[q][str(n)]["scaling_vs_solo"] = round(
+                    results[q][str(n)]["aggregate_lps"] / solo, 2
+                )
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", default=None, help="internal: query name")
+    ap.add_argument("--queries", nargs="+", default=DEFAULT_QUERIES)
+    ap.add_argument("--procs", nargs="+", type=int, default=[1, 2, 4])
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--seconds", type=float, default=25.0)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--start-at", type=float, default=0.0)
+    ap.add_argument("--warm-allowance", type=float, default=75.0,
+                    help="seconds from spawn to the start barrier "
+                         "(JVM spinup + 2 warmup lookups)")
+    ap.add_argument("--out", default="/tmp/serve_multiproc.json")
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.worker, args.sf_dir, args.start_at, args.seconds,
+               args.cpus)
+        return
+
+    out = {
+        "sf_dir": args.sf_dir,
+        "seconds_per_window": args.seconds,
+        "worker_cpus": args.cpus,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "results": run_matrix(args.queries, args.procs, args.sf_dir,
+                              args.seconds, args.cpus,
+                              args.warm_allowance),
+    }
+    with open(args.out, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
