@@ -30,31 +30,32 @@ from pyspark.sql.streaming import StreamingQuery
 
 from mini_data_platform_spark.operators.clean import (
     clean_strings,
-    coerce_sales_types,
     drop_null_keys,
 )
 from mini_data_platform_spark.operators.dedup import dedup_keep_latest
-from mini_data_platform_spark.schema import SALES_COLUMNS, SALES_RAW_SCHEMA
+from mini_data_platform_spark.registry import SALES_SPEC, TableSpec, coerce_types
 from mini_data_platform_spark.sinks.audit import AuditLog
 
 SRC_FILE_COL = "_src_file"
 
 
-def _clean_micro_batch(batch: DataFrame) -> DataFrame:
-    """clean+dedup with per-source precedence, preserving the source tag
-    for audit row counts. Mirrors runner._clean_keep_tags. A batch that
-    already carries ``_src_file`` (an external source frame — e.g.
-    streaming/kafka.py's ``kafka_records``, whose provenance strings
-    sort by partition/offset) keeps its tag; file-source batches are
-    stamped with the file name here."""
+def _clean_micro_batch(batch: DataFrame, spec: TableSpec) -> DataFrame:
+    """The spec's clean bundle with per-source precedence, preserving
+    the source tag for audit row counts. Mirrors runner._clean_keep_tags
+    (same expressions, so batch and streaming ingest of a table cannot
+    drift). A batch that already carries ``_src_file`` (an external
+    source frame — e.g. streaming/kafka.py's ``kafka_records``, whose
+    provenance strings sort by partition/offset) keeps its tag;
+    file-source batches are stamped with the file name here."""
     if SRC_FILE_COL in batch.columns:
         tagged = batch
     else:
         tagged = batch.withColumn(SRC_FILE_COL, F.input_file_name())
-    out = clean_strings(tagged, columns=list(SALES_COLUMNS))
-    out = coerce_sales_types(out)
-    out = drop_null_keys(out, "sale_id")
-    return out
+    out = clean_strings(tagged, columns=list(spec.columns))
+    out = coerce_types(out, spec)
+    for k in spec.keys:
+        out = drop_null_keys(out, k)
+    return out.select(*spec.columns, SRC_FILE_COL)
 
 
 def start_streaming_ingest(
@@ -67,10 +68,20 @@ def start_streaming_ingest(
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
     source_df: DataFrame | None = None,
+    spec: TableSpec = SALES_SPEC,
 ) -> StreamingQuery:
-    """Start the sales ingestion stream. ``sink`` receives each
-    micro-batch's cleaned+deduped canonical DataFrame (same contract as
-    the batch runner's sink).
+    """Start an ingestion stream for any registered table. ``sink``
+    receives each micro-batch's cleaned+deduped canonical DataFrame
+    (same contract as the batch runner's sink).
+
+    ``spec`` selects the table contract (round-12 verdict item 6 — the
+    streaming path's symmetry with ``run_batch_ingest(..., spec=)``):
+    the file reader reads the spec's all-string raw schema, the
+    micro-batch clean applies the spec-derived P1-P8 bundle, and
+    keep-latest dedups on the spec's keys ordered by its ``order_col``
+    (an order-less spec falls back to arrival/provenance order — the
+    ``_src_file`` precedence column). Defaults to the reference's sales
+    table, so every existing call is unchanged.
 
     ``source_df`` is the SOURCE SEAM (round-10 item 1): a caller-built
     streaming DataFrame carrying the sales columns — e.g.
@@ -95,7 +106,7 @@ def start_streaming_ingest(
         if not incoming_dir:
             raise ValueError("incoming_dir is required without source_df")
         reader = (
-            spark.readStream.schema(SALES_RAW_SCHEMA)
+            spark.readStream.schema(spec.raw_schema())
             .option("header", True)
         )
         if max_files_per_trigger:
@@ -109,15 +120,16 @@ def start_streaming_ingest(
         stream = reader.csv(incoming_dir)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        cleaned = _clean_micro_batch(batch)
+        cleaned = _clean_micro_batch(batch, spec)
         if audit is not None:
             counts = (
                 cleaned.groupBy(SRC_FILE_COL).agg(F.count("*").alias("n")).collect()
             )
         deduped = dedup_keep_latest(
             cleaned,
-            keys=("sale_id",),
-            order_col="sale_date",
+            keys=spec.keys,
+            # order-less spec: provenance order is the only precedence
+            order_col=spec.order_col or SRC_FILE_COL,
             null_wins=True,
             precedence_cols=(SRC_FILE_COL,),  # lexicographic file order
         ).drop(SRC_FILE_COL)

@@ -187,6 +187,67 @@ class TestValidatePerSpec:
         assert not ok and "reading_ts" in err
 
 
+class TestStreamingWithSpec:
+    def test_streaming_ingest_second_table(self, spark, tmp_path):
+        """Round-12 verdict item 6 — the STREAMING twin of the batch
+        test below: a registered non-sales spec drives
+        start_streaming_ingest end to end (spec raw-schema file source,
+        spec-derived coercion defaults, composite-key keep-latest,
+        null-key quarantine) with exactly-once file admission across a
+        restart, without touching sales code."""
+        from mini_data_platform_spark.sinks.upsert import upsert_parquet
+        from mini_data_platform_spark.streaming.ingest import (
+            start_streaming_ingest,
+        )
+
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        (incoming / "a.csv").write_text(
+            "device_id,reading_ts,metric,count,temp\n"
+            "d1,2024-03-01 00:00:00,m,1,1.0\n"
+            "d1,2024-03-02 00:00:00,m,2,2.0\n"  # later ts wins for (d1,m)
+            ",2024-03-01 00:00:00,m,7,7.0\n"  # null key -> quarantined (P8)
+            "d2,2024-03-01 00:00:00,m,bogus,5.0\n"  # int default: count=0
+        )
+        target = str(tmp_path / "target")
+        ckpt = str(tmp_path / "ckpt")
+
+        def sink(df):
+            return upsert_parquet(spark, df, target, list(DEVICE_SPEC.keys))
+
+        q = start_streaming_ingest(
+            spark, str(incoming), ckpt, sink=sink,
+            available_now=True, spec=DEVICE_SPEC,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        got = {
+            (r["device_id"], r["metric"]): (r["count"], r["temp"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {("d1", "m"): (2, 2.0), ("d2", "m"): (0, 5.0)}
+
+        # exactly-once admission across restarts: a fresh query on the
+        # SAME checkpoint sees only the new file — the old rows are not
+        # replayed (a replay would resurrect d1's count=1 row and
+        # re-fight the upsert), the new row upserts over its key
+        (incoming / "b.csv").write_text(
+            "device_id,reading_ts,metric,count,temp\n"
+            "d2,2024-05-01 00:00:00,m,9,9.0\n"
+        )
+        q = start_streaming_ingest(
+            spark, str(incoming), ckpt, sink=sink,
+            available_now=True, spec=DEVICE_SPEC,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        got = {
+            (r["device_id"], r["metric"]): r["count"]
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {("d1", "m"): 2, ("d2", "m"): 9}
+
+
 class TestRunnerWithSpec:
     def test_batch_ingest_second_table_end_to_end(self, spark, tmp_path):
         """The registry's whole point: run_batch_ingest(..., spec=...)

@@ -149,6 +149,34 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — timed loop reports it
             print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
+    # steady-state serving at 10x (round-12 verdict item 8): the
+    # first_touch pass above pays the one-time 10x index builds, so a
+    # second timed pass measures the latency CONTRACT itself — the
+    # number a serving loop sees at this scale. Median of 3, mirroring
+    # bench.py's serve_steady.
+    import statistics
+
+    serve_steady: dict[str, float] = {}
+    for name, fn in queries.items():
+        if not name.endswith("_serve") or name not in first_touch:
+            continue
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, PROBE_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001 — first_touch already reported
+                break
+            finally:
+                try:
+                    release_plan(df)
+                except Exception:  # noqa: BLE001
+                    pass
+        if runs:
+            serve_steady[name] = round(statistics.median(runs), 2)
+
     walls: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in queries.items():
@@ -190,6 +218,9 @@ def main() -> None:
         "errors": errors,
         "walls": walls,
         "serve_first_touch": first_touch,
+        # post-build steady-state serve latencies at 10x (median of 3)
+        # — scale evidence for the serving latency contract (r12 item 8)
+        "serve_steady": serve_steady,
         "baseline": os.path.basename(base_path) if base_path else None,
     }
     with open(args.out, "w", encoding="utf-8") as fh:

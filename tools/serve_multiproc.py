@@ -111,6 +111,31 @@ def worker(query: str, sf_dir: str, start_at: float, seconds: float,
     }))
 
 
+def aggregate(rows: list[dict]) -> dict:
+    """Pure aggregation over worker reports (unit-tested): aggregate
+    lookups/s = sum of per-worker rates, trusted only when every timed
+    window overlaps ≥80% of the shortest wall — a straggler JVM that
+    ran alone must not fake a concurrency win."""
+    windows = [r["window"] for r in rows]
+    overlap = max(
+        0.0, min(w[1] for w in windows) - max(w[0] for w in windows)
+    )
+    min_wall = min(r["wall"] for r in rows)
+    entry = {
+        "n_procs": len(rows),
+        "aggregate_lps": round(sum(r["lps"] for r in rows), 3),
+        "per_proc_lps": [r["lps"] for r in rows],
+        "per_proc_p50": [r["p50"] for r in rows],
+        "lookups": sum(r["n"] for r in rows),
+        "overlap_frac": round(overlap / min_wall, 3) if min_wall else 0.0,
+    }
+    if entry["overlap_frac"] < 0.8:
+        entry["untrusted"] = (
+            "timed windows overlap <80% — straggler JVM; rerun"
+        )
+    return entry
+
+
 def _spawn(query: str, sf_dir: str, start_at: float, seconds: float,
            cpus: int) -> subprocess.Popen:
     return subprocess.Popen(
@@ -151,28 +176,10 @@ def run_matrix(queries: list[str], procs: list[int], sf_dir: str,
                 out, _ = p.communicate(timeout=warm_allowance + seconds + 120)
                 line = out.strip().splitlines()[-1] if out.strip() else "{}"
                 rows.append(json.loads(line))
-            windows = [r["window"] for r in rows]
-            overlap0, overlap1 = max(w[0] for w in windows), min(
-                w[1] for w in windows
-            )
-            overlap = max(0.0, overlap1 - overlap0)
-            min_wall = min(r["wall"] for r in rows)
-            agg = round(sum(r["lps"] for r in rows), 3)
-            entry = {
-                "n_procs": n,
-                "aggregate_lps": agg,
-                "per_proc_lps": [r["lps"] for r in rows],
-                "per_proc_p50": [r["p50"] for r in rows],
-                "lookups": sum(r["n"] for r in rows),
-                "overlap_frac": round(overlap / min_wall, 3) if min_wall else 0,
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-            }
-            if entry["overlap_frac"] < 0.8:
-                entry["untrusted"] = (
-                    "timed windows overlap <80% — straggler JVM; rerun"
-                )
+            entry = aggregate(rows)
+            entry["loadavg"] = [round(x, 2) for x in os.getloadavg()]
             results[q][str(n)] = entry
-            print(f"{q} x{n}: {agg} lookups/s "
+            print(f"{q} x{n}: {entry['aggregate_lps']} lookups/s "
                   f"(per-proc {entry['per_proc_lps']}, "
                   f"overlap {entry['overlap_frac']})", flush=True)
         solo = results[q].get("1", {}).get("aggregate_lps")
