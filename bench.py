@@ -47,6 +47,43 @@ from mini_data_platform_spark.session import get_spark  # noqa: E402
 #: loadavg sampled at main() entry (contention metadata for BENCH_DETAIL)
 _LOAD0 = (0.0, 0.0, 0.0)
 
+#: Ambient start loadavg above which a run counts as CONTENDED —
+#: mirrors tools/bench_regress.CONTENTION_LOAD (quiet runs on this
+#: 32-cpu box start at ~0-3; the r12 driver rerun started at 10.9).
+_CONTENTION_LOAD = 4.0
+
+
+def _ambient(detail: dict) -> float:
+    """A run's ambient load: the 1-MINUTE start loadavg. Deliberately
+    not the max of the triple (which tools/bench_regress uses to be
+    conservative about contaminated compares): the 5/15-min averages
+    carry load that already decayed — a box that finished heavy work
+    minutes ago is genuinely quiet NOW (1-min ≈ 0) while its 15-min
+    average stays high for most of a bench run's duration. For "which
+    recording is the better artifact" the instantaneous ambient is the
+    honest comparator (the r12 incident: committed 1-min 2.19 vs the
+    overwriting rerun's 6.33 — unambiguous on the 1-min signal,
+    marginal on max-of-triple)."""
+    la = (detail.get("load") or {}).get("loadavg_start") or []
+    return float(la[0]) if la else 0.0
+
+
+def _keep_existing_detail(existing: dict, new: dict) -> bool:
+    """True when the round-stamped artifact already on disk should be
+    KEPT instead of overwritten: this run is contended (ambient start
+    load > _CONTENTION_LOAD) and the recorded one was quieter. The
+    round-12 incident, closed at the source: the driver's post-close
+    bench rerun (loadavg 6.3-10.9) overwrote the committed quiet run
+    (2.2) and failed the delivered tree's regression gate on 10
+    contention-class queries. Latency artifacts are only comparable
+    at comparable ambient load, and the quieter measurement is always
+    the better record of the code's cost — a contended rerun still
+    writes BENCH_DETAIL.json and its stdout line, it just does not
+    replace a quieter round record. Pure; unit-tested in
+    tests/test_bench_regress.py."""
+    new_amb = _ambient(new)
+    return new_amb > _CONTENTION_LOAD and new_amb > _ambient(existing)
+
 
 def bench_ingest(spark, n: int = 100_000, files: int = 8) -> dict:
     """End-to-end batch-ingest throughput: generate ``n`` synthetic sales
@@ -493,11 +530,29 @@ def main() -> None:
                 if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
             ]
             rnd = str(max(seen, default=0) + 1)
-        with open(
-            os.path.join(REPO_ROOT, f"BENCH_DETAIL_r{int(rnd):02d}.json"), "w"
-        ) as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
+        stamped_path = os.path.join(
+            REPO_ROOT, f"BENCH_DETAIL_r{int(rnd):02d}.json"
+        )
+        keep = False
+        if os.path.exists(stamped_path):
+            try:
+                with open(stamped_path, encoding="utf-8") as f:
+                    keep = _keep_existing_detail(json.load(f), detail)
+            except Exception:  # noqa: BLE001 — unreadable -> replace
+                keep = False
+        if keep:
+            print(
+                f"bench: NOT overwriting {os.path.basename(stamped_path)} "
+                f"— this run is contended (ambient loadavg "
+                f"{_ambient(detail):.2f} > {_CONTENTION_LOAD}) and the "
+                "recorded run was quieter; full detail is in "
+                "BENCH_DETAIL.json",
+                file=sys.stderr,
+            )
+        else:
+            with open(stamped_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
     except Exception as exc:  # noqa: BLE001
         print(f"bench: could not write round-stamped detail: {exc}", file=sys.stderr)
 

@@ -148,6 +148,31 @@ class TestContention:
         assert verdict is None and eff == 1.5
         assert [f["name"] for f in flags] == ["q"]
 
+    def test_bench_keeps_quieter_round_artifact(self):
+        """The incident closed at the SOURCE: bench.py must refuse to
+        overwrite a quieter round-stamped artifact with a contended
+        rerun (and must overwrite in every other direction — quieter
+        runs always improve the record)."""
+        import bench
+
+        quiet = _run([2.2, 2.0, 1.8], {})
+        loaded = _run([6.33, 9.95, 10.86], {})
+        quieter = _run([0.5, 0.4, 0.3], {})
+        assert bench._keep_existing_detail(quiet, loaded)
+        assert not bench._keep_existing_detail(loaded, quiet)
+        assert not bench._keep_existing_detail(quiet, quieter)
+        # two loaded runs: the quieter of the two still wins
+        assert bench._keep_existing_detail(
+            _run([5.0, 5.0, 5.0], {}), loaded
+        )
+        assert not bench._keep_existing_detail(
+            loaded, _run([5.0, 5.0, 5.0], {})
+        )
+        # a mildly-ambient rerun (under the contention bar) may replace
+        assert not bench._keep_existing_detail(
+            quiet, _run([3.5, 3.0, 2.0], {})
+        )
+
     def test_r12_overwrite_artifact_passes_clean(self):
         """The incident itself, pinned: the driver-overwritten r12
         artifact vs r11 must evaluate clean (contention verdict named,
