@@ -175,6 +175,12 @@ def maintain_index_from_wire(
             .where(F.col(columns[0]).isNotNull())
         )
         fold(live, index_dir, batch_id=base)
+        # pure-append epochs (the steady state) pay ONE limit-1 scan
+        # here and skip the per-key aggregate entirely — the delete-set
+        # shuffle only runs for epochs that actually carry tombstones,
+        # and only those commit a tombstone segment
+        if batch.where(F.col("_tombstone")).limit(1).count() == 0:
+            return
         # per-key LAST record decides (log-compaction order): a key
         # whose max-offset record is live was re-created after its
         # tombstone inside this epoch and must NOT enter the delete
@@ -194,9 +200,9 @@ def maintain_index_from_wire(
             .persist()
         )
         try:
-            # only commit a tombstone segment when the epoch actually
-            # carries deletions — most epochs are pure appends and must
-            # not grow the tombstone log
+            # the max-offset rule can empty the delete set even when
+            # tombstones exist (every tombstoned key re-added later in
+            # the epoch) — still only commit a segment when non-empty
             if dead.limit(1).count() > 0:
                 index_delete(dead, index_dir, batch_id=base + "-del")
         finally:
