@@ -47,10 +47,16 @@ from mini_data_platform_spark.session import get_spark  # noqa: E402
 #: loadavg sampled at main() entry (contention metadata for BENCH_DETAIL)
 _LOAD0 = (0.0, 0.0, 0.0)
 
-#: Ambient start loadavg above which a run counts as CONTENDED —
-#: mirrors tools/bench_regress.CONTENTION_LOAD (quiet runs on this
-#: 32-cpu box start at ~0-3; the r12 driver rerun started at 10.9).
-_CONTENTION_LOAD = 4.0
+#: Ambient start loadavg above which a run counts as CONTENDED — the
+#: SAME threshold the regression gate uses (imported so the two can
+#: never drift; quiet runs on this 32-cpu box start at ~0-3, the r12
+#: driver rerun started at 10.9). The fallback keeps bench.py's driver
+#: contract alive even without tools/ on disk.
+try:
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    from bench_regress import CONTENTION_LOAD as _CONTENTION_LOAD
+except Exception:  # noqa: BLE001 — bench must run standalone
+    _CONTENTION_LOAD = 4.0
 
 
 def _ambient(detail: dict) -> float:

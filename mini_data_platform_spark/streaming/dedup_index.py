@@ -185,9 +185,17 @@ def maintain_index_from_wire(
         # whose max-offset record is live was re-created after its
         # tombstone inside this epoch and must NOT enter the delete
         # set; _src_file is zero-padded per-partition offset order and
-        # a key maps to one partition, so lexicographic max == latest
+        # a key maps to one partition, so lexicographic max == latest.
+        # Quarantined records (malformed payload -> null id) are
+        # excluded from the aggregate BEFORE max_by: they never reach
+        # the fold, so letting one outrank a tombstone would discard
+        # the upstream deletion while adding nothing — the pre-
+        # tombstone doc would be served forever
         dead = (
-            batch.groupBy("_kafka_key")
+            batch.where(
+                F.col("_tombstone") | F.col(columns[0]).isNotNull()
+            )
+            .groupBy("_kafka_key")
             .agg(
                 F.max_by(F.col("_tombstone"), F.col("_src_file")).alias(
                     "_dead"

@@ -533,6 +533,10 @@ class TestWireToNeardupIndex:
         #   201: tombstone@3, live@4   -> present (re-add last)
         #   999: malformed live@5      -> null id, quarantined
         #   abc: tombstone@6           -> key casts to null, ignored
+        #   3:   tombstone@7, then a MALFORMED record@8 under the same
+        #        key -> the quarantined record must NOT veto the
+        #        tombstone (it never reaches the fold): doc 3, already
+        #        in the corpus, must be retracted
         self._land(
             spark, wire_dir, "b1",
             [
@@ -542,6 +546,8 @@ class TestWireToNeardupIndex:
                 ("docs", 0, 4, "201", self._doc_json(201, f"{base_text} doc1")),
                 ("docs", 0, 5, "999", "{malformed"),
                 ("docs", 0, 6, "abc", None),
+                ("docs", 0, 7, "3", None),
+                ("docs", 0, 8, "3", "{also malformed"),
             ],
         )
         self._run(spark, wire_dir, ckpt, idx)
@@ -549,6 +555,9 @@ class TestWireToNeardupIndex:
         assert 201 in docs_now, "same-epoch re-add after tombstone lost"
         assert 200 not in docs_now, "tombstone-last key survived"
         assert None not in docs_now and 999 not in docs_now
+        assert 3 not in docs_now, (
+            "a quarantined malformed record vetoed the key's tombstone"
+        )
 
         # cross-epoch terminal delete (documented divergence from
         # compacted-topic re-creation): re-adding id 200 later changes

@@ -91,8 +91,6 @@ def _neardup_point_lookups(spark, sf_dir: str, n_docs: int = 25):
     because its batch scales WITH the corpus (documented in SURVEY §6);
     this block shows the fixed-size request stays on the 3-job point
     probe at 10× corpus. Returns (first_touch_s, [steady_s ×3])."""
-    import statistics  # noqa: F401 — caller medians
-
     from pyspark.sql import functions as F
 
     from mini_data_platform_spark.operators.incremental import (

@@ -171,12 +171,32 @@ def run_matrix(queries: list[str], procs: list[int], sf_dir: str,
             start_at = time.time() + warm_allowance
             ps = [_spawn(q, sf_dir, start_at, seconds, cpus)
                   for _ in range(n)]
-            rows = []
+            rows, dead = [], 0
             for p in ps:
-                out, _ = p.communicate(timeout=warm_allowance + seconds + 120)
+                try:
+                    out, _ = p.communicate(
+                        timeout=warm_allowance + seconds + 120
+                    )
+                except subprocess.TimeoutExpired:
+                    p.kill()  # a hung JVM must not wedge the matrix
+                    out = ""
                 line = out.strip().splitlines()[-1] if out.strip() else "{}"
-                rows.append(json.loads(line))
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    row = {}
+                if "window" in row:
+                    rows.append(row)
+                else:
+                    dead += 1
+            if not rows:
+                results[q][str(n)] = {"err": f"all {n} workers died"}
+                continue
             entry = aggregate(rows)
+            if dead:
+                entry["untrusted"] = (
+                    f"{dead}/{n} workers died — aggregate understates"
+                )
             entry["loadavg"] = [round(x, 2) for x in os.getloadavg()]
             results[q][str(n)] = entry
             print(f"{q} x{n}: {entry['aggregate_lps']} lookups/s "
@@ -184,9 +204,10 @@ def run_matrix(queries: list[str], procs: list[int], sf_dir: str,
                   f"overlap {entry['overlap_frac']})", flush=True)
         solo = results[q].get("1", {}).get("aggregate_lps")
         for n in procs:
-            if n > 1 and solo:
-                results[q][str(n)]["scaling_vs_solo"] = round(
-                    results[q][str(n)]["aggregate_lps"] / solo, 2
+            entry = results[q][str(n)]
+            if n > 1 and solo and "aggregate_lps" in entry:
+                entry["scaling_vs_solo"] = round(
+                    entry["aggregate_lps"] / solo, 2
                 )
     return results
 
