@@ -570,6 +570,88 @@ class TestWireToNeardupIndex:
         docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
         assert 200 not in docs_now and 201 in docs_now
 
+    def test_crash_between_halves_converges(self, spark, tmp_path):
+        """The docstring's exactly-once argument, crash-injected
+        instead of asserted: an epoch carrying both an increment and a
+        tombstone CRASHES between its two halves (index_delete raises
+        after the fold committed). The failed query leaves the
+        increment applied and the delete missing; a rerun over the
+        same checkpoint replays the epoch under the same epoch id —
+        the fold is a batch-id no-op, the delete applies — and the
+        final state equals the never-crashed twin, with no duplicate
+        increment."""
+        import mini_data_platform_spark.operators.incremental as inc_mod
+        from mini_data_platform_spark.operators.incremental import (
+            _recover_meta,
+            index_docs,
+            neardup_index_build,
+        )
+        from mini_data_platform_spark.streaming.dedup_index import (
+            maintain_neardup_index_from_wire,
+        )
+
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        idx = str(tmp_path / "idx")
+        os.makedirs(wire_dir)
+        base_text = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(i, f"{base_text} doc{i}") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        neardup_index_build(corpus, idx, "doc_id", "text", 0.5, 16, 4, 3)
+
+        # one epoch: increment (doc 300, a near-dup of doc 0) + a
+        # takedown of corpus doc 1
+        self._land(
+            spark, wire_dir, "b1",
+            [
+                ("docs", 0, 1, "300",
+                 self._doc_json(300, f"{base_text} doc0")),
+                ("docs", 0, 2, "1", None),
+            ],
+        )
+
+        real_delete = inc_mod.index_delete
+
+        def exploding_delete(*a, **k):
+            raise RuntimeError("injected crash between the two halves")
+
+        inc_mod.index_delete = exploding_delete
+        try:
+            q = maintain_neardup_index_from_wire(
+                spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir),
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                ),
+                "doc_id", "text", idx, ckpt,
+                key_type="bigint", available_now=True,
+            )
+            with pytest.raises(Exception, match="injected crash"):
+                q.awaitTermination(120)
+                if q.exception() is not None:
+                    raise Exception(str(q.exception()))
+        finally:
+            inc_mod.index_delete = real_delete
+
+        # the crash point: increment committed, delete missing
+        ids = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 300 in ids and 1 in ids
+        batches_after_crash = _recover_meta(idx)["n_batches"]
+
+        # recovery: same checkpoint replays the epoch; the fold is a
+        # replay no-op (same derived batch_id), the delete applies —
+        # exactly ONE new commit (the delete), no duplicate increment
+        self._run(spark, wire_dir, ckpt, idx)
+        rows = [r["id"] for r in index_docs(spark, idx).collect()]
+        assert rows.count(300) == 1 and 1 not in rows
+        assert _recover_meta(idx)["n_batches"] == batches_after_crash + 1, (
+            "replayed epoch re-committed its increment — not exactly-once"
+        )
+
     def test_generic_fold_drives_exact_index(self, spark, tmp_path):
         """The generic ``maintain_index_from_wire`` composes with any
         index fold: the EXACT-hash index here — streamed duplicates
