@@ -175,6 +175,61 @@ def test_rotation_staleness_bound():
     )
 
 
+def test_window_matches_mechanical_rule():
+    """The current round's window must be exactly what
+    tools/advance_round.build_window derives from _LAST_WINDOWED —
+    the manual window build is the step that silently failed in round
+    11, so the rule is now code and the hand-built list is pinned to
+    it. (Rotation rule 2 — forcing diff-touched queries in — would
+    show up here as a deliberate, explained diff.)"""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from advance_round import build_window
+
+    window, overflow = build_window(
+        entry_mod._LAST_WINDOWED, entry_mod.CURRENT_ROUND
+    )
+    declared = getattr(
+        entry_mod, f"_ROUND{entry_mod.CURRENT_ROUND}_WINDOW"
+    )
+    assert declared == window
+    assert not overflow or len(
+        [q for q, r in entry_mod._LAST_WINDOWED.items()
+         if entry_mod.CURRENT_ROUND - r > 2]
+    ) > 50
+
+
+def test_build_window_rule():
+    """Pure-rule cases: must-set first (alphabetical), stalest fill by
+    (round, name), overflow only past 50."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from advance_round import build_window
+
+    last = {"b": 0, "a": 9, "z": 11, "y": 12, "x": 11}
+    window, overflow = build_window(last, 13, slots=4)
+    # must-set (age>2): a(9), b(0) alphabetical; fill stalest: x,z (r11)
+    assert window == ["a", "b", "x", "z"] and overflow == []
+    window, overflow = build_window(last, 13, slots=1)
+    assert window == ["a"] and overflow == ["b"]
+
+
 def test_last_windowed_matches_recorded_artifacts():
     """_LAST_WINDOWED must agree with the CORRECTNESS_r*.json ground
     truth (rounds before CURRENT_ROUND): a hand-maintained dict that
