@@ -123,6 +123,16 @@ _LAST_WINDOWED = {
 #:      SURVEY §6).
 #:   3. The rotated-out remainder must be all green in a previous
 #:      round's CORRECTNESS file and re-verified locally if touched.
+#: Rotation rule 2's mechanical form: queries this round's diff touched
+#: that must be FORCED into the window ahead of the staleness rule.
+#: tools/advance_round.build_window places these first, and the
+#: window-matches-rule test pins the declared window to
+#: build_window(..., forced=_WINDOW_FORCED) — a hand swap without a
+#: matching entry here fails the suite, so rule-2 deviations are
+#: always visible in the diff. Round 13 forces nothing: every
+#: diff-touched query this round is already in the must-set.
+_WINDOW_FORCED: tuple[str, ...] = ()
+
 #: Round 13 window — the HEAL round planned when round 12's overflow
 #: was accepted: the must-set (age > 2) is exactly the 34 r9-last
 #: overflow queries plus the 3 queries added in round 12 that have

@@ -1,9 +1,11 @@
 """Driver-contract smoke: entry() runs on sf0.001, queries()/oracle_sql()
 keys line up, every query returns a DataFrame with stable schema."""
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import __spark_entry__ as entry_mod
 
@@ -177,49 +179,29 @@ def test_rotation_staleness_bound():
 
 def test_window_matches_mechanical_rule():
     """The current round's window must be exactly what
-    tools/advance_round.build_window derives from _LAST_WINDOWED —
-    the manual window build is the step that silently failed in round
-    11, so the rule is now code and the hand-built list is pinned to
-    it. (Rotation rule 2 — forcing diff-touched queries in — would
-    show up here as a deliberate, explained diff.)"""
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "tools",
-        ),
-    )
+    tools/advance_round.build_window derives from _LAST_WINDOWED plus
+    the declared _WINDOW_FORCED swaps — the manual window build is the
+    step that silently failed in round 11, so the rule is now code and
+    the hand-built list is pinned to it. Rotation rule 2 (forcing
+    diff-touched queries in) goes through _WINDOW_FORCED, so a rule-2
+    deviation is itself mechanical and visible in the diff rather than
+    an ad-hoc test edit."""
     from advance_round import build_window
 
-    window, overflow = build_window(
-        entry_mod._LAST_WINDOWED, entry_mod.CURRENT_ROUND
+    window, _overflow = build_window(
+        entry_mod._LAST_WINDOWED,
+        entry_mod.CURRENT_ROUND,
+        forced=tuple(getattr(entry_mod, "_WINDOW_FORCED", ())),
     )
     declared = getattr(
         entry_mod, f"_ROUND{entry_mod.CURRENT_ROUND}_WINDOW"
     )
     assert declared == window
-    assert not overflow or len(
-        [q for q, r in entry_mod._LAST_WINDOWED.items()
-         if entry_mod.CURRENT_ROUND - r > 2]
-    ) > 50
 
 
 def test_build_window_rule():
-    """Pure-rule cases: must-set first (alphabetical), stalest fill by
-    (round, name), overflow only past 50."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "tools",
-        ),
-    )
+    """Pure-rule cases: forced first, then must-set (alphabetical),
+    then stalest fill by (round, name); overflow only past the slots."""
     from advance_round import build_window
 
     last = {"b": 0, "a": 9, "z": 11, "y": 12, "x": 11}
@@ -228,6 +210,12 @@ def test_build_window_rule():
     assert window == ["a", "b", "x", "z"] and overflow == []
     window, overflow = build_window(last, 13, slots=1)
     assert window == ["a"] and overflow == ["b"]
+    # rule 2: forced entries lead and displace fill, never the must-set
+    window, overflow = build_window(last, 13, slots=4, forced=("y",))
+    assert window == ["y", "a", "b", "x"] and overflow == []
+    # a forced query that is also must-set is not double-counted
+    window, overflow = build_window(last, 13, slots=3, forced=("b",))
+    assert window == ["b", "a", "x"] and overflow == []
 
 
 def test_last_windowed_matches_recorded_artifacts():
@@ -283,13 +271,11 @@ def test_survey_contract_counts():
     entry module so the headline counts can never drift again
     (round-10 verdict item 4: the hand-written paragraph was two
     rounds stale)."""
-    import os
     import re
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(repo, "tools"))
     import advance_round
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     survey = open(os.path.join(repo, "SURVEY.md"), encoding="utf-8").read()
     m = re.search(advance_round.CONTRACT_RE, survey, flags=re.S)
     assert m, "SURVEY.md lost its contract:begin/end markers"

@@ -51,41 +51,61 @@ def last_windowed() -> tuple[dict[str, int], int]:
 
 
 def build_window(
-    last: dict[str, int], nxt: int, slots: int = 50
+    last: dict[str, int],
+    nxt: int,
+    slots: int = 50,
+    forced: tuple[str, ...] = (),
 ) -> tuple[list[str], list[str]]:
     """The next round's window, mechanically (round-13: the manual
     window build is the step that silently failed in round 11 — round
     13's window was exactly this rule applied by hand, so automate it):
-    the MUST-set (age > 2 at round ``nxt``) alphabetically, then the
+    ``forced`` queries first (rotation rule 2 — queries the round's
+    diff touched, declared as ``_WINDOW_FORCED`` in __spark_entry__ so
+    the deviation is itself mechanical and test-pinned), then the
+    MUST-set (age > 2 at round ``nxt``) alphabetically, then the
     stalest remainder by (last_windowed, name) up to ``slots``. Returns
     (window, overflow): overflow is the must-set tail that did not fit
     — non-empty only in a remediation round, and each overflow query
     then needs an exact-multiset row in VERIFY_LOCAL_r{nxt}.json (the
     staleness test enforces that)."""
-    must = sorted(q for q, r in last.items() if nxt - r > 2)
-    if len(must) >= slots:
-        return must[:slots], must[slots:]
+    head = list(dict.fromkeys(forced))
+    head_set = set(head)
+    must = sorted(
+        q for q, r in last.items() if nxt - r > 2 and q not in head_set
+    )
+    room = slots - len(head)
+    if len(must) >= room:
+        return head + must[:room], must[room:]
+    taken = head_set | set(must)
     rest = sorted(
-        (q for q in last if q not in set(must)),
+        (q for q in last if q not in taken),
         key=lambda q: (last[q], q),
     )
-    return must + rest[: slots - len(must)], []
+    return head + must + rest[: room - len(must)], []
 
 
-def print_window(last: dict[str, int], nxt: int) -> None:
-    window, overflow = build_window(last, nxt)
-    print(f"# round-{nxt} window: {len(window)} slots, "
-          f"{len(overflow)} overflow")
-    lines = [f"_ROUND{nxt}_WINDOW = ["]
+def _wrap(tokens: list[str], width: int = 78) -> list[str]:
+    """The 78-column token wrap both generated blocks share."""
+    lines: list[str] = []
     row = "   "
-    for q in window:
-        tok = f' "{q}",'
-        if len(row) + len(tok) > 78:
+    for tok in tokens:
+        if len(row) + len(tok) > width:
             lines.append(row)
             row = "   "
         row += tok
     if row.strip():
         lines.append(row)
+    return lines
+
+
+def print_window(
+    last: dict[str, int], nxt: int, forced: tuple[str, ...] = ()
+) -> None:
+    window, overflow = build_window(last, nxt, forced=forced)
+    print(f"# round-{nxt} window: {len(window)} slots, "
+          f"{len(overflow)} overflow")
+    lines = [f"_ROUND{nxt}_WINDOW = ["]
+    lines += _wrap([f' "{q}",' for q in window])
     lines.append("]")
     print("\n".join(lines))
     if overflow:
@@ -171,8 +191,12 @@ def main() -> None:
         print(f"round {r}: {len(by_round[r])} queries")
 
     if "--window" in sys.argv:
+        import __spark_entry__ as entry
+
         print()
-        print_window(last, nxt)
+        print_window(
+            last, nxt, tuple(getattr(entry, "_WINDOW_FORCED", ()))
+        )
 
     if "--write" not in sys.argv:
         return
@@ -180,15 +204,7 @@ def main() -> None:
     for r in sorted(by_round):
         label = "never windowed" if r == 0 else f"last windowed in round {r}"
         lines.append(f"    # {label}")
-        row = "   "
-        for q in sorted(by_round[r]):
-            tok = f' "{q}": {r},'
-            if len(row) + len(tok) > 78:
-                lines.append(row)
-                row = "   "
-            row += tok
-        if row.strip():
-            lines.append(row)
+        lines += _wrap([f' "{q}": {r},' for q in sorted(by_round[r])])
     lines.append("}")
     block = "\n".join(lines)
     path = os.path.join(REPO, "__spark_entry__.py")
