@@ -55,6 +55,43 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+class TestRegistryCleanPlan:
+    def test_clean_table_is_narrow_jvm_projection(self, spark):
+        """The spec-generic clean bundle (P1-P8) must stay what the
+        sales-specific one was: pure per-row column expressions — zero
+        Exchanges (no shuffle added by generalization) and zero Python
+        evals, for ANY spec. At 100 TB the clean stage runs inside the
+        scan's whole-stage-codegen pipeline or it becomes the
+        bottleneck."""
+        from pyspark.sql import types as T
+
+        from mini_data_platform_spark.registry import TableSpec, clean_table
+
+        spec = TableSpec(
+            name="t",
+            schema=T.StructType(
+                [
+                    T.StructField("k", T.StringType(), False),
+                    T.StructField("ts", T.TimestampType(), True),
+                    T.StructField("n", T.LongType(), True),
+                    T.StructField("x", T.DoubleType(), True),
+                ]
+            ),
+            keys=("k",),
+            order_col="ts",
+        )
+        raw = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", "1", "1.5")] * 8,
+            "k string, ts string, n string, x string",
+        ).repartition(4)
+        out = clean_table(raw, spec)
+        assert count_exchanges(out) <= 1  # the input repartition only
+        assert not uses_python_eval(out)
+        # and the result is still correct end-to-end
+        row = out.collect()[0]
+        assert (row["k"], row["n"], row["x"]) == ("a", 1, 1.5)
+
+
 class TestPythonBoundary:
     def test_kpi_queries_stay_jvm_side(self, spark):
         from mini_data_platform_spark.plans import analytics, kpi
