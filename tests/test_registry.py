@@ -248,6 +248,50 @@ class TestStreamingWithSpec:
         assert got == {("d1", "m"): 2, ("d2", "m"): 9}
 
 
+    def test_streaming_orderless_spec_uses_arrival_precedence(
+        self, spark, tmp_path
+    ):
+        """A spec with order_col=None through the streaming path: the
+        provenance column is the only precedence, so the
+        lexicographically-later file wins per key (the ingest.py
+        fallback branch `spec.order_col or SRC_FILE_COL`)."""
+        from pyspark.sql import types as T
+
+        from mini_data_platform_spark.sinks.upsert import upsert_parquet
+        from mini_data_platform_spark.streaming.ingest import (
+            start_streaming_ingest,
+        )
+
+        spec = TableSpec(
+            name="kv",
+            schema=T.StructType(
+                [
+                    T.StructField("k", T.StringType(), False),
+                    T.StructField("v", T.LongType(), True),
+                ]
+            ),
+            keys=("k",),
+            order_col=None,
+        )
+        incoming = tmp_path / "incoming"
+        incoming.mkdir()
+        (incoming / "a.csv").write_text("k,v\nx,1\ny,2\n")
+        (incoming / "b.csv").write_text("k,v\nx,9\n")  # later file wins
+        target = str(tmp_path / "target")
+
+        def sink(df):
+            return upsert_parquet(spark, df, target, ["k"])
+
+        q = start_streaming_ingest(
+            spark, str(incoming), str(tmp_path / "ckpt"), sink=sink,
+            available_now=True, spec=spec,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert got == {"x": 9, "y": 2}
+
+
 class TestRunnerWithSpec:
     def test_batch_ingest_second_table_end_to_end(self, spark, tmp_path):
         """The registry's whole point: run_batch_ingest(..., spec=...)
