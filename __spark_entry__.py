@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROUND the current window targets (bump each round).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 #: Last round each query had a slot in the driver's 50-row correctness
 #: window, as recorded in CORRECTNESS_r0{N}.json — the MECHANICAL input
@@ -39,47 +39,23 @@ CURRENT_ROUND = 13
 #: query gets a driver-recorded check at least every third round —
 #: the tightest bound 127 queries and 50 slots admit.
 _LAST_WINDOWED = {
-    # never windowed
-    "doc_bm25_takedown_serve": 0, "doc_phrase_search": 0,
-    "doc_phrase_serve": 0,
-    # last windowed in round 9
-    "emb_dedup_final": 9, "emb_dup_clusters": 9, "emb_knn": 9,
-    "emb_near_dups_exact": 9, "emb_norms": 9, "events_approx_users": 9,
-    "events_distinct_users": 9, "events_funnel": 9, "events_hourly": 9,
-    "events_json_value": 9, "events_kmv_overlap": 9, "events_kmv_users": 9,
-    "events_session_funnel": 9, "events_sessionize": 9,
-    "kpi_failed_events_trend": 9, "kpi_product_performance": 9,
-    "kpi_revenue_by_day": 9, "kpi_rolling_7d_revenue": 9,
-    "kpi_top_customers": 9, "lineitem_unpivot_stats": 9,
-    "nation_top_customer_names": 9, "order_grouping_sets": 9,
-    "order_moments": 9, "order_priority_pivot": 9, "order_stats_distinct": 9,
-    "orders_bloom_lookup": 9, "orders_dq_report": 9,
-    "orders_join_view_serve": 9, "price_quantiles": 9,
-    "price_quantiles_approx": 9, "priority_status_matrix": 9,
-    "promo_revenue_share": 9, "quantity_price_corr": 9,
-    "revenue_by_day_dense": 9,
     # last windowed in round 11
-    "asset_binary_stats": 11, "asset_features": 11, "asset_frame_samples": 11,
-    "click_before_purchase": 11, "customer_rank_in_nation": 11,
-    "customers_with_orders": 11, "customers_without_orders": 11,
-    "daily_revenue_delta": 11, "doc_bm25_serve": 11, "doc_chunks": 11,
-    "doc_contamination": 11, "doc_curated_incremental": 11,
-    "doc_dup_clusters": 11, "doc_dup_clusters_star": 11,
-    "doc_epoch_shuffle": 11, "doc_hash_embedding": 11,
-    "doc_language_guess": 11, "doc_neardup_delete": 11,
-    "doc_neardup_delete_serve": 11, "doc_neardup_incremental": 11,
-    "doc_neardup_serve": 11, "doc_packing": 11, "doc_pii_scan": 11,
-    "doc_quality": 11, "doc_quality_model": 11, "doc_quality_model_serve": 11,
-    "doc_repetition": 11, "doc_segment_dups": 11, "doc_simhash": 11,
-    "doc_split_assign": 11, "doc_stratified_sample": 11,
-    "doc_token_stats": 11, "doc_window_dups": 11, "emb_ann_ivfpq_serve": 11,
-    "emb_ann_pq_serve": 11, "emb_neardup_serve": 11, "errors_near_click": 11,
-    "events_cms_users": 11, "events_heavy_users": 11,
-    "kpi_revenue_by_customer": 11, "latest_order_per_customer": 11,
-    "lineitem_bloom_semijoin": 11, "monthly_running_revenue": 11,
-    "orders_join_view": 11, "pricing_summary": 11, "region_nation_rollup": 11,
-    "regional_revenue": 11, "status_priority_cube": 11,
-    "top_building_orders": 11, "wealthy_active_customers": 11,
+    "doc_dup_clusters_star": 11, "doc_epoch_shuffle": 11,
+    "doc_hash_embedding": 11, "doc_language_guess": 11,
+    "doc_neardup_delete": 11, "doc_neardup_delete_serve": 11,
+    "doc_neardup_incremental": 11, "doc_neardup_serve": 11, "doc_packing": 11,
+    "doc_pii_scan": 11, "doc_quality": 11, "doc_quality_model": 11,
+    "doc_quality_model_serve": 11, "doc_repetition": 11,
+    "doc_segment_dups": 11, "doc_simhash": 11, "doc_split_assign": 11,
+    "doc_stratified_sample": 11, "doc_token_stats": 11, "doc_window_dups": 11,
+    "emb_ann_ivfpq_serve": 11, "emb_ann_pq_serve": 11,
+    "emb_neardup_serve": 11, "errors_near_click": 11, "events_cms_users": 11,
+    "events_heavy_users": 11, "kpi_revenue_by_customer": 11,
+    "latest_order_per_customer": 11, "lineitem_bloom_semijoin": 11,
+    "monthly_running_revenue": 11, "orders_join_view": 11,
+    "pricing_summary": 11, "region_nation_rollup": 11, "regional_revenue": 11,
+    "status_priority_cube": 11, "top_building_orders": 11,
+    "wealthy_active_customers": 11,
     # last windowed in round 12
     "big_orders": 12, "cheapest_supplier_per_part": 12,
     "customer_deciles": 12, "customer_segment_impute": 12,
@@ -104,6 +80,29 @@ _LAST_WINDOWED = {
     "orders_merge_view": 12, "orders_merge_view_serve": 12,
     "orders_price_outliers": 12, "orders_scd2_revenue": 12,
     "partsupp_pagerank": 12,
+    # last windowed in round 13
+    "asset_binary_stats": 13, "asset_features": 13, "asset_frame_samples": 13,
+    "click_before_purchase": 13, "customer_rank_in_nation": 13,
+    "customers_with_orders": 13, "customers_without_orders": 13,
+    "daily_revenue_delta": 13, "doc_bm25_serve": 13,
+    "doc_bm25_takedown_serve": 13, "doc_chunks": 13, "doc_contamination": 13,
+    "doc_curated_incremental": 13, "doc_dup_clusters": 13,
+    "doc_phrase_search": 13, "doc_phrase_serve": 13, "emb_dedup_final": 13,
+    "emb_dup_clusters": 13, "emb_knn": 13, "emb_near_dups_exact": 13,
+    "emb_norms": 13, "events_approx_users": 13, "events_distinct_users": 13,
+    "events_funnel": 13, "events_hourly": 13, "events_json_value": 13,
+    "events_kmv_overlap": 13, "events_kmv_users": 13,
+    "events_session_funnel": 13, "events_sessionize": 13,
+    "kpi_failed_events_trend": 13, "kpi_product_performance": 13,
+    "kpi_revenue_by_day": 13, "kpi_rolling_7d_revenue": 13,
+    "kpi_top_customers": 13, "lineitem_unpivot_stats": 13,
+    "nation_top_customer_names": 13, "order_grouping_sets": 13,
+    "order_moments": 13, "order_priority_pivot": 13,
+    "order_stats_distinct": 13, "orders_bloom_lookup": 13,
+    "orders_dq_report": 13, "orders_join_view_serve": 13,
+    "price_quantiles": 13, "price_quantiles_approx": 13,
+    "priority_status_matrix": 13, "promo_revenue_share": 13,
+    "quantity_price_corr": 13, "revenue_by_day_dense": 13,
 }
 
 #: ROTATION POLICY (the driver's correctness harness records only the
@@ -129,42 +128,39 @@ _LAST_WINDOWED = {
 #: window-matches-rule test pins the declared window to
 #: build_window(..., forced=_WINDOW_FORCED) — a hand swap without a
 #: matching entry here fails the suite, so rule-2 deviations are
-#: always visible in the diff. Round 13 forces nothing: every
+#: always visible in the diff. Round 14 forces nothing: every
 #: diff-touched query this round is already in the must-set.
 _WINDOW_FORCED: tuple[str, ...] = ()
 
-#: Round 13 window — the HEAL round planned when round 12's overflow
-#: was accepted: the must-set (age > 2) is exactly the 34 r9-last
-#: overflow queries plus the 3 queries added in round 12 that have
-#: never held a driver slot (doc_phrase_search, doc_phrase_serve,
-#: doc_bm25_takedown_serve — exact-multiset rows in
-#: VERIFY_LOCAL_r12.json until now). That is 37 <= 50, so NO overflow
-#: clause is needed this round; the remaining 13 slots go to the
-#: stalest cohort (r11-last, alphabetical). Selection stays purely
-#: mechanical: must-set first, then stalest by (last_windowed, name).
-_ROUND13_WINDOW = [
-    # never driver-windowed (added in r12) — must-set
-    "doc_bm25_takedown_serve", "doc_phrase_search", "doc_phrase_serve",
-    # all 34 r9-last queries (the r12 overflow) — must-set
-    "emb_dedup_final", "emb_dup_clusters", "emb_knn",
-    "emb_near_dups_exact", "emb_norms", "events_approx_users",
-    "events_distinct_users", "events_funnel", "events_hourly",
-    "events_json_value", "events_kmv_overlap", "events_kmv_users",
-    "events_session_funnel", "events_sessionize",
-    "kpi_failed_events_trend", "kpi_product_performance",
-    "kpi_revenue_by_day", "kpi_rolling_7d_revenue", "kpi_top_customers",
-    "lineitem_unpivot_stats", "nation_top_customer_names",
-    "order_grouping_sets", "order_moments", "order_priority_pivot",
-    "order_stats_distinct", "orders_bloom_lookup", "orders_dq_report",
-    "orders_join_view_serve", "price_quantiles", "price_quantiles_approx",
-    "priority_status_matrix", "promo_revenue_share",
-    "quantity_price_corr", "revenue_by_day_dense",
-    # stalest fill: first 13 of the 50 r11-last queries (alphabetical)
-    "asset_binary_stats", "asset_features", "asset_frame_samples",
-    "click_before_purchase", "customer_rank_in_nation",
-    "customers_with_orders", "customers_without_orders",
-    "daily_revenue_delta", "doc_bm25_serve", "doc_chunks",
-    "doc_contamination", "doc_curated_incremental", "doc_dup_clusters",
+#: Round 14 window — the steady-state rotation the r13 heal restored:
+#: the must-set (age > 2) is exactly the 37 r11-last queries (the
+#: asset_*/serve/cube cohort the r13 verdict item 2 predicted), which
+#: is 37 <= 50, so NO overflow clause is needed; the remaining 13
+#: slots go to the stalest r12-last cohort (alphabetical). Selection
+#: stays purely mechanical: must-set first, then stalest by
+#: (last_windowed, name) — pinned to build_window by
+#: tests/test_entry.py::test_window_matches_mechanical_rule.
+_ROUND14_WINDOW = [
+    # all 37 r11-last queries — must-set (age 3 this round)
+    "doc_dup_clusters_star", "doc_epoch_shuffle", "doc_hash_embedding",
+    "doc_language_guess", "doc_neardup_delete", "doc_neardup_delete_serve",
+    "doc_neardup_incremental", "doc_neardup_serve", "doc_packing",
+    "doc_pii_scan", "doc_quality", "doc_quality_model",
+    "doc_quality_model_serve", "doc_repetition", "doc_segment_dups",
+    "doc_simhash", "doc_split_assign", "doc_stratified_sample",
+    "doc_token_stats", "doc_window_dups", "emb_ann_ivfpq_serve",
+    "emb_ann_pq_serve", "emb_neardup_serve", "errors_near_click",
+    "events_cms_users", "events_heavy_users", "kpi_revenue_by_customer",
+    "latest_order_per_customer", "lineitem_bloom_semijoin",
+    "monthly_running_revenue", "orders_join_view", "pricing_summary",
+    "region_nation_rollup", "regional_revenue", "status_priority_cube",
+    "top_building_orders", "wealthy_active_customers",
+    # stalest fill: first 13 of the r12-last cohort (alphabetical)
+    "big_orders", "cheapest_supplier_per_part", "customer_deciles",
+    "customer_segment_impute", "customer_spend_distribution", "doc_bm25",
+    "doc_bpe_token_counts", "doc_bpe_vocab", "doc_chunk_knn",
+    "doc_contamination_fuzzy", "doc_curated_corpus", "doc_dedup_final",
+    "doc_exact_dedup",
 ]
 
 
@@ -175,7 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND13_WINDOW:
+    for name in _ROUND14_WINDOW:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)
