@@ -796,6 +796,40 @@ def index_delete(
             ids.unpersist(False)
 
 
+def index_tombstoned_ids(
+    spark: SparkSession, index_dir: str, batch_id: str | None = None
+) -> DataFrame | None:
+    """The index's LIVE tombstoned-id set, for wire-admission guarding
+    (streaming/dedup_index re-add guard, round-13 verdict item 4):
+    returns a broadcast-hinted single-column ``id`` frame, or ``None``
+    when the guard has nothing to check — no index yet, no live
+    tombstones (the common never-deleted fast path), or ``batch_id``
+    already committed (an exactly-once REPLAY: the fold is a batch-id
+    no-op, so re-judging its records would deadlock a crashed-epoch
+    recovery against its own earlier delete half).
+
+    Scope matches ``index_delete``'s terminal window: ``compact_index``
+    physically purges tombstoned rows and clears the set, after which a
+    re-add is a genuinely fresh doc — the same retention contract as a
+    compacted Kafka topic dropping tombstones after delete.retention."""
+    if not os.path.exists(os.path.join(index_dir, _META)):
+        return None
+    meta = _recover_meta(index_dir)
+    if _replayed_batch(meta, batch_id) is not None:
+        return None
+    segs = meta["segments"].get(_TOMBSTONES, [])
+    if not segs:
+        return None
+    tombs = (
+        spark.read.parquet(
+            *[os.path.join(index_dir, _TOMBSTONES, s) for s in segs]
+        )
+        .select("id")
+        .distinct()
+    )
+    return _hinted(tombs, meta.get("n_deleted", 0))
+
+
 def neardup_index_build(
     docs: DataFrame,
     index_dir: str,

@@ -106,6 +106,7 @@ def maintain_index_from_wire(
     key_type: str = "string",
     value_format: str = "json",
     available_now: bool = False,
+    on_retombstoned: str = "fail",
 ) -> StreamingQuery:
     """Kafka-wire → incremental index, tombstones included — the
     real-time corpus-maintenance capstone (SURVEY §2.9 S10 + the
@@ -131,17 +132,43 @@ def maintain_index_from_wire(
     per-partition offset order, and Kafka keys a key to one partition)
     decides: tombstone-last ⇒ deleted, live-last ⇒ present, so a
     tombstone followed by a same-epoch re-add keeps the re-add.
-    ACROSS epochs the index's takedown contract applies and diverges
-    from compacted-topic re-creation: ``index_delete`` tombstones are
-    TERMINAL for an id (they hide later re-adds of the same id too —
-    that is what makes takedowns irreversible by design). A key
-    re-created in a later epoch after its tombstoned epoch must carry
-    a FRESH id to re-enter the index.
+    ACROSS epochs the index's takedown contract applies:
+    ``index_delete`` tombstones are TERMINAL for an id (that is what
+    makes takedowns irreversible by design), so a key re-created in a
+    later epoch after its tombstoned epoch must carry a FRESH id to
+    re-enter the index. A re-add of a PRIOR-epoch-tombstoned id is
+    never silently hidden (the round-13 verdict's divergence hole):
+    the admission GUARD probes each epoch's live ids against the
+    index's live tombstone set (``index_tombstoned_ids`` — zero cost
+    for the common never-deleted index, replay-aware so a crashed
+    epoch's recovery is not refused by its own delete half) and,
+    per ``on_retombstoned``:
+
+    - ``"fail"`` (default): raise, failing the epoch loudly BEFORE the
+      fold — nothing commits, the operator fixes the producer (fresh
+      id) or reruns with quarantine;
+    - ``"quarantine"``: drop the offending records (logged with id
+      samples) and commit the rest — the takedown stays terminal and
+      the drop is observable, never silent.
+
+    This makes micro-batch-boundary placement (trigger timing,
+    maxOffsetsPerTrigger, checkpoint history) unable to produce
+    silently different final states for identical topic contents: a
+    tombstone→re-add pair either lands in one epoch (re-add wins, log
+    compaction) or across epochs (loud refusal / logged quarantine).
+    After ``compact_index`` physically purges a tombstone, the id is
+    genuinely fresh again — the compacted-topic delete.retention
+    analogy.
 
     Malformed payloads (PERMISSIVE decode ⇒ null columns) and live
     records with a null id are dropped before the fold — the
     batch-runner's never-raise quarantine contract; nothing downstream
-    exists here to absorb a null key.
+    exists here to absorb a null key. Live records whose Kafka KEY
+    disagrees with their PAYLOAD id (producer bug, or a ``'01'`` vs
+    ``'1'`` key surviving the cast) are excluded from the per-key
+    delete decision — the payload id is what the fold indexes, so a
+    mismatched live record must not veto the takedown of a different
+    doc id (round-13 advice); it still folds under its payload id.
 
     Exactly-once: foreachBatch replays a crashed epoch under the same
     epoch id, and BOTH halves carry derived ``batch_id``s
@@ -152,11 +179,21 @@ def maintain_index_from_wire(
     ``columns`` are the payload fields to feed ``fold`` (e.g.
     ``[id_col, text_col]``); extra payload fields are dropped here so
     the index segments never absorb unrelated wire columns."""
+    import logging
+
     from pyspark.sql import functions as F
 
-    from mini_data_platform_spark.operators.incremental import index_delete
+    from mini_data_platform_spark.operators.incremental import (
+        index_delete,
+        index_tombstoned_ids,
+    )
     from mini_data_platform_spark.streaming.kafka import kafka_records
 
+    if on_retombstoned not in ("fail", "quarantine"):
+        raise ValueError(
+            "on_retombstoned must be 'fail' or 'quarantine', got "
+            f"{on_retombstoned!r}"
+        )
     recs = kafka_records(
         wire, value_schema, value_format=value_format,
         drop_tombstones=False,
@@ -174,6 +211,34 @@ def maintain_index_from_wire(
             .select(*columns)
             .where(F.col(columns[0]).isNotNull())
         )
+        # re-add guard: a live id that a PRIOR epoch tombstoned would
+        # fold into a segment the terminal tombstone hides — silent
+        # divergence from the rebuild twin. None on the no-tombstone
+        # fast path and on exactly-once replays (fold is a no-op then).
+        tombs = index_tombstoned_ids(batch.sparkSession, index_dir, base)
+        if tombs is not None:
+            readds = tombs.withColumnRenamed("id", columns[0])
+            hit = [
+                r[0]
+                for r in live.select(columns[0])
+                .join(readds, columns[0], "left_semi")
+                .limit(6)
+                .collect()
+            ]
+            if hit and on_retombstoned == "fail":
+                raise RuntimeError(
+                    f"wire epoch {epoch_id} re-adds tombstoned id(s) "
+                    f"{sorted(hit)[:5]} — takedowns are terminal; "
+                    "re-ingest under a fresh id, or run with "
+                    "on_retombstoned='quarantine' to drop them"
+                )
+            if hit:
+                logging.getLogger(__name__).warning(
+                    "wire epoch %s: quarantined re-add(s) of tombstoned "
+                    "id(s) %s — takedowns are terminal",
+                    epoch_id, sorted(hit)[:5],
+                )
+                live = live.join(readds, columns[0], "left_anti")
         fold(live, index_dir, batch_id=base)
         # pure-append epochs (the steady state) pay ONE limit-1 scan
         # here and skip the per-key aggregate entirely — the delete-set
@@ -190,10 +255,17 @@ def maintain_index_from_wire(
         # excluded from the aggregate BEFORE max_by: they never reach
         # the fold, so letting one outrank a tombstone would discard
         # the upstream deletion while adding nothing — the pre-
-        # tombstone doc would be served forever
+        # tombstone doc would be served forever. Same exclusion for
+        # live records whose key disagrees with their payload id
+        # (cast both to key_type): the fold indexes the PAYLOAD id, so
+        # a mis-keyed live record vetoing this key's tombstone would
+        # keep serving a DIFFERENT, deleted doc forever
+        _kid = F.col("_kafka_key").cast(key_type)
+        _pid = F.col(columns[0]).cast(key_type)
         dead = (
             batch.where(
-                F.col("_tombstone") | F.col(columns[0]).isNotNull()
+                F.col("_tombstone")
+                | (F.col(columns[0]).isNotNull() & (_kid == _pid))
             )
             .groupBy("_kafka_key")
             .agg(
@@ -236,10 +308,12 @@ def maintain_neardup_index_from_wire(
     key_type: str = "bigint",
     value_format: str = "json",
     available_now: bool = False,
+    on_retombstoned: str = "fail",
 ) -> StreamingQuery:
     """``maintain_index_from_wire`` specialized to a near-dup index:
     live wire records near-dup-increment the corpus, tombstoned keys
-    are taken down. See the generic for the exactly-once argument."""
+    are taken down. See the generic for the exactly-once argument and
+    the ``on_retombstoned`` re-add guard contract."""
     from mini_data_platform_spark.operators.incremental import (
         neardup_index_increment,
     )
@@ -248,4 +322,5 @@ def maintain_neardup_index_from_wire(
         wire, value_schema, [id_col, text_col], index_dir,
         checkpoint_dir, neardup_index_increment, key_type=key_type,
         value_format=value_format, available_now=available_now,
+        on_retombstoned=on_retombstoned,
     )

@@ -412,7 +412,7 @@ class TestWireToNeardupIndex:
     def _doc_json(doc_id, text):
         return json.dumps({"doc_id": doc_id, "text": text})
 
-    def _run(self, spark, wire_dir, ckpt, idx):
+    def _run(self, spark, wire_dir, ckpt, idx, on_retombstoned="fail"):
         from mini_data_platform_spark.streaming.dedup_index import (
             maintain_neardup_index_from_wire,
         )
@@ -428,6 +428,7 @@ class TestWireToNeardupIndex:
             ),
             "doc_id", "text", idx, ckpt,
             key_type="bigint", available_now=True,
+            on_retombstoned=on_retombstoned,
         )
         q.awaitTermination(180)
         assert not q.isActive
@@ -509,9 +510,10 @@ class TestWireToNeardupIndex:
         (2) Malformed payloads (PERMISSIVE decode -> null id) and
         non-castable tombstone keys are quarantined before the fold —
         the epoch neither crashes nor commits a null-id doc. Also pins
-        the DOCUMENTED cross-epoch divergence: index_delete tombstones
-        are terminal, so a later-epoch re-add of a tombstoned id stays
-        hidden (a re-created key needs a fresh id)."""
+        the round-14 re-add GUARD: index_delete tombstones are
+        terminal, and a later-epoch re-add of a tombstoned id now
+        FAILS the epoch loudly by default (a re-created key needs a
+        fresh id) instead of being silently hidden."""
         from mini_data_platform_spark.operators.incremental import (
             index_docs,
             neardup_index_build,
@@ -559,16 +561,97 @@ class TestWireToNeardupIndex:
             "a quarantined malformed record vetoed the key's tombstone"
         )
 
-        # cross-epoch terminal delete (documented divergence from
-        # compacted-topic re-creation): re-adding id 200 later changes
-        # nothing — takedowns are irreversible per id
+        # cross-epoch terminal delete, now GUARDED (round-13 verdict
+        # item 4): re-adding id 200 in a later epoch fails the epoch
+        # loudly — takedowns are irreversible per id, and a silent
+        # hide would diverge from the rebuild twin unannounced
         self._land(
             spark, wire_dir, "b2",
             [("docs", 0, 7, "200", self._doc_json(200, f"{base_text} doc0"))],
         )
-        self._run(spark, wire_dir, ckpt, idx)
+        with pytest.raises(Exception, match="tombstoned id"):
+            self._run(spark, wire_dir, ckpt, idx)
         docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
         assert 200 not in docs_now and 201 in docs_now
+
+    def test_cross_epoch_readd_guard_and_key_id_mismatch(
+        self, spark, tmp_path
+    ):
+        """Round-13 verdict item 4 + advice pair. (1) A wire epoch
+        re-adding a PRIOR-epoch-tombstoned id FAILS loudly by default
+        and commits nothing (guard runs before the fold). (2) The same
+        stuck epoch rerun with on_retombstoned='quarantine' drops only
+        the offending record and commits the rest. (3) A fresh-id
+        re-ingest of the same content is untouched by the guard.
+        (4) A live record whose Kafka key disagrees with its payload
+        id cannot veto that key's takedown (it still folds under its
+        own payload id)."""
+        from mini_data_platform_spark.operators.incremental import (
+            index_docs,
+            neardup_index_build,
+        )
+
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        idx = str(tmp_path / "idx")
+        os.makedirs(wire_dir)
+        base_text = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(i, f"{base_text} doc{i}") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        neardup_index_build(corpus, idx, "doc_id", "text", 0.5, 16, 4, 3)
+
+        # epoch 1: tombstone key 1 (corpus doc), then a MIS-KEYED live
+        # record under the same key whose payload id is 999 — the
+        # mismatch must not veto doc 1's takedown, while 999 itself
+        # folds; plus an ordinary live doc 100
+        self._land(
+            spark, wire_dir, "b1",
+            [
+                ("docs", 0, 1, "1", None),
+                ("docs", 0, 2, "1", self._doc_json(999, f"{base_text} docX")),
+                ("docs", 0, 3, "100", self._doc_json(100, f"{base_text} doc0")),
+            ],
+        )
+        self._run(spark, wire_dir, ckpt, idx)
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 1 not in docs_now, "mis-keyed live record vetoed a takedown"
+        assert {999, 100} <= docs_now
+
+        # epoch 2: take down 100
+        self._land(spark, wire_dir, "b2", [("docs", 0, 4, "100", None)])
+        self._run(spark, wire_dir, ckpt, idx)
+        assert 100 not in {r["id"] for r in index_docs(spark, idx).collect()}
+
+        # epoch 3: re-add of tombstoned 100 + an innocent new doc 102
+        # — default mode refuses the whole epoch BEFORE anything folds
+        self._land(
+            spark, wire_dir, "b3",
+            [
+                ("docs", 0, 5, "100", self._doc_json(100, f"{base_text} doc0")),
+                ("docs", 0, 6, "102", self._doc_json(102, f"{base_text} doc2")),
+            ],
+        )
+        with pytest.raises(Exception, match="tombstoned id"):
+            self._run(spark, wire_dir, ckpt, idx)
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 102 not in docs_now and 100 not in docs_now
+
+        # the stuck epoch rerun in quarantine mode: the re-add is
+        # dropped (logged), the innocent doc commits
+        self._run(spark, wire_dir, ckpt, idx, on_retombstoned="quarantine")
+        docs_now = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 102 in docs_now and 100 not in docs_now
+
+        # epoch 4: the convergent path — same content under a FRESH id
+        # passes the guard untouched (tombstones {1, 100} are live)
+        self._land(
+            spark, wire_dir, "b4",
+            [("docs", 0, 7, "103", self._doc_json(103, f"{base_text} doc0"))],
+        )
+        self._run(spark, wire_dir, ckpt, idx)
+        assert 103 in {r["id"] for r in index_docs(spark, idx).collect()}
 
     def test_crash_between_halves_converges(self, spark, tmp_path):
         """The docstring's exactly-once argument, crash-injected
