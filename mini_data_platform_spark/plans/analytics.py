@@ -329,11 +329,22 @@ def price_quantiles_approx(
     import os as _os
 
     li = load_table(spark, sf_dir, "lineitem")
-    acc = F.lit(
-        int(accuracy)
-        if accuracy is not None
-        else int(_os.environ.get("MDP_PCTL_ACCURACY", _PCTL_ORACLE_ACCURACY))
-    )
+    if accuracy is not None:
+        acc_val = int(accuracy)
+    else:
+        # defensive env parse (round-13 advice): a malformed or
+        # non-positive MDP_PCTL_ACCURACY must not raise inside the
+        # driver harness nor silently move the oracle-checked query
+        # out of its exact-rank regime — fall back to the oracle value
+        try:
+            acc_val = int(
+                _os.environ.get("MDP_PCTL_ACCURACY", _PCTL_ORACLE_ACCURACY)
+            )
+        except ValueError:
+            acc_val = _PCTL_ORACLE_ACCURACY
+        if acc_val <= 0:
+            acc_val = _PCTL_ORACLE_ACCURACY
+    acc = F.lit(acc_val)
     price = F.col("l_extendedprice")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.percentile_approx(price, F.lit(0.25), acc).alias("p25"),

@@ -4,6 +4,8 @@ keys line up, every query returns a DataFrame with stable schema."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
@@ -107,6 +109,29 @@ def test_price_quantiles_approx_production_accuracy(spark):
         spark, SF_CORRECT, accuracy=12_345
     )._jdf.queryExecution().analyzed().toString()
     assert "12345" in plan
+
+
+def test_price_quantiles_approx_env_parse_is_defensive(spark, monkeypatch):
+    """Round-13 advice: a malformed or non-positive MDP_PCTL_ACCURACY
+    (e.g. leaked from another harness) must not raise at plan-build
+    time nor silently move the oracle-checked query out of its
+    exact-rank regime — both fall back to the oracle accuracy. An
+    explicit argument still wins over the env."""
+    from tests.conftest import SF_CORRECT
+
+    from mini_data_platform_spark.plans import analytics
+
+    def _plan(**kw):
+        return (
+            analytics.price_quantiles_approx(spark, SF_CORRECT, **kw)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+
+    for bad in ("banana", "", "-5", "0"):
+        monkeypatch.setenv("MDP_PCTL_ACCURACY", bad)
+        assert str(analytics._PCTL_ORACLE_ACCURACY) in _plan(), bad
+    monkeypatch.setenv("MDP_PCTL_ACCURACY", "banana")
+    assert "54321" in _plan(accuracy=54_321)
 
 
 def test_rotation_staleness_bound():
@@ -216,6 +241,13 @@ def test_build_window_rule():
     # a forced query that is also must-set is not double-counted
     window, overflow = build_window(last, 13, slots=3, forced=("b",))
     assert window == ["b", "a", "x"] and overflow == []
+    # hand-edited forced sets are validated up front (round-13 advice):
+    # unknown names would KeyError in queries(); an oversized set would
+    # silently truncate the must-set via a negative room
+    with pytest.raises(ValueError, match="not in the query inventory"):
+        build_window(last, 13, slots=4, forced=("nope",))
+    with pytest.raises(ValueError, match="exceed 2 slots"):
+        build_window(last, 13, slots=2, forced=("y", "x", "z"))
 
 
 def test_last_windowed_matches_recorded_artifacts():

@@ -280,12 +280,57 @@ class TestLivePlanCache:
     def test_remote_paths_hit_cache_via_segment_lists(
         self, spark, tmpdir, monkeypatch
     ):
-        """Round-12 verdict item 7: non-stat-able paths (s3a:// in
-        deployment — mocked here by an os.stat that refuses the index
-        dir) must still hit BOTH plan caches via the committed-segment
-        lists, because remote object stores are exactly where listing
-        and footer latency hurt most. A commit must still change the
-        key (the segment list changes)."""
+        """Round-12 verdict item 7: remote URI paths (s3a:// in
+        deployment — simulated by patching the _is_remote seam to
+        claim the index dir) must still hit BOTH plan caches via the
+        committed-segment lists, because remote object stores are
+        exactly where listing and footer latency hurt most. A commit
+        must still change the key (the segment list changes)."""
+        import os as _os
+
+        from mini_data_platform_spark.operators import plancache as pc
+
+        b1 = _corpus(spark, 0, 10)
+        neardup_index_build(
+            b1, tmpdir, "doc_id", "text",
+            THRESH, NUM_HASHES, BANDS, SHINGLE_N,
+        )
+        seg = _os.path.join(
+            tmpdir, "docs", inc._recover_meta(tmpdir)["segments"]["docs"][0]
+        )
+        monkeypatch.setattr(
+            pc, "_is_remote",
+            lambda p: str(p).startswith(str(tmpdir)) or "://" in str(p),
+        )
+        # shared primitive: same object on the second call, plan works
+        c1 = pc.cached_parquet(spark, [seg])
+        c2 = pc.cached_parquet(spark, [seg])
+        assert c1 is c2 and c1.count() == 10
+        # live-view cache: same object on a cache hit under no-stat
+        meta = inc._recover_meta(tmpdir)
+        d1 = inc._read_live(spark, tmpdir, "docs", meta)
+        d2 = inc._read_live(spark, tmpdir, "docs", meta)
+        assert d1 is d2 and d1.count() == 10
+        # a commit changes the segment list -> new key even without
+        # stat-able paths: the post-increment lookup must see new docs
+        release_plan(
+            neardup_index_increment(
+                _mutated(b1.where(F.col("doc_id") < 3), 500), tmpdir
+            )
+        )
+        meta2 = inc._recover_meta(tmpdir)
+        d3 = inc._read_live(spark, tmpdir, "docs", meta2)
+        assert d3 is not d1 and d3.count() == 13
+
+    def test_local_stat_failure_degrades_to_uncached_read(
+        self, spark, tmpdir, monkeypatch
+    ):
+        """Round-13 advice: a transient LOCAL stat failure (EMFILE, a
+        permission blip, a cleanup race) must NOT cache the plan under
+        the remote sentinel — that would silently drop the mtime
+        entry-level defense local dirs get. Both caches degrade to an
+        uncached read (fresh object, correct rows) and resume caching
+        once stat works again."""
         import os as _os
 
         from mini_data_platform_spark.operators import plancache as pc
@@ -300,33 +345,27 @@ class TestLivePlanCache:
         )
         real_stat = _os.stat
 
-        def refuse_index_dir(path, *a, **k):
+        def flaky_stat(path, *a, **k):
             if str(path).startswith(str(tmpdir)):
-                raise OSError(f"mock remote URI: {path}")
+                raise OSError(24, "too many open files (injected)")
             return real_stat(path, *a, **k)
 
-        monkeypatch.setattr(pc.os, "stat", refuse_index_dir)
-        # shared primitive: same object on the second call, plan works
+        monkeypatch.setattr(pc.os, "stat", flaky_stat)
         c1 = pc.cached_parquet(spark, [seg])
         c2 = pc.cached_parquet(spark, [seg])
-        assert c1 is c2 and c1.count() == 10
-        # live-view cache: same object on a cache hit under no-stat
+        assert c1 is not c2 and c1.count() == 10 and c2.count() == 10
+        monkeypatch.setattr(inc.os, "stat", flaky_stat)
         meta = inc._recover_meta(tmpdir)
         d1 = inc._read_live(spark, tmpdir, "docs", meta)
         d2 = inc._read_live(spark, tmpdir, "docs", meta)
-        assert d1 is d2 and d1.count() == 10
-        # a commit changes the segment list -> new key even without
-        # stat-able paths: the post-increment lookup must see new docs
+        assert d1 is not d2 and d1.count() == 10
+        # stat recovers -> caching resumes
         monkeypatch.setattr(pc.os, "stat", real_stat)
-        release_plan(
-            neardup_index_increment(
-                _mutated(b1.where(F.col("doc_id") < 3), 500), tmpdir
-            )
-        )
-        monkeypatch.setattr(pc.os, "stat", refuse_index_dir)
-        meta2 = inc._recover_meta(tmpdir)
-        d3 = inc._read_live(spark, tmpdir, "docs", meta2)
-        assert d3 is not d1 and d3.count() == 13
+        monkeypatch.setattr(inc.os, "stat", real_stat)
+        c3 = pc.cached_parquet(spark, [seg])
+        assert pc.cached_parquet(spark, [seg]) is c3
+        d3 = inc._read_live(spark, tmpdir, "docs", meta)
+        assert inc._read_live(spark, tmpdir, "docs", meta) is d3
 
 
 class TestStringIdProbe:

@@ -69,6 +69,20 @@ def build_window(
     then needs an exact-multiset row in VERIFY_LOCAL_r{nxt}.json (the
     staleness test enforces that)."""
     head = list(dict.fromkeys(forced))
+    # _WINDOW_FORCED is hand-edited and the window test pins the
+    # declared window to this function's output, so validate up front
+    # (round-13 advice): an unknown forced name would flow into the
+    # window and KeyError in queries(); an oversized forced set would
+    # make `room` negative and silently drop the must-set tail.
+    unknown = [q for q in head if q not in last]
+    if unknown:
+        raise ValueError(
+            f"forced window entries not in the query inventory: {unknown}"
+        )
+    if len(head) > slots:
+        raise ValueError(
+            f"{len(head)} forced window entries exceed {slots} slots"
+        )
     head_set = set(head)
     must = sorted(
         q for q, r in last.items() if nxt - r > 2 and q not in head_set
