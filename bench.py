@@ -395,12 +395,43 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — cleanup is advisory
                 pass
 
+    # page-cache discipline for the serve window (r13 verdict item 3):
+    # solo serve baselines measured 0.15-0.86 lookups/s purely on OS
+    # page-cache state — the timed loop's large scans can evict the
+    # serve artifacts built in warmup, making steady medians bimodal
+    # across machine states. Deterministically pre-touch every serve
+    # artifact file (raw byte reads — parquet metadata ops don't touch
+    # data pages) right before the steady window and STAMP the cache
+    # state into the artifact, so gates and future rounds compare
+    # like-for-like warm numbers only.
+    import tempfile as _tempfile
+
+    serve_cache_mb = 0.0
+    try:
+        for d in _glob.glob(
+            os.path.join(_tempfile.gettempdir(), "mdp_serveidx_*")
+        ):
+            for root, _dirs, files in os.walk(d):
+                for fname in files:
+                    try:
+                        with open(os.path.join(root, fname), "rb") as fh:
+                            while chunk := fh.read(1 << 22):
+                                serve_cache_mb += len(chunk) / 1e6
+                    except OSError:
+                        pass  # a racing cleanup; the read is advisory
+        serve_cache = {"state": "warmed", "mb": round(serve_cache_mb, 1)}
+    except Exception as exc:  # noqa: BLE001 — discipline is advisory
+        serve_cache = {"state": "unknown", "err": str(exc)[:200]}
+
     # steady-state serving latencies (verdict r9 item 6): the timed
     # loop's *_serve numbers still carry plan-translation/codegen noise
     # from the session's history; re-run each serve query 3x against the
     # already-cached artifacts and report the MEDIAN — the number a
-    # serving loop actually sees.
+    # serving loop actually sees. Per-run values are kept too so the
+    # artifact itself shows the same-session spread (r13 item 3's done
+    # bar: <2x across the runs now that the cache state is pinned).
     serve_steady: dict[str, float] = {}
+    serve_steady_runs: dict[str, list[float]] = {}
     import statistics
 
     for name, fn in queries.items():
@@ -422,6 +453,7 @@ def main() -> None:
                     pass
         if runs:
             serve_steady[name] = round(statistics.median(runs), 3)
+            serve_steady_runs[name] = [round(r, 3) for r in runs]
 
     # concurrent serving latencies (r10 task 8 / r11 verdict item 8):
     # a serving tier fields simultaneous lookups, and a per-request
@@ -490,8 +522,12 @@ def main() -> None:
         # paid in warmup so the timed numbers measure SERVING
         "serve_first_touch": serve_first_touch,
         # median of 3 post-warmup re-runs per *_serve query — the
-        # steady-state serving latency (r9 item 6)
+        # steady-state serving latency (r9 item 6) — measured under the
+        # stamped page-cache state, per-run values alongside (r13
+        # verdict item 3: compare like-for-like warm numbers only)
         "serve_steady": serve_steady,
+        "serve_steady_runs": serve_steady_runs,
+        "serve_cache": serve_cache,
         # p50/p95 of 8 simultaneous lookups per serve query (r10 task 8)
         "serve_concurrent": serve_concurrent,
         # per-query execution metrics from the event log + observed

@@ -273,3 +273,24 @@ class TestShuffleAttribution:
 
         monkeypatch.setattr(bench, "_EVENTLOG", str(tmp_path / "missing"))
         assert bench._shuffle_by_window({"q": (0, 1)}) == {}
+
+
+class TestIngestScaleArtifact:
+    def test_warm_exclusion_rule_is_stamped(self):
+        """Round-13 verdict item 7: the warm-run exclusion must be
+        self-explaining IN the artifact, not a convention living only
+        in the tool."""
+        from ingest_scale import WARM_EXCLUSION_RULE, artifact
+
+        out = artifact(
+            [0.1, 0.2, 0.3],
+            {"rows": 100_000, "sec": 8.0, "rows_per_min": 750_000},
+            [{"n": 100_000}],
+            [{"n": 2_000_000, "n_files": 512}],
+        )
+        assert out["warm_run_excluded"]["exclusion_rule"] == (
+            WARM_EXCLUSION_RULE
+        )
+        assert "by rule" in WARM_EXCLUSION_RULE.lower()
+        assert out["warm_run_excluded"]["rows_per_min"] == 750_000
+        assert out["file_count_runs"][0]["n_files"] == 512

@@ -81,13 +81,19 @@ def _lookup_once(spark, fn, sf_dir: str) -> None:
 def worker(query: str, sf_dir: str, start_at: float, seconds: float,
            cpus: int) -> None:
     """One driver process: warm, barrier, run lookups for ``seconds``,
-    print a single JSON line on stdout (the parent parses it)."""
+    print a single JSON line on stdout (the parent parses it). The
+    FIRST warmup lookup is timed and reported separately — on a cold
+    fleet (no prebuilt artifacts) it IS the racing build, so its wall
+    is the per-worker convergence cost the cold_start block records."""
     spark = _session(f"serve-mp-{query}-{os.getpid()}", cpus)
     import __spark_entry__ as entry_mod
 
     fn = entry_mod.queries()[query]
-    for _ in range(2):  # per-process plan/artifact cache warmup
-        _lookup_once(spark, fn, sf_dir)
+    f0 = time.perf_counter()
+    _lookup_once(spark, fn, sf_dir)  # racing build on a cold fleet
+    first_lookup = time.perf_counter() - f0
+    t_first_done = time.time()
+    _lookup_once(spark, fn, sf_dir)  # plan-cache warmup
     now = time.time()
     if start_at > now:
         time.sleep(start_at - now)
@@ -108,6 +114,8 @@ def worker(query: str, sf_dir: str, start_at: float, seconds: float,
         "wall": round(t1 - t0, 3),
         "lps": round(len(lats) / (t1 - t0), 3),
         "p50": round(statistics.median(lats), 3) if lats else None,
+        "first_lookup_sec": round(first_lookup, 3),
+        "t_first_done": round(t_first_done, 3),
     }))
 
 
@@ -212,6 +220,89 @@ def run_matrix(queries: list[str], procs: list[int], sf_dir: str,
     return results
 
 
+def wipe_serve_caches() -> int:
+    """Remove every published serve artifact (and any orphaned staging
+    dir) from the temp dir — the cold-fleet precondition."""
+    import glob
+    import shutil
+    import tempfile
+
+    n = 0
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "mdp_serveidx_*")):
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
+
+
+def _serve_cache_census() -> dict:
+    import glob
+    import tempfile
+
+    paths = glob.glob(os.path.join(tempfile.gettempdir(), "mdp_serveidx_*"))
+    return {
+        "published_dirs": sum(1 for p in paths if ".build-" not in p),
+        "staging_leftovers": sum(1 for p in paths if ".build-" in p),
+    }
+
+
+def run_cold_start(queries: list[str], n: int, sf_dir: str,
+                   seconds: float, cpus: int,
+                   warm_allowance: float) -> dict:
+    """Cold-fleet start (round-13 verdict item 6): wipe the serve
+    caches, spawn ``n`` workers with NO parent prebuild — their first
+    lookups race to build the artifacts; the atomic-rename publish
+    means exactly one copy per artifact survives and losers discard.
+    Records per-worker first-lookup walls (the racing build),
+    fleet convergence (spawn → last worker's first lookup done), and a
+    post-run census proving single-winner publish (no duplicate
+    artifact dirs, no staging leftovers)."""
+    results: dict[str, dict] = {}
+    for q in queries:
+        wiped = wipe_serve_caches()
+        start_at = time.time() + warm_allowance
+        t_spawn = time.time()
+        ps = [_spawn(q, sf_dir, start_at, seconds, cpus) for _ in range(n)]
+        rows = []
+        for p in ps:
+            try:
+                out, _ = p.communicate(timeout=warm_allowance + seconds + 300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out = ""
+            line = out.strip().splitlines()[-1] if out.strip() else "{}"
+            try:
+                row = json.loads(line)
+            except ValueError:
+                row = {}
+            if "window" in row:
+                rows.append(row)
+        entry = {
+            "n_procs": n,
+            "workers_alive": len(rows),
+            "caches_wiped": wiped,
+            "per_worker_first_lookup_sec": [
+                r.get("first_lookup_sec") for r in rows
+            ],
+            "convergence_sec": round(
+                max(r["t_first_done"] for r in rows) - t_spawn, 3
+            ) if rows else None,
+            "post_run": _serve_cache_census(),
+        }
+        if rows:
+            steady = aggregate(rows)
+            entry["steady_after_converge"] = {
+                "aggregate_lps": steady["aggregate_lps"],
+                "per_proc_lps": steady["per_proc_lps"],
+                "overlap_frac": steady["overlap_frac"],
+            }
+        results[q] = entry
+        print(f"cold start {q} x{n}: convergence "
+              f"{entry['convergence_sec']}s, first lookups "
+              f"{entry['per_worker_first_lookup_sec']}, post-run "
+              f"{entry['post_run']}", flush=True)
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", default=None, help="internal: query name")
@@ -226,6 +317,11 @@ def main() -> None:
                     help="seconds from spawn to the start barrier "
                          "(JVM spinup + 2 warmup lookups)")
     ap.add_argument("--out", default="/tmp/serve_multiproc.json")
+    ap.add_argument("--cold-start", type=int, default=0, metavar="N",
+                    help="also run the cold-fleet block: wipe serve "
+                         "caches, N workers race to build (0 = skip)")
+    ap.add_argument("--skip-matrix", action="store_true",
+                    help="run only the cold-start block")
     args = ap.parse_args()
 
     if args.worker:
@@ -238,10 +334,17 @@ def main() -> None:
         "seconds_per_window": args.seconds,
         "worker_cpus": args.cpus,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
-        "results": run_matrix(args.queries, args.procs, args.sf_dir,
-                              args.seconds, args.cpus,
-                              args.warm_allowance),
     }
+    if args.cold_start:
+        # cold block FIRST: the matrix prebuild would defeat the wipe
+        out["cold_start"] = run_cold_start(
+            args.queries, args.cold_start, args.sf_dir, args.seconds,
+            args.cpus, args.warm_allowance,
+        )
+    if not args.skip_matrix:
+        out["results"] = run_matrix(args.queries, args.procs, args.sf_dir,
+                                    args.seconds, args.cpus,
+                                    args.warm_allowance)
     with open(args.out, "w", encoding="utf-8") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
