@@ -21,7 +21,12 @@ Two execution modes:
   clean→window→sink plan over every file at once. Per-file row counts
   come from one small groupBy on the file rank. This is the 100 TB path:
   no per-file driver round-trips, one shuffle (the dedup window), and the
-  sink commits once (idempotent upsert makes retries safe).
+  sink commits once (idempotent upsert makes retries safe). As of round
+  14 the staging itself is file-count-scalable: files are read as a few
+  signature-grouped MULTI-PATH scans (rank recovered from
+  ``input_file_name``) instead of per-file reads chained through an
+  O(n²)-analysis union — the 512-file wall the INGEST_SCALE file-count
+  ladder measured (see ``_stage_valid_files``).
 - **per-file mode** (``per_file=True``): the reference's loop, for
   deployments that need per-file transactions / fault isolation at the
   cost of one job per file.
@@ -122,6 +127,160 @@ def _prepare_one(
             df = df.withColumn(c, F.lit(None).cast("string"))
     return with_ingest_order(df.select(*spec.columns)).withColumn(
         FILE_RANK_COL, F.lit(rank)
+    )
+
+
+class _NoSignature(Exception):
+    """A file whose read-signature cannot be derived driver-side (remote
+    path, unreadable head) — the batch falls back to the per-file union
+    staging, which needs no signatures."""
+
+
+_FILE_BASE_COL = "_file_base"
+
+
+def _csv_header_line(path: str) -> str:
+    """The file's RAW first line — two CSVs with the identical header
+    line parse to the identical column tuple, which is exactly the
+    condition for reading them in ONE multi-path scan."""
+    try:
+        with open(path, "rb") as fh:
+            line = fh.readline(1 << 20)
+    except OSError as e:
+        raise _NoSignature(path) from e
+    return line.decode("utf-8", errors="replace").rstrip("\r\n")
+
+
+def _file_signature(path: str) -> tuple:
+    """Group key under which files are SAFE to read as one multi-path
+    scan with per-file semantics preserved:
+
+    - csv: identical raw header line (same parsed columns, same order —
+      positional alignment under one inferred all-string schema);
+    - json: same layout (array vs ndjson); key drift within a group is
+      fine because JSON binds by NAME and missing spec keys conform to
+      typed nulls either way;
+    - parquet: identical normalized footer schema (read driver-side via
+      pyarrow — no py4j round trip); files with drifted footers land in
+      separate groups and meet only AFTER the all-string cast, exactly
+      like the per-file path;
+    - orc / anything else: one group per file (rare here; keeps legacy
+      per-file read semantics without a special case)."""
+    from mini_data_platform_spark.sources.formats import (
+        detect_format_path,
+        sniff_json_layout_path,
+    )
+
+    try:
+        fmt = detect_format_path(path)
+        if fmt == "csv":
+            return ("csv", _csv_header_line(path))
+        if fmt == "json":
+            return ("json", sniff_json_layout_path(path))
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            return (
+                "parquet",
+                tuple(
+                    (n.strip().lower(), str(t))
+                    for n, t in zip(schema.names, schema.types)
+                ),
+            )
+    except _NoSignature:
+        raise
+    except Exception as e:  # noqa: BLE001 — unreadable head/footer
+        raise _NoSignature(path) from e
+    return (fmt, path)
+
+
+def _read_group(spark: SparkSession, sig: tuple, paths: list[str]) -> DataFrame:
+    from mini_data_platform_spark.sources.readers import (
+        normalize_column_names,
+        read_file,
+    )
+
+    fmt = sig[0]
+    if fmt == "csv":
+        df = (
+            spark.read.option("header", True)
+            .option("mode", "PERMISSIVE")
+            .csv(paths)
+        )
+    elif fmt == "json" and sig[1] == "array":
+        df = spark.read.option("multiLine", True).json(paths)
+    elif fmt == "json":
+        df = spark.read.json(paths)
+    elif fmt == "parquet":
+        df = spark.read.parquet(*paths)
+    else:  # single-file group (orc & friends): the legacy reader
+        df = read_file(spark, paths[0], fmt)
+    return normalize_column_names(df)
+
+
+def _stage_valid_files(
+    spark: SparkSession, valid: list[str], spec: TableSpec
+) -> DataFrame:
+    """Stage ALL valid files as a handful of multi-path scans — the
+    100 TB staging plan (round-14, replacing the per-file read +
+    N-way chained union):
+
+    - the old plan paid one py4j read/analysis per file plus an
+      O(n²) left-deep unionByName analysis — measured 30 s of pure
+      DRIVER time at 256 files and the dominant wall at 512+
+      (INGEST_SCALE file_count_runs) — and executed 2+ tasks per file;
+    - this plan groups files by :func:`_file_signature` (read-safe
+      groups), issues ONE ``spark.read`` per group (Spark bin-packs
+      small files into ``maxPartitionBytes`` splits — constant plan
+      size, ~#cores tasks), and recovers each row's file rank by
+      joining ``input_file_name()``'s basename against a broadcast
+      (basename → listing rank) map, so cross-file precedence stays
+      byte-identical to the reference's sequential loop.
+
+    Raises :class:`_NoSignature` when any signature cannot be derived
+    (remote/unreadable path) or basenames collide across directories —
+    the caller falls back to the per-file union staging."""
+    base_ranks = []
+    seen = set()
+    for rank, path in enumerate(valid):
+        base = os.path.basename(path)
+        if base in seen:  # ambiguous rank map — e.g. recursive listing
+            raise _NoSignature(f"duplicate basename: {base}")
+        seen.add(base)
+        base_ranks.append((base, rank))
+    groups: dict[tuple, list[str]] = {}
+    for path in valid:
+        groups.setdefault(_file_signature(path), []).append(path)
+
+    frames = []
+    for sig, paths in groups.items():
+        df = _read_group(spark, sig, paths)
+        # provenance BEFORE any projection: input_file_name() is only
+        # defined over the scan's own rows (URI-encoded -> url_decode)
+        df = df.withColumn(
+            _FILE_BASE_COL,
+            F.url_decode(F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)),
+        )
+        data_cols = [c for c in df.columns if c != _FILE_BASE_COL]
+        df = df.select(
+            *[F.col(c).cast("string").alias(c) for c in data_cols],
+            _FILE_BASE_COL,
+        )
+        for c in spec.columns:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        frames.append(df.select(*spec.columns, _FILE_BASE_COL))
+    staged = frames[0]
+    for f in frames[1:]:  # one union per GROUP, not per file
+        staged = staged.unionByName(f)
+    ranks = spark.createDataFrame(
+        base_ranks, f"{_FILE_BASE_COL} string, {FILE_RANK_COL} long"
+    )
+    return (
+        with_ingest_order(staged)
+        .join(F.broadcast(ranks), _FILE_BASE_COL)
+        .drop(_FILE_BASE_COL)
     )
 
 
@@ -253,22 +412,19 @@ def _run_batch_ingest(
     report = IngestReport()
     files = discover_files(incoming_dir)
     valid: list[str] = []
-    # validation is a per-FILE verdict (sampled, O(1) per file), but a
-    # sequential loop serializes 2+ tiny Spark jobs per file on the
-    # driver — at 10k files that loop, not the data, is the wall.
-    # Spark job submission is thread-safe, so validate concurrently;
-    # verdicts are collected back IN LISTING ORDER and the driver-side
-    # side effects (quarantine moves, audit writes) stay sequential, so
-    # routing and precedence semantics are byte-identical to the loop.
-    from concurrent.futures import ThreadPoolExecutor
+    # validation is a per-FILE verdict (sampled, O(1) data per file) —
+    # but the naive loop pays 1-2 tiny driver-built Spark jobs per file
+    # and serializes their py4j plan builds on the GIL, which at 10k
+    # files is the wall (r9 finding; round-14 measured ~24 ms/file even
+    # 16-wide). validate_files batches small-CSV header checks
+    # driver-side and their date probes into one job per header group,
+    # thread-pools the rest, and returns verdicts IN LISTING ORDER;
+    # driver-side side effects (quarantine moves, audit writes) stay
+    # sequential, so routing and precedence semantics are byte-identical
+    # to the loop.
+    from mini_data_platform_spark.sources.validate import validate_files
 
-    if files:
-        with ThreadPoolExecutor(max_workers=min(16, len(files))) as pool:
-            verdicts = list(
-                pool.map(lambda p: validate_file(spark, p, spec=spec), files)
-            )
-    else:
-        verdicts = []
+    verdicts = validate_files(spark, files, spec=spec) if files else []
     for path, (ok, err) in zip(files, verdicts):
         if ok:
             if audit:
@@ -294,9 +450,17 @@ def _run_batch_ingest(
 
     # ---- scale mode: one job over all valid files -------------------------
     try:
-        staged = _prepare_one(spark, valid[0], 0, spec)
-        for rank, path in enumerate(valid[1:], start=1):
-            staged = staged.unionByName(_prepare_one(spark, path, rank, spec))
+        try:
+            staged = _stage_valid_files(spark, valid, spec)
+        except _NoSignature:
+            # remote/unreadable heads or basename collisions: the
+            # signature-grouped multi-path scan cannot prove itself
+            # safe — stage the legacy way (per-file read + union)
+            staged = _prepare_one(spark, valid[0], 0, spec)
+            for rank, path in enumerate(valid[1:], start=1):
+                staged = staged.unionByName(
+                    _prepare_one(spark, path, rank, spec)
+                )
         # clean_table conforms to exactly the spec's canonical columns;
         # the batch job must keep the bookkeeping tags, so the same
         # P4-P8 stages are applied with the tags carried through.

@@ -20,6 +20,8 @@ file size — at 100 TB the validator cost is bounded by file count.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession, functions as F
 
 from mini_data_platform_spark.registry import SALES_SPEC, TableSpec
@@ -46,12 +48,72 @@ def _missing(cols: list[str], spec: TableSpec) -> list[str]:
     return sorted(spec.required - have)
 
 
+def _local_csv_header_columns(path: str) -> list[str] | None:
+    """Driver-side CSV header parse — the file-count-scale fast path
+    (round-14: at 10k files the validator's cost is pure Spark JOB
+    COUNT, ~2 tiny jobs/file; the header check and the sample read's
+    schema inference are both satisfiable from the first line read
+    locally, leaving ONE job per file for the date probe). Returns
+    ``None`` whenever the header cannot be trusted locally — remote
+    path, empty file, quoted multi-line header, duplicate normalized
+    names — and the caller falls back to the Spark read, whose
+    semantics this path must exactly reproduce."""
+    import csv as _csv
+    import io
+
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.readline(1 << 20)
+    except OSError:
+        return None
+    if not raw:
+        return None
+    text = raw.decode("utf-8", errors="replace").rstrip("\r\n")
+    # an odd quote count means the header row continues past the first
+    # physical line (embedded newline in a quoted name) — Spark's
+    # parser handles that; this fast path must not guess
+    if not text or text.count('"') % 2:
+        return None
+    try:
+        row = next(_csv.reader(io.StringIO(text)))
+    except (StopIteration, _csv.Error):
+        return None
+    if not row or len({c.strip().lower() for c in row}) != len(row):
+        return None  # empty or duplicate-name header: let Spark decide
+    return row
+
+
 def validate_csv(
     spark: SparkSession, path: str, spec: TableSpec = SALES_SPEC
 ) -> tuple[bool, str]:
+    local_cols = _local_csv_header_columns(path)
     try:
-        sample = readers.read_csv(spark, path).limit(CSV_SAMPLE_ROWS)
-        cols = sample.columns
+        if local_cols is not None:
+            cols = local_cols
+            missing = _missing(cols, spec)
+            if missing:
+                return False, f"Missing required columns: {missing}"
+            # explicit all-string schema from the locally-parsed header:
+            # same frame read_csv produces, minus the inference job
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField(c.strip().lower(), T.StringType())
+                    for c in cols
+                ]
+            )
+            sample = (
+                spark.read.schema(schema)
+                .option("header", True)
+                .option("mode", "PERMISSIVE")
+                .csv(path)
+                .limit(CSV_SAMPLE_ROWS)
+            )
+            cols = sample.columns
+        else:
+            sample = readers.read_csv(spark, path).limit(CSV_SAMPLE_ROWS)
+            cols = sample.columns
     except Exception as e:  # noqa: BLE001 — any parse failure quarantines the file
         return False, f"CSV parse error: {e}"
     missing = _missing(cols, spec)
@@ -80,6 +142,135 @@ def validate_csv(
                 f"{DATE_SAMPLE_ROWS}",
             )
     return True, ""
+
+
+#: files at or under this size take the BATCHED date probe (one job per
+#: header group scans them whole — cheaper than one driver-built probe
+#: job per file); bigger files keep the per-file sampled probe so
+#: validation stays O(1) data per file no matter the file size.
+CSV_BATCH_MAX_BYTES = 8 << 20
+
+
+def _csv_group_date_probe(
+    spark: SparkSession, cols: list[str], paths: list[str], spec: TableSpec
+) -> dict[str, tuple[bool, str]]:
+    """The per-file date probe for a HEADER GROUP of small CSVs in ONE
+    Spark job: scan the group as a single multi-path read (explicit
+    all-string DDL schema — no inference, no py4j StructType build),
+    rank rows per file (monotonic ids are in read order within a file),
+    and count unparseable non-null values among each file's first
+    ``DATE_SAMPLE_ROWS`` rows per timestamp column — the identical
+    verdict rule, message included, as :func:`validate_csv`'s loop."""
+    from pyspark.sql.window import Window
+
+    lower = {c.strip().lower() for c in cols}
+    ts_cols = [t for t in spec.timestamp_columns if t in lower]
+    if not ts_cols:
+        return {p: (True, "") for p in paths}
+    base = {}
+    for p in paths:
+        base[os.path.basename(p)] = p
+    ddl = ", ".join(f"`{c.strip().lower()}` string" for c in cols)
+    df = (
+        spark.read.schema(ddl)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(paths)
+        .select(
+            F.url_decode(
+                F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)
+            ).alias("_f"),
+            F.monotonically_increasing_id().alias("_i"),
+            *[F.col(t) for t in ts_cols],
+        )
+    )
+    ranked = df.withColumn(
+        "_r", F.row_number().over(Window.partitionBy("_f").orderBy("_i"))
+    ).where(F.col("_r") <= DATE_SAMPLE_ROWS)
+    counted = ranked.groupBy("_f").agg(
+        *[
+            F.count_if(
+                F.col(t).isNotNull() & _parseable_ts(F.col(t)).isNull()
+            ).alias(t)
+            for t in ts_cols
+        ]
+    )
+    out: dict[str, tuple[bool, str]] = {p: (True, "") for p in paths}
+    for row in counted.collect():
+        path = base.get(row["_f"])
+        if path is None:
+            continue  # defensive: unexpected provenance name
+        for t in ts_cols:  # first failing column wins, like the loop
+            bad = int(row[t])
+            if bad:
+                out[path] = (
+                    False,
+                    f"{t} parse issue: {bad} unparseable in first "
+                    f"{DATE_SAMPLE_ROWS}",
+                )
+                break
+    return out
+
+
+def validate_files(
+    spark: SparkSession,
+    paths: list[str],
+    spec: TableSpec = SALES_SPEC,
+    max_workers: int = 16,
+) -> list[tuple[bool, str]]:
+    """Per-file verdicts for MANY files, returned in input order — the
+    file-count-scale validation entry point (round-13 verdict item 5:
+    at 10k files the per-file validator loop is pure driver job count,
+    measured ~24 ms/file even 16-wide because the py4j plan builds
+    serialize on the GIL). Small local CSVs (≤ CSV_BATCH_MAX_BYTES)
+    whose header parses driver-side get their column check WITHOUT
+    Spark and share ONE date-probe job per header group; everything
+    else — large CSVs, remote paths, JSON, parquet, ORC, duplicate
+    basenames — takes the unchanged per-file :func:`validate_file`
+    through the thread pool. Verdicts are byte-identical to the
+    per-file path (equivalence is pinned in tests/test_sources.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mini_data_platform_spark.sources.formats import detect_format_path
+
+    batched: dict[str, list[str]] = {}  # header sig -> paths
+    verdicts: dict[str, tuple[bool, str]] = {}
+    fallback: list[str] = []
+    seen_bases = set()
+    for p in paths:
+        try:
+            is_small_csv = (
+                detect_format_path(p) == "csv"
+                and os.path.getsize(p) <= CSV_BATCH_MAX_BYTES
+            )
+        except Exception:  # noqa: BLE001 — unreadable: per-file decides
+            is_small_csv = False
+        base_name = os.path.basename(p)
+        cols = _local_csv_header_columns(p) if is_small_csv else None
+        if cols is None or base_name in seen_bases:
+            fallback.append(p)
+            continue
+        seen_bases.add(base_name)
+        missing = _missing(cols, spec)
+        if missing:
+            verdicts[p] = (False, f"Missing required columns: {missing}")
+            continue
+        batched.setdefault("\x00".join(cols), []).append(p)
+    for sig, group in batched.items():
+        verdicts.update(
+            _csv_group_date_probe(spark, sig.split("\x00"), group, spec)
+        )
+    if fallback:
+        with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(fallback))
+        ) as pool:
+            for p, v in zip(
+                fallback,
+                pool.map(lambda q: validate_file(spark, q, spec=spec),
+                         fallback),
+            ):
+                verdicts[p] = v
+    return [verdicts[p] for p in paths]
 
 
 def validate_json(

@@ -5,6 +5,7 @@ routing, cross-file precedence, idempotent re-runs. Golden semantics from
 import functools
 import json
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -197,6 +198,67 @@ class TestBatchIngest:
     def test_empty_incoming(self, spark, lake):
         report, _ = _run(spark, lake)
         assert report.outcomes == [] and report.rows_upserted == 0
+
+    def test_grouped_staging_equals_per_file_mode(self, spark, lake):
+        """Round-14 staging rewrite (signature-grouped multi-path scans
+        replacing the per-file read + O(n²) union): the sink state of a
+        heterogeneous batch — two CSV header signatures incl. a
+        REORDERED one, ndjson, parquet, cross-file key collisions —
+        must equal per-file mode's sequential loop exactly."""
+        def land():
+            _put(lake, "a_dirty.csv", DIRTY_CSV)
+            _put(
+                lake, "b_reordered.csv",
+                "amount,sale_id,sale_date,customer_id,product_id,quantity\n"
+                "55.0,s1,2025-01-01 00:00:00,CR,PR,5\n"  # beats a_dirty's s1
+                "7.0,r1,2024-07-01 00:00:00,C7,P7,7\n",
+            )
+            _put(lake, "c_good.json", GOOD_NDJSON)
+            pq.write_table(
+                pa.table({
+                    "sale_id": ["p1"], "sale_date": ["2024-06-01 00:00:00"],
+                    "customer_id": ["CP"], "product_id": ["PP"],
+                    "quantity": [7], "amount": [70.0],
+                }),
+                os.path.join(lake["incoming"], "d_good.parquet"),
+            )
+
+        land()
+        _run(spark, lake)
+        scale = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(lake["target"]).collect()
+        )
+        shutil.rmtree(lake["target"])
+        land()
+        _run(spark, lake, per_file=True)
+        per_file = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(lake["target"]).collect()
+        )
+        assert scale == per_file
+        # the reordered later file's s1 really won (rank precedence)
+        s1 = dict([t for t in scale if dict(t)["sale_id"] == "s1"][0])
+        assert s1["customer_id"] == "CR"
+
+    def test_stage_fallback_on_unreadable_signature(
+        self, spark, lake, monkeypatch
+    ):
+        """When any file's read-signature cannot be derived (remote
+        paths in deployment — simulated by a raising signature), the
+        batch stages the legacy per-file way and the result is
+        unchanged."""
+        import mini_data_platform_spark.runner as runner_mod
+
+        def no_sig(path):
+            raise runner_mod._NoSignature(path)
+
+        monkeypatch.setattr(runner_mod, "_file_signature", no_sig)
+        _put(lake, "a_dirty.csv", DIRTY_CSV)
+        report, _ = _run(spark, lake)
+        assert [o.status for o in report.outcomes] == ["loaded"]
+        got = {r["sale_id"] for r in spark.read.parquet(lake["target"]).collect()}
+        assert {"s1", "s2", "s3"} <= got
 
     def test_sink_failure_quarantines_to_loading_failed(self, spark, lake):
         _put(lake, "f.csv", DIRTY_CSV)

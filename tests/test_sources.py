@@ -205,6 +205,97 @@ class TestValidate:
         assert not ok
 
 
+class TestValidateFilesBatched:
+    """validate_files — the file-count-scale validation entry point
+    (round-13 verdict item 5): small-CSV header checks run driver-side
+    and date probes batch into one job per header group. Its contract
+    is verdict EQUIVALENCE with the per-file validate_file path."""
+
+    def _mixed_fixture(self, tmpdir_str):
+        paths = [
+            _write(tmpdir_str, "ok.csv", GOOD_CSV),
+            _write(tmpdir_str, "m.csv", "sale_id,amount\nx,1\n"),
+            _write(
+                tmpdir_str, "bd.csv",
+                GOOD_CSV + "a3,NOT A DATE,CUST-5,PROD-5,1,1.0\n",
+            ),
+            _write(
+                tmpdir_str, "late.csv",
+                "\n".join(
+                    [GOOD_CSV.strip()]
+                    + [f"b{i},2024-01-01 00:00:00,C,P,1,1.0"
+                       for i in range(60)]
+                    + ["zz,NOT A DATE,C,P,1,1.0"]
+                ),
+            ),
+            _write(
+                tmpdir_str, "hdr_only.csv",
+                "sale_id,sale_date,customer_id,product_id,quantity,amount\n",
+            ),
+            _write(
+                tmpdir_str, "reordered.csv",
+                "amount,sale_id,sale_date,customer_id,product_id,quantity\n"
+                "1.0,r1,2024-05-06 07:08:09,C,P,1\n",
+            ),
+            _write(
+                tmpdir_str, "nd.json",
+                "\n".join(json.dumps(r) for r in RECORDS),
+            ),
+        ]
+        bad_pq = os.path.join(tmpdir_str, "bad.parquet")
+        pq.write_table(pa.table({"sale_id": ["x"]}), bad_pq)
+        paths.append(bad_pq)
+        return paths
+
+    def test_verdicts_match_per_file_path(self, spark, tmpdir_str):
+        from mini_data_platform_spark.sources.validate import validate_files
+
+        paths = self._mixed_fixture(tmpdir_str)
+        batched = validate_files(spark, paths)
+        per_file = [validate_file(spark, p) for p in paths]
+        assert batched == per_file
+        # and the fixture genuinely exercises both verdict polarities
+        assert {ok for ok, _ in batched} == {True, False}
+
+    def test_big_csv_takes_per_file_probe(self, spark, tmpdir_str, monkeypatch):
+        """Files over the batch size cap keep the per-file SAMPLED
+        probe — validation must stay O(1) data per file at any file
+        size, so the batched full-scan path is for small files only."""
+        from mini_data_platform_spark.sources import validate as v
+
+        p = _write(tmpdir_str, "big.csv", GOOD_CSV)
+        monkeypatch.setattr(v, "CSV_BATCH_MAX_BYTES", 1)  # everything is big
+        called = []
+        real = v.validate_file
+
+        def spy(spark_, path, spec=v.SALES_SPEC):
+            called.append(path)
+            return real(spark_, path, spec=spec)
+
+        monkeypatch.setattr(v, "validate_file", spy)
+        assert v.validate_files(spark, [p]) == [(True, "")]
+        assert called == [p]
+
+    def test_duplicate_basenames_fall_back(self, spark, tmpdir_str):
+        """Two files with one basename in different dirs: provenance
+        joins on basename, so the second routes to the per-file path —
+        verdicts still correct for both."""
+        from mini_data_platform_spark.sources.validate import validate_files
+
+        d1 = os.path.join(tmpdir_str, "d1")
+        d2 = os.path.join(tmpdir_str, "d2")
+        os.makedirs(d1)
+        os.makedirs(d2)
+        p1 = _write(d1, "same.csv", GOOD_CSV)
+        p2 = _write(
+            d2, "same.csv",
+            GOOD_CSV + "a3,NOT A DATE,CUST-5,PROD-5,1,1.0\n",
+        )
+        got = validate_files(spark, [p1, p2])
+        assert got[0] == (True, "")
+        assert not got[1][0] and "sale_date parse issue" in got[1][1]
+
+
 class TestOrcSupport:
     """ORC — beyond the reference's format set (Spark-native columnar)."""
 
