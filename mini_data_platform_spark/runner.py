@@ -241,6 +241,8 @@ def _stage_valid_files(
     Raises :class:`_NoSignature` when any signature cannot be derived
     (remote/unreadable path) or basenames collide across directories —
     the caller falls back to the per-file union staging."""
+    if _FILE_BASE_COL in spec.columns:  # provenance-name collision
+        raise _NoSignature(_FILE_BASE_COL)
     base_ranks = []
     seen = set()
     for rank, path in enumerate(valid):
