@@ -170,7 +170,17 @@ def run_matrix(queries: list[str], procs: list[int], sf_dir: str,
     for q in queries:
         _lookup_once(spark, qmap[q], sf_dir)
         print(f"prebuilt artifacts for {q}", flush=True)
+    gateway = getattr(spark.sparkContext, "_gateway", None)
     spark.stop()
+    try:
+        # stop() alone leaves the parent's py4j gateway JVM alive for
+        # the rest of the matrix — an idle-but-real process the timed
+        # windows then share cores with. The parent never touches
+        # Spark again, so shut the JVM down outright.
+        if gateway is not None:
+            gateway.shutdown()
+    except Exception:  # noqa: BLE001 — advisory cleanup
+        pass
 
     results: dict[str, dict] = {}
     for q in queries:
