@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -134,6 +135,12 @@ class _NoSignature(Exception):
     """A file whose read-signature cannot be derived driver-side (remote
     path, unreadable head) — the batch falls back to the per-file union
     staging, which needs no signatures."""
+
+
+#: basenames whose URI spelling (what ``input_file_name()`` reports) is
+#: guaranteed identical to ``os.path.basename`` — the rank join's key
+#: equality proof. Anything else falls back to per-file staging.
+_SAFE_BASE = re.compile(r"^[A-Za-z0-9._=-]+$")
 
 
 _FILE_BASE_COL = "_file_base"
@@ -249,6 +256,12 @@ def _stage_valid_files(
         base = os.path.basename(path)
         if base in seen:  # ambiguous rank map — e.g. recursive listing
             raise _NoSignature(f"duplicate basename: {base}")
+        if not _SAFE_BASE.match(base):
+            # input_file_name() reports the URI form; for names outside
+            # the URI-safe set the two spellings can disagree (and a
+            # blanket url_decode turns '+' into a space), so the rank
+            # join could silently DROP rows — refuse and stage legacy
+            raise _NoSignature(f"non-URI-safe basename: {base}")
         seen.add(base)
         base_ranks.append((base, rank))
     groups: dict[tuple, list[str]] = {}
@@ -262,7 +275,7 @@ def _stage_valid_files(
         # defined over the scan's own rows (URI-encoded -> url_decode)
         df = df.withColumn(
             _FILE_BASE_COL,
-            F.url_decode(F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)),
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1),
         )
         data_cols = [c for c in df.columns if c != _FILE_BASE_COL]
         df = df.select(

@@ -21,6 +21,7 @@ file size — at 100 TB the validator cost is bounded by file count.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -150,6 +151,9 @@ def validate_csv(
 #: validation stays O(1) data per file no matter the file size.
 CSV_BATCH_MAX_BYTES = 8 << 20
 
+#: basenames whose URI spelling (input_file_name) equals os.path.basename
+_SAFE_BASE = re.compile(r"^[A-Za-z0-9._=-]+$")
+
 
 def _csv_group_date_probe(
     spark: SparkSession, cols: list[str], paths: list[str], spec: TableSpec
@@ -177,9 +181,7 @@ def _csv_group_date_probe(
         .option("mode", "PERMISSIVE")
         .csv(paths)
         .select(
-            F.url_decode(
-                F.regexp_extract(F.input_file_name(), "([^/]+)$", 1)
-            ).alias("_f"),
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("_f"),
             F.monotonically_increasing_id().alias("_i"),
             *[F.col(t) for t in ts_cols],
         )
@@ -247,7 +249,13 @@ def validate_files(
             is_small_csv = False
         base_name = os.path.basename(p)
         cols = _local_csv_header_columns(p) if is_small_csv else None
-        if cols is None or base_name in seen_bases:
+        if (
+            cols is None
+            or base_name in seen_bases
+            # input_file_name() reports the URI spelling — only join
+            # verdicts back on basenames where the two are identical
+            or not _SAFE_BASE.match(base_name)
+        ):
             fallback.append(p)
             continue
         seen_bases.add(base_name)

@@ -241,6 +241,16 @@ class TestBatchIngest:
         s1 = dict([t for t in scale if dict(t)["sale_id"] == "s1"][0])
         assert s1["customer_id"] == "CR"
 
+    def test_non_uri_safe_basename_falls_back_losslessly(self, spark, lake):
+        """A filename whose URI spelling differs from its basename
+        (space -> %20) must not silently drop rows through the rank
+        join — such batches stage the legacy per-file way."""
+        _put(lake, "sp ace.csv", DIRTY_CSV)
+        report, _ = _run(spark, lake)
+        assert [o.status for o in report.outcomes] == ["loaded"]
+        got = {r["sale_id"] for r in spark.read.parquet(lake["target"]).collect()}
+        assert {"s1", "s2", "s3"} | FILLER_KEYS <= got
+
     def test_stage_fallback_on_unreadable_signature(
         self, spark, lake, monkeypatch
     ):
