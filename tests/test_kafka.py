@@ -735,6 +735,69 @@ class TestWireToNeardupIndex:
             "replayed epoch re-committed its increment — not exactly-once"
         )
 
+    def test_replay_after_both_halves_not_refused_by_guard(
+        self, spark, tmp_path
+    ):
+        """The re-add guard's replay-awareness (round-14): an epoch
+        carrying add(55)→tombstone(55) commits BOTH halves, then
+        crashes before the checkpoint records completion. The replay
+        re-presents live 55 against its own now-committed tombstone —
+        the guard must recognize the committed fold batch_id and stand
+        down (the fold is a no-op anyway) instead of refusing its own
+        epoch forever."""
+        import mini_data_platform_spark.operators.incremental as inc_mod
+        from mini_data_platform_spark.operators.incremental import (
+            _recover_meta,
+            index_docs,
+            neardup_index_build,
+        )
+
+        wire_dir = str(tmp_path / "wire")
+        ckpt = str(tmp_path / "ckpt")
+        idx = str(tmp_path / "idx")
+        os.makedirs(wire_dir)
+        base_text = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(i, f"{base_text} doc{i}") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        neardup_index_build(corpus, idx, "doc_id", "text", 0.5, 16, 4, 3)
+
+        # one epoch: live 300, and 55 added-then-tombstoned (dead by
+        # the within-epoch last-record rule)
+        self._land(
+            spark, wire_dir, "b1",
+            [
+                ("docs", 0, 1, "300",
+                 self._doc_json(300, f"{base_text} doc0")),
+                ("docs", 0, 2, "55",
+                 self._doc_json(55, f"{base_text} doc1")),
+                ("docs", 0, 3, "55", None),
+            ],
+        )
+
+        real_delete = inc_mod.index_delete
+
+        def delete_then_crash(*a, **k):
+            real_delete(*a, **k)  # the delete half genuinely commits
+            raise RuntimeError("injected post-commit crash")
+
+        inc_mod.index_delete = delete_then_crash
+        try:
+            with pytest.raises(Exception, match="post-commit crash"):
+                self._run(spark, wire_dir, ckpt, idx)
+        finally:
+            inc_mod.index_delete = real_delete
+
+        batches_after_crash = _recover_meta(idx)["n_batches"]
+        # replay over the same checkpoint: both halves are batch-id
+        # no-ops — the guard must NOT raise on live 55 vs its own
+        # committed tombstone, and nothing re-commits
+        self._run(spark, wire_dir, ckpt, idx)
+        ids = {r["id"] for r in index_docs(spark, idx).collect()}
+        assert 300 in ids and 55 not in ids
+        assert _recover_meta(idx)["n_batches"] == batches_after_crash
+
     def test_generic_fold_drives_exact_index(self, spark, tmp_path):
         """The generic ``maintain_index_from_wire`` composes with any
         index fold: the EXACT-hash index here — streamed duplicates
