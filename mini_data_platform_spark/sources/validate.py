@@ -317,6 +317,23 @@ def validate_json(
 def validate_parquet(
     spark: SparkSession, path: str, spec: TableSpec = SALES_SPEC
 ) -> tuple[bool, str]:
+    # local single-file fast path: read the footer driver-side via
+    # pyarrow — no py4j round trip, no Spark job (the r14 file-count
+    # doctrine: validator cost is bounded by file count, so each file
+    # should cost microseconds, not a driver-side plan analysis).
+    # Directories (multi-file datasets) and remote paths fall through
+    # to the Spark read, which handles both.
+    if os.path.isfile(path):
+        try:
+            import pyarrow.parquet as _pq
+
+            names = _pq.read_schema(path).names
+        except Exception as e:  # noqa: BLE001 — unreadable footer
+            return False, f"Parquet parse error: {e}"
+        missing = _missing(list(names), spec)
+        if missing:
+            return False, f"Missing required columns: {missing}"
+        return True, ""
     try:
         schema = spark.read.parquet(path).schema  # footer only — no data IO
     except Exception as e:  # noqa: BLE001
