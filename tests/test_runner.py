@@ -241,6 +241,48 @@ class TestBatchIngest:
         s1 = dict([t for t in scale if dict(t)["sale_id"] == "s1"][0])
         assert s1["customer_id"] == "CR"
 
+    def test_parquet_type_drift_and_json_layout_groups(self, spark, lake):
+        """Signature grouping edges: two parquet files with the SAME
+        columns but DRIFTED types land in different groups (footer
+        signature includes types), meet only after the all-string cast
+        — the legacy per-file semantics; a JSON array file and an
+        ndjson file are separate layout groups read with the right
+        reader each."""
+        pq.write_table(
+            pa.table({
+                "sale_id": ["t1"], "sale_date": ["2024-06-01 00:00:00"],
+                "customer_id": ["CA"], "product_id": ["PA"],
+                "quantity": pa.array([7], type=pa.int64()),
+                "amount": pa.array([70.0], type=pa.float64()),
+            }),
+            os.path.join(lake["incoming"], "a_int.parquet"),
+        )
+        pq.write_table(
+            pa.table({
+                "sale_id": ["t2"], "sale_date": ["2024-06-02 00:00:00"],
+                "customer_id": ["CB"], "product_id": ["PB"],
+                "quantity": pa.array(["8"], type=pa.string()),
+                "amount": pa.array(["80.5"], type=pa.string()),
+            }),
+            os.path.join(lake["incoming"], "b_str.parquet"),
+        )
+        _put(
+            lake, "c_array.json",
+            json.dumps([
+                {"sale_id": "t3", "sale_date": "2024-06-03 00:00:00",
+                 "customer_id": "CC", "product_id": "PC",
+                 "quantity": 9, "amount": 90.0},
+            ]),
+        )
+        _put(lake, "d_nd.json", GOOD_NDJSON)
+        report, _ = _run(spark, lake)
+        assert {o.status for o in report.outcomes} == {"loaded"}
+        got = {r["sale_id"]: r.asDict()
+               for r in spark.read.parquet(lake["target"]).collect()}
+        assert set(got) == {"t1", "t2", "t3", "n1", "n2"}
+        assert got["t1"]["quantity"] == 7 and got["t2"]["quantity"] == 8
+        assert got["t2"]["amount"] == 80.5 and got["t3"]["quantity"] == 9
+
     def test_non_uri_safe_basename_falls_back_losslessly(self, spark, lake):
         """A filename whose URI spelling differs from its basename
         (space -> %20) must not silently drop rows through the rank
