@@ -214,6 +214,60 @@ def _csv_group_date_probe(
     return out
 
 
+def _ndjson_group_probe(
+    spark: SparkSession, paths: list[str], spec: TableSpec
+) -> dict[str, tuple[bool, str]]:
+    """:func:`validate_json`'s required-key check for a GROUP of small
+    ndjson files in ONE Spark job: the same probe pipeline (first
+    ``JSON_SAMPLE_RECORDS`` non-empty lines, wrapper strip,
+    ``json_object_keys`` vs the spec's required set), applied per file
+    via a row_number window over monotonic ids, with each file's
+    EARLIEST bad record (min ``_i``) supplying the message — the
+    deterministic form of the per-file path's ``.first()``."""
+    from pyspark.sql.window import Window
+
+    base = {os.path.basename(p): p for p in paths}
+    lines = (
+        spark.read.text(paths)
+        .select(
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("_f"),
+            F.monotonically_increasing_id().alias("_i"),
+            "value",
+        )
+        .where(F.trim("value") != "")
+    )
+    ranked = lines.withColumn(
+        "_r", F.row_number().over(Window.partitionBy("_f").orderBy("_i"))
+    ).where(F.col("_r") <= JSON_SAMPLE_RECORDS)
+    obj = F.regexp_replace(F.trim("value"), r"^[\[,]+|[\],]+$", "")
+    keyed = ranked.select("_f", "_i", obj.alias("obj")).where(
+        F.col("obj") != ""
+    )
+    required = F.array(*[F.lit(c) for c in sorted(spec.required)])
+    bad = keyed.select(
+        "_f",
+        "_i",
+        F.array_except(
+            required,
+            F.transform(
+                F.coalesce(
+                    F.json_object_keys("obj"), F.array().cast("array<string>")
+                ),
+                F.lower,
+            ),
+        ).alias("missing"),
+    ).where(F.size("missing") > 0)
+    firsts = bad.groupBy("_f").agg(
+        F.min_by("missing", F.col("_i")).alias("missing")
+    )
+    out = {p: (True, "") for p in paths}
+    for row in firsts.collect():
+        p = base.get(row["_f"])
+        if p is not None:
+            out[p] = (False, f"Missing columns: {sorted(row['missing'])}")
+    return out
+
+
 def validate_files(
     spark: SparkSession,
     paths: list[str],
@@ -224,50 +278,70 @@ def validate_files(
     file-count-scale validation entry point (round-13 verdict item 5:
     at 10k files the per-file validator loop is pure driver job count,
     measured ~24 ms/file even 16-wide because the py4j plan builds
-    serialize on the GIL). Small local CSVs (≤ CSV_BATCH_MAX_BYTES)
-    whose header parses driver-side get their column check WITHOUT
-    Spark and share ONE date-probe job per header group; everything
-    else — large CSVs, remote paths, JSON, parquet, ORC, duplicate
-    basenames — takes the unchanged per-file :func:`validate_file`
-    through the thread pool. Verdicts are byte-identical to the
-    per-file path (equivalence is pinned in tests/test_sources.py)."""
+    serialize on the GIL). Small local files (≤ CSV_BATCH_MAX_BYTES)
+    batch their Spark work per group: CSVs whose header parses
+    driver-side get their column check WITHOUT Spark and share ONE
+    date-probe job per header group; ndjson files share ONE
+    required-key job. Everything else — large files, remote paths,
+    array JSON, parquet, ORC, duplicate or non-URI-safe basenames —
+    takes the unchanged per-file :func:`validate_file` through the
+    thread pool. Verdicts are byte-identical to the per-file path
+    (equivalence is pinned in tests/test_sources.py)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from mini_data_platform_spark.sources.formats import detect_format_path
+    from mini_data_platform_spark.sources.formats import (
+        detect_format_path,
+        sniff_json_layout_path,
+    )
 
-    batched: dict[str, list[str]] = {}  # header sig -> paths
+    batched: dict[str, list[str]] = {}  # csv header sig -> paths
+    nd_group: list[str] = []
     verdicts: dict[str, tuple[bool, str]] = {}
     fallback: list[str] = []
     seen_bases = set()
     for p in paths:
         try:
-            is_small_csv = (
-                detect_format_path(p) == "csv"
-                and os.path.getsize(p) <= CSV_BATCH_MAX_BYTES
-            )
+            fmt = detect_format_path(p)
+            small = os.path.getsize(p) <= CSV_BATCH_MAX_BYTES
         except Exception:  # noqa: BLE001 — unreadable: per-file decides
-            is_small_csv = False
+            fmt, small = None, False
         base_name = os.path.basename(p)
-        cols = _local_csv_header_columns(p) if is_small_csv else None
-        if (
-            cols is None
-            or base_name in seen_bases
-            # input_file_name() reports the URI spelling — only join
-            # verdicts back on basenames where the two are identical
-            or not _SAFE_BASE.match(base_name)
+        # input_file_name() reports the URI spelling — only join
+        # verdicts back on basenames where the two are identical
+        joinable = base_name not in seen_bases and bool(
+            _SAFE_BASE.match(base_name)
+        )
+        if fmt == "csv" and small and joinable:
+            cols = _local_csv_header_columns(p)
+            if cols is not None:
+                seen_bases.add(base_name)
+                missing = _missing(cols, spec)
+                if missing:
+                    verdicts[p] = (
+                        False, f"Missing required columns: {missing}",
+                    )
+                else:
+                    batched.setdefault("\x00".join(cols), []).append(p)
+                continue
+        elif (
+            fmt == "json"
+            and small
+            and joinable
+            and sniff_json_layout_path(p) == "ndjson"
         ):
-            fallback.append(p)
+            seen_bases.add(base_name)
+            nd_group.append(p)
             continue
-        seen_bases.add(base_name)
-        missing = _missing(cols, spec)
-        if missing:
-            verdicts[p] = (False, f"Missing required columns: {missing}")
-            continue
-        batched.setdefault("\x00".join(cols), []).append(p)
+        fallback.append(p)
     for sig, group in batched.items():
         verdicts.update(
             _csv_group_date_probe(spark, sig.split("\x00"), group, spec)
         )
+    if nd_group:
+        try:
+            verdicts.update(_ndjson_group_probe(spark, nd_group, spec))
+        except Exception:  # noqa: BLE001 — group read failed: per-file
+            fallback.extend(nd_group)
     if fallback:
         with ThreadPoolExecutor(
             max_workers=min(max_workers, len(fallback))

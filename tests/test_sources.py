@@ -241,6 +241,17 @@ class TestValidateFilesBatched:
                 tmpdir_str, "nd.json",
                 "\n".join(json.dumps(r) for r in RECORDS),
             ),
+            _write(
+                tmpdir_str, "nd_bad.json",
+                "\n".join(
+                    json.dumps(r) for r in [
+                        dict(RECORDS[0]),
+                        {k: v for k, v in RECORDS[1].items()
+                         if k != "amount"},
+                    ]
+                ),
+            ),
+            _write(tmpdir_str, "arr.json", json.dumps(RECORDS)),
         ]
         bad_pq = os.path.join(tmpdir_str, "bad.parquet")
         pq.write_table(pa.table({"sale_id": ["x"]}), bad_pq)
