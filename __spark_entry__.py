@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: ROUND the current window targets (bump each round).
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 
 #: Last round each query had a slot in the driver's 50-row correctness
 #: window, as recorded in CORRECTNESS_r0{N}.json — the MECHANICAL input
@@ -37,32 +37,11 @@ CURRENT_ROUND = 14
 #: INVARIANT (tested): a query NOT in this round's window must have
 #: been windowed within the previous two rounds (age <= 2), so every
 #: query gets a driver-recorded check at least every third round —
-#: the tightest bound 127 queries and 50 slots admit.
+#: the tightest bound the query inventory (len(queries()); the exact
+#: count lives ONLY in the SURVEY.md contract block, which a test pins)
+#: and 50 slots admit.
 _LAST_WINDOWED = {
-    # last windowed in round 11
-    "doc_dup_clusters_star": 11, "doc_epoch_shuffle": 11,
-    "doc_hash_embedding": 11, "doc_language_guess": 11,
-    "doc_neardup_delete": 11, "doc_neardup_delete_serve": 11,
-    "doc_neardup_incremental": 11, "doc_neardup_serve": 11, "doc_packing": 11,
-    "doc_pii_scan": 11, "doc_quality": 11, "doc_quality_model": 11,
-    "doc_quality_model_serve": 11, "doc_repetition": 11,
-    "doc_segment_dups": 11, "doc_simhash": 11, "doc_split_assign": 11,
-    "doc_stratified_sample": 11, "doc_token_stats": 11, "doc_window_dups": 11,
-    "emb_ann_ivfpq_serve": 11, "emb_ann_pq_serve": 11,
-    "emb_neardup_serve": 11, "errors_near_click": 11, "events_cms_users": 11,
-    "events_heavy_users": 11, "kpi_revenue_by_customer": 11,
-    "latest_order_per_customer": 11, "lineitem_bloom_semijoin": 11,
-    "monthly_running_revenue": 11, "orders_join_view": 11,
-    "pricing_summary": 11, "region_nation_rollup": 11, "regional_revenue": 11,
-    "status_priority_cube": 11, "top_building_orders": 11,
-    "wealthy_active_customers": 11,
     # last windowed in round 12
-    "big_orders": 12, "cheapest_supplier_per_part": 12,
-    "customer_deciles": 12, "customer_segment_impute": 12,
-    "customer_spend_distribution": 12, "doc_bm25": 12,
-    "doc_bpe_token_counts": 12, "doc_bpe_vocab": 12, "doc_chunk_knn": 12,
-    "doc_contamination_fuzzy": 12, "doc_curated_corpus": 12,
-    "doc_dedup_final": 12, "doc_exact_dedup": 12,
     "doc_exact_dedup_incremental": 12, "doc_exact_dedup_serve": 12,
     "doc_fingerprint": 12, "doc_longest_repeat": 12,
     "doc_minhash_candidates": 12, "doc_near_dups": 12,
@@ -103,15 +82,37 @@ _LAST_WINDOWED = {
     "price_quantiles": 13, "price_quantiles_approx": 13,
     "priority_status_matrix": 13, "promo_revenue_share": 13,
     "quantity_price_corr": 13, "revenue_by_day_dense": 13,
+    # last windowed in round 14
+    "big_orders": 14, "cheapest_supplier_per_part": 14,
+    "customer_deciles": 14, "customer_segment_impute": 14,
+    "customer_spend_distribution": 14, "doc_bm25": 14,
+    "doc_bpe_token_counts": 14, "doc_bpe_vocab": 14, "doc_chunk_knn": 14,
+    "doc_contamination_fuzzy": 14, "doc_curated_corpus": 14,
+    "doc_dedup_final": 14, "doc_dup_clusters_star": 14,
+    "doc_epoch_shuffle": 14, "doc_exact_dedup": 14, "doc_hash_embedding": 14,
+    "doc_language_guess": 14, "doc_neardup_delete": 14,
+    "doc_neardup_delete_serve": 14, "doc_neardup_incremental": 14,
+    "doc_neardup_serve": 14, "doc_packing": 14, "doc_pii_scan": 14,
+    "doc_quality": 14, "doc_quality_model": 14, "doc_quality_model_serve": 14,
+    "doc_repetition": 14, "doc_segment_dups": 14, "doc_simhash": 14,
+    "doc_split_assign": 14, "doc_stratified_sample": 14,
+    "doc_token_stats": 14, "doc_window_dups": 14, "emb_ann_ivfpq_serve": 14,
+    "emb_ann_pq_serve": 14, "emb_neardup_serve": 14, "errors_near_click": 14,
+    "events_cms_users": 14, "events_heavy_users": 14,
+    "kpi_revenue_by_customer": 14, "latest_order_per_customer": 14,
+    "lineitem_bloom_semijoin": 14, "monthly_running_revenue": 14,
+    "orders_join_view": 14, "pricing_summary": 14, "region_nation_rollup": 14,
+    "regional_revenue": 14, "status_priority_cube": 14,
+    "top_building_orders": 14, "wealthy_active_customers": 14,
 }
 
 #: ROTATION POLICY (the driver's correctness harness records only the
-#: FIRST 50 entries; 129 queries exist, so 79 sit outside any given
+#: FIRST 50 entries; the rest of the inventory sits outside any given
 #: round):
 #:   1. MECHANICAL staleness bound (tests/test_entry.py): every query
 #:      not in this round's window must have been windowed within the
 #:      previous two rounds — i.e. every query gets a driver row at
-#:      least every THIRD round, the tightest bound 129 queries and 50
+#:      least every THIRD round, the tightest bound the inventory and 50
 #:      slots admit. _LAST_WINDOWED above is the enforced record
 #:      (tools/advance_round.py regenerates it from the artifacts;
 #:      a second test pins the dict TO the artifacts).
@@ -128,39 +129,37 @@ _LAST_WINDOWED = {
 #: window-matches-rule test pins the declared window to
 #: build_window(..., forced=_WINDOW_FORCED) — a hand swap without a
 #: matching entry here fails the suite, so rule-2 deviations are
-#: always visible in the diff. Round 14 forces nothing: every
+#: always visible in the diff. Round 15 forces nothing: every
 #: diff-touched query this round is already in the must-set.
 _WINDOW_FORCED: tuple[str, ...] = ()
 
-#: Round 14 window — the steady-state rotation the r13 heal restored:
-#: the must-set (age > 2) is exactly the 37 r11-last queries (the
-#: asset_*/serve/cube cohort the r13 verdict item 2 predicted), which
-#: is 37 <= 50, so NO overflow clause is needed; the remaining 13
-#: slots go to the stalest r12-last cohort (alphabetical). Selection
-#: stays purely mechanical: must-set first, then stalest by
+#: Round 15 window — steady-state rotation, third consecutive
+#: mechanical turn: the must-set (age > 2) is exactly the 37 r12-last
+#: queries (the emb_ann_*/ivm/merge-view cohort the r14 verdict item 5
+#: predicted), which is 37 <= 50, so NO overflow clause is needed; the
+#: remaining 13 slots go to the stalest r13-last cohort (alphabetical).
+#: Selection stays purely mechanical: must-set first, then stalest by
 #: (last_windowed, name) — pinned to build_window by
 #: tests/test_entry.py::test_window_matches_mechanical_rule.
-_ROUND14_WINDOW = [
-    # all 37 r11-last queries — must-set (age 3 this round)
-    "doc_dup_clusters_star", "doc_epoch_shuffle", "doc_hash_embedding",
-    "doc_language_guess", "doc_neardup_delete", "doc_neardup_delete_serve",
-    "doc_neardup_incremental", "doc_neardup_serve", "doc_packing",
-    "doc_pii_scan", "doc_quality", "doc_quality_model",
-    "doc_quality_model_serve", "doc_repetition", "doc_segment_dups",
-    "doc_simhash", "doc_split_assign", "doc_stratified_sample",
-    "doc_token_stats", "doc_window_dups", "emb_ann_ivfpq_serve",
-    "emb_ann_pq_serve", "emb_neardup_serve", "errors_near_click",
-    "events_cms_users", "events_heavy_users", "kpi_revenue_by_customer",
-    "latest_order_per_customer", "lineitem_bloom_semijoin",
-    "monthly_running_revenue", "orders_join_view", "pricing_summary",
-    "region_nation_rollup", "regional_revenue", "status_priority_cube",
-    "top_building_orders", "wealthy_active_customers",
-    # stalest fill: first 13 of the r12-last cohort (alphabetical)
-    "big_orders", "cheapest_supplier_per_part", "customer_deciles",
-    "customer_segment_impute", "customer_spend_distribution", "doc_bm25",
-    "doc_bpe_token_counts", "doc_bpe_vocab", "doc_chunk_knn",
-    "doc_contamination_fuzzy", "doc_curated_corpus", "doc_dedup_final",
-    "doc_exact_dedup",
+_ROUND15_WINDOW = [
+    "doc_exact_dedup_incremental", "doc_exact_dedup_serve", "doc_fingerprint",
+    "doc_longest_repeat", "doc_minhash_candidates", "doc_near_dups",
+    "doc_repeat_coverage", "doc_source_mix", "doc_suffix_dedup",
+    "doc_title_editjoin", "doc_title_editjoin_freq", "doc_unigram_lm",
+    "doc_weighted_sample", "emb_ann_ivf", "emb_ann_ivf_trained",
+    "emb_ann_ivfpq", "emb_ann_knn", "emb_ann_pq", "emb_ann_sq8",
+    "emb_near_dups_lsh", "emb_neardup_incremental", "emb_semdedup",
+    "events_cohort_retention", "events_hourly_anomalies",
+    "events_purchase_join_salted", "events_user_stats_salted",
+    "kpi_distinct_customers_ivm", "kpi_price_quantiles_ivm",
+    "kpi_revenue_by_day_ivm", "kpi_top_customers_ivm",
+    "orders_interpolated_revenue", "orders_merge_table", "orders_merge_view",
+    "orders_merge_view_serve", "orders_price_outliers", "orders_scd2_revenue",
+    "partsupp_pagerank", "asset_binary_stats", "asset_features",
+    "asset_frame_samples", "click_before_purchase", "customer_rank_in_nation",
+    "customers_with_orders", "customers_without_orders",
+    "daily_revenue_delta", "doc_bm25_serve", "doc_bm25_takedown_serve",
+    "doc_chunks", "doc_contamination", "doc_curated_incremental",
 ]
 
 
@@ -171,7 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full.update(multimodal_q.QUERIES)
     full.update(analytics.QUERIES)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ROUND14_WINDOW:
+    for name in _ROUND15_WINDOW:
         out[name] = full[name]
     for name, fn in full.items():
         out.setdefault(name, fn)
