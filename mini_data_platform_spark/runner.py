@@ -158,15 +158,139 @@ def _csv_header_line(path: str) -> str:
     return line.decode("utf-8", errors="replace").rstrip("\r\n")
 
 
+#: JSON files above this size are staged as their own single-file scan
+#: (per-file semantics trivially preserved) instead of paying a full
+#: driver-side parse for the type signature; the file-count-scale regime
+#: this path exists for is MANY SMALL files, so solo groups for the rare
+#: big file cost one extra scan, not a per-file plan per batch.
+_JSON_SIG_MAX_BYTES = 8 << 20
+
+
+def _json_scalar_class(v) -> object:
+    """Classify one parsed JSON value the way Spark's JSON schema
+    inference types it (JsonInferSchema): null / bool / long (fits
+    int64) / dec (integer wider than int64 → DecimalType) / double /
+    string, with objects and arrays recursing."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "bool"
+    if isinstance(v, int):
+        return "long" if -(1 << 63) <= v < (1 << 63) else "dec"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return (
+            "obj",
+            tuple(
+                sorted(
+                    ((k, _json_scalar_class(x)) for k, x in v.items()),
+                    key=lambda kv: kv[0],
+                )
+            ),
+        )
+    if isinstance(v, list):
+        elem: object = "null"
+        for x in v:
+            elem = _json_merge_class(elem, _json_scalar_class(x))
+        return ("arr", elem)
+    raise ValueError(f"unclassifiable JSON value: {type(v)!r}")
+
+
+def _json_merge_class(a, b):
+    """Mirror of Spark's ``compatibleType`` merge lattice on the class
+    encoding above: equal → same; null absorbs; long/double/dec widen
+    numerically; obj+obj merge field-wise (a missing field is just
+    nullable); arr+arr merge elements; every other pair falls back to
+    string — exactly Spark's behavior, which is what makes "equal merged
+    signatures ⇒ identical group-vs-per-file inferred schema" hold."""
+    if a == b:
+        return a
+    if a == "null":
+        return b
+    if b == "null":
+        return a
+    if isinstance(a, str) and isinstance(b, str):
+        pair = {a, b}
+        if pair == {"long", "double"}:
+            return "double"
+        if pair == {"long", "dec"}:
+            return "dec"
+        if pair == {"double", "dec"}:
+            return "double"
+        return "string"
+    if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0]:
+        if a[0] == "obj":
+            fields = dict(a[1])
+            for k, c in b[1]:
+                fields[k] = _json_merge_class(fields[k], c) if k in fields else c
+            return ("obj", tuple(sorted(fields.items(), key=lambda kv: kv[0])))
+        if a[0] == "arr":
+            return ("arr", _json_merge_class(a[1], b[1]))
+    return "string"
+
+
+def _json_type_signature(path: str, layout: str) -> tuple | None:
+    """Merged top-level key/type signature of a local JSON file, parsed
+    WHOLE driver-side (no sampling — sampled signatures can miss drift
+    later in the file). Returns ``None`` when the file can't be cleanly
+    signed (too big, compressed, unparseable, non-object records, empty)
+    — the caller stages it as its own solo group, which preserves
+    per-file semantics by construction."""
+    import json
+
+    from mini_data_platform_spark.sources.formats import is_compressed_path
+
+    try:
+        if (
+            is_compressed_path(path)
+            or os.path.getsize(path) > _JSON_SIG_MAX_BYTES
+        ):
+            return None
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        if layout == "array":
+            records = json.loads(raw)
+            if not isinstance(records, list):
+                return None
+        else:
+            records = [
+                json.loads(line)
+                for line in raw.splitlines()
+                if line.strip()
+            ]
+    except Exception:  # noqa: BLE001 — unreadable/unparseable: solo group
+        return None
+    merged: object = "null"
+    try:
+        for rec in records:
+            if not isinstance(rec, dict):
+                return None
+            merged = _json_merge_class(merged, _json_scalar_class(rec))
+    except ValueError:  # exotic value type from the decoder — solo group
+        return None
+    if merged == "null":  # no records — contributes no rows either way
+        return None
+    return merged
+
+
 def _file_signature(path: str) -> tuple:
     """Group key under which files are SAFE to read as one multi-path
     scan with per-file semantics preserved:
 
     - csv: identical raw header line (same parsed columns, same order —
       positional alignment under one inferred all-string schema);
-    - json: same layout (array vs ndjson); key drift within a group is
-      fine because JSON binds by NAME and missing spec keys conform to
-      typed nulls either way;
+      compressed CSVs (raw header bytes are codec garbage) stage solo;
+    - json: same layout (array vs ndjson) AND same merged top-level
+      key/type signature, parsed whole driver-side. Layout alone is NOT
+      enough: Spark infers ONE schema per scan, so cross-file type
+      drift (long in file A, double in file B) would widen group-wide
+      and the cast-to-string would render different bytes than per-file
+      staging ('123.0' vs '123'). Files whose signature can't be
+      derived (big, compressed, unparseable) stage solo — per-file
+      semantics by construction, no batch-wide fallback;
     - parquet: identical normalized footer schema (read driver-side via
       pyarrow — no py4j round trip); files with drifted footers land in
       separate groups and meet only AFTER the all-string cast, exactly
@@ -175,15 +299,25 @@ def _file_signature(path: str) -> tuple:
       per-file read semantics without a special case)."""
     from mini_data_platform_spark.sources.formats import (
         detect_format_path,
+        is_compressed_path,
         sniff_json_layout_path,
     )
 
     try:
         fmt = detect_format_path(path)
         if fmt == "csv":
+            if is_compressed_path(path):
+                # Spark decompresses this transparently in the group
+                # scan, but the raw header-line signature would be
+                # codec bytes — give it a one-file group instead
+                return ("csv", ("__solo__", path))
             return ("csv", _csv_header_line(path))
         if fmt == "json":
-            return ("json", sniff_json_layout_path(path))
+            layout = sniff_json_layout_path(path)
+            type_sig = _json_type_signature(path, layout)
+            if type_sig is None:
+                return ("json", layout, ("__solo__", path))
+            return ("json", layout, type_sig)
         if fmt == "parquet":
             import pyarrow.parquet as pq
 

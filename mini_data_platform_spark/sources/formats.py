@@ -57,6 +57,30 @@ def detect_format_path(path: str) -> str:
     return detect_format(path, _head(path) if os.path.exists(path) else None)
 
 
+#: suffixes Spark's text/CSV readers decompress transparently — raw
+#: driver-side byte reads of such files see compressed garbage, so every
+#: local fast path must route them back to Spark
+_COMPRESS_EXTS = (".gz", ".bz2", ".zst", ".xz", ".deflate", ".lz4", ".snappy")
+#: gzip, bzip2, zstd, xz magic numbers (for compressed files that lost
+#: their extension — the sniff is best-effort, the extension is primary)
+_COMPRESS_MAGIC = (b"\x1f\x8b", b"BZh", b"\x28\xb5\x2f\xfd", b"\xfd7zXZ")
+
+
+def is_compressed_path(path: str) -> bool:
+    """True when ``path`` names a codec-compressed file whose raw bytes
+    are NOT the logical content (Spark's readers decompress by extension;
+    driver-side ``open().read()`` does not). Used to disqualify local
+    fast paths — header parsing, type-signature sampling — that would
+    otherwise operate on compressed garbage."""
+    if path.lower().endswith(_COMPRESS_EXTS):
+        return True
+    try:
+        head = _head(path, 6)
+    except OSError:
+        return False
+    return any(head.startswith(m) for m in _COMPRESS_MAGIC)
+
+
 def sniff_json_layout(data: bytes) -> str:
     """'array' (whole-file JSON array → multiLine read) vs 'ndjson'
     (one object per line). Mirrors the reference's first-line ``[`` probe

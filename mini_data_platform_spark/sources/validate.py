@@ -62,6 +62,13 @@ def _local_csv_header_columns(path: str) -> list[str] | None:
     import csv as _csv
     import io
 
+    from mini_data_platform_spark.sources.formats import is_compressed_path
+
+    # Spark decompresses .csv.gz & friends transparently; a raw byte
+    # read sees the codec stream, which can slip past the guards below
+    # and produce a false missing-columns quarantine — let Spark read it
+    if is_compressed_path(path):
+        return None
     try:
         with open(path, "rb") as fh:
             raw = fh.readline(1 << 20)
@@ -165,6 +172,7 @@ def _csv_group_date_probe(
     and count unparseable non-null values among each file's first
     ``DATE_SAMPLE_ROWS`` rows per timestamp column — the identical
     verdict rule, message included, as :func:`validate_csv`'s loop."""
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     lower = {c.strip().lower() for c in cols}
@@ -174,9 +182,14 @@ def _csv_group_date_probe(
     base = {}
     for p in paths:
         base[os.path.basename(p)] = p
-    ddl = ", ".join(f"`{c.strip().lower()}` string" for c in cols)
+    # programmatic schema, not hand-assembled DDL: header names are
+    # arbitrary user bytes (backticks included) and StructType needs no
+    # quoting — same construction validate_csv's fast path uses
+    schema = T.StructType(
+        [T.StructField(c.strip().lower(), T.StringType()) for c in cols]
+    )
     df = (
-        spark.read.schema(ddl)
+        spark.read.schema(schema)
         .option("header", True)
         .option("mode", "PERMISSIVE")
         .csv(paths)
@@ -334,9 +347,15 @@ def validate_files(
             continue
         fallback.append(p)
     for sig, group in batched.items():
-        verdicts.update(
-            _csv_group_date_probe(spark, sig.split("\x00"), group, spec)
-        )
+        try:
+            verdicts.update(
+                _csv_group_date_probe(spark, sig.split("\x00"), group, spec)
+            )
+        except Exception:  # noqa: BLE001 — group read failed: per-file
+            # (file deleted between listing and probe, unrepresentable
+            # header, ...): the per-file path converts the failure into
+            # a single-file verdict instead of aborting the whole batch
+            fallback.extend(group)
     if nd_group:
         try:
             verdicts.update(_ndjson_group_probe(spark, nd_group, spec))

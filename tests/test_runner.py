@@ -283,6 +283,77 @@ class TestBatchIngest:
         assert got["t1"]["quantity"] == 7 and got["t2"]["quantity"] == 8
         assert got["t2"]["amount"] == 80.5 and got["t3"]["quantity"] == 9
 
+    def test_json_type_drift_groups_stage_like_per_file(self, spark, lake):
+        """JSON grouping must key on the merged top-level key/type
+        signature, not layout alone: sale_id is a long in file A and a
+        double in file B, so one shared scan would infer double
+        group-wide and render A's key '123.0' where per-file staging
+        gives '123' — silently splitting dedup keys. Drifted files land
+        in separate groups; sink state equals per-file mode exactly."""
+        def land():
+            _put(lake, "a_long.json", json.dumps(
+                {"sale_id": 123, "sale_date": "2024-06-01 00:00:00",
+                 "customer_id": "CA", "product_id": "PA",
+                 "quantity": 1, "amount": 10.0}))
+            _put(lake, "b_double.json", json.dumps(
+                {"sale_id": 456.5, "sale_date": "2024-06-02 00:00:00",
+                 "customer_id": "CB", "product_id": "PB",
+                 "quantity": 2, "amount": 20.0}))
+
+        land()
+        _run(spark, lake)
+        scale = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(lake["target"]).collect()
+        )
+        shutil.rmtree(lake["target"])
+        land()
+        _run(spark, lake, per_file=True)
+        per_file = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(lake["target"]).collect()
+        )
+        assert scale == per_file
+        ids = {dict(t)["sale_id"] for t in scale}
+        assert "123" in ids and "456.5" in ids  # no group-wide widening
+
+    def test_same_signature_json_files_share_one_scan(self, spark, lake,
+                                                      monkeypatch):
+        """The drift guard must not tax the homogeneous common case:
+        ndjson files with identical key/type signatures still batch
+        into ONE multi-path scan (plus one for the drifted layout)."""
+        import mini_data_platform_spark.runner as runner_mod
+
+        calls = []
+        real = runner_mod._read_group
+
+        def spy(spark_, sig, paths):
+            calls.append(sorted(os.path.basename(p) for p in paths))
+            return real(spark_, sig, paths)
+
+        monkeypatch.setattr(runner_mod, "_read_group", spy)
+        _put(lake, "a_nd.json", GOOD_NDJSON)
+        _put(lake, "b_nd.json", GOOD_NDJSON.replace("n1", "m1")
+             .replace("n2", "m2"))
+        report, _ = _run(spark, lake)
+        assert {o.status for o in report.outcomes} == {"loaded"}
+        assert calls == [["a_nd.json", "b_nd.json"]]
+
+    def test_gzip_csv_stages_correctly(self, spark, lake):
+        """A .csv.gz lands as its own solo group (the raw header-line
+        signature would be codec bytes), Spark decompresses it in the
+        scan, and validation must not falsely quarantine it."""
+        import gzip
+
+        p = os.path.join(lake["incoming"], "g.csv.gz")
+        with gzip.open(p, "wb") as fh:
+            fh.write(DIRTY_CSV.encode())
+        report, _ = _run(spark, lake)
+        assert [o.status for o in report.outcomes] == ["loaded"]
+        got = {r["sale_id"]
+               for r in spark.read.parquet(lake["target"]).collect()}
+        assert {"s1", "s2", "s3"} <= got
+
     def test_non_uri_safe_basename_falls_back_losslessly(self, spark, lake):
         """A filename whose URI spelling differs from its basename
         (space -> %20) must not silently drop rows through the rank

@@ -287,6 +287,67 @@ class TestValidateFilesBatched:
         assert v.validate_files(spark, [p]) == [(True, "")]
         assert called == [p]
 
+    def test_gzip_csv_is_not_falsely_quarantined(self, spark, tmpdir_str):
+        """.csv.gz: Spark's reader decompresses transparently, but a
+        raw driver-side header read sees codec bytes that could slip
+        past the guards as a garbage header — the local fast path must
+        decline (return None) and let the Spark path validate."""
+        import gzip
+
+        from mini_data_platform_spark.sources.validate import (
+            _local_csv_header_columns,
+            validate_files,
+        )
+
+        p = os.path.join(tmpdir_str, "ok_gz.csv.gz")
+        with gzip.open(p, "wb") as fh:
+            fh.write(GOOD_CSV.encode())
+        assert _local_csv_header_columns(p) is None
+        assert validate_files(spark, [p]) == [(True, "")]
+
+    def test_backtick_header_group_probe(self, spark, tmpdir_str):
+        """Header names are arbitrary user bytes: a backtick in a
+        column name must not break the batched group probe (the schema
+        is built programmatically, never as quoted DDL)."""
+        from mini_data_platform_spark.sources.validate import validate_files
+
+        csv = (
+            "sale_id,sale_date,customer_id,product_id,quantity,amount,"
+            "`note`\n"
+        )
+        p1 = _write(
+            tmpdir_str, "bt1.csv", csv + "a1,2024-01-02 03:04:05,C,P,1,1.0,x\n"
+        )
+        p2 = _write(
+            tmpdir_str, "bt2.csv", csv + "a2,NOT A DATE,C,P,1,1.0,y\n"
+        )
+        got = validate_files(spark, [p1, p2])
+        assert got[0] == (True, "")
+        assert not got[1][0] and "sale_date parse issue" in got[1][1]
+
+    def test_csv_group_probe_failure_falls_back_per_file(
+        self, spark, tmpdir_str, monkeypatch
+    ):
+        """A Spark failure on one header group (file deleted between
+        listing and probe, ...) must degrade to per-file verdicts, not
+        abort the whole ingest batch — same contract the ndjson group
+        already has."""
+        from mini_data_platform_spark.sources import validate as v
+
+        p1 = _write(tmpdir_str, "x1.csv", GOOD_CSV)
+        p2 = _write(
+            tmpdir_str, "x2.csv",
+            GOOD_CSV + "a3,NOT A DATE,CUST-5,PROD-5,1,1.0\n",
+        )
+
+        def boom(*a, **k):
+            raise RuntimeError("file vanished")
+
+        monkeypatch.setattr(v, "_csv_group_date_probe", boom)
+        got = v.validate_files(spark, [p1, p2])
+        assert got[0] == (True, "")
+        assert not got[1][0] and "sale_date parse issue" in got[1][1]
+
     def test_duplicate_basenames_fall_back(self, spark, tmpdir_str):
         """Two files with one basename in different dirs: provenance
         joins on basename, so the second routes to the per-file path —
