@@ -126,37 +126,44 @@ def maintain_index_from_wire(
       doc retracted from every later lookup, physically purged at the
       next ``compact_index``.
 
-    Compaction-order semantics (round-12 advice): WITHIN an epoch the
-    per-key outcome follows wire order, exactly like log compaction —
-    a key's LAST record (max ``_src_file``, which is zero-padded
-    per-partition offset order, and Kafka keys a key to one partition)
-    decides: tombstone-last ⇒ deleted, live-last ⇒ present, so a
-    tombstone followed by a same-epoch re-add keeps the re-add.
-    ACROSS epochs the index's takedown contract applies:
-    ``index_delete`` tombstones are TERMINAL for an id (that is what
-    makes takedowns irreversible by design), so a key re-created in a
-    later epoch after its tombstoned epoch must carry a FRESH id to
-    re-enter the index. A re-add of a PRIOR-epoch-tombstoned id is
-    never silently hidden (the round-13 verdict's divergence hole):
-    the admission GUARD probes each epoch's live ids against the
-    index's live tombstone set (``index_tombstoned_ids`` — zero cost
-    for the common never-deleted index, replay-aware so a crashed
-    epoch's recovery is not refused by its own delete half) and,
-    per ``on_retombstoned``:
+    Compaction-order semantics (round-12 advice, made
+    boundary-INDEPENDENT in round 15): WITHIN an epoch the per-key
+    outcome follows wire order, exactly like log compaction — a key's
+    LAST record (max ``_src_file``, which is zero-padded per-partition
+    offset order, and Kafka keys a key to one partition) decides:
+    tombstone-last ⇒ deleted, live-last ⇒ present, so a tombstone
+    followed by a same-epoch re-add keeps the re-add. ACROSS epochs,
+    tombstones are committed WITH the wire offset that ordered them
+    (``index_delete(offset_col=...)``), and the admission GUARD probes
+    each epoch's live ids against the index's live tombstone set
+    (``index_tombstoned_ids`` — zero cost for the common never-deleted
+    index, replay-aware so a crashed epoch's recovery is not refused
+    by its own delete half). A re-add of a prior-epoch-tombstoned id
+    is then resolved per ``on_retombstoned``:
 
+    - ``"readd-wins"``: log-compaction order made GLOBAL — a live
+      record at a LATER wire offset than its id's tombstone wins
+      across epochs exactly as it would within one: the id is revived
+      (``index_revive``, an O(revive-set) event-log commit) and the
+      record folds; a live record at an EARLIER offset is superseded
+      history and is dropped (logged). Identical topic contents now
+      converge to the SAME index state wherever the epoch boundaries
+      fall (trigger timing, maxOffsetsPerTrigger, checkpoint history).
+      Offset-LESS tombstones — batch/GDPR takedowns via plain
+      ``index_delete`` — carry no wire position, so no record can
+      post-date them: they stay terminal even under this mode.
     - ``"fail"`` (default): raise, failing the epoch loudly BEFORE the
       fold — nothing commits, the operator fixes the producer (fresh
-      id) or reruns with quarantine;
+      id), or reruns with quarantine/readd-wins;
     - ``"quarantine"``: drop the offending records (logged with id
       samples) and commit the rest — the takedown stays terminal and
       the drop is observable, never silent.
 
-    This makes micro-batch-boundary placement (trigger timing,
-    maxOffsetsPerTrigger, checkpoint history) unable to produce
-    silently different final states for identical topic contents: a
-    tombstone→re-add pair either lands in one epoch (re-add wins, log
-    compaction) or across epochs (loud refusal / logged quarantine).
-    After ``compact_index`` physically purges a tombstone, the id is
+    Under ``fail``/``quarantine`` a cross-epoch re-add is refused
+    where a same-epoch one wins — honest but boundary-DEPENDENT;
+    choose ``readd-wins`` when the topic is the source of truth and
+    compacted-topic semantics are wanted end-to-end. After
+    ``compact_index`` physically purges a tombstone, the id is
     genuinely fresh again — the compacted-topic delete.retention
     analogy.
 
@@ -185,14 +192,15 @@ def maintain_index_from_wire(
 
     from mini_data_platform_spark.operators.incremental import (
         index_delete,
+        index_revive,
         index_tombstoned_ids,
     )
     from mini_data_platform_spark.streaming.kafka import kafka_records
 
-    if on_retombstoned not in ("fail", "quarantine"):
+    if on_retombstoned not in ("fail", "quarantine", "readd-wins"):
         raise ValueError(
-            "on_retombstoned must be 'fail' or 'quarantine', got "
-            f"{on_retombstoned!r}"
+            "on_retombstoned must be 'fail', 'quarantine' or "
+            f"'readd-wins', got {on_retombstoned!r}"
         )
     recs = kafka_records(
         wire, value_schema, value_format=value_format,
@@ -206,17 +214,55 @@ def maintain_index_from_wire(
         # PERMISSIVE-decoded payloads must not reach the fold — a null
         # id would either crash the probe's Python pair loop or commit
         # an unprobeable doc
-        live = (
-            batch.where(~F.col("_tombstone"))
-            .select(*columns)
-            .where(F.col(columns[0]).isNotNull())
+        live = batch.where(~F.col("_tombstone")).where(
+            F.col(columns[0]).isNotNull()
         )
         # re-add guard: a live id that a PRIOR epoch tombstoned would
         # fold into a segment the terminal tombstone hides — silent
         # divergence from the rebuild twin. None on the no-tombstone
         # fast path and on exactly-once replays (fold is a no-op then).
-        tombs = index_tombstoned_ids(batch.sparkSession, index_dir, base)
-        if tombs is not None:
+        tombs = index_tombstoned_ids(
+            batch.sparkSession, index_dir, base,
+            with_offsets=(on_retombstoned == "readd-wins"),
+        )
+        if tombs is not None and on_retombstoned == "readd-wins":
+            # global log-compaction order: per record, LATER wire
+            # offset than the id's tombstone ⇒ the re-add wins (revive
+            # + fold); earlier-or-unknown ⇒ superseded history, drop.
+            # Offset-less tombstones (null) are batch/GDPR takedowns
+            # with no wire position — terminal under every mode.
+            readds = tombs.withColumnRenamed(
+                "id", columns[0]
+            ).withColumnRenamed("offset", "_tomb_off")
+            j = live.join(readds, columns[0], "left")
+            wins = F.col("_tomb_off").isNotNull() & (
+                F.col("_src_file") > F.col("_tomb_off")
+            )
+            lost = [
+                r[0]
+                for r in j.where(F.col("_tomb_off").isNotNull() & ~wins)
+                .select(columns[0])
+                .distinct()
+                .limit(6)
+                .collect()
+            ]
+            if lost:
+                logging.getLogger(__name__).warning(
+                    "wire epoch %s: dropped superseded re-add(s) of "
+                    "tombstoned id(s) %s — record offset precedes the "
+                    "tombstone, or the takedown is offset-less "
+                    "(batch/GDPR) and terminal",
+                    epoch_id, sorted(lost)[:5],
+                )
+            winners = j.where(wins).select(
+                F.col(columns[0]).alias("id")
+            ).distinct()
+            if winners.limit(1).count() > 0:
+                index_revive(winners, index_dir, batch_id=base + "-rev")
+            live = j.where(F.col("_tomb_off").isNull() | wins).drop(
+                "_tomb_off"
+            )
+        elif tombs is not None:
             readds = tombs.withColumnRenamed("id", columns[0])
             hit = [
                 r[0]
@@ -230,7 +276,8 @@ def maintain_index_from_wire(
                     f"wire epoch {epoch_id} re-adds tombstoned id(s) "
                     f"{sorted(hit)[:5]} — takedowns are terminal; "
                     "re-ingest under a fresh id, or run with "
-                    "on_retombstoned='quarantine' to drop them"
+                    "on_retombstoned='quarantine' to drop them, or "
+                    "'readd-wins' for global log-compaction order"
                 )
             if hit:
                 logging.getLogger(__name__).warning(
@@ -239,7 +286,7 @@ def maintain_index_from_wire(
                     epoch_id, sorted(hit)[:5],
                 )
                 live = live.join(readds, columns[0], "left_anti")
-        fold(live, index_dir, batch_id=base)
+        fold(live.select(*columns), index_dir, batch_id=base)
         # pure-append epochs (the steady state) pay ONE limit-1 scan
         # here and skip the per-key aggregate entirely — the delete-set
         # shuffle only runs for epochs that actually carry tombstones,
@@ -271,10 +318,16 @@ def maintain_index_from_wire(
             .agg(
                 F.max_by(F.col("_tombstone"), F.col("_src_file")).alias(
                     "_dead"
-                )
+                ),
+                # when the key is dead its max offset IS the winning
+                # tombstone's wire position — stored with the tombstone
+                # so a later epoch's re-add can be ordered against it
+                F.max(F.col("_src_file")).alias("offset"),
             )
             .where(F.col("_dead"))
-            .select(F.col("_kafka_key").cast(key_type).alias("id"))
+            .select(
+                F.col("_kafka_key").cast(key_type).alias("id"), "offset"
+            )
             .where(F.col("id").isNotNull())
             .distinct()
             .persist()
@@ -284,7 +337,10 @@ def maintain_index_from_wire(
             # tombstones exist (every tombstoned key re-added later in
             # the epoch) — still only commit a segment when non-empty
             if dead.limit(1).count() > 0:
-                index_delete(dead, index_dir, batch_id=base + "-del")
+                index_delete(
+                    dead, index_dir, batch_id=base + "-del",
+                    offset_col="offset",
+                )
         finally:
             dead.unpersist()
 

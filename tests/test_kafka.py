@@ -653,6 +653,99 @@ class TestWireToNeardupIndex:
         self._run(spark, wire_dir, ckpt, idx)
         assert 103 in {r["id"] for r in index_docs(spark, idx).collect()}
 
+    def test_readd_wins_boundary_independence(self, spark, tmp_path):
+        """Round-14 verdict item 1: identical topic contents must
+        converge to the SAME index state wherever the epoch boundaries
+        fall. The topic: add 300 → tombstone 300 → re-add 300 → add
+        301. Split A lands it as ONE epoch (same-epoch re-add wins, no
+        tombstone commits); split B breaks it BETWEEN the tombstone and
+        the re-add — under on_retombstoned='readd-wins' the later-
+        offset re-add revives the id, and both splits serve the same
+        live doc set. Also: a superseded re-add (offset BEFORE the
+        tombstone, e.g. duplicated delivery of old history) stays
+        dropped, and an offset-less batch takedown stays terminal even
+        under readd-wins."""
+        from mini_data_platform_spark.operators.incremental import (
+            index_delete,
+            index_docs,
+            neardup_index_build,
+        )
+
+        base_text = "alpha beta gamma delta epsilon zeta eta theta"
+        topic = [
+            ("docs", 0, 1, "300", self._doc_json(300, f"{base_text} doc0")),
+            ("docs", 0, 2, "300", None),
+            ("docs", 0, 3, "300", self._doc_json(300, f"{base_text} doc0 v2")),
+            ("docs", 0, 4, "301", self._doc_json(301, f"{base_text} doc1")),
+        ]
+
+        def build(tag):
+            wire_dir = str(tmp_path / f"wire_{tag}")
+            ckpt = str(tmp_path / f"ckpt_{tag}")
+            idx = str(tmp_path / f"idx_{tag}")
+            os.makedirs(wire_dir)
+            corpus = spark.createDataFrame(
+                [(i, f"{base_text} doc{i}") for i in range(4)],
+                "doc_id bigint, text string",
+            )
+            neardup_index_build(
+                corpus, idx, "doc_id", "text", 0.5, 16, 4, 3
+            )
+            return wire_dir, ckpt, idx
+
+        # split A: the whole topic in one epoch
+        wa, ca, ia = build("a")
+        self._land(spark, wa, "b1", topic)
+        self._run(spark, wa, ca, ia, on_retombstoned="readd-wins")
+        docs_a = {r["id"] for r in index_docs(spark, ia).collect()}
+
+        # split B: boundary between the tombstone and the re-add
+        wb, cb, ib = build("b")
+        self._land(spark, wb, "b1", topic[:2])
+        self._run(spark, wb, cb, ib, on_retombstoned="readd-wins")
+        assert 300 not in {r["id"] for r in index_docs(spark, ib).collect()}
+        self._land(spark, wb, "b2", topic[2:])
+        self._run(spark, wb, cb, ib, on_retombstoned="readd-wins")
+        docs_b = {r["id"] for r in index_docs(spark, ib).collect()}
+
+        assert docs_a == docs_b, (
+            "epoch-boundary placement changed the final index state "
+            "under readd-wins"
+        )
+        assert {300, 301} <= docs_a
+
+        # a SUPERSEDED re-add: offset 1 precedes the live tombstone at
+        # offset 5 — dropped, id stays dead (no revival of history)
+        wc, cc, ic = build("c")
+        self._land(
+            spark, wc, "b1",
+            [
+                ("docs", 0, 4, "400",
+                 self._doc_json(400, f"{base_text} doc0")),
+                ("docs", 0, 5, "400", None),
+            ],
+        )
+        self._run(spark, wc, cc, ic, on_retombstoned="readd-wins")
+        self._land(
+            spark, wc, "b2",
+            [("docs", 0, 1, "400",
+              self._doc_json(400, f"{base_text} doc0 old"))],
+        )
+        self._run(spark, wc, cc, ic, on_retombstoned="readd-wins")
+        assert 400 not in {r["id"] for r in index_docs(spark, ic).collect()}
+
+        # an OFFSET-LESS batch/GDPR takedown has no wire position — no
+        # record can post-date it, terminal even under readd-wins
+        index_delete(
+            spark.createDataFrame([(2,)], "doc_id bigint"), ic
+        )
+        self._land(
+            spark, wc, "b3",
+            [("docs", 0, 6, "2", self._doc_json(2, f"{base_text} doc2"))],
+        )
+        self._run(spark, wc, cc, ic, on_retombstoned="readd-wins")
+        assert 2 not in {r["id"] for r in index_docs(spark, ic).collect()}
+
     def test_crash_between_halves_converges(self, spark, tmp_path):
         """The docstring's exactly-once argument, crash-injected
         instead of asserted: an epoch carrying both an increment and a
