@@ -41,6 +41,8 @@ CURRENT_ROUND = 15
 #: count lives ONLY in the SURVEY.md contract block, which a test pins)
 #: and 50 slots admit.
 _LAST_WINDOWED = {
+    # never windowed
+    "asset_ppm_features": 0,
     # last windowed in round 12
     "doc_exact_dedup_incremental": 12, "doc_exact_dedup_serve": 12,
     "doc_fingerprint": 12, "doc_longest_repeat": 12,
@@ -134,32 +136,35 @@ _LAST_WINDOWED = {
 _WINDOW_FORCED: tuple[str, ...] = ()
 
 #: Round 15 window — steady-state rotation, third consecutive
-#: mechanical turn: the must-set (age > 2) is exactly the 37 r12-last
-#: queries (the emb_ann_*/ivm/merge-view cohort the r14 verdict item 5
-#: predicted), which is 37 <= 50, so NO overflow clause is needed; the
-#: remaining 13 slots go to the stalest r13-last cohort (alphabetical).
-#: Selection stays purely mechanical: must-set first, then stalest by
-#: (last_windowed, name) — pinned to build_window by
+#: mechanical turn: the must-set (age > 2) is the 37 r12-last queries
+#: (the emb_ann_*/ivm/merge-view cohort the r14 verdict item 5
+#: predicted) PLUS the round's one NEW query (asset_ppm_features,
+#: never windowed → age 15, leads alphabetically), 38 <= 50 so NO
+#: overflow clause is needed; the remaining 12 slots go to the
+#: stalest r13-last cohort (alphabetical). Selection stays purely
+#: mechanical: must-set first, then stalest by (last_windowed, name)
+#: — pinned to build_window by
 #: tests/test_entry.py::test_window_matches_mechanical_rule.
 _ROUND15_WINDOW = [
-    "doc_exact_dedup_incremental", "doc_exact_dedup_serve", "doc_fingerprint",
-    "doc_longest_repeat", "doc_minhash_candidates", "doc_near_dups",
-    "doc_repeat_coverage", "doc_source_mix", "doc_suffix_dedup",
-    "doc_title_editjoin", "doc_title_editjoin_freq", "doc_unigram_lm",
-    "doc_weighted_sample", "emb_ann_ivf", "emb_ann_ivf_trained",
-    "emb_ann_ivfpq", "emb_ann_knn", "emb_ann_pq", "emb_ann_sq8",
-    "emb_near_dups_lsh", "emb_neardup_incremental", "emb_semdedup",
-    "events_cohort_retention", "events_hourly_anomalies",
-    "events_purchase_join_salted", "events_user_stats_salted",
-    "kpi_distinct_customers_ivm", "kpi_price_quantiles_ivm",
-    "kpi_revenue_by_day_ivm", "kpi_top_customers_ivm",
-    "orders_interpolated_revenue", "orders_merge_table", "orders_merge_view",
-    "orders_merge_view_serve", "orders_price_outliers", "orders_scd2_revenue",
-    "partsupp_pagerank", "asset_binary_stats", "asset_features",
-    "asset_frame_samples", "click_before_purchase", "customer_rank_in_nation",
+    "asset_ppm_features", "doc_exact_dedup_incremental",
+    "doc_exact_dedup_serve", "doc_fingerprint", "doc_longest_repeat",
+    "doc_minhash_candidates", "doc_near_dups", "doc_repeat_coverage",
+    "doc_source_mix", "doc_suffix_dedup", "doc_title_editjoin",
+    "doc_title_editjoin_freq", "doc_unigram_lm", "doc_weighted_sample",
+    "emb_ann_ivf", "emb_ann_ivf_trained", "emb_ann_ivfpq", "emb_ann_knn",
+    "emb_ann_pq", "emb_ann_sq8", "emb_near_dups_lsh",
+    "emb_neardup_incremental", "emb_semdedup", "events_cohort_retention",
+    "events_hourly_anomalies", "events_purchase_join_salted",
+    "events_user_stats_salted", "kpi_distinct_customers_ivm",
+    "kpi_price_quantiles_ivm", "kpi_revenue_by_day_ivm",
+    "kpi_top_customers_ivm", "orders_interpolated_revenue",
+    "orders_merge_table", "orders_merge_view", "orders_merge_view_serve",
+    "orders_price_outliers", "orders_scd2_revenue", "partsupp_pagerank",
+    "asset_binary_stats", "asset_features", "asset_frame_samples",
+    "click_before_purchase", "customer_rank_in_nation",
     "customers_with_orders", "customers_without_orders",
     "daily_revenue_delta", "doc_bm25_serve", "doc_bm25_takedown_serve",
-    "doc_chunks", "doc_contamination", "doc_curated_incremental",
+    "doc_chunks", "doc_contamination",
 ]
 
 

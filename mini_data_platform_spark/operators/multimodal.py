@@ -5,11 +5,12 @@ Pandas functions over ``mapInPandas``.
 The Spark-side plumbing here is real and tested: asset schema, binary
 parquet round-trip, header sniffing as JVM expressions, the mapInPandas
 batch contract (schema, signature, batch shape), and partition sizing
-guidance. The actual pixel/sample decoding is STUBBED — the decode
-libraries (PIL/ffmpeg/torchaudio) are not in this container — behind
-``decoder=`` hooks: pass a real decoder in production, use
-``fake_feature_decoder`` (deterministic, content-derived) in tests, or get
-a clear NotImplementedError.
+guidance. Pixel decoding is REAL for one dependency-free container —
+binary PPM (``ppm_decoder``, the default) — and STUBBED for everything
+that needs external libraries (PIL/ffmpeg/torchaudio are not in this
+container) behind ``decoder=`` hooks: pass a real decoder in
+production, use ``fake_feature_decoder`` (deterministic,
+content-derived) in tests, or get a clear NotImplementedError.
 
 Scale notes:
 - binary payloads dominate row size: cap ``spark.sql.files.maxPartitionBytes``
@@ -107,6 +108,91 @@ def real_decoder_unavailable(content: bytes, modality: str) -> list[float]:
         "media decode libraries (PIL/ffmpeg) are not available in this "
         "environment; inject a decoder via extract_features(decoder=...)"
     )
+
+
+def ppm_decoder(content: bytes, modality: str) -> list[float]:
+    """REAL, dependency-free image decode for netpbm P6 (binary PPM):
+    parses the header byte-by-byte (magic, whitespace, ``#`` comments,
+    width/height/maxval per the netpbm spec), recovers the RGB byte
+    grid, and derives :data:`N_FEATURES` features from the DECODED
+    pixels — global per-channel means, normalized dimensions, and
+    half-plane luma means (the area-average of a 2×1 / 1×2 downsample,
+    i.e. a genuine decode→resize→feature pipeline). A wrong header
+    parse scrambles the grid geometry and every spatial feature with
+    it, which is what makes the oracle a real decode check.
+
+    Every feature is a single IEEE division of exact integer sums
+    (products stay far below 2^53), so an SQL oracle that knows the
+    fixture's construction reproduces the values bit-exactly.
+
+    This is the executable DEFAULT for one trivial container; anything
+    non-PPM still routes to the injectable-decoder seam
+    (:func:`default_decoder`). Pure-Python per-pixel loops are fine
+    here — assets are decoded inside Arrow batches and a production
+    decoder replaces this callable, not the operator."""
+    if content is None:
+        return [0.0] * N_FEATURES
+    if not content.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    i, size, fields = 2, len(content), []
+    while len(fields) < 3 and i < size:
+        c = content[i]
+        if c == 0x23:  # '#' comment runs to end-of-line
+            while i < size and content[i] != 0x0A:
+                i += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D):
+            i += 1
+        elif 0x30 <= c <= 0x39:
+            j = i
+            while j < size and 0x30 <= content[j] <= 0x39:
+                j += 1
+            fields.append(int(content[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c:#04x}")
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if not (w > 0 and h > 0 and 0 < maxval < 256):
+        raise ValueError(f"unsupported PPM geometry {w}x{h}/{maxval}")
+    i += 1  # exactly ONE whitespace byte separates maxval from data
+    pix = content[i : i + 3 * w * h]
+    if len(pix) < 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    npix = w * h
+    sum_r = sum(pix[0::3])
+    sum_g = sum(pix[1::3])
+    sum_b = sum(pix[2::3])
+    top_rows, left_cols = h // 2, w // 2
+    sum_top = sum(pix[: 3 * w * top_rows])
+    sum_bot = sum(pix[3 * w * top_rows :])
+    sum_left = sum(
+        pix[3 * (r * w + c) + ch]
+        for r in range(h)
+        for c in range(left_cols)
+        for ch in range(3)
+    )
+    return [
+        sum_r / (maxval * 1.0 * npix),
+        sum_g / (maxval * 1.0 * npix),
+        sum_b / (maxval * 1.0 * npix),
+        w / 4096.0,
+        h / 4096.0,
+        sum_top / (maxval * 3.0 * top_rows * w) if top_rows else 0.0,
+        sum_bot / (maxval * 3.0 * (h - top_rows) * w),
+        sum_left / (maxval * 3.0 * left_cols * h) if left_cols else 0.0,
+    ]
+
+
+def default_decoder(content: bytes, modality: str) -> list[float]:
+    """Executable default for :func:`extract_features`: binary PPM (P6)
+    decodes for real via :func:`ppm_decoder` — no external libraries —
+    and every other container raises the documented
+    ``NotImplementedError`` (inject a PIL/ffmpeg decoder; the seam is
+    unchanged)."""
+    if content is not None and content.startswith(b"P6"):
+        return ppm_decoder(content, modality)
+    return real_decoder_unavailable(content, modality)
 
 
 def real_resizer_unavailable(content: bytes, width: int, height: int) -> bytes:
@@ -231,13 +317,15 @@ def sample_frames(
 
 def extract_features(
     df: DataFrame,
-    decoder: Callable[[bytes, str], list[float]] = real_decoder_unavailable,
+    decoder: Callable[[bytes, str], list[float]] = default_decoder,
     batch_hint: int | None = None,
 ) -> DataFrame:
     """Decode/feature-extract binary assets via mapInPandas (Arrow batch
     iterator — the canonical multimodal hot path). The ``decoder`` runs
     per asset inside each batch; swap in a vectorized/GPU decoder without
-    changing the operator contract."""
+    changing the operator contract. The default decodes binary PPM for
+    real (:func:`default_decoder`) and raises the documented
+    ``NotImplementedError`` for containers that need external libs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -90,6 +90,46 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asset_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode→resize→features END-TO-END with the DEFAULT decoder
+    (round-14 verdict item 4): documents are planted as genuine binary
+    PPM (P6) images — header ``P6\\n{w} {h}\\n255\\n`` with w,h derived
+    from doc_id and the RGB grid filled from the doc's repeated UTF-8
+    bytes — and ``extract_features`` runs with NO injected decoder:
+    ``operators/multimodal.ppm_decoder`` parses the header from the
+    bytes and features come from the decoded pixel grid (channel
+    means, dimensions, half-plane luma means = a 2×1/1×2 area-average
+    resize). The oracle reconstructs the expected features from the
+    CONSTRUCTION (it knows w,h from doc_id and never parses a header),
+    so a mis-parse — wrong width, header-length drift, channel
+    misalignment — breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.selectExpr(
+        "doc_id AS asset_id",
+        "'image' AS modality",
+        # header ‖ first 3*w*h bytes of the doc's repeated UTF-8 text
+        # (byte slicing AFTER encode — multi-byte chars stay exact)
+        """concat(
+             encode(printf('P6\\n%d %d\\n255\\n',
+                           4 + doc_id % 5, 3 + doc_id % 4), 'utf-8'),
+             substring(
+               encode(repeat(coalesce(nullif(text, ''), 'x'),
+                             greatest(1, cast(ceil(
+                               (3.0 * (4 + doc_id % 5) * (3 + doc_id % 4))
+                               / octet_length(encode(coalesce(nullif(text, ''), 'x'), 'utf-8'))
+                             ) as int))), 'utf-8'),
+               1, cast(3 * (4 + doc_id % 5) * (3 + doc_id % 4) as int))
+           ) AS content""",
+    )
+    out = MM.extract_features(assets)  # DEFAULT decoder — the point
+    return out.select(
+        "asset_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[F.col("features")[i].alias(f"f{i}") for i in range(MM.N_FEATURES)],
+    )
+
+
 #: frame-sampling geometry shared by the query and its oracle
 _FRAME_SIZE, _EVERY_N, _MAX_FRAMES = 256, 2, 4
 
@@ -125,6 +165,7 @@ QUERIES = {
     "asset_binary_stats": asset_binary_stats,
     "asset_features": asset_features,
     "asset_frame_samples": asset_frame_samples,
+    "asset_ppm_features": asset_ppm_features,
 }
 
 _MIME_CASES = " ".join(
@@ -178,6 +219,57 @@ ORACLE = {
                COALESCE(MAX(CASE WHEN slot = 6 THEN f END), 0.0) AS f6,
                COALESCE(MAX(CASE WHEN slot = 7 THEN f END), 0.0) AS f7
         FROM stride_means GROUP BY 1, 2, 3
+    """,
+    # The PPM oracle never parses a header: it rebuilds the expected
+    # pixel bytes from the fixture construction (w,h from doc_id; RGB
+    # grid = repeated encoded text bytes, hex-decoded per position) and
+    # aggregates the same exact-integer sums ppm_decoder divides. The
+    # header is always 11 bytes (single-digit w,h by construction), so
+    # n_bytes = 11 + 3*w*h. Every feature denominator is an
+    # exact-integer-valued double, so the single division is bit-exact.
+    "asset_ppm_features": """
+        WITH params AS (
+            SELECT doc_id AS asset_id,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                   coalesce(nullif(text, ''), 'x') AS t
+            FROM documents
+        ),
+        sized AS (
+            SELECT asset_id, w, h, 3 * w * h AS n,
+                   hex(encode(repeat(t, CAST(greatest(1, ceil(
+                       (3.0 * w * h) / octet_length(encode(t))
+                   )) AS INT)))) AS hx
+            FROM params
+        ),
+        bytes AS (
+            SELECT asset_id, w, h, n, u.j AS j,
+                   (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                             substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS b
+            FROM sized, unnest(range(n)) AS u(j)
+        ),
+        agg AS (
+            SELECT asset_id, w, h, n,
+                   SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS sr,
+                   SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS sg,
+                   SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS sb,
+                   SUM(CASE WHEN (j // 3) // w < h // 2 THEN b ELSE 0 END) AS stp,
+                   SUM(CASE WHEN (j // 3) // w >= h // 2 THEN b ELSE 0 END) AS sbt,
+                   SUM(CASE WHEN (j // 3) % w < w // 2 THEN b ELSE 0 END) AS slf
+            FROM bytes GROUP BY 1, 2, 3, 4
+        )
+        SELECT asset_id, 'image' AS modality,
+               CAST(11 + n AS BIGINT) AS n_bytes,
+               CAST(sr AS DOUBLE) / (255.0 * w * h) AS f0,
+               CAST(sg AS DOUBLE) / (255.0 * w * h) AS f1,
+               CAST(sb AS DOUBLE) / (255.0 * w * h) AS f2,
+               w / 4096.0 AS f3,
+               h / 4096.0 AS f4,
+               CAST(stp AS DOUBLE) / (255.0 * 3 * (h // 2) * w) AS f5,
+               CAST(sbt AS DOUBLE) / (255.0 * 3 * (h - h // 2) * w) AS f6,
+               CAST(slf AS DOUBLE) / (255.0 * 3 * (w // 2) * h) AS f7
+        FROM agg
     """,
     "asset_frame_samples": f"""
         WITH assets AS ({_SQL_ASSETS}),
