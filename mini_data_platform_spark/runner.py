@@ -336,32 +336,95 @@ def _file_signature(path: str) -> tuple:
     return (fmt, path)
 
 
-def _read_group(spark: SparkSession, sig: tuple, paths: list[str]) -> DataFrame:
+def _csv_group_schema(header_line: str):
+    """Explicit all-string StructType from a CSV group's raw header
+    line — the same names Spark's header pass would produce, minus the
+    every-file name-inference scan. Returns ``None`` (let Spark infer)
+    whenever the header can't be trusted driver-side: quoted
+    multi-line header (odd quote count), unparseable, empty, an empty
+    field name (Spark substitutes ``_cN``), or duplicate names (Spark
+    dedups with suffixes) — the fallback read reproduces those edge
+    semantics exactly."""
+    import csv as _csv
+    import io
+
+    if not header_line or header_line.count('"') % 2:
+        return None
+    try:
+        row = next(_csv.reader(io.StringIO(header_line)))
+    except (StopIteration, _csv.Error):
+        return None
+    if not row or any(not c for c in row) or len(set(row)) != len(row):
+        return None
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(c, T.StringType()) for c in row]
+    )
+
+
+def _read_group(
+    spark: SparkSession,
+    sig: tuple,
+    paths: list[str],
+    stage_dirs: list[str] | None = None,
+) -> DataFrame:
+    """One multi-path scan for a signature group. Large LOCAL groups
+    are hardlink-staged into a temp dir and read as ONE directory —
+    explicit path lists pay a per-path JVM qualification round at
+    reader-build time (~1.8 ms/path: 7 s of driver wall at 4096 paths,
+    the INGEST_SCALE r15 ladder wall), while a directory is one
+    ``listStatus``. Provenance is unchanged (links carry the original
+    basenames). The staging dir is appended to ``stage_dirs`` — the
+    caller keeps it alive until the batch's actions have run."""
     from mini_data_platform_spark.sources.readers import (
         normalize_column_names,
         read_file,
     )
+    from mini_data_platform_spark.sources.scanstage import stage_link_dir
 
     fmt = sig[0]
+    scan: list[str] | str = paths
+    if stage_dirs is not None and fmt in ("csv", "json", "parquet"):
+        d = stage_link_dir(paths)
+        if d is not None:
+            stage_dirs.append(d)
+            scan = d
     if fmt == "csv":
-        df = (
-            spark.read.option("header", True)
-            .option("mode", "PERMISSIVE")
-            .csv(paths)
+        reader = spark.read.option("header", True).option(
+            "mode", "PERMISSIVE"
         )
+        # the group's raw header line IS the signature: derive the
+        # explicit all-string schema from it driver-side — Spark's
+        # column-NAME inference touches every file of the scan at
+        # reader-build time (~7.5 s at 4096 files, measured r15) to
+        # produce exactly this schema
+        schema = (
+            _csv_group_schema(sig[1]) if isinstance(sig[1], str) else None
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.csv(scan)
     elif fmt == "json" and sig[1] == "array":
-        df = spark.read.option("multiLine", True).json(paths)
+        df = spark.read.option("multiLine", True).json(scan)
     elif fmt == "json":
-        df = spark.read.json(paths)
+        df = spark.read.json(scan)
     elif fmt == "parquet":
-        df = spark.read.parquet(*paths)
+        df = (
+            spark.read.parquet(scan)
+            if isinstance(scan, str)
+            else spark.read.parquet(*scan)
+        )
     else:  # single-file group (orc & friends): the legacy reader
         df = read_file(spark, paths[0], fmt)
     return normalize_column_names(df)
 
 
 def _stage_valid_files(
-    spark: SparkSession, valid: list[str], spec: TableSpec
+    spark: SparkSession,
+    valid: list[str],
+    spec: TableSpec,
+    stage_dirs: list[str] | None = None,
 ) -> DataFrame:
     """Stage ALL valid files as a handful of multi-path scans — the
     100 TB staging plan (round-14, replacing the per-file read +
@@ -404,7 +467,7 @@ def _stage_valid_files(
 
     frames = []
     for sig, paths in groups.items():
-        df = _read_group(spark, sig, paths)
+        df = _read_group(spark, sig, paths, stage_dirs)
         # provenance BEFORE any projection: input_file_name() is only
         # defined over the scan's own rows (URI-encoded -> url_decode)
         df = df.withColumn(
@@ -598,50 +661,85 @@ def _run_batch_ingest(
         return report
 
     # ---- scale mode: one job over all valid files -------------------------
+    # hardlink scan-staging dirs (sources/scanstage.py) must outlive
+    # every action over the lazy staged plan — freed after the sink
+    from mini_data_platform_spark.sources.scanstage import cleanup_dirs
+
+    stage_dirs: list[str] = []
+    persisted = False
     try:
         try:
-            staged = _stage_valid_files(spark, valid, spec)
-        except _NoSignature:
-            # remote/unreadable heads or basename collisions: the
-            # signature-grouped multi-path scan cannot prove itself
-            # safe — stage the legacy way (per-file read + union)
-            staged = _prepare_one(spark, valid[0], 0, spec)
-            for rank, path in enumerate(valid[1:], start=1):
-                staged = staged.unionByName(
-                    _prepare_one(spark, path, rank, spec)
+            try:
+                staged = _stage_valid_files(spark, valid, spec, stage_dirs)
+            except _NoSignature:
+                # remote/unreadable heads or basename collisions: the
+                # signature-grouped multi-path scan cannot prove itself
+                # safe — stage the legacy way (per-file read + union)
+                staged = _prepare_one(spark, valid[0], 0, spec)
+                for rank, path in enumerate(valid[1:], start=1):
+                    staged = staged.unionByName(
+                        _prepare_one(spark, path, rank, spec)
+                    )
+            # clean_table conforms to exactly the spec's canonical
+            # columns; the batch job must keep the bookkeeping tags, so
+            # the same P4-P8 stages are applied with the tags carried
+            # through.
+            cleaned = _clean_keep_tags(staged, spec)
+        except Exception as e:  # noqa: BLE001 — read/plan failure: quarantine all
+            for path in valid:
+                report.outcomes.append(
+                    _quarantine(
+                        path, failed_dir, "processing_failed", audit, str(e)
+                    )
                 )
-        # clean_table conforms to exactly the spec's canonical columns;
-        # the batch job must keep the bookkeeping tags, so the same
-        # P4-P8 stages are applied with the tags carried through.
-        cleaned = _clean_keep_tags(staged, spec)
-    except Exception as e:  # noqa: BLE001 — read/plan failure: quarantine all
-        for path in valid:
-            report.outcomes.append(
-                _quarantine(path, failed_dir, "processing_failed", audit, str(e))
-            )
-        return report
-    deduped = dedup_keep_latest(
-        cleaned,
-        keys=spec.keys,
-        order_col=spec.order_col or INGEST_ORDER_COL,
-        null_wins=True,
-        precedence_cols=(FILE_RANK_COL,),
-    )
+            return report
+        # file-count regime: `cleaned` executes twice (the per-file row
+        # counts below, then the sink's own pipeline) and each
+        # execution re-opens every source file in the scan tasks — at
+        # 10k files that rescan is seconds of wall (INGEST_SCALE r15).
+        # Persist across the two uses when the batch is many-files;
+        # volume-regime batches (few big files) keep the rescan, which
+        # is cheaper there than caching the whole batch.
+        from mini_data_platform_spark.sources.scanstage import (
+            STAGE_MIN_FILES,
+        )
 
-    per_file_rows = {
-        int(r[FILE_RANK_COL]): int(r["n"])
-        for r in cleaned.groupBy(FILE_RANK_COL).agg(F.count("*").alias("n")).collect()
-    }
-    final = deduped.drop(FILE_RANK_COL)
+        persisted = len(valid) >= STAGE_MIN_FILES
+        if persisted:
+            cleaned = cleaned.persist()
+        deduped = dedup_keep_latest(
+            cleaned,
+            keys=spec.keys,
+            order_col=spec.order_col or INGEST_ORDER_COL,
+            null_wins=True,
+            precedence_cols=(FILE_RANK_COL,),
+        )
 
-    try:
-        report.rows_upserted = sink(final)
-    except Exception as e:  # noqa: BLE001 — sink failure: batch-granular quarantine
-        for path in valid:
-            report.outcomes.append(
-                _quarantine(path, failed_dir, "loading_failed", audit, str(e))
-            )
-        return report
+        per_file_rows = {
+            int(r[FILE_RANK_COL]): int(r["n"])
+            for r in cleaned.groupBy(FILE_RANK_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        final = deduped.drop(FILE_RANK_COL)
+
+        try:
+            report.rows_upserted = sink(final)
+        except Exception as e:  # noqa: BLE001 — sink failure: batch-granular quarantine
+            for path in valid:
+                report.outcomes.append(
+                    _quarantine(
+                        path, failed_dir, "loading_failed", audit, str(e)
+                    )
+                )
+            return report
+    finally:
+        try:
+            if persisted:
+                cleaned.unpersist(False)
+        except Exception:  # noqa: BLE001 — cleanup is advisory
+            pass
+        cleanup_dirs(stage_dirs)
 
     for rank, path in enumerate(valid):
         move_object(path, os.path.join(processed_dir, os.path.basename(path)))

@@ -41,6 +41,15 @@ def move_object(src: str, dst: str) -> None:
         s3.delete_object(Bucket=sb, Key=sk)
         return
     os.makedirs(os.path.dirname(dst), exist_ok=True)
+    # local fast path: an atomic same-filesystem rename is the move
+    # semantics S3's copy+delete emulates, at ~1/10 the syscall cost —
+    # at 10k files the copy+delete loop is seconds of pure driver wall
+    # (INGEST_SCALE r15). Cross-device renames fall back to copy+delete.
+    try:
+        os.rename(src, dst)
+        return
+    except OSError:
+        pass
     shutil.copy2(src, dst)
     os.remove(src)
 

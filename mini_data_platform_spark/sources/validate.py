@@ -175,6 +175,11 @@ def _csv_group_date_probe(
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    from mini_data_platform_spark.sources.scanstage import (
+        cleanup_dirs,
+        stage_link_dir,
+    )
+
     lower = {c.strip().lower() for c in cols}
     ts_cols = [t for t in spec.timestamp_columns if t in lower]
     if not ts_cols:
@@ -188,30 +193,41 @@ def _csv_group_date_probe(
     schema = T.StructType(
         [T.StructField(c.strip().lower(), T.StringType()) for c in cols]
     )
-    df = (
-        spark.read.schema(schema)
-        .option("header", True)
-        .option("mode", "PERMISSIVE")
-        .csv(paths)
-        .select(
-            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("_f"),
-            F.monotonically_increasing_id().alias("_i"),
-            *[F.col(t) for t in ts_cols],
+    # large groups: hardlink-stage into one dir so reader construction
+    # is one listStatus, not a ~1.8 ms/path qualification round
+    # (sources/scanstage.py); the probe collects before cleanup
+    link_dir = stage_link_dir(paths)
+    try:
+        df = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "PERMISSIVE")
+            .csv(link_dir if link_dir is not None else paths)
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), "([^/]+)$", 1
+                ).alias("_f"),
+                F.monotonically_increasing_id().alias("_i"),
+                *[F.col(t) for t in ts_cols],
+            )
         )
-    )
-    ranked = df.withColumn(
-        "_r", F.row_number().over(Window.partitionBy("_f").orderBy("_i"))
-    ).where(F.col("_r") <= DATE_SAMPLE_ROWS)
-    counted = ranked.groupBy("_f").agg(
-        *[
-            F.count_if(
-                F.col(t).isNotNull() & _parseable_ts(F.col(t)).isNull()
-            ).alias(t)
-            for t in ts_cols
-        ]
-    )
+        ranked = df.withColumn(
+            "_r", F.row_number().over(Window.partitionBy("_f").orderBy("_i"))
+        ).where(F.col("_r") <= DATE_SAMPLE_ROWS)
+        counted = ranked.groupBy("_f").agg(
+            *[
+                F.count_if(
+                    F.col(t).isNotNull() & _parseable_ts(F.col(t)).isNull()
+                ).alias(t)
+                for t in ts_cols
+            ]
+        )
+        rows = counted.collect()
+    finally:
+        if link_dir is not None:
+            cleanup_dirs([link_dir])
     out: dict[str, tuple[bool, str]] = {p: (True, "") for p in paths}
-    for row in counted.collect():
+    for row in rows:
         path = base.get(row["_f"])
         if path is None:
             continue  # defensive: unexpected provenance name
@@ -239,9 +255,15 @@ def _ndjson_group_probe(
     deterministic form of the per-file path's ``.first()``."""
     from pyspark.sql.window import Window
 
+    from mini_data_platform_spark.sources.scanstage import (
+        cleanup_dirs,
+        stage_link_dir,
+    )
+
     base = {os.path.basename(p): p for p in paths}
+    link_dir = stage_link_dir(paths)  # see _csv_group_date_probe
     lines = (
-        spark.read.text(paths)
+        spark.read.text(link_dir if link_dir is not None else paths)
         .select(
             F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("_f"),
             F.monotonically_increasing_id().alias("_i"),
@@ -273,8 +295,13 @@ def _ndjson_group_probe(
     firsts = bad.groupBy("_f").agg(
         F.min_by("missing", F.col("_i")).alias("missing")
     )
+    try:
+        rows = firsts.collect()
+    finally:
+        if link_dir is not None:
+            cleanup_dirs([link_dir])
     out = {p: (True, "") for p in paths}
-    for row in firsts.collect():
+    for row in rows:
         p = base.get(row["_f"])
         if p is not None:
             out[p] = (False, f"Missing columns: {sorted(row['missing'])}")

@@ -327,9 +327,9 @@ class TestBatchIngest:
         calls = []
         real = runner_mod._read_group
 
-        def spy(spark_, sig, paths):
+        def spy(spark_, sig, paths, stage_dirs=None):
             calls.append(sorted(os.path.basename(p) for p in paths))
-            return real(spark_, sig, paths)
+            return real(spark_, sig, paths, stage_dirs)
 
         monkeypatch.setattr(runner_mod, "_read_group", spy)
         _put(lake, "a_nd.json", GOOD_NDJSON)
@@ -338,6 +338,43 @@ class TestBatchIngest:
         report, _ = _run(spark, lake)
         assert {o.status for o in report.outcomes} == {"loaded"}
         assert calls == [["a_nd.json", "b_nd.json"]]
+
+    def test_large_group_hardlink_staged_scan(self, spark, lake):
+        """Groups at/above scanstage.STAGE_MIN_FILES read through a
+        hardlink-staged DIRECTORY (one listStatus) instead of an
+        explicit path list (~1.8 ms/path JVM qualification each — the
+        INGEST_SCALE r15 4096/10k-file wall). Semantics must be
+        unchanged: per-file provenance ranks (later file wins), all
+        rows present, and the staging dirs removed after the batch."""
+        import glob as _glob
+        import tempfile
+
+        from mini_data_platform_spark.sources.scanstage import (
+            STAGE_MIN_FILES,
+        )
+
+        hdr = "sale_id,sale_date,customer_id,product_id,quantity,amount\n"
+        n = STAGE_MIN_FILES + 4
+        for i in range(n):
+            # same key 'k' in every file: the LAST file must win
+            _put(
+                lake, f"{i:04d}.csv",
+                hdr + f"k,2024-01-01 00:00:00,C{i},P,1,{i}.0\n"
+                f"u{i},2024-01-02 00:00:00,CU,P,1,1.0\n",
+            )
+        before = set(
+            _glob.glob(os.path.join(tempfile.gettempdir(), "mdp_scanstage_*"))
+        )
+        report, _ = _run(spark, lake)
+        after = set(
+            _glob.glob(os.path.join(tempfile.gettempdir(), "mdp_scanstage_*"))
+        )
+        assert {o.status for o in report.outcomes} == {"loaded"}
+        assert after == before, "staging dirs leaked"
+        got = {r["sale_id"]: r.asDict()
+               for r in spark.read.parquet(lake["target"]).collect()}
+        assert len(got) == n + 1  # k + one unique key per file
+        assert got["k"]["customer_id"] == f"C{n - 1}"  # last file won
 
     def test_gzip_csv_stages_correctly(self, spark, lake):
         """A .csv.gz lands as its own solo group (the raw header-line

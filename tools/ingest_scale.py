@@ -40,9 +40,16 @@ sys.path.insert(0, REPO)
 LADDER = [(100_000, 8), (1_000_000, 32), (2_000_000, 64)]
 
 #: (rows, files) file-count rungs: rows pinned at the 20x volume point,
-#: files scaled 8x and 16x (small-file regime). Pass bar (r13 verdict
-#: item 5): rows_per_min at 512 files degrades <2x vs the 64-file rung.
-FILE_LADDER = [(2_000_000, 512), (2_000_000, 1024)]
+#: files scaled 8x/16x/64x/156x (small-file regime; 10k files is the
+#: reference README's claimed operating scale — ~200 rows per file).
+#: Pass bar (r13 verdict item 5, extended r15 per r14 verdict item 2):
+#: rows_per_min at every rung degrades <2x vs the 64-file rung.
+FILE_LADDER = [
+    (2_000_000, 512),
+    (2_000_000, 1024),
+    (2_000_000, 4096),
+    (2_000_000, 10_000),
+]
 
 #: Why the warm run is excluded, stamped into the artifact itself.
 WARM_EXCLUSION_RULE = (
