@@ -369,7 +369,20 @@ def main() -> None:
     errors: dict[str, str] = {}
     windows: dict[str, tuple[float, float]] = {}
     out_rows: dict[str, int] = {}
-    for name, fn in queries.items():
+    # contention discipline (r14 verdict item 3): the numpy/pandas-UDF
+    # CPU class (emb_* block scorers, lineitem_unpivot_stats) is the
+    # one BENCH_DETAIL r14 showed inflating when the run ENDS under
+    # accumulated load (emb_semdedup 3.6→5.37 s at end loadavg 12,
+    # flat at the 10x probe) — run it FIRST, while the machine is at
+    # the recorded start load, so end-of-run load cannot inflate
+    # exactly the class most sensitive to it.
+    cpu_first = [
+        n for n in queries
+        if n.startswith("emb_") or n == "lineitem_unpivot_stats"
+    ]
+    timed_order = cpu_first + [n for n in queries if n not in set(cpu_first)]
+    for name in timed_order:
+        fn = queries[name]
         w0 = time.time()
         t0 = time.perf_counter()
         try:
