@@ -297,6 +297,23 @@ def test_readme_query_count_matches_entry():
     )
 
 
+def test_no_hand_written_query_counts_in_rotation_comments():
+    """The rotation prose in __spark_entry__.py must not carry a
+    hand-written inventory count (round-14 verdict item 6: two
+    comments said 127/129 against a 137-query truth — the same drift
+    class the contract block was generated to kill). The count lives
+    ONLY in the generated SURVEY contract block; the comments refer to
+    'the inventory' abstractly."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(repo, "__spark_entry__.py"), encoding="utf-8"
+    ).read()
+    hits = re.findall(r"#[^\n]*\b\d{2,4} (?:named )?queries\b", src)
+    assert not hits, f"hand-written query-count literal(s): {hits}"
+
+
 def test_survey_contract_counts():
     """SURVEY.md's driver-contract paragraph is GENERATED
     (tools/advance_round.py --contract) — this pins it against the
