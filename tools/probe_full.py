@@ -172,7 +172,23 @@ def main() -> None:
             "twin partsupp_pagerank_autoscale instead",
             flush=True,
         )
-    # warmup, mirroring bench.py: JVM, python workers, serve caches
+    # warmup, mirroring bench.py: JVM, python workers, serve caches,
+    # and (r15) the fixtures' OS PAGE CACHE — with --skip-build the
+    # probe dir may be stone cold (the r15 first attempt read every
+    # query 1.5-2.5x high purely on cold parquet reads; bench.py
+    # adopted the same raw-byte pre-touch in r10 for the same reason)
+    import glob as _glob
+
+    for path in _glob.glob(os.path.join(PROBE_DIR, "*.parquet")):
+        paths = (
+            _glob.glob(os.path.join(path, "*")) if os.path.isdir(path)
+            else [path]
+        )
+        for p in paths:
+            if os.path.isfile(p):
+                with open(p, "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from pyspark.sql import functions as F
 
