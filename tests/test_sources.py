@@ -287,6 +287,39 @@ class TestValidateFilesBatched:
         assert v.validate_files(spark, [p]) == [(True, "")]
         assert called == [p]
 
+    def test_ndjson_blank_interleaved_sampling_parity(
+        self, spark, tmpdir_str
+    ):
+        """The batched probe's min-anchor rank must sample the first
+        JSON_SAMPLE_RECORDS NON-EMPTY lines exactly like the per-file
+        path: a file whose only bad record sits past the sample window
+        because of interleaved blank lines must stay VALID in both."""
+        from mini_data_platform_spark.sources.validate import (
+            JSON_SAMPLE_RECORDS,
+            validate_files,
+        )
+
+        good = json.dumps(RECORDS[0])
+        bad = json.dumps(
+            {k: v for k, v in RECORDS[1].items() if k != "amount"}
+        )
+        # blanks between every record: the raw-line index of the Nth
+        # non-empty record is ~2N, so an index-based window would admit
+        # only ~N/2 records and judge the wrong sample
+        body = "\n\n".join([good] * JSON_SAMPLE_RECORDS) + "\n\n" + bad
+        p_ok = _write(tmpdir_str, "blanks_ok.json", body)
+        # and the bad record INSIDE the window must still quarantine
+        body2 = (
+            "\n\n".join([good] * (JSON_SAMPLE_RECORDS - 1))
+            + "\n\n" + bad
+        )
+        p_bad = _write(tmpdir_str, "blanks_bad.json", body2)
+        got = validate_files(spark, [p_ok, p_bad])
+        want = [validate_file(spark, p_ok), validate_file(spark, p_bad)]
+        assert got == want
+        assert got[0] == (True, "")
+        assert not got[1][0] and "amount" in got[1][1]
+
     def test_gzip_csv_is_not_falsely_quarantined(self, spark, tmpdir_str):
         """.csv.gz: Spark's reader decompresses transparently, but a
         raw driver-side header read sees codec bytes that could slip
