@@ -248,7 +248,8 @@ def view_build(
 
 
 def _commit_partial(
-    part: DataFrame, view_dir: str, meta: dict, bid: str
+    part: DataFrame, view_dir: str, meta: dict, bid: str,
+    pre_commit=None,
 ) -> dict:
     """The ONE commit protocol for every write path (plain increments
     AND change batches — a fix here must not be able to diverge the
@@ -283,6 +284,17 @@ def _commit_partial(
             superseded = [s for s in meta["segments"][_AGG] if s != seg]
         else:
             _write_segment(part, view_dir, _AGG, seg)
+        if pre_commit is not None:
+            # post-write validation (metrics observed DURING the write
+            # — view_apply_changes' op guard rides the same job); a
+            # failure sweeps the never-committed segment and re-raises
+            try:
+                pre_commit()
+            except Exception:
+                shutil.rmtree(
+                    os.path.join(view_dir, _AGG, seg), ignore_errors=True
+                )
+                raise
         rec = {
             "type": "partial",
             "version": meta["version"],
@@ -432,16 +444,35 @@ def view_apply_changes(
         raise ValueError("change batches need an _op column (+1/-1)")
     # a CDC feed with string ops ('I'/'D'), nulls, or multiplicities
     # outside ±1 would silently corrupt state (cast-to-null drops the
-    # row's contribution; ±2 double-counts) — fail loudly instead
+    # row's contribution; ±2 double-counts) — fail loudly instead. The
+    # check is an OBSERVED metric riding the partial-agg write job (one
+    # pass over the delta instead of a standalone probe job); the
+    # commit inspects it post-write, pre-ticket, so a bad feed still
+    # commits nothing (the orphan segment is swept).
+    from pyspark.sql import Observation
+
     op = F.col("_op").cast("int")
-    n_bad = changes.filter(
-        ~F.coalesce(op.isin(1, -1), F.lit(False))
-    ).limit(1).count()
-    if n_bad:
-        raise ValueError(
-            "_op values must be exactly +1 or -1 (found null/other; "
-            "map Debezium-style 'I'/'D' ops before applying)"
-        )
+    bad_row = ~F.coalesce(op.isin(1, -1), F.lit(False))
+    changes_raw = changes
+    obs = Observation()
+    changes = changes.observe(
+        obs, F.max(F.when(bad_row, 1).otherwise(0)).alias("bad_op")
+    )
+
+    def _op_check() -> None:
+        try:
+            bad = obs.get.get("bad_op") or 0
+        except Exception:  # noqa: BLE001 — metric retrieval failed
+            # a delta whose plan the optimizer collapsed to an empty
+            # LocalRelation yields a schemaless metrics row that the
+            # py4j bridge refuses (toPyRow assertion); fall back to the
+            # standalone probe job — rare, and correct either way
+            bad = changes_raw.filter(bad_row).limit(1).count()
+        if bad:
+            raise ValueError(
+                "_op values must be exactly +1 or -1 (found null/other; "
+                "map Debezium-style 'I'/'D' ops before applying)"
+            )
     # same multi-writer rule as view_increment: caller-less bids are
     # generated collision-free; replay protection is opt-in via batch_id
     bid = (
@@ -471,7 +502,7 @@ def view_apply_changes(
             )
             aggs.append(F.sum(contrib).cast("long").alias(name))
     part = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-    return _commit_partial(part, view_dir, meta, bid)
+    return _commit_partial(part, view_dir, meta, bid, pre_commit=_op_check)
 
 
 def minmax_view_build(

@@ -218,45 +218,75 @@ def _checkpoint_meta(table_dir: str, meta: dict) -> None:
         _write_meta(table_dir, meta)
 
 
-def _validate_batch(batch: DataFrame, keys: list[str]) -> None:
-    """One O(batch) aggregate proving the batch is key-unique and every
-    ``_op`` is 'u'/'d' — the precondition that makes ``_seq`` a total
-    order per key (module docstring). Null keys are rejected too: a
-    null never equals anything, so a null-keyed row could neither be
-    updated nor deleted — a permanent zombie."""
+#: sentinel prefix for validation guards embedded in the WRITE plan —
+#: the executor raises it mid-write, `_write_segment_checked` translates
+#: it back to the ValueError the API contract (and tests) promise
+_VSENTINEL = "MDP_VALIDATE: "
+
+_VALIDATE_MSG = (
+    "merge batch must be key-unique with non-null keys and "
+    "_op in {'u','d'} (duplicate keys have no within-batch "
+    "order; split conflicting writes into separate batches)"
+)
+
+
+def _validation_guard(keys: list[str]):
+    """Boolean Column that is true for any row violating the batch
+    contract — key-unique, non-null keys, ``_op`` in {'u','d'} — the
+    precondition that makes ``_seq`` a total order per key (module
+    docstring). Null keys are rejected too: a null never equals
+    anything, so a null-keyed row could neither be updated nor deleted
+    — a permanent zombie. NULL-safe op check: isin is NULL for NULL
+    ops, and a NULL _op row that won resolution would read as neither
+    'u' nor 'd' — every serve filter (_op != 'd') drops it like a
+    silent tombstone (same guard as ivm.view_apply_changes).
+
+    Fused into the segment-write plan (guide §1.2 "don't compute
+    things twice"): duplicate detection is a count over a key-hash
+    window INSIDE the write job, so the batch's upstream plan runs
+    ONCE per apply instead of once for a standalone validation
+    aggregate and again for the write."""
+    from pyspark.sql import Window
+
     _any_null_key = F.isnull(keys[0])
     for k in keys[1:]:
         _any_null_key = _any_null_key | F.isnull(k)
-    bad = (
-        batch.groupBy(*keys)
-        .agg(
-            F.count("*").alias("_n"),
-            # NULL-safe: isin is NULL for NULL ops, and a NULL _op row
-            # that won resolution would read as neither 'u' nor 'd' —
-            # every serve filter (_op != 'd') drops it like a silent
-            # tombstone. Treat NULL as a bad op, same guard as
-            # ivm.view_apply_changes.
-            F.max(
-                F.when(
-                    ~F.coalesce(F.col(_OP).isin("u", "d"), F.lit(False)),
-                    1,
-                ).otherwise(0)
-            ).alias("_badop"),
-        )
-        .where(
-            (F.col("_n") > 1)
-            | (F.col("_badop") == 1)
-            | _any_null_key
-        )
-        .limit(1)
-        .count()
+    badop = ~F.coalesce(F.col(_OP).isin("u", "d"), F.lit(False))
+    dup = (
+        F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys]))
+        > 1
     )
-    if bad:
-        raise ValueError(
-            "merge batch must be key-unique with non-null keys and "
-            "_op in {'u','d'} (duplicate keys have no within-batch "
-            "order; split conflicting writes into separate batches)"
+    return dup | badop | _any_null_key
+
+
+def _guarded(col: F.Column, bad: F.Column, msg: str) -> F.Column:
+    """``col``, or a mid-write raise when ``bad`` — the raise rides the
+    column so the optimizer cannot prune the check away."""
+    return F.when(
+        bad, F.raise_error(F.lit(_VSENTINEL + msg)).cast("long")
+    ).otherwise(F.lit(0)) + col
+
+
+def _write_segment_checked(
+    df: DataFrame, table_dir: str, seg: str
+) -> None:
+    """``_write_segment`` with embedded-guard translation: a validation
+    raise from inside the write surfaces as the contract ValueError,
+    and the partially-written (never-committed) segment dir is swept."""
+    import shutil
+
+    try:
+        _write_segment(df, table_dir, _ROWS, seg)
+    except Exception as exc:  # noqa: BLE001 — translate, clean, re-raise
+        shutil.rmtree(
+            os.path.join(table_dir, _ROWS, seg), ignore_errors=True
         )
+        s = str(exc)
+        if _VSENTINEL in s:
+            raise ValueError(
+                s.split(_VSENTINEL, 1)[1].split("\n")[0].strip()
+            ) from None
+        raise
 
 
 def _ddl_types(df: DataFrame, cols: list[str]) -> dict[str, str]:
@@ -317,14 +347,28 @@ def _conform(batch: DataFrame, meta: dict, evolve: bool) -> DataFrame:
         )
     missing = [c for c in meta["columns"] if c not in cols]
     if missing:
-        has_upsert = batch.where(F.col(_OP) != "d").limit(1).count() > 0
-        if has_upsert:
-            raise ValueError(
-                f"upsert rows must carry every table column; missing "
-                f"{missing} (only all-delete batches may omit data "
-                f"columns)"
+        # only all-delete batches may omit data columns. The check is a
+        # PER-ROW guard folded into the first null-filled column (no
+        # window needed), so it rides the segment write instead of
+        # paying a standalone has-upsert probe job; a NULL-op row is
+        # neither caught here nor by the old eager probe (its where()
+        # dropped NULLs too) — the write-time op guard rejects it.
+        msg = (
+            f"upsert rows must carry every table column; missing "
+            f"{missing} (only all-delete batches may omit data "
+            f"columns)"
+        )
+        first, *rest = missing
+        batch = batch.withColumn(
+            first,
+            F.when(
+                F.col(_OP) != "d",
+                F.raise_error(F.lit(_VSENTINEL + msg)),
             )
-        for c in missing:
+            .otherwise(F.lit(None))
+            .cast(meta["schema"][first]),
+        )
+        for c in rest:
             batch = batch.withColumn(
                 c, F.lit(None).cast(meta["schema"][c])
             )
@@ -389,12 +433,14 @@ def table_build(
         raise ValueError(f"key columns {missing} not in frame")
     data_cols = [c for c in df.columns if c not in keys]
     rows = df.withColumn(_OP, F.lit("u"))
+    seq_col = F.lit(0).cast("long")
     if validate:
-        _validate_batch(rows, keys)
+        # guard folded into _seq: validation and write are ONE job, one
+        # pass over the batch (see _validation_guard)
+        seq_col = _guarded(seq_col, _validation_guard(keys), _VALIDATE_MSG)
     os.makedirs(table_dir, exist_ok=True)
-    _write_segment(
-        rows.withColumn(_SEQ, F.lit(0).cast("long")), table_dir, _ROWS,
-        "seg-0",
+    _write_segment_checked(
+        rows.withColumn(_SEQ, seq_col), table_dir, "seg-0"
     )
     meta = {
         "kind": "mergetable",
@@ -472,13 +518,17 @@ def table_apply(
             )
         work = json.loads(json.dumps(meta))  # _conform mutates its meta
         rows = _conform(batch, work, evolve)
-        if validate:
-            _validate_batch(rows, meta["keys"])
         seq = meta["n_batches"]
+        seq_col = F.lit(seq).cast("long")
+        if validate:
+            # guard folded into _seq: validation and write are ONE job,
+            # one pass over the batch (see _validation_guard)
+            seq_col = _guarded(
+                seq_col, _validation_guard(meta["keys"]), _VALIDATE_MSG
+            )
         seg = f"seg-{seq}-{uuid.uuid4().hex[:8]}"
-        _write_segment(
-            rows.withColumn(_SEQ, F.lit(seq).cast("long")), table_dir,
-            _ROWS, seg,
+        _write_segment_checked(
+            rows.withColumn(_SEQ, seq_col), table_dir, seg
         )
         rec = {
             "type": "apply",

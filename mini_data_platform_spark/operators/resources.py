@@ -66,3 +66,21 @@ def release_plan(df: DataFrame | None) -> int:
             pass
     setattr(df, _ATTR, [])
     return n
+
+
+def run_concurrently(*thunks):
+    """Run independent Spark-action chains from driver threads (the
+    optimization-guide §2.6 overlap: while one chain's last stragglers
+    drain, the next chain's tasks back-fill the freed cores, and the
+    chains' driver-side planning/py4j gaps overlap each other's executor
+    work). Only for chains with NO ordering dependency — e.g. building
+    two different merge tables, or maintaining two views off one shared
+    (persisted) change feed. Results come back in ``thunks`` order; the
+    first exception propagates after all threads finish."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]

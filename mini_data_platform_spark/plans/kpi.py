@@ -403,26 +403,38 @@ def _build_merge_view_artifacts(spark, sf_dir: str, root: str) -> None:
     )
     from mini_data_platform_spark.operators.resources import release_plan
 
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
     tdir = os.path.join(root, "table")
     vdir = os.path.join(root, "view")
     mdir = os.path.join(root, "minmax")
     _build_orders_merge_table(spark, sf_dir, tdir)
     seed = table_read(spark, tdir, as_of=1)
-    view_build(
-        seed,
-        vdir,
-        ["o_orderstatus"],
-        {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")},
+    # the two maintained views are independent stores fed by the same
+    # seed/changes — build and refresh them from two driver threads
+    # (guide §2.6); per batch the shared zset is persisted, so whichever
+    # apply materializes it first caches it for the other
+    run_concurrently(
+        lambda: view_build(
+            seed,
+            vdir,
+            ["o_orderstatus"],
+            {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")},
+        ),
+        lambda: minmax_view_build(seed, mdir, ["o_orderstatus"], "o_totalprice"),
     )
-    minmax_view_build(seed, mdir, ["o_orderstatus"], "o_totalprice")
     for b in range(1, 5):
-        # persisted: each apply runs two actions (±1 validation +
-        # segment write) and the zset feeds BOTH views — without the
-        # persist the two candidate-bounded resolves re-execute ~4x
+        # persisted: each apply's validation metric now rides its write
+        # (ivm.view_apply_changes), and the zset feeds BOTH views —
+        # without the persist the candidate-bounded resolves re-execute
         zset = table_changes_zset(spark, tdir, since=b, as_of=b + 1)
         zset.persist()
-        view_apply_changes(zset, vdir)
-        view_apply_changes(zset, mdir)
+        run_concurrently(
+            lambda: view_apply_changes(zset, vdir),
+            lambda: view_apply_changes(zset, mdir),
+        )
         zset.unpersist(False)
         release_plan(zset)
     with open(os.path.join(root, "_COMPLETE"), "w") as fh:
@@ -528,10 +540,20 @@ def _build_join_view_artifacts(spark, sf_dir: str, root: str) -> None:
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
     ck = F.col("o_custkey")
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
     # epoch 1 on both sides, then the view bootstraps through the same
-    # delta path every later refresh takes
-    table_build(waves[0], odir, ["o_orderkey"])
-    table_build(customer.filter(ck % 2 == 0), cdir, ["o_custkey"])
+    # delta path every later refresh takes. The two tables' builds (and
+    # each window's two applies below) are independent chains — run them
+    # from two driver threads so one chain's tail back-fills the other's
+    # cores and their planning gaps overlap (guide §2.6); refreshes stay
+    # barriers, and applies to the SAME table keep their order.
+    run_concurrently(
+        lambda: table_build(waves[0], odir, ["o_orderkey"]),
+        lambda: table_build(customer.filter(ck % 2 == 0), cdir, ["o_custkey"]),
+    )
     join_view_build(
         spark, odir, cdir, ["o_custkey"], vdir, ["c_mktsegment"],
         {"revenue": ("sum", "o_totalprice"), "n_orders": ("count", "*")},
@@ -539,18 +561,27 @@ def _build_join_view_artifacts(spark, sf_dir: str, root: str) -> None:
     join_view_refresh(spark, vdir)  # (0,0) -> (1,1)
     # both sides advance: the odd customers' arrival must pull in the
     # epoch-1 orders that found no join partner at the first refresh
-    table_apply(waves[1], odir)
-    table_apply(customer.filter(ck % 2 == 1), cdir)
+    run_concurrently(
+        lambda: table_apply(waves[1], odir),
+        lambda: table_apply(customer.filter(ck % 2 == 1), cdir),
+    )
     join_view_refresh(spark, vdir)  # (1,1) -> (2,2)
+
     # update + delete on orders, segment promotion on customers — the
     # retraction-heavy window (price doubling, row deletes, and revenue
-    # moving between segments, all in one delta)
-    table_apply(waves[2], odir)
-    table_apply(waves[3], odir)
-    table_apply(
-        customer.filter(ck % 5 == 0)
-        .withColumn("c_mktsegment", F.lit("PROMOTED")),
-        cdir,
+    # moving between segments, all in one delta). The two orders waves
+    # stay ordered (same table); the customer wave rides alongside.
+    def _orders_updates():
+        table_apply(waves[2], odir)
+        table_apply(waves[3], odir)
+
+    run_concurrently(
+        _orders_updates,
+        lambda: table_apply(
+            customer.filter(ck % 5 == 0)
+            .withColumn("c_mktsegment", F.lit("PROMOTED")),
+            cdir,
+        ),
     )
     join_view_refresh(spark, vdir)  # (2,2) -> (4,3)
     table_apply(waves[4], odir)
