@@ -85,12 +85,26 @@ def _snapshot_for(
     the join-key values present in ``delta`` — the candidate bound that
     keeps a refresh O(delta), not O(table). Key-joins go through
     ``table_lookup`` (log filtered BEFORE the resolve + IN-literal scan
-    pushdown); non-key joins pay the resolve once, then semi-join."""
+    pushdown); non-key joins pay the resolve once, then semi-join.
+
+    The zset deltas carry ``_mdp_row_bound`` (changed-segment footer
+    rows — mergetable.table_changes_zset); the bound replaces the probe
+    ``count()`` driver action on both paths (r15)."""
     probes = delta.select(*on).distinct()
+    bound = getattr(delta, "_mdp_row_bound", None)
     if list(meta["keys"]) == list(on):
-        # table_lookup persists/hints the probe frame itself and
-        # attaches it to the returned plan
-        return table_lookup(spark, table_dir, probes, as_of=as_of)
+        # table_lookup hints/bounds the probe frame itself and attaches
+        # anything it persists to the returned plan
+        return table_lookup(
+            spark, table_dir, probes, as_of=as_of, n_bound=bound
+        )
+    if bound is not None:
+        # probed once below — no persist, no count: the footer bound
+        # drives the broadcast decision
+        state = table_read(spark, table_dir, as_of=as_of).join(
+            _hinted(probes, bound), on, "left_semi"
+        )
+        return state
     probes = _hinted(probes.persist(), probes.count())
     state = table_read(spark, table_dir, as_of=as_of).join(
         probes, on, "left_semi"

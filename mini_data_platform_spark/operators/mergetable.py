@@ -649,6 +649,19 @@ def table_changes(
     meta = _meta_as_of(_recover_meta(table_dir), as_of)
     if meta.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
+    paths = _changed_paths(table_dir, meta, since)
+    if not paths:
+        return (
+            _read_rows(spark, table_dir, meta)
+            .where(F.lit(False))
+        )
+    return _read_rows(spark, table_dir, meta, paths=paths)
+
+
+def _changed_paths(table_dir: str, meta: dict, since: int) -> list[str]:
+    """Segment paths carrying batches ``since+1 ..`` (within ``meta``'s
+    segment list, which the caller has already as-of-prefixed), with the
+    :func:`table_changes` bounds checks. Empty = empty window."""
     n = meta["n_batches"]
     if not 0 <= since <= n:
         raise ValueError(f"since must be in [0, {n}], got {since}")
@@ -663,14 +676,7 @@ def table_changes(
     # with a leading compact-* entry, entry i>0 is batch ct+i; without,
     # entry i is batch i+1's state (seg-i carries _seq=i)
     start = 1 + (since - ct) if folded else since
-    wanted = segs[start:]
-    if not wanted:
-        return (
-            _read_rows(spark, table_dir, meta)
-            .where(F.lit(False))
-        )
-    paths = [os.path.join(table_dir, _ROWS, s) for s in wanted]
-    return _read_rows(spark, table_dir, meta, paths=paths)
+    return [os.path.join(table_dir, _ROWS, s) for s in segs[start:]]
 
 
 def table_lookup(
@@ -678,6 +684,7 @@ def table_lookup(
     table_dir: str,
     probes: DataFrame,
     as_of: int | None = None,
+    n_bound: int | None = None,
 ) -> DataFrame:
     """Point lookups against the table: the current row for each probed
     key (absent/deleted keys return nothing). The log is filtered to the
@@ -692,7 +699,16 @@ def table_lookup(
     a point lookup skips almost every file: the poor man's index.
     ``probes`` carries exactly the key columns. The read-only serving
     twin of ``table_read``, same shape as the index lookups
-    (incremental.py)."""
+    (incremental.py).
+
+    ``n_bound``: a caller-known upper bound on the distinct probe count
+    (e.g. the changed-segment footer rows behind a zset delta). With a
+    bound the lookup costs at most ONE driver action — a bounded
+    ``collect`` when the bound admits the literal pushdown, NONE at all
+    when it doesn't (bound-hinted semi-join only). Without a bound the
+    probe count is discovered with a single ``limit(max+1).collect``
+    probe instead of the old count-then-collect pair (guide §1.2: one
+    action where two ran)."""
     meta = _with_asof_columns(
         _meta_as_of(_recover_meta(table_dir), as_of), as_of
     )
@@ -704,23 +720,42 @@ def table_lookup(
             f"probes must carry exactly the key columns {keys}, "
             f"got {probes.columns}"
         )
-    pk = probes.distinct()
-    n_probes = pk.count()
-    pk = _hinted(pk.persist(), n_probes)
     from mini_data_platform_spark.operators.resources import attach_plan
 
-    rows = _read_rows(spark, table_dir, meta)
+    pk = probes.distinct()
     max_push = int(os.environ.get("MDP_LOOKUP_PUSHDOWN_MAX_KEYS", "1000"))
-    if 0 < n_probes <= max_push:
+    vals = None
+    attached: list[DataFrame] = []
+    if n_bound is not None and n_bound <= max_push:
+        vals = pk.collect()  # bounded by n_bound by contract
+    elif n_bound is None:
+        # one probing action decides the regime AND yields the literals
+        head = pk.limit(max_push + 1).collect()
+        if len(head) <= max_push:
+            vals = head
+    rows = _read_rows(spark, table_dir, meta)
+    if vals is not None:
         # bounded driver-side collect (probe-sized, same class as the
         # repo's query-side collects); the isin literals reach the scan
-        # as PushedFilters and prune via min-max stats
-        vals = pk.collect()
-        for k in keys:
-            rows = rows.where(F.col(k).isin([r[k] for r in vals]))
+        # as PushedFilters and prune via min-max stats, and the probe
+        # side becomes a lineage-free local relation (no persist, no
+        # count job)
+        if vals:
+            for k in keys:
+                rows = rows.where(F.col(k).isin([r[k] for r in vals]))
+        pk = F.broadcast(spark.createDataFrame(vals, pk.schema))
+    elif n_bound is not None:
+        # big probe set with a known bound: no driver action at all —
+        # the bound drives the broadcast decision, the semi-join the
+        # exactness
+        pk = _hinted(pk, n_bound)
+    else:
+        pk = pk.persist()
+        pk = _hinted(pk, pk.count())
+        attached.append(pk)
     rows = rows.join(pk, keys, "left_semi")
     if _is_resolved_log(meta):  # already key-unique and live
-        return attach_plan(rows.drop(_OP, _SEQ), pk)
+        return attach_plan(rows.drop(_OP, _SEQ), *attached)
     payload = F.struct(
         *[F.col(c) for c in meta["columns"]], F.col(_OP)
     )
@@ -731,7 +766,7 @@ def table_lookup(
         *keys,
         *[F.col(f"_w.{c}").alias(c) for c in meta["columns"]],
     )
-    return attach_plan(out, pk)
+    return attach_plan(out, *attached)
 
 
 def table_merge_into(
@@ -898,39 +933,92 @@ def table_changes_zset(
     algebra. ``since``/``as_of`` follow :func:`table_changes` bounds,
     including the compaction boundary.
 
-    The changed-key frame is persisted (computed once, probed twice);
-    call ``resources.release_plan`` on the returned plan after the
-    consuming action (the standard operator contract)."""
-    from mini_data_platform_spark.operators.resources import attach_plan
+    ONE log pass, one shuffle (r15): both epochs' winners come out of a
+    single aggregate over the candidate-bounded log — ``max_by`` of the
+    payload by ``_seq`` for the new state, a second conditional
+    ``max_by`` restricted to ``_seq < since`` for the old (``max_by``
+    ignores null ordering values, so keys born inside the window yield
+    a null pre-image) — then each key explodes into its surviving
+    ±1 rows. The previous shape resolved the two epochs independently
+    (two semi-joined log scans, two shuffles, a persisted+counted
+    changed-key frame = one extra driver action per call); the fused
+    aggregate reads the same rows once and needs no persist at all.
+    The changed-key broadcast decision uses the changed segments'
+    parquet-footer row count (driver-local metadata, no job).
+
+    The returned value carries ``_mdp_row_bound`` — a cheap upper bound
+    on its row count (2x changed-segment footer rows) that downstream
+    candidate-bounded consumers (``joinview._snapshot_for``) use to
+    skip their own count jobs. ``resources.release_plan`` stays safe to
+    call (nothing is attached)."""
+    from mini_data_platform_spark.sinks.compact import dir_parquet_rows
+
     meta_full = _recover_meta(table_dir)
     if meta_full.get("kind") != "mergetable":
         raise ValueError(f"{table_dir} is not a merge table")
     meta_new = _meta_as_of(meta_full, as_of)
-    changed = table_changes(spark, table_dir, since, as_of)
+    paths = _changed_paths(table_dir, meta_new, since)
     keys = meta_full["keys"]
-    ck = changed.select(*keys).distinct()
-    ck = _hinted(ck.persist(), ck.count())
+    cols = meta_full["columns"]
 
-    def _state(meta: dict) -> DataFrame:
-        rows = _read_rows(spark, table_dir, meta).join(
-            ck, keys, "left_semi"
-        )
-        payload = F.struct(
-            *[F.col(c) for c in meta_full["columns"]], F.col(_OP)
-        )
+    def _shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys, *[F.col(c) for c in cols]
+        ).withColumn(_OP, F.lit(1))
+
+    rows = _read_rows(spark, table_dir, meta_new)
+    if not paths:  # empty window: empty zset in the output shape
+        return _shape(rows.where(F.lit(False)))
+    payload = F.struct(*[F.col(c) for c in cols], F.col(_OP))
+    bound = sum(dir_parquet_rows(p) for p in paths)
+    if since == 0:
+        # no old state and every key is a changed key: the zset IS the
+        # resolved new state, +1-tagged — no semi-join needed
         g = rows.groupBy(*[F.col(k) for k in keys]).agg(
             F.max_by(payload, F.col(_SEQ)).alias("_w")
         )
-        return g.where(F.col(f"_w.{_OP}") != "d").select(
+        out = g.where(F.col(f"_w.{_OP}") != "d").select(
             *keys,
-            *[F.col(f"_w.{c}").alias(c) for c in meta_full["columns"]],
+            *[F.col(f"_w.{c}").alias(c) for c in cols],
+        ).withColumn(_OP, F.lit(1))
+        out._mdp_row_bound = bound
+        return out
+    ck = _read_rows(spark, table_dir, meta_new, paths=paths).select(
+        *keys
+    ).distinct()
+    rows = rows.join(_hinted(ck, bound), keys, "left_semi")
+    is_old = F.col(_SEQ) < F.lit(since)
+    g = rows.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(payload, F.col(_SEQ)).alias("_n"),
+        F.max_by(
+            F.when(is_old, payload), F.when(is_old, F.col(_SEQ))
+        ).alias("_o"),
+    )
+
+    def _emit(w: str, op: int) -> F.Column:
+        return F.struct(
+            *[F.col(f"{w}.{c}").alias(c) for c in cols],
+            F.lit(op).alias(_OP),
         )
 
-    new = _state(meta_new).withColumn(_OP, F.lit(1))
-    if since == 0:
-        return attach_plan(new, ck)
-    old = _state(_meta_as_of(meta_full, since)).withColumn(_OP, F.lit(-1))
-    return attach_plan(old.unionByName(new), ck)
+    cand = F.filter(
+        F.array(
+            F.when(
+                F.col("_o").isNotNull()
+                & (F.col(f"_o.{_OP}") != "d"),
+                _emit("_o", -1),
+            ),
+            F.when(F.col(f"_n.{_OP}") != "d", _emit("_n", 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = g.select(*keys, F.explode(cand).alias("_e")).select(
+        *keys,
+        *[F.col(f"_e.{c}").alias(c) for c in cols],
+        F.col(f"_e.{_OP}").alias(_OP),
+    )
+    out._mdp_row_bound = 2 * bound
+    return out
 
 
 def compact_table(
@@ -978,12 +1066,15 @@ def compact_table(
         # size output files by the RESOLVED state, not the raw log:
         # after heavy update/delete churn the live rows are a fraction
         # of the log bytes, and log-based sizing would re-fragment the
-        # small-files problem compaction exists to fix. Row counts come
-        # from parquet footers (metadata-only) + one count of the
+        # small-files problem compaction exists to fix. Log row counts
+        # come from parquet footers (driver-local metadata, no Spark
+        # job — r15, was one count job per segment) + one count of the
         # already-persisted live frame.
-        n_log = sum(
-            spark.read.parquet(p).count() for p in paths
+        from mini_data_platform_spark.sinks.compact import (
+            dir_parquet_rows,
         )
+
+        n_log = sum(dir_parquet_rows(p) for p in paths)
         n_live = live.count()
         live_bytes = total * (n_live / n_log) if n_log else 0
         want = max(1, math.ceil(live_bytes / DEFAULT_TARGET_BYTES))

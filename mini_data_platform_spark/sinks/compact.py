@@ -33,6 +33,23 @@ def dir_parquet_stats(path: str) -> tuple[int, int]:
     return n, size
 
 
+def dir_parquet_rows(path: str) -> int:
+    """Total row count of the parquet data files under ``path``, read
+    from the file FOOTERS (pyarrow, driver-local metadata) — no Spark
+    job. The cheap exact count the commit-log operators use to bound
+    broadcast decisions and size compactions without paying a driver
+    action per segment (optimization guide §1.2: don't spend a
+    distributed pass on what metadata already knows)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(root, f)).num_rows
+    return n
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
