@@ -136,11 +136,17 @@ def _merge_expr(syms: Column, left: str, right: str) -> Column:
     )
 
 
+#: word-frequency tables at or under this row count run the merge loop
+#: on the driver (see bpe_learn); 0 disables the fast path
+_DRIVER_MAX_WORDS_DEFAULT = 20_000
+
+
 def bpe_learn(
     docs: DataFrame,
     text_col: str,
     n_merges: int,
     min_count: int = 2,
+    driver_max_words: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges from a corpus. Returns the
     ordered merge list ``[(left, right, pair_count), ...]`` — the
@@ -151,9 +157,37 @@ def bpe_learn(
     Cost shape: one corpus scan, then per round one vocabulary-sized
     aggregate + a one-row driver argmax + a projection; lineage is cut
     every round with ``localCheckpoint`` so round k's plan does not
-    embed rounds 1..k-1."""
+    embed rounds 1..k-1.
+
+    SMALL-VOCAB FAST PATH (r15, guide §1.2): the merge rounds depend
+    only on the word-frequency table, and every round is a driver
+    round-trip (argmax collect + checkpoint job). When that table is
+    driver-sized — one bounded ``limit(cap+1).collect()`` probe decides,
+    cap = ``driver_max_words`` / ``MDP_BPE_DRIVER_MAX_WORDS`` (default
+    20k rows, a few MB) — the rounds run as the sequential loop
+    (:func:`reference_merges`, the test-pinned identical algorithm:
+    same tie order, same stopping rule) over that one collect: 2 Spark
+    jobs per merge collapse to one job total. Corpus-scale vocabularies
+    overflow the probe and take the distributed loop unchanged; pass
+    ``driver_max_words=0`` to force it."""
+    import os
+
+    cap = (
+        int(os.environ.get(
+            "MDP_BPE_DRIVER_MAX_WORDS", _DRIVER_MAX_WORDS_DEFAULT
+        ))
+        if driver_max_words is None
+        else driver_max_words
+    )
+    wf = word_freqs(docs, text_col)
+    if cap > 0:
+        head = wf.limit(cap + 1).collect()
+        if len(head) <= cap:
+            return reference_merges(
+                {r["word"]: r["freq"] for r in head}, n_merges, min_count
+            )
     words = (
-        word_freqs(docs, text_col)
+        wf
         .select(_initial_symbols(F.col("word")).alias(_SYM), "freq")
         .localCheckpoint(eager=True)
     )
@@ -296,15 +330,43 @@ def bpe_token_counts(
     sequence-length/packing/costing input. Segments only the DISTINCT
     words (vocabulary-sized), then one join maps word occurrences to
     token counts; documents are never re-segmented char-by-char."""
+    import os
+
     occurrences = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.trim(F.col(text_col).cast("string")), r"\s+")
         ).alias("word"),
     ).where(F.col("word") != "")
-    vocab = bpe_segment_words(
-        occurrences.select("word").distinct(), merges
-    ).select("word", "n_tokens")
+    words = occurrences.select("word").distinct()
+    # small-vocab fast path (r15, mirrors bpe_learn): segmenting a
+    # driver-sized vocabulary through the frozen merges as |merges|
+    # nested JVM fold expressions is almost pure plan-compile cost;
+    # the sequential encoder (reference_segment — the test-pinned
+    # identical greedy loop) over one bounded collect yields the same
+    # (word, n_tokens) table as a broadcast local relation. Corpus-
+    # scale vocabularies overflow the probe and take the distributed
+    # fold unchanged.
+    cap = int(os.environ.get(
+        "MDP_BPE_DRIVER_MAX_WORDS", _DRIVER_MAX_WORDS_DEFAULT
+    ))
+    vocab = None
+    if cap > 0:
+        head = words.limit(cap + 1).collect()
+        if len(head) <= cap:
+            rows = [
+                (r["word"], len(reference_segment(r["word"], merges)))
+                for r in head
+            ]
+            vocab = F.broadcast(
+                docs.sparkSession.createDataFrame(
+                    rows, "word string, n_tokens int"
+                )
+            )
+    if vocab is None:
+        vocab = bpe_segment_words(words, merges).select(
+            "word", "n_tokens"
+        )
     return (
         occurrences.join(vocab, "word")
         .groupBy("id")

@@ -1021,19 +1021,29 @@ def neardup_index_build(
     ).persist()
     shingled = _staged_shingles(base, "id", "text", shingle_n).persist()
     sigs = minhash_signatures_from(shingled, "id", num_hashes)
-    _write_segment(
-        lsh_band_keys(sigs, "id", num_hashes, bands),
-        index_dir, _BUCKETS, "batch-0",
-    )
     # the docs segment carries the distinct shingle-HASH set alongside
     # the text (round-9 verdict item 2): verification at lookup time
     # reads these 8-byte-per-shingle arrays with the text column pruned
-    # from the scan, instead of re-tokenizing candidate text per lookup
-    _write_segment(
-        base.join(shingle_hash_sets(shingled, "id"), "id"),
-        index_dir, _DOCS, "batch-0",
+    # from the scan, instead of re-tokenizing candidate text per lookup.
+    # The two segment writes and the count are independent actions over
+    # the persisted base/shingled frames — overlapped from driver
+    # threads (guide §2.6; cached-block locking keeps the shared
+    # upstream computed once), r15.
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
     )
-    n_docs = base.count()
+
+    _, _, n_docs = run_concurrently(
+        lambda: _write_segment(
+            lsh_band_keys(sigs, "id", num_hashes, bands),
+            index_dir, _BUCKETS, "batch-0",
+        ),
+        lambda: _write_segment(
+            base.join(shingle_hash_sets(shingled, "id"), "id"),
+            index_dir, _DOCS, "batch-0",
+        ),
+        lambda: base.count(),
+    )
     shingled.unpersist(False)
     base.unpersist(False)
     meta = {
@@ -1436,11 +1446,24 @@ def neardup_index_increment(
             # shingle-hash sets so future lookups hash-verify against it
             seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
             pairs_path = os.path.join(index_dir, _PAIRS, seg)
-            verified.write.mode("overwrite").parquet(pairs_path)
-            _write_segment(bands_new, index_dir, _BUCKETS, seg)
-            _write_segment(
-                batch if hsets_new is None else batch.join(hsets_new, "id"),
-                index_dir, _DOCS, seg,
+            # three independent materializations over the persisted
+            # batch/bands/shingle frames — overlap them (guide §2.6)
+            from mini_data_platform_spark.operators.resources import (
+                run_concurrently,
+            )
+
+            run_concurrently(
+                lambda: verified.write.mode("overwrite").parquet(
+                    pairs_path
+                ),
+                lambda: _write_segment(
+                    bands_new, index_dir, _BUCKETS, seg
+                ),
+                lambda: _write_segment(
+                    batch if hsets_new is None
+                    else batch.join(hsets_new, "id"),
+                    index_dir, _DOCS, seg,
+                ),
             )
             for frame in pinned:
                 frame.unpersist(False)
@@ -1616,8 +1639,14 @@ def exact_index_build(
         F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash"),
         F.col(id_col).alias("id"),
     ).persist()
-    _write_segment(hashed, index_dir, _HASHES, "batch-0")
-    n = hashed.count()
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
+    _, n = run_concurrently(  # write ∥ count (guide §2.6), r15
+        lambda: _write_segment(hashed, index_dir, _HASHES, "batch-0"),
+        lambda: hashed.count(),
+    )
     hashed.unpersist(False)
     meta = {
         "kind": "exact",
@@ -1682,9 +1711,18 @@ def exact_index_increment(
             )
             seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
             out_path = os.path.join(index_dir, _PAIRS, seg)
-            resolved.write.mode("overwrite").parquet(out_path)
-            _write_segment(
-                batch.select("content_hash", "id"), index_dir, _HASHES, seg
+            from mini_data_platform_spark.operators.resources import (
+                run_concurrently,
+            )
+
+            run_concurrently(  # two independent writes (guide §2.6)
+                lambda: resolved.write.mode("overwrite").parquet(
+                    out_path
+                ),
+                lambda: _write_segment(
+                    batch.select("content_hash", "id"),
+                    index_dir, _HASHES, seg,
+                ),
             )
             committed = _commit_or_none(
                 index_dir,
@@ -1748,12 +1786,18 @@ def embdup_index_build(
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     ).persist()
-    _write_segment(
-        lsh_bucket(base, planes, "id", "vec").select("id", "bucket"),
-        index_dir, _EBUCKETS, "batch-0",
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
     )
-    _write_segment(base, index_dir, _EVECS, "batch-0")
-    n = base.count()
+
+    _, _, n = run_concurrently(  # independent actions (guide §2.6)
+        lambda: _write_segment(
+            lsh_bucket(base, planes, "id", "vec").select("id", "bucket"),
+            index_dir, _EBUCKETS, "batch-0",
+        ),
+        lambda: _write_segment(base, index_dir, _EVECS, "batch-0"),
+        lambda: base.count(),
+    )
     base.unpersist(False)
     meta = {
         "kind": "embdup",
@@ -2013,9 +2057,19 @@ def embdup_index_increment(
             )
             seg = f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
             out_path = os.path.join(index_dir, _PAIRS, seg)
-            verified.write.mode("overwrite").parquet(out_path)
-            _write_segment(bucketed_new, index_dir, _EBUCKETS, seg)
-            _write_segment(batch, index_dir, _EVECS, seg)
+            from mini_data_platform_spark.operators.resources import (
+                run_concurrently,
+            )
+
+            run_concurrently(  # independent writes (guide §2.6)
+                lambda: verified.write.mode("overwrite").parquet(
+                    out_path
+                ),
+                lambda: _write_segment(
+                    bucketed_new, index_dir, _EBUCKETS, seg
+                ),
+                lambda: _write_segment(batch, index_dir, _EVECS, seg),
+            )
             for f in pinned:
                 f.unpersist(False)
             committed = _commit_or_none(

@@ -52,6 +52,40 @@ class TestLearn:
         b = bpe_learn(_docs(spark, TEXTS, 7), "text", 8)
         assert a == b
 
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """r15 small-vocab fast path: the driver-side merge loop (the
+        default under the cap) and the distributed loop
+        (driver_max_words=0 forces it) must be merge-for-merge equal —
+        including the pair counts and the min_count stopping rule."""
+        docs = _docs(spark, TEXTS, 3)
+        fast = bpe_learn(docs, "text", 12)
+        dist = bpe_learn(docs, "text", 12, driver_max_words=0)
+        assert fast == dist
+        # a cap the vocab overflows must also fall through to the
+        # distributed loop (probe returns cap+1 rows)
+        overflow = bpe_learn(docs, "text", 12, driver_max_words=2)
+        assert overflow == dist
+
+    def test_token_counts_paths_agree(self, spark, monkeypatch):
+        """r15: bpe_token_counts' driver-side vocabulary segmentation
+        (reference_segment over a bounded collect) must equal the
+        distributed fold path row-for-row."""
+        docs = _docs(spark, TEXTS, 3)
+        merges = bpe_learn(docs, "text", 10)
+
+        def counts():
+            return {
+                (r["id"], r["n_bpe_tokens"], r["n_words"])
+                for r in bpe_token_counts(
+                    docs, "doc_id", "text", merges
+                ).collect()
+            }
+
+        fast = counts()
+        monkeypatch.setenv("MDP_BPE_DRIVER_MAX_WORDS", "0")
+        dist = counts()
+        assert fast == dist and len(fast) == len(TEXTS)
+
     def test_random_corpus_property(self, spark):
         rng = random.Random(3)
         vocab = ["ab", "abc", "abcd", "xy", "xyz", "q", "aab", "bba"]
