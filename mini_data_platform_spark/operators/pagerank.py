@@ -52,6 +52,11 @@ from .resources import attach_plan
 SCALE = 10**12
 
 
+#: symmetrized-edge lists at or under this row count run the power
+#: iterations on the driver (see pagerank_fixed); 0 disables
+_DRIVER_MAX_EDGES_DEFAULT = 2_000_000
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src_col: str,
@@ -59,6 +64,7 @@ def pagerank_fixed(
     iterations: int = 10,
     damping_pct: int = 85,
     scale: int | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over the UNDIRECTED simple graph spanned by
     ``edges`` (symmetrized, parallel edges collapsed). Returns
@@ -74,13 +80,47 @@ def pagerank_fixed(
     explicitly when an oracle or a stored result folds a specific
     value (the declared query pins ``SCALE`` for exactly that reason —
     auto-pick would silently re-grade ranks when N crosses a power of
-    10)."""
+    10).
+
+    SMALL-GRAPH FAST PATH (r15, the bpe.py doctrine): the iterations
+    are pure int64 arithmetic over the symmetrized edge list — exact
+    and engine-independent by design — so when that list is
+    driver-sized (one bounded ``limit(cap+1).collect()`` probe, cap =
+    ``driver_max_edges`` / ``MDP_PAGERANK_DRIVER_MAX_EDGES``, default
+    2M rows, ~32 MB) the power iterations run as vectorized numpy
+    int64 scatter-adds in one process instead of ``iterations`` x
+    (join + aggregate + eager checkpoint) driver round-trips. Identical
+    floor-division-per-edge semantics, pinned by
+    tests/test_pagerank.py's path-agreement test; corpus-scale graphs
+    overflow the probe and take the distributed loop unchanged
+    (``driver_max_edges=0`` forces it)."""
+    import os
+
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     spark = edges.sparkSession
     a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    cap = (
+        int(os.environ.get(
+            "MDP_PAGERANK_DRIVER_MAX_EDGES", _DRIVER_MAX_EDGES_DEFAULT
+        ))
+        if driver_max_edges is None
+        else driver_max_edges
+    )
+    if cap > 0:
+        # probe the RAW edge projection (before symmetrize/distinct —
+        # half the transfer, and the dedup is cheaper in numpy than as
+        # a Spark union+distinct shuffle) over one bounded Arrow
+        # transfer; a graph over the cap falls through untouched
+        pdf = _arrow_collect(
+            edges.select(a.alias("src"), b.alias("dst")).limit(cap + 1)
+        )
+        if len(pdf) <= cap:
+            return _pagerank_local(
+                spark, pdf, iterations, damping_pct, scale
+            )
     # persist the graph BEFORE iterating: edges may be an expensive
     # pipeline (the near-dup LSH graph), and the iteration loop touches
     # degrees and adjacency every round — without the caches each round
@@ -140,6 +180,88 @@ def pagerank_fixed(
         (F.col("r") / F.lit(scale)).alias("rank"),
     )
     return attach_plan(out, sym, deg, sym_deg)
+
+
+def _arrow_collect(df: DataFrame):
+    """Bounded ``toPandas`` with Arrow transfer forced on for the call
+    (the host session — e.g. the external driver harness — may not have
+    it enabled; without it toPandas degrades to the row-by-row py4j
+    path, 2.4x slower at the 1M-edge probe). The conf is restored so a
+    query function never leaks session-level state."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001
+        old = None
+    try:
+        spark.conf.set(key, "true")
+        return df.toPandas()
+    finally:
+        try:
+            if old is not None:
+                spark.conf.set(key, old)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _pagerank_local(
+    spark,
+    raw_pdf,
+    iterations: int,
+    damping_pct: int,
+    scale: int | None,
+) -> DataFrame:
+    """Driver-side twin of the distributed loop over the RAW (src, dst)
+    edge rows: symmetrize, drop self-loops and null-keyed rows (a null
+    key never survives the distributed path's ``src != dst`` filter),
+    dedup, then iterate — the same per-EDGE floor-division
+    contribution, the same auto-pick/overflow guard, the same output
+    schema. numpy int64 end-to-end; the final ``rank`` converts through
+    float64 exactly as the JVM's (double)r / (double)scale does."""
+    import numpy as np
+
+    schema = "v long, rank_units long, rank double"
+    s_raw, d_raw = raw_pdf["src"], raw_pdf["dst"]
+    keep = s_raw.notna() & d_raw.notna()
+    s = s_raw[keep].to_numpy(dtype=np.int64)
+    d = d_raw[keep].to_numpy(dtype=np.int64)
+    # symmetrize + self-loop filter + dedup (the sym/distinct the
+    # distributed path does as a union+distinct shuffle)
+    both = np.stack(
+        [np.concatenate([s, d]), np.concatenate([d, s])], axis=1
+    )
+    both = both[both[:, 0] != both[:, 1]]
+    if not len(both):
+        return spark.createDataFrame([], schema)
+    uniq = np.unique(both, axis=0)
+    srcs, dsts = uniq[:, 0], uniq[:, 1]
+    # symmetrized: the src and dst node sets are identical
+    nodes, src_idx = np.unique(srcs, return_inverse=True)
+    dst_idx = np.searchsorted(nodes, dsts)
+    n_nodes = int(len(nodes))
+    if scale is None:
+        scale = 1
+        while 100 * max(n_nodes, 1) * (scale * 10) < (1 << 63):
+            scale *= 10
+    if n_nodes and 100 * n_nodes * scale >= (1 << 63):
+        raise ValueError(
+            f"pagerank_fixed: {n_nodes} nodes at scale {scale} would "
+            "overflow 64-bit mass arithmetic; lower scale"
+        )
+    teleport = ((100 - damping_pct) * scale) // 100
+    deg = np.bincount(src_idx, minlength=n_nodes).astype(np.int64)
+    r = np.full(n_nodes, scale, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = (damping_pct * r[src_idx]) // (100 * deg[src_idx])
+        nxt = np.full(n_nodes, teleport, dtype=np.int64)
+        np.add.at(nxt, dst_idx, contrib)
+        r = nxt
+    rows = [
+        (int(v), int(u), float(u) / float(scale))
+        for v, u in zip(nodes.tolist(), r.tolist())
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def sql_pagerank_fixed(

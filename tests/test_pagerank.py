@@ -43,6 +43,35 @@ class TestPagerankFixed:
         }
         assert got == _reference(pairs, iterations=7)
 
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """r15 small-graph fast path: the numpy driver loop (default
+        under the edge cap) and the distributed loop
+        (driver_max_edges=0 forces it) must be bit-identical — units
+        AND the double rank."""
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 3), (5, 1)]
+
+        def run(scale=SCALE, **kw):
+            out = pagerank_fixed(
+                _edges(spark, pairs), "src", "dst", iterations=6,
+                scale=scale, **kw,
+            )
+            rows = {
+                r["v"]: (r["rank_units"], r["rank"]) for r in out.collect()
+            }
+            release_plan(out)
+            return rows
+
+        fast = run()
+        dist = run(driver_max_edges=0)
+        assert fast == dist
+        # a cap the edge list overflows must fall through to the
+        # distributed loop
+        assert run(driver_max_edges=3) == dist
+        # auto-picked scale agrees across paths too
+        auto_fast = run(scale=None)
+        auto_dist = run(scale=None, driver_max_edges=0)
+        assert auto_fast == auto_dist
+
     def test_hub_ranks_highest(self, spark):
         # star graph: the hub must out-rank every leaf
         pairs = [(0, i) for i in range(1, 6)]
