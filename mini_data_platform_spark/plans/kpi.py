@@ -425,12 +425,24 @@ def _build_merge_view_artifacts(spark, sf_dir: str, root: str) -> None:
         ),
         lambda: minmax_view_build(seed, mdir, ["o_orderstatus"], "o_totalprice"),
     )
-    for b in range(1, 5):
-        # persisted: each apply's validation metric now rides its write
-        # (ivm.view_apply_changes), and the zset feeds BOTH views —
-        # without the persist the candidate-bounded resolves re-execute
-        zset = table_changes_zset(spark, tdir, since=b, as_of=b + 1)
-        zset.persist()
+    # the table is FULLY built before this loop, so the four change
+    # windows' zsets are mutually independent reads of committed
+    # segments: persist all four and materialize them concurrently up
+    # front (one noop action each, guide §2.6) — the per-window resolve
+    # shuffles overlap each other instead of serializing through the
+    # apply chain, and each apply then consumes cached zset blocks.
+    # Apply ORDER per view stays strictly sequential (seq contract).
+    zsets = [
+        table_changes_zset(spark, tdir, since=b, as_of=b + 1).persist()
+        for b in range(1, 5)
+    ]
+    run_concurrently(*[
+        (lambda z=z: z.write.format("noop").mode("overwrite").save())
+        for z in zsets
+    ])
+    for zset in zsets:
+        # each apply's validation metric rides its write
+        # (ivm.view_apply_changes), and the zset feeds BOTH views
         run_concurrently(
             lambda: view_apply_changes(zset, vdir),
             lambda: view_apply_changes(zset, mdir),
