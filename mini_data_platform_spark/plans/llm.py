@@ -740,6 +740,10 @@ def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(t, 2, F.size(t) - 1)).alias("text"),
         )
     )
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
     index_dir = tempfile.mkdtemp(prefix="mdp_ndidx_")
     neardup_index_build(
         b1, index_dir, "doc_id", "text",
@@ -747,9 +751,14 @@ def doc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # within-batch-1 pairs from the index's OWN artifacts (persisted
     # buckets + candidate-bounded text reads) — batch 1 is shingled and
-    # signed exactly once, at build time; nothing is recomputed
-    within_b1 = neardup_index_pairs(spark, index_dir)
-    incr = neardup_index_increment(b2, index_dir)
+    # signed exactly once, at build time; nothing is recomputed. The
+    # snapshot-pairs pass and the increment are independent eager
+    # chains (pairs pinned as_of=1 — the post-build state — so the
+    # increment's commit cannot leak in): overlap them (guide §2.6).
+    within_b1, incr = run_concurrently(
+        lambda: neardup_index_pairs(spark, index_dir, as_of=1),
+        lambda: neardup_index_increment(b2, index_dir),
+    )
     out = within_b1.unionByName(incr)
     return carry_plan(out, within_b1)
 
@@ -1016,13 +1025,21 @@ def doc_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score(tcol) >= CURATION_MIN_QUALITY
     ) & TX.language_guess(tcol).isin(*CURATION_LANGS)
     f1, f2 = b1.filter(gate), b2.filter(gate)
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
     index_dir = tempfile.mkdtemp(prefix="mdp_curidx_")
     neardup_index_build(
         f1, index_dir, "doc_id", "text",
         JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N,
     )
-    within = neardup_index_pairs(spark, index_dir)
-    incr = neardup_index_increment(f2, index_dir)
+    # snapshot pairs (pinned as_of=1, the post-build state) and the
+    # increment are independent eager chains — overlap them (guide §2.6)
+    within, incr = run_concurrently(
+        lambda: neardup_index_pairs(spark, index_dir, as_of=1),
+        lambda: neardup_index_increment(f2, index_dir),
+    )
     pairs = within.unionByName(incr)
     dupes = (
         connected_components(pairs)
