@@ -394,27 +394,33 @@ def ivf_assign(
     base = df.select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("nrm")
     )
-    structs = []
+    # ONE generated-SQL parse for the whole centroid-struct array (r15;
+    # the _staged_shingles selectExpr doctrine): the Column-lambda form
+    # paid ~0.5 s of py4j construction per call (one zip_with +
+    # aggregate lambda round-trip chain per centroid — cProfile'd on
+    # emb_ann_ivfpq). The parsed trees are identical — SQL lambdas
+    # resolve to the same ArraysZipWith/ArrayAggregate the Column API
+    # builds, D-suffixed repr is the exact string→double parse — so
+    # assignments stay bit-identical to the oracle's window
+    # formulation.
+    vc = f"`{vec_col}`"
+    struct_sqls = []
     for cid, cvec in centroids:
-        # one F.expr call per centroid, not one py4j round-trip per
-        # dimension (the pq.py _books_lit lesson); D-suffixed repr is
-        # the exact string→double parse, bit-identical to F.lit
-        c = F.expr(
-            "array(" + ",".join(f"{float(x)!r}D" for x in cvec) + ")"
-        )
+        c_sql = "array(" + ",".join(f"{float(x)!r}D" for x in cvec) + ")"
         acc = 0.0
         for x in cvec:
             acc += float(x) * float(x)
         cnorm = math.sqrt(acc)
-        cos = dot(F.col(vec_col), c) / (F.col("nrm") * F.lit(cnorm))
-        structs.append(
-            F.struct(
-                cos.alias("cent_cos"),
-                (-F.lit(cid)).alias("neg_id"),
-                F.lit(cid).alias("cent_id"),
-            )
+        dot_sql = (
+            f"aggregate(zip_with({vc}, {c_sql}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-    arr = F.array(*structs)
+        struct_sqls.append(
+            f"struct({dot_sql} / (`nrm` * {float(cnorm)!r}D) AS cent_cos, "
+            f"{-int(cid)} AS neg_id, {int(cid)} AS cent_id)"
+        )
+    arr = F.expr("array(" + ", ".join(struct_sqls) + ")")
     if n_probe == 1:
         return base.select(
             id_col, vec_col, "nrm",
