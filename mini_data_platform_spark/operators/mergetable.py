@@ -560,6 +560,107 @@ def table_apply(
     )
 
 
+def table_apply_many(
+    batches: list[DataFrame],
+    table_dir: str,
+    batch_ids: list[str] | None = None,
+    validate: bool = True,
+) -> dict:
+    """Single-writer BULK load: apply several change batches in one
+    call, writing every batch's segment CONCURRENTLY (guide §2.6 — the
+    write jobs are independent once each batch's ``_seq`` is known,
+    which for a bulk load it is: consecutive from the current
+    ``n_batches``) and then committing the OCC tickets strictly in
+    order. Semantically identical to calling :func:`table_apply` per
+    batch in sequence — same segments, same ``_seq`` values, same
+    per-batch validation (fused into each write), same commit records —
+    pinned by tests/test_mergetable.py's equivalence test.
+
+    Restrictions that keep it a pure fast path: no schema evolution, no
+    replay of already-committed batch ids (both raise), and if ANOTHER
+    writer commits between the meta read and the ticket sequence the
+    bulk load sweeps its UNCOMMITTED segments and raises
+    :class:`ConcurrentCommit` (batches whose tickets already won stay
+    committed — tickets are durable state) — bulk loading is a
+    single-writer operation; concurrent appliers should use
+    :func:`table_apply`."""
+    import json
+    import shutil
+    import uuid
+
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
+    if not batches:
+        return _recover_meta(table_dir)
+    meta = _recover_meta(table_dir)
+    if meta.get("kind") != "mergetable":
+        raise ValueError(f"{table_dir} is not a merge table")
+    if batch_ids is None:
+        batch_ids = [
+            f"batch-{meta['n_batches'] + i}-{uuid.uuid4().hex[:8]}"
+            for i in range(len(batches))
+        ]
+    if len(batch_ids) != len(batches):
+        raise ValueError("batch_ids must match batches one-to-one")
+    replayed = [b for b in batch_ids if b in meta["batches"]]
+    if replayed:
+        raise ValueError(
+            f"batch ids {replayed} already committed — bulk load does "
+            "not support replay; use table_apply per batch"
+        )
+    seq0 = meta["n_batches"]
+    work = json.loads(json.dumps(meta))
+    conformed = []
+    for b in batches:
+        rows = _conform(b, json.loads(json.dumps(work)), evolve=False)
+        conformed.append(rows)
+    segs = [
+        f"seg-{seq0 + i}-{uuid.uuid4().hex[:8]}"
+        for i in range(len(batches))
+    ]
+
+    def _writer(i: int):
+        seq_col = F.lit(seq0 + i).cast("long")
+        if validate:
+            seq_col = _guarded(
+                seq_col, _validation_guard(meta["keys"]), _VALIDATE_MSG
+            )
+        return lambda: _write_segment_checked(
+            conformed[i].withColumn(_SEQ, seq_col), table_dir, segs[i]
+        )
+
+    committed = 0  # segments with a WON ticket are durable state —
+    # cleanup on failure must only sweep the uncommitted tail
+    try:
+        run_concurrently(*[_writer(i) for i in range(len(batches))])
+        out = meta
+        for i, (seg, bid) in enumerate(zip(segs, batch_ids)):
+            rec = {
+                "type": "apply",
+                "version": out["version"],
+                "seq": seq0 + i,
+                "segment": seg,
+                "batch_id": bid,
+            }
+            if not _try_ticket(table_dir, out["version"], rec):
+                raise ConcurrentCommit(
+                    f"another writer committed version {out['version']} "
+                    f"on {table_dir} during a bulk load"
+                )
+            committed = i + 1
+            out = _apply_record(out, rec)
+        _checkpoint_meta(table_dir, out)
+        return out
+    except Exception:
+        for seg in segs[committed:]:
+            shutil.rmtree(
+                os.path.join(table_dir, _ROWS, seg), ignore_errors=True
+            )
+        raise
+
+
 def _resolved(
     spark: SparkSession, table_dir: str, meta: dict
 ) -> DataFrame:

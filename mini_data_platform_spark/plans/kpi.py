@@ -339,14 +339,16 @@ def _orders_wave_frames(spark, sf_dir: str) -> list[DataFrame]:
 
 def _build_orders_merge_table(spark, sf_dir: str, table_dir: str) -> None:
     from mini_data_platform_spark.operators.mergetable import (
-        table_apply,
+        table_apply_many,
         table_build,
     )
 
     waves = _orders_wave_frames(spark, sf_dir)
     table_build(waves[0], table_dir, ["o_orderkey"])
-    for wave in waves[1:]:
-        table_apply(wave, table_dir)
+    # single-writer bulk load: the four wave segments write
+    # concurrently (each _seq is known up front), tickets commit in
+    # order — identical table state to sequential applies (guide §2.6)
+    table_apply_many(waves[1:], table_dir)
 
 
 def orders_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,6 +543,7 @@ def _build_join_view_artifacts(spark, sf_dir: str, root: str) -> None:
     )
     from mini_data_platform_spark.operators.mergetable import (
         table_apply,
+        table_apply_many,
         table_build,
     )
 
@@ -583,12 +586,11 @@ def _build_join_view_artifacts(spark, sf_dir: str, root: str) -> None:
     # retraction-heavy window (price doubling, row deletes, and revenue
     # moving between segments, all in one delta). The two orders waves
     # stay ordered (same table); the customer wave rides alongside.
-    def _orders_updates():
-        table_apply(waves[2], odir)
-        table_apply(waves[3], odir)
-
     run_concurrently(
-        _orders_updates,
+        # the two orders waves are one single-writer bulk load (segments
+        # write concurrently, tickets commit in order — state-identical
+        # to sequential applies); the customer wave rides alongside
+        lambda: table_apply_many([waves[2], waves[3]], odir),
         lambda: table_apply(
             customer.filter(ck % 5 == 0)
             .withColumn("c_mktsegment", F.lit("PROMOTED")),

@@ -160,6 +160,58 @@ class TestMergeSemantics:
         assert got == {(1, "x"): 10.0, (1, "y"): 99.0}
 
 
+class TestBulkApply:
+    """r15 table_apply_many: the concurrent bulk load must be
+    state-identical to sequential applies."""
+
+    def _batches(self, spark):
+        return [
+            _tagged(spark, [(2, "B", 20.0, "u"), (5, "e", 5.0, "u"),
+                            (3, None, None, "d")]),
+            _tagged(spark, [(3, "c2", 33.0, "u"), (1, None, None, "d")]),
+            _frame(spark, [(6, "f", 6.0), (4, "D", 40.0)]).withColumn(
+                "_op", F.lit("u")),
+        ]
+
+    def test_equals_sequential_applies(self, spark, tmp_path):
+        seq_dir, bulk_dir = str(tmp_path / "seq"), str(tmp_path / "bulk")
+        for d in (seq_dir, bulk_dir):
+            table_build(_frame(spark, BASE), d, ["k"])
+        for b in self._batches(spark):
+            table_apply(b, seq_dir)
+        meta = mergetable.table_apply_many(self._batches(spark), bulk_dir)
+        assert meta["n_batches"] == 4
+        assert _as_dict(table_read(spark, bulk_dir)) == _as_dict(
+            table_read(spark, seq_dir)
+        )
+        # per-batch _seq values and as-of prefixes line up too
+        for as_of in (2, 3, 4):
+            assert _as_dict(
+                table_read(spark, bulk_dir, as_of=as_of)
+            ) == _as_dict(table_read(spark, seq_dir, as_of=as_of))
+
+    def test_validation_still_fuses_per_batch(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        bad = [_tagged(spark, [(9, "x", 9.0, "u"), (9, "y", 9.9, "u")])]
+        with pytest.raises(ValueError, match="key-unique"):
+            mergetable.table_apply_many(bad, d)
+        # nothing committed, no orphan segments served
+        assert mergetable._recover_meta(d)["n_batches"] == 1
+
+    def test_replay_and_empty(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        table_build(_frame(spark, BASE), d, ["k"])
+        mergetable.table_apply_many(
+            self._batches(spark)[:1], d, batch_ids=["w1"]
+        )
+        with pytest.raises(ValueError, match="already committed"):
+            mergetable.table_apply_many(
+                self._batches(spark)[:1], d, batch_ids=["w1"]
+            )
+        assert mergetable.table_apply_many([], d)["n_batches"] == 2
+
+
 class TestCommitSemantics:
     def test_replayed_batch_id_is_noop(self, spark, tmp_path):
         d = str(tmp_path / "t")
