@@ -568,49 +568,60 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     first-run at sf0.1, identical output). The ±1-vote sign is recovered
     as ``2*set_count > n_tokens`` (strictly-positive sum ⇔ set bits
     outnumber unset); the DuckDB oracle (sql_simhash) keeps the plain
-    64-sum formulation, so the packing is cross-checked, not mirrored."""
-    from mini_data_platform_spark.functions.text import tokens
+    64-sum formulation, so the packing is cross-checked, not mirrored.
 
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    tok = tok.withColumn("h", F.md5("tok"))
+    The projections and aggregates are generated-SQL ``selectExpr`` /
+    ``F.expr`` stages (the ``_staged_shingles`` doctrine): the original
+    Column-chain formulation built ~110 nested Column trees through
+    ~11k py4j round trips — 2.7 s of DRIVER wall per call at a 0.4 s
+    job wall (round-15 cProfile). The parsed trees are identical, so
+    output is bit-identical."""
+    LANE = 31
+    id_q = _bt(id_col)
+    tok = df.selectExpr(
+        id_q, f"explode(split(trim({_bt(text_col)}), ' +')) AS tok"
+    ).selectExpr(id_q, "md5(tok) AS h")
     # stage the 16 nibble values so each is decoded once per token
     # (CollapseProject keeps the stage: non-cheap aliases referenced 4×)
-    nib_vals = tok.select(
-        F.col(id_col),
+    nib_vals = tok.selectExpr(
+        id_q,
         *[
-            F.conv(F.substring("h", nib + 1, 1), 16, 10).cast("long").alias(f"v_{nib}")
+            f"CAST(conv(substring(h, {nib + 1}, 1), 16, 10) AS BIGINT)"
+            f" AS v_{nib}"
             for nib in range(16)
         ],
     )
 
-    def bit_expr(i: int):
+    def bit_sql(i: int) -> str:
         # bit i of the 64-bit signature = bit (i%4) of nibble (i//4)
-        return F.shiftright(F.col(f"v_{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+        return f"(shiftright(v_{i // 4}, {i % 4}) & 1)"
 
-    LANE = 31
-    aggs = [F.count("*").alias("n_tok")]
+    aggs = [F.expr("count(*) AS n_tok")]
     for k in range(32):
-        packed = bit_expr(2 * k) + (bit_expr(2 * k + 1) * F.lit(1 << LANE))
-        aggs.append(F.sum(packed).alias(f"p_{k}"))
+        aggs.append(
+            F.expr(
+                f"sum({bit_sql(2 * k)} + ({bit_sql(2 * k + 1)} * "
+                f"{1 << LANE})) AS p_{k}"
+            )
+        )
     sums = nib_vals.groupBy(id_col).agg(*aggs)
 
-    def count_expr(i: int):
+    def count_sql(i: int) -> str:
         k, m = divmod(i, 2)
-        return F.shiftright(F.col(f"p_{k}"), m * LANE).bitwiseAND(
-            F.lit((1 << LANE) - 1)
-        )
+        return f"(shiftright(p_{k}, {m * LANE}) & {(1 << LANE) - 1})"
 
     nib_chars = []
     for nib in range(16):
-        nibble_val = None
-        for bit in range(4):
-            # vote sum > 0  ⇔  2 * set_count > n_tokens
-            b = F.when(
-                count_expr(nib * 4 + bit) * 2 > F.col("n_tok"), F.lit(1)
-            ).otherwise(F.lit(0)) * (2**bit)
-            nibble_val = b if nibble_val is None else (nibble_val + b)
-        nib_chars.append(F.substr(F.lit(_HEX), nibble_val + 1, F.lit(1)))
-    return sums.select(F.col(id_col), F.concat(*nib_chars).alias("simhash"))
+        # vote sum > 0  ⇔  2 * set_count > n_tokens
+        nibble_val = " + ".join(
+            f"(CASE WHEN ({count_sql(nib * 4 + bit)} * 2) > n_tok "
+            f"THEN 1 ELSE 0 END) * {2 ** bit}"
+            for bit in range(4)
+        )
+        nib_chars.append(f"substr('{_HEX}', ({nibble_val}) + 1, 1)")
+    return sums.selectExpr(
+        id_q, f"concat({', '.join(nib_chars)}) AS simhash"
+    )
 
 
 def sql_simhash(table: str, id_col: str, text_col: str) -> str:

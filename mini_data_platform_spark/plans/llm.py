@@ -534,8 +534,25 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence(1, size−k+1) would DESCEND for size < k — Spark's
     sequence generates downward when stop < start, and element_at(t, 0)
     throws even non-ANSI). The serving twin ``doc_phrase_serve``
-    answers the same query from positional postings."""
-    docs = load_table(spark, sf_dir, "documents")
+    answers the same query from positional postings.
+
+    ``_spread`` + persist-above-the-exchange: the per-token match
+    projection is the query's whole cost, and the fixture parquet is
+    one input split — round-15 job attribution showed ONE 2.5 s task
+    while 31 cores idled. ``_spread`` alone made it WORSE (3.5 s,
+    measured): Catalyst pushed the ``n_hits > 0`` filter below the
+    round-robin exchange, so the match expression ran serially in the
+    scan stage AND again in the projection above (the guide-§4.4
+    duplication shape, with built-ins). Persisting the projected
+    (doc_id, n_hits) frame pins one parallel evaluation above the
+    exchange; the filter reads the materialized column. The persisted
+    frame is plan-attached for the caller's release (near_dup_pairs
+    discipline)."""
+    from pyspark import StorageLevel
+
+    from mini_data_platform_spark.operators.resources import attach_plan
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     t = TX.tokens(F.col("text"))
     k = len(PHRASE_TERMS)
 
@@ -551,9 +568,10 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)), match)
         ),
     ).otherwise(F.lit(0))
-    return docs.select("doc_id", hits.alias("n_hits")).where(
-        F.col("n_hits") > 0
+    scored = docs.select("doc_id", hits.alias("n_hits")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    return attach_plan(scored.where(F.col("n_hits") > 0), scored)
 
 
 def doc_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
