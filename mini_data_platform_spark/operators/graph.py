@@ -158,8 +158,18 @@ def connected_components(
         return _connected_components_local(edges)
     if algorithm == "auto":
         # counting the checkpointed blocks is one cheap scan-only job
-        if edges.count() <= local_edges_max:
-            return _connected_components_local(edges)
+        n_edges = edges.count()
+        if n_edges <= local_edges_max:
+            out = _connected_components_local(edges)
+            # thread the known edge count to the caller (the
+            # ``_mdp_row_bound`` doctrine): a graph small enough for
+            # single-task union-find has ≤ 2·n_edges vertices, so
+            # consumers can safely broadcast-hint frames derived from
+            # the labels (e.g. the dedup anti-join's dupes side)
+            # without an extra count job. Absent on the distributed
+            # paths, where no such bound is known.
+            out._mdp_edge_count = n_edges
+            return out
     # union of two scans over the checkpointed blocks — shallow lineage,
     # cheap to re-read each round, no extra storage needed
     sym = edges.unionByName(

@@ -920,6 +920,27 @@ def _cached_index(
     return cached_artifact(sf_dir, params, build, fixture, "meta.json")
 
 
+def _dupes_for_antijoin(comps: DataFrame, out_col: str = "doc_id") -> DataFrame:
+    """Non-canonical cluster members from a CC label frame, broadcast-
+    hinted when safe: ``connected_components`` threads its edge count on
+    the single-task path (graph.py), and a graph under the local ceiling
+    has ≤ 2·edges vertices — KBs-to-MBs of bigint ids, never the corpus.
+    Without the hint the CC output (mapInPandas, no stats) planned as a
+    SortMergeJoin that exchanged-and-sorted the whole corpus TWICE (one
+    per union branch — round-15 plan capture); with it both anti-joins
+    are broadcast-hash and the corpus truly streams once. On the
+    distributed CC paths no bound is known and the hint is not applied."""
+    from mini_data_platform_spark.operators.graph import LOCAL_CC_MAX_EDGES
+
+    dupes = comps.filter(F.col("v") != F.col("comp")).select(
+        F.col("v").alias(out_col)
+    )
+    n_edges = getattr(comps, "_mdp_edge_count", None)
+    if n_edges is not None and n_edges <= LOCAL_CC_MAX_EDGES:
+        dupes = F.broadcast(dupes)
+    return dupes
+
+
 def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ENDGAME materialized: the surviving corpus after near-dup
     clustering — per cluster only the canonical (min-id) document remains;
@@ -931,11 +952,7 @@ def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DF_OPS.near_dup_pairs(
         corpus, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS, SHINGLE_N
     )
-    dupes = (
-        connected_components(pairs)
-        .filter(F.col("v") != F.col("comp"))
-        .select(F.col("v").alias("doc_id"))
-    )
+    dupes = _dupes_for_antijoin(connected_components(pairs))
     return corpus.join(dupes, "doc_id", "left_anti").select(
         "doc_id", F.md5("text").alias("text_md5")
     )
@@ -976,30 +993,46 @@ def doc_curated_corpus(
     with the canonical min-id document kept per cluster. That ordering is
     the 100 TB shape: the expensive similarity stage only ever sees the
     post-filter corpus. Output: the curated corpus with its curation
-    metadata (guessed language, quality, content hash)."""
+    metadata (guessed language, quality, content hash).
+
+    The gates are computed ONCE, in a persisted projection ABOVE the
+    ``_spread`` exchange: left as a bare ``filter``, Catalyst pushed the
+    full quality/language expression below the exchange into the
+    single-split scan stage — serial evaluation on one core — and then
+    re-evaluated both gates in the final projection and again on the
+    near-dup side (round-15 plan capture). Persisting the gated
+    (doc_id, text, lang, quality) frame pins one parallel evaluation;
+    the filter and the final projection read materialized columns. The
+    frame is plan-attached for release (near_dup_pairs discipline)."""
+    from pyspark import StorageLevel
+
     from mini_data_platform_spark.operators.graph import connected_components
+    from mini_data_platform_spark.operators.resources import attach_plan
 
     corpus = _mutated_corpus(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    filtered = corpus.filter(
-        (TX.quality_score(t) >= CURATION_MIN_QUALITY)
-        & TX.language_guess(t).isin(*CURATION_LANGS)
+    gated = corpus.select(
+        "doc_id",
+        "text",
+        TX.language_guess(t).alias("lang_guess"),
+        TX.quality_score(t).alias("quality"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    filtered = gated.filter(
+        (F.col("quality") >= CURATION_MIN_QUALITY)
+        & F.col("lang_guess").isin(*CURATION_LANGS)
     )
     pairs = DF_OPS.near_dup_pairs(
         filtered, "doc_id", "text", JACCARD_THRESHOLD, NUM_HASHES, BANDS,
         SHINGLE_N, max_bucket=max_bucket,
     )
-    dupes = (
-        connected_components(pairs)
-        .filter(F.col("v") != F.col("comp"))
-        .select(F.col("v").alias("doc_id"))
-    )
-    return filtered.join(dupes, "doc_id", "left_anti").select(
+    dupes = _dupes_for_antijoin(connected_components(pairs))
+    out = filtered.join(dupes, "doc_id", "left_anti").select(
         "doc_id",
-        TX.language_guess(t).alias("lang_guess"),
-        TX.quality_score(t).alias("quality"),
+        "lang_guess",
+        "quality",
         F.md5(t).alias("text_md5"),
     )
+    return attach_plan(out, gated)
 
 
 def doc_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,11 +1092,7 @@ def doc_curated_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: neardup_index_increment(f2, index_dir),
     )
     pairs = within.unionByName(incr)
-    dupes = (
-        connected_components(pairs)
-        .filter(F.col("v") != F.col("comp"))
-        .select(F.col("v").alias("doc_id"))
-    )
+    dupes = _dupes_for_antijoin(connected_components(pairs))
     # the survivor projection reads the SETTLED corpus back from the
     # index's own docs table — never re-scanning (or re-gating) the raw
     # sources; the gates ran exactly once per batch, at commit time
@@ -2132,11 +2161,7 @@ def emb_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = SIM.near_dup_embeddings(
         emb, "vec_id", "embedding", COS_THRESHOLD, exact=True
     )
-    dupes = (
-        connected_components(pairs)
-        .filter(F.col("v") != F.col("comp"))
-        .select(F.col("v").alias("vec_id"))
-    )
+    dupes = _dupes_for_antijoin(connected_components(pairs), "vec_id")
     return emb.join(dupes, "vec_id", "left_anti").select("vec_id", "label")
 
 
