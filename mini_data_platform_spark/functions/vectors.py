@@ -33,6 +33,35 @@ def sql_dot(a: str, b: str) -> str:
     )
 
 
+# Spark-dialect SQL twins of the Column builders above, for generated-
+# ``selectExpr`` call sites (the ``_staged_shingles`` doctrine): each
+# fold built through the Column API costs dozens of py4j round trips
+# per call site — one SQL string parses JVM-side to the IDENTICAL tree
+# (same lambdas, same 0.0D double seed, same casts), so results stay
+# bit-for-bit. The ``sql_*`` builders above remain the DuckDB-dialect
+# oracle twins.
+
+
+def spark_sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def spark_sql_norm_sq(a: str) -> str:
+    return (
+        f"aggregate(transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def spark_sql_l2_norm(a: str) -> str:
+    return f"sqrt({spark_sql_norm_sq(a)})"
+
+
 def norm_sq(a: Column) -> Column:
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),

@@ -44,7 +44,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from mini_data_platform_spark.functions.vectors import dot, l2_norm
+from mini_data_platform_spark.functions.vectors import (
+    dot,
+    l2_norm,
+    spark_sql_dot,
+    spark_sql_l2_norm,
+)
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for a generated SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def train_pq_codebooks(
@@ -513,30 +523,15 @@ def ivfpq_topk(
     )
 
 
-def _l2sq_fold(sub, cent):
-    """Left-fold squared-L2 between an array slice and a literal
-    centroid — the same sequential double fold functions/vectors.py
-    uses, so any engine replaying it term-by-term agrees bit-for-bit."""
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            cent,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _books_lit(codebooks: list[list[list[float]]]):
-    """The m×ksub×dsub codebook literal as ONE ``F.expr`` call. The
+def _books_sql(codebooks: list[list[list[float]]]) -> str:
+    """The m×ksub×dsub codebook literal as ONE SQL fragment. The
     F.array/F.lit construction costs one py4j round-trip PER SCALAR —
     2.3 s of driver time at 16×32×4 — while a SQL string ships once and
     parses JVM-side in milliseconds. The ``D`` suffix makes each number
     a DOUBLE literal via the exact string→double parse (``repr`` is
     shortest-round-trip, so values are bit-identical to the Python
     floats — the same contract as the oracle's CAST('…' AS DOUBLE))."""
-    sql = (
+    return (
         "array("
         + ",".join(
             "array("
@@ -549,52 +544,68 @@ def _books_lit(codebooks: list[list[list[float]]]):
         )
         + ")"
     )
-    return F.expr(sql)
 
 
-def pq_encode_expr(vec, codebooks: list[list[list[float]]]):
-    """``vec -> array<int>`` PQ codes as a pure codegen'd projection —
+def _books_lit(codebooks: list[list[list[float]]]):
+    return F.expr(_books_sql(codebooks))
+
+
+def pq_encode_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
+    """``vec -> array<int>`` PQ codes as ONE generated-SQL projection —
     the ORACLE-PARITY encode (vs ``pq_encode``'s vectorized-numpy scale
     path, which sums subspace distances in BLAS order no SQL engine can
-    replay). Per subspace the squared-L2 to each literal centroid is the
-    sequential fold above; the argmin is ``array_position(d, array_min
-    (d)) - 1``, whose first-match semantics IS the lowest-j tiebreak.
-    Identical codes to ``pq_encode`` (pinned in tests): argmin is
-    order-insensitive as long as each distance rounds the same, and the
-    per-term math here is exactly numpy's elementwise double ops."""
+    replay). Per subspace the squared-L2 to each literal centroid is
+    the sequential left double fold functions/vectors.py uses (so any
+    engine replaying it term-by-term agrees bit-for-bit); the argmin is
+    ``array_position(d, array_min(d)) - 1``, whose first-match
+    semantics IS the lowest-j tiebreak. Identical codes to
+    ``pq_encode`` (pinned in tests).
+
+    One nested transform over ONE nested literal — the codebooks are
+    DATA in a single Literal node, not 16 unrolled per-subspace
+    expression copies: the expression tree is O(1) regardless of m,
+    which keeps whole-stage-codegen compile time flat (the unrolled
+    form cost ~4 s of Janino per fresh plan). Shipped as one SQL parse
+    (the ``_books_sql`` argument): the Column-chain formulation paid
+    ~0.5 s of py4j lambda construction per call. The distance array is
+    written twice (position + min) exactly as the Column form embedded
+    the subtree twice — the parsed tree is identical."""
     dsub = len(codebooks[0][0])
-    books = _books_lit(codebooks)
-
-    # one nested transform over ONE nested literal — the codebooks are
-    # DATA in a single Literal node, not 16 unrolled per-subspace
-    # expression copies: the expression tree is O(1) regardless of m,
-    # which keeps whole-stage-codegen compile time flat (the unrolled
-    # form cost ~4 s of Janino per fresh plan). The arithmetic per
-    # element is unchanged: same slice positions, same sequential fold,
-    # same first-match argmin.
-    def per_subspace(book, s):
-        sub = F.slice(vec, s * dsub + 1, dsub)
-        dists = F.transform(book, lambda c: _l2sq_fold(sub, c))
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast(
-            "int"
-        )
-
-    return F.transform(books, per_subspace)
+    dists = (
+        f"transform(book, c -> aggregate(zip_with("
+        f"slice({vec_sql}, s * {dsub} + 1, {dsub}), c, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+    return (
+        f"transform({_books_sql(codebooks)}, (book, s) -> "
+        f"CAST((array_position({dists}, array_min({dists})) - 1) AS INT))"
+    )
 
 
-def pq_reconstruct_expr(codes, codebooks: list[list[list[float]]]):
+def pq_encode_expr(vec_sql: str, codebooks: list[list[list[float]]]):
+    """Column form of :func:`pq_encode_sql` (takes the vector column's
+    SQL name/fragment, not a Column — the generated-SQL doctrine)."""
+    return F.expr(pq_encode_sql(vec_sql, codebooks))
+
+
+def pq_reconstruct_sql(
+    codes_sql: str, codebooks: list[list[list[float]]]
+) -> str:
     """``codes -> array<double>`` reconstructed vector: per subspace the
     coded centroid, flattened back to full dimensionality. With this,
     ADC is literally ``cosine(query, reconstruction)`` — the exact
     fold-based cosine the oracle-checked ``emb_knn`` already
     hash-matches, which is what makes PQ scoring engine-portable."""
-    return F.flatten(
-        F.zip_with(
-            _books_lit(codebooks),
-            codes,
-            lambda book, c: F.element_at(book, c + 1),
-        )
+    return (
+        f"flatten(zip_with({_books_sql(codebooks)}, {codes_sql}, "
+        f"(book, cd) -> element_at(book, cd + 1)))"
     )
+
+
+def pq_reconstruct_expr(codes_sql: str, codebooks: list[list[list[float]]]):
+    """Column form of :func:`pq_reconstruct_sql`."""
+    return F.expr(pq_reconstruct_sql(codes_sql, codebooks))
 
 
 def pq_knn_parity(
@@ -633,9 +644,9 @@ def pq_knn_parity(
     spread = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     )
-    codes = spread.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode_expr(F.col(vec_col), codebooks).alias("code"),
+    codes = spread.selectExpr(
+        f"{_q(id_col)} AS neighbor_id",
+        f"{pq_encode_sql(_q(vec_col), codebooks)} AS code",
     )
     # reconstruct ONCE PER CORPUS ROW (an expression referencing `code`
     # above the crossJoin would re-run encode+reconstruct per
@@ -645,31 +656,32 @@ def pq_knn_parity(
     # literals are ~2k-node expression trees, and without the lineage
     # cut Catalyst re-walks them in every downstream analysis/optimizer
     # pass — measured ~5 s of driver time on a 1 s execution.
+    # (selectExpr throughout: one SQL parse per stage instead of
+    # dozens of py4j lambda constructions — same trees, same bits.)
     rec = (
-        codes.select(
+        codes.selectExpr(
             "neighbor_id",
-            pq_reconstruct_expr(F.col("code"), codebooks).alias("_rv"),
+            f"{pq_reconstruct_sql('code', codebooks)} AS _rv",
         )
-        .select("neighbor_id", "_rv", l2_norm(F.col("_rv")).alias("_rn"))
+        .selectExpr(
+            "neighbor_id", "_rv", f"{spark_sql_l2_norm('_rv')} AS _rn"
+        )
         .localCheckpoint(eager=False)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+    q = queries.selectExpr(
+        f"{_q(id_col)} AS query_id",
+        f"{_q(vec_col)} AS _qv",
+        f"{spark_sql_l2_norm(_q(vec_col))} AS _qn",
     )
     scored = (
         q.crossJoin(rec)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
             "_qv",
             "_qn",
-            (
-                dot(F.col("_qv"), F.col("_rv"))
-                / (F.col("_qn") * F.col("_rn"))
-            ).alias("adc_sim"),
+            f"({spark_sql_dot('_qv', '_rv')}) / (_qn * _rn) AS adc_sim",
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -691,17 +703,15 @@ def pq_knn_parity(
         .where(F.col("_r") <= shortlist)
         .select("query_id", "neighbor_id", "_qv", "_qn")
     )
-    nb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nv"),
-        l2_norm(F.col(vec_col)).alias("_nn"),
+    nb = corpus.selectExpr(
+        f"{_q(id_col)} AS neighbor_id",
+        f"{_q(vec_col)} AS _nv",
+        f"{spark_sql_l2_norm(_q(vec_col))} AS _nn",
     )
-    exact = short.join(nb, "neighbor_id").select(
+    exact = short.join(nb, "neighbor_id").selectExpr(
         "query_id",
         "neighbor_id",
-        (
-            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn"))
-        ).alias("cos_sim"),
+        f"({spark_sql_dot('_qv', '_nv')}) / (_qn * _nn) AS cos_sim",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -743,21 +753,21 @@ def ivfpq_knn_parity(
         corpus.sparkSession.sparkContext.defaultParallelism
     )
     assigned = ivf_assign(spread, centroids, id_col, vec_col)
-    codes = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("cell"),
-        pq_encode_expr(F.col(vec_col), codebooks).alias("code"),
+    codes = assigned.selectExpr(
+        f"{_q(id_col)} AS neighbor_id",
+        "cell",
+        f"{pq_encode_sql(_q(vec_col), codebooks)} AS code",
     )
     # reconstruct once per corpus row + lineage cut (see pq_knn_parity)
     rec = (
-        codes.select(
+        codes.selectExpr(
             "neighbor_id",
             "cell",
-            pq_reconstruct_expr(F.col("code"), codebooks).alias("_rv"),
+            f"{pq_reconstruct_sql('code', codebooks)} AS _rv",
         )
-        .select(
+        .selectExpr(
             "neighbor_id", "cell", "_rv",
-            l2_norm(F.col("_rv")).alias("_rn"),
+            f"{spark_sql_l2_norm('_rv')} AS _rn",
         )
         .localCheckpoint(eager=False)
     )
@@ -771,15 +781,12 @@ def ivfpq_knn_parity(
     scored = (
         q.join(rec, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
             "_qv",
             "_qn",
-            (
-                dot(F.col("_qv"), F.col("_rv"))
-                / (F.col("_qn") * F.col("_rn"))
-            ).alias("adc_sim"),
+            f"({spark_sql_dot('_qv', '_rv')}) / (_qn * _rn) AS adc_sim",
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -801,17 +808,15 @@ def ivfpq_knn_parity(
         .where(F.col("_r") <= shortlist)
         .select("query_id", "neighbor_id", "_qv", "_qn")
     )
-    nb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nv"),
-        l2_norm(F.col(vec_col)).alias("_nn"),
+    nb = corpus.selectExpr(
+        f"{_q(id_col)} AS neighbor_id",
+        f"{_q(vec_col)} AS _nv",
+        f"{spark_sql_l2_norm(_q(vec_col))} AS _nn",
     )
-    exact = short.join(nb, "neighbor_id").select(
+    exact = short.join(nb, "neighbor_id").selectExpr(
         "query_id",
         "neighbor_id",
-        (
-            dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn"))
-        ).alias("cos_sim"),
+        f"({spark_sql_dot('_qv', '_nv')}) / (_qn * _nn) AS cos_sim",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

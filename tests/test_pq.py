@@ -445,13 +445,40 @@ class TestParityPath:
     LUT path (modulo pq_topk's self-matches — parity excludes self,
     matching emb_knn's convention)."""
 
+    def test_spark_sql_fold_twins_match_column_forms(self, emb):
+        """The generated-SQL dot/l2_norm twins (vectors.spark_sql_*)
+        must be BIT-identical to the Column-built folds — the round-15
+        selectExpr rewrite of the parity paths rests on it."""
+        from mini_data_platform_spark.functions.vectors import (
+            dot,
+            l2_norm,
+            spark_sql_dot,
+            spark_sql_l2_norm,
+        )
+
+        two = emb.select(
+            F.col("embedding").alias("a"),
+            F.reverse(F.col("embedding")).alias("b"),
+        )
+        bad = (
+            two.select(
+                (dot(F.col("a"), F.col("b"))
+                 - F.expr(spark_sql_dot("a", "b"))).alias("dd"),
+                (l2_norm(F.col("a"))
+                 - F.expr(spark_sql_l2_norm("a"))).alias("dn"),
+            )
+            .where("dd != 0.0 OR dn != 0.0")
+            .count()
+        )
+        assert bad == 0
+
     def test_encode_expr_matches_numpy(self, emb, books):
         from mini_data_platform_spark.operators.pq import pq_encode_expr
 
         codes_np = pq_encode(emb, "vec_id", "embedding", books)
         codes_ex = emb.select(
             "vec_id",
-            pq_encode_expr(F.col("embedding"), books).alias("code2"),
+            pq_encode_expr("embedding", books).alias("code2"),
         )
         bad = (
             codes_np.join(codes_ex, "vec_id")
@@ -462,7 +489,7 @@ class TestParityPath:
 
     def test_reconstruct_expr_norm_matches(self, emb, books):
         from mini_data_platform_spark.operators.pq import (
-            pq_encode_expr,
+            pq_encode_sql,
             pq_reconstruct_expr,
         )
         from mini_data_platform_spark.functions.vectors import l2_norm
@@ -472,7 +499,7 @@ class TestParityPath:
             "vec_id",
             l2_norm(
                 pq_reconstruct_expr(
-                    pq_encode_expr(F.col("embedding"), books), books
+                    pq_encode_sql("embedding", books), books
                 )
             ).alias("rn2"),
         )
