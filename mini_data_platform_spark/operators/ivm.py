@@ -408,28 +408,9 @@ def view_read(
     return out
 
 
-def view_apply_changes(
-    changes: DataFrame, view_dir: str, batch_id: str | None = None
-) -> dict:
-    """Fold a CHANGE batch — rows tagged ``_op`` = +1 (insert) / -1
-    (delete) — into the view: the Z-set/CDC algebra (each measure's
-    partial state is the signed sum of its per-row contributions), which
-    is what maintaining a view over the reference pipeline's keyed
-    UPSERT takes: re-ingesting a sale emits (-1 old row, +1 new row),
-    an aggregate-eligible retraction.
-
-    Only ``sum`` and ``count`` measures retract (their states form a
-    group: x + (-x) = 0). ``min``/``max`` do NOT — deleting the current
-    minimum needs the base table to find the runner-up — so a view with
-    min/max measures REFUSES change batches rather than corrupting
-    state; keep such views append-only or recompute them.
-
-    Keys whose counts retract to zero are dropped at serve time (a
-    fully-deleted group must vanish, not linger as a zero row).
-    Same O(delta) segment append, commit, and ``batch_id`` replay
-    contract as :func:`view_increment`."""
-    meta = _recover_view_meta(view_dir)
-    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+def _refuse_unretractable(measures: dict) -> None:
+    """Change batches need every measure to retract (states form a
+    group) — shared refusal for the single and bulk apply paths."""
     bad = [
         n for n, (kind, _s) in measures.items()
         if kind in ("min", "max", "approx_distinct")
@@ -440,17 +421,19 @@ def view_apply_changes(
             "retractable without the base table (HLL registers only "
             "grow); this view cannot accept change batches"
         )
-    if "_op" not in changes.columns:
-        raise ValueError("change batches need an _op column (+1/-1)")
-    # a CDC feed with string ops ('I'/'D'), nulls, or multiplicities
-    # outside ±1 would silently corrupt state (cast-to-null drops the
-    # row's contribution; ±2 double-counts) — fail loudly instead. The
-    # check is an OBSERVED metric riding the partial-agg write job (one
-    # pass over the delta instead of a standalone probe job); the
-    # commit inspects it post-write, pre-ticket, so a bad feed still
-    # commits nothing (the orphan segment is swept).
+
+
+def _changes_partial(changes: DataFrame, keys: list, measures: dict):
+    """The signed partial aggregate + post-write op-guard of
+    :func:`view_apply_changes`, factored so the bulk fold writes
+    byte-identical segments: returns ``(part, check_fn)`` where
+    ``part`` carries the observed bad-op metric riding the write job
+    and ``check_fn`` raises on a corrupt feed (consult it post-write,
+    pre-ticket)."""
     from pyspark.sql import Observation
 
+    if "_op" not in changes.columns:
+        raise ValueError("change batches need an _op column (+1/-1)")
     op = F.col("_op").cast("int")
     bad_row = ~F.coalesce(op.isin(1, -1), F.lit(False))
     changes_raw = changes
@@ -473,15 +456,7 @@ def view_apply_changes(
                 "_op values must be exactly +1 or -1 (found null/other; "
                 "map Debezium-style 'I'/'D' ops before applying)"
             )
-    # same multi-writer rule as view_increment: caller-less bids are
-    # generated collision-free; replay protection is opt-in via batch_id
-    bid = (
-        batch_id if batch_id is not None
-        else f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
-    )
-    if batch_id is not None and bid in meta["batches"]:
-        return meta
-    keys = meta["keys"]
+
     aggs = []
     for name, (kind, src) in measures.items():
         if kind == "sum":
@@ -502,6 +477,179 @@ def view_apply_changes(
             )
             aggs.append(F.sum(contrib).cast("long").alias(name))
     part = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return part, _op_check
+
+
+def view_fold_many(
+    view_dir: str,
+    deltas=(),
+    changes=(),
+    batch_ids: list[str] | None = None,
+) -> dict:
+    """Single-writer BULK fold: apply several append-only fact deltas
+    then several ±1-tagged change batches in one call, writing every
+    batch's partial-state segment CONCURRENTLY (guide §2.6 — in delta
+    mode each partial derives from its batch alone, so the write jobs
+    are independent once the ``_seq`` values are known, which for a
+    bulk fold they are: consecutive from the current ``n_batches``)
+    and committing the OCC tickets strictly in order. Semantically
+    identical to calling :func:`view_increment` per delta then
+    :func:`view_apply_changes` per change batch — same segments, same
+    ``_seq``, same per-batch op-guard (consulted post-write, BEFORE
+    that batch's ticket, so a corrupt feed mid-sequence leaves exactly
+    the prefix a sequential caller would have committed).
+
+    Restrictions that keep it a pure fast path (the
+    ``mergetable.table_apply_many`` contract): delta-mode views only
+    (snapshot consolidates per batch — inherently sequential), no
+    replay of committed batch ids, and a concurrent writer between the
+    meta read and the ticket sequence sweeps the UNCOMMITTED tail and
+    raises — won tickets are durable state."""
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
+    )
+
+    deltas = list(deltas)
+    changes = list(changes)
+    n = len(deltas) + len(changes)
+    meta = _recover_view_meta(view_dir)
+    if n == 0:
+        return meta
+    if meta["mode"] != "delta":
+        raise ValueError(
+            "bulk fold requires a delta-mode view (snapshot mode "
+            "consolidates per batch; apply those sequentially)"
+        )
+    keys = meta["keys"]
+    measures = {nm: tuple(m) for nm, m in meta["measures"].items()}
+    if changes:
+        _refuse_unretractable(measures)
+    if batch_ids is None:
+        batch_ids = [
+            f"batch-{meta['n_batches'] + i}-{uuid.uuid4().hex[:8]}"
+            for i in range(n)
+        ]
+    if len(batch_ids) != n:
+        raise ValueError("batch_ids must match deltas+changes one-to-one")
+    replayed = [b for b in batch_ids if b in meta["batches"]]
+    if replayed:
+        raise ValueError(
+            f"batch ids {replayed} already committed — bulk fold does "
+            "not support replay; use view_increment/view_apply_changes"
+        )
+    parts: list[DataFrame] = []
+    checks: list = []
+    for d in deltas:
+        parts.append(_partial_agg(d, keys, measures))
+        checks.append(None)
+    for c in changes:
+        part, check = _changes_partial(c, keys, measures)
+        parts.append(part)
+        checks.append(check)
+    seq0 = meta["n_batches"]
+    segs = [
+        f"seg-{seq0 + i}-{uuid.uuid4().hex[:8]}" for i in range(n)
+    ]
+
+    def _writer(i: int):
+        return lambda: _write_segment(parts[i], view_dir, _AGG, segs[i])
+
+    committed = 0  # segments with a WON ticket are durable state —
+    # cleanup on failure must only sweep the uncommitted tail
+    try:
+        run_concurrently(*[_writer(i) for i in range(n)])
+        out = meta
+        for i, (seg, bid) in enumerate(zip(segs, batch_ids)):
+            if checks[i] is not None:
+                # the op-guard gates THIS batch's ticket exactly as the
+                # sequential path does: batches before it stay
+                # committed, it and everything after commit nothing
+                checks[i]()
+            rec = {
+                "type": "partial",
+                "version": out["version"],
+                "seq": seq0 + i,
+                "segment": seg,
+                "batch_id": bid,
+            }
+            if not _try_ticket(view_dir, out["version"], rec):
+                raise RuntimeError(
+                    f"another writer committed version {out['version']} "
+                    f"on {view_dir} during a bulk fold — bulk folding "
+                    "is single-writer; use view_increment per batch"
+                )
+            committed = i + 1
+            out = _apply_view_record(out, rec)
+        _checkpoint_view_meta(view_dir, out)
+        return out
+    except Exception:
+        for seg in segs[committed:]:
+            shutil.rmtree(
+                os.path.join(view_dir, _AGG, seg), ignore_errors=True
+            )
+        raise
+
+
+def histogram_view_fold_many(
+    view_dir: str,
+    deltas=(),
+    changes=(),
+    batch_ids: list[str] | None = None,
+) -> dict:
+    """Bulk fold for histogram views: bucketize each batch with the
+    view's FROZEN width (an index is only ever queried the way it was
+    built), then the standard bulk fold."""
+    meta = _histogram_meta(view_dir)
+    vc, w = meta["histogram_value"], meta["histogram_width"]
+    return view_fold_many(
+        view_dir,
+        deltas=[_bucketize(d, vc, w) for d in deltas],
+        changes=[_bucketize(c, vc, w) for c in changes],
+        batch_ids=batch_ids,
+    )
+
+
+def view_apply_changes(
+    changes: DataFrame, view_dir: str, batch_id: str | None = None
+) -> dict:
+    """Fold a CHANGE batch — rows tagged ``_op`` = +1 (insert) / -1
+    (delete) — into the view: the Z-set/CDC algebra (each measure's
+    partial state is the signed sum of its per-row contributions), which
+    is what maintaining a view over the reference pipeline's keyed
+    UPSERT takes: re-ingesting a sale emits (-1 old row, +1 new row),
+    an aggregate-eligible retraction.
+
+    Only ``sum`` and ``count`` measures retract (their states form a
+    group: x + (-x) = 0). ``min``/``max`` do NOT — deleting the current
+    minimum needs the base table to find the runner-up — so a view with
+    min/max measures REFUSES change batches rather than corrupting
+    state; keep such views append-only or recompute them.
+
+    Keys whose counts retract to zero are dropped at serve time (a
+    fully-deleted group must vanish, not linger as a zero row).
+    Same O(delta) segment append, commit, and ``batch_id`` replay
+    contract as :func:`view_increment`."""
+    meta = _recover_view_meta(view_dir)
+    measures = {n: tuple(m) for n, m in meta["measures"].items()}
+    _refuse_unretractable(measures)
+    # a CDC feed with string ops ('I'/'D'), nulls, or multiplicities
+    # outside ±1 would silently corrupt state (cast-to-null drops the
+    # row's contribution; ±2 double-counts) — fail loudly instead. The
+    # check is an OBSERVED metric riding the partial-agg write job (one
+    # pass over the delta instead of a standalone probe job); the
+    # commit inspects it post-write, pre-ticket, so a bad feed still
+    # commits nothing (the orphan segment is swept). Construction is
+    # shared with the bulk fold (_changes_partial) so the two paths
+    # cannot diverge.
+    # same multi-writer rule as view_increment: caller-less bids are
+    # generated collision-free; replay protection is opt-in via batch_id
+    bid = (
+        batch_id if batch_id is not None
+        else f"batch-{meta['n_batches']}-{uuid.uuid4().hex[:8]}"
+    )
+    if batch_id is not None and bid in meta["batches"]:
+        return meta
+    part, _op_check = _changes_partial(changes, meta["keys"], measures)
     return _commit_partial(part, view_dir, meta, bid, pre_commit=_op_check)
 
 

@@ -153,7 +153,7 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mini_data_platform_spark.operators.ivm import (
         view_build,
-        view_increment,
+        view_fold_many,
         view_read,
     )
 
@@ -176,8 +176,13 @@ def revenue_by_day_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 3 == 0),
         view_dir, ["day"], measures,
     )
-    view_increment(orders.filter(F.col("o_orderkey") % 3 == 1), view_dir)
-    view_increment(orders.filter(F.col("o_orderkey") % 3 == 2), view_dir)
+    # the two increments are one single-writer bulk fold (segments
+    # write concurrently, tickets commit in order — state-identical to
+    # sequential view_increment calls; ivm.view_fold_many)
+    view_fold_many(view_dir, deltas=[
+        orders.filter(F.col("o_orderkey") % 3 == 1),
+        orders.filter(F.col("o_orderkey") % 3 == 2),
+    ])
     return view_read(spark, view_dir)
 
 
@@ -212,7 +217,7 @@ def price_quantiles_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declared accuracy trade is the 10k bin width)."""
     from mini_data_platform_spark.operators.ivm import (
         histogram_view_build,
-        histogram_view_increment,
+        histogram_view_fold_many,
         quantile_view_read,
     )
 
@@ -227,12 +232,11 @@ def price_quantiles_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(k % 3 == 0).drop("o_orderkey"),
         view_dir, ["priority"], "o_totalprice", width=10000.0,
     )
-    histogram_view_increment(
-        orders.filter(k % 3 == 1).drop("o_orderkey"), view_dir
-    )
-    histogram_view_increment(
-        orders.filter(k % 3 == 2).drop("o_orderkey"), view_dir
-    )
+    # bulk fold: both increments' bin-count segments write concurrently
+    histogram_view_fold_many(view_dir, deltas=[
+        orders.filter(k % 3 == 1).drop("o_orderkey"),
+        orders.filter(k % 3 == 2).drop("o_orderkey"),
+    ])
     return quantile_view_read(
         spark, view_dir, {"p50": 0.5, "p95": 0.95}
     )
@@ -247,7 +251,7 @@ def top_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ORDER BY."""
     from mini_data_platform_spark.operators.ivm import (
         view_build,
-        view_increment,
+        view_fold_many,
         view_topk,
     )
 
@@ -261,8 +265,11 @@ def top_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders": ("count", "*"),
     }
     view_build(orders.filter(k % 3 == 0), view_dir, ["custkey"], measures)
-    view_increment(orders.filter(k % 3 == 1), view_dir)
-    view_increment(orders.filter(k % 3 == 2), view_dir)
+    # bulk fold: both increments' segments write concurrently
+    view_fold_many(view_dir, deltas=[
+        orders.filter(k % 3 == 1),
+        orders.filter(k % 3 == 2),
+    ])
     return view_topk(spark, view_dir, "revenue", 10)
 
 
@@ -284,8 +291,7 @@ def distinct_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_data_platform_spark.operators.ivm import (
         distinct_view_build,
         distinct_view_read,
-        view_apply_changes,
-        view_increment,
+        view_fold_many,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -299,13 +305,20 @@ def distinct_customers_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(k % 3 == 0).drop("o_orderkey"),
         view_dir, ["day"], "o_custkey",
     )
-    view_increment(orders.filter(k % 3 == 1).drop("o_orderkey"), view_dir)
-    view_increment(orders.filter(k % 3 == 2).drop("o_orderkey"), view_dir)
-    view_apply_changes(
-        orders.filter(k % 5 == 0)
-        .drop("o_orderkey")
-        .withColumn("_op", F.lit(-1)),
+    # bulk fold: both increments AND the retraction wave write their
+    # segments concurrently; tickets (and the change batch's op-guard)
+    # commit strictly in order — state-identical to the sequential calls
+    view_fold_many(
         view_dir,
+        deltas=[
+            orders.filter(k % 3 == 1).drop("o_orderkey"),
+            orders.filter(k % 3 == 2).drop("o_orderkey"),
+        ],
+        changes=[
+            orders.filter(k % 5 == 0)
+            .drop("o_orderkey")
+            .withColumn("_op", F.lit(-1)),
+        ],
     )
     return distinct_view_read(spark, view_dir)
 

@@ -1083,3 +1083,85 @@ class TestMultiWriterOCC:
         assert sorted(view_read(spark, d).collect()) == before
         compact_view(spark, d)  # a re-run compacts cleanly
         assert sorted(view_read(spark, d).collect()) == before
+
+
+class TestBulkFold:
+    """r15 view_fold_many: the concurrent bulk fold must be
+    state-identical to sequential view_increment/view_apply_changes
+    calls — same segments, same _seq prefixes, same op-guard gating."""
+
+    RETRACTABLE = {"revenue": ("sum", "amount"), "n": ("count", "*")}
+
+    def _changes(self, spark, rows_ops):
+        return spark.createDataFrame(
+            rows_ops, "k string, amount double, _op int"
+        )
+
+    def test_equals_sequential_folds(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import view_fold_many
+
+        seq_d, bulk_d = str(tmp_path / "seq"), str(tmp_path / "bulk")
+        deltas = [_facts(spark, _ROWS[3:6]), _facts(spark, _ROWS[6:])]
+        changes = [self._changes(
+            spark, [("a", 10.25, -1), ("z", 5.0, 1)]
+        )]
+        for d in (seq_d, bulk_d):
+            view_build(_facts(spark, _ROWS[:3]), d, ["k"],
+                       self.RETRACTABLE)
+        view_increment(deltas[0], seq_d)
+        view_increment(deltas[1], seq_d)
+        view_apply_changes(changes[0], seq_d)
+        meta = view_fold_many(bulk_d, deltas=deltas, changes=changes)
+        assert meta["n_batches"] == 4
+
+        def _vals(d, **kw):
+            return {
+                r["k"]: (r["revenue"], r["n"])
+                for r in view_read(spark, d, **kw).collect()
+            }
+
+        assert _vals(bulk_d) == _vals(seq_d)
+        # per-batch _seq values and as-of prefixes line up too
+        for as_of in (2, 3, 4):
+            assert _vals(bulk_d, as_of=as_of) == _vals(seq_d, as_of=as_of)
+
+    def test_op_guard_gates_exactly_the_sequential_prefix(
+        self, spark, tmp_path
+    ):
+        from mini_data_platform_spark.operators.ivm import view_fold_many
+
+        d = str(tmp_path / "v")
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], self.RETRACTABLE)
+        good = self._changes(spark, [("a", 1.0, 1)])
+        bad = self._changes(spark, [("b", 2.0, 7)])  # _op outside ±1
+        with pytest.raises(ValueError, match=r"\+1 or -1"):
+            view_fold_many(d, changes=[good, bad])
+        # the good batch's ticket won before the guard fired — exactly
+        # the state sequential calls would leave; the bad batch's
+        # segment is swept, not served
+        import mini_data_platform_spark.operators.ivm as ivm
+
+        meta = ivm._recover_view_meta(d)
+        assert meta["n_batches"] == 2
+        got = {
+            r["k"]: r["revenue"]
+            for r in view_read(spark, d).collect()
+        }
+        assert got["a"] == pytest.approx(10.25 + 1.50 + 1.0)
+
+    def test_replay_empty_and_snapshot_refusals(self, spark, tmp_path):
+        from mini_data_platform_spark.operators.ivm import view_fold_many
+
+        d = str(tmp_path / "v")
+        view_build(_facts(spark, _ROWS[:3]), d, ["k"], self.RETRACTABLE)
+        view_fold_many(d, deltas=[_facts(spark, _ROWS[3:5])],
+                       batch_ids=["w1"])
+        with pytest.raises(ValueError, match="already committed"):
+            view_fold_many(d, deltas=[_facts(spark, _ROWS[3:5])],
+                           batch_ids=["w1"])
+        assert view_fold_many(d)["n_batches"] == 2
+        snap = str(tmp_path / "snap")
+        view_build(_facts(spark, _ROWS[:3]), snap, ["k"],
+                   self.RETRACTABLE, mode="snapshot")
+        with pytest.raises(ValueError, match="delta-mode"):
+            view_fold_many(snap, deltas=[_facts(spark, _ROWS[3:5])])
