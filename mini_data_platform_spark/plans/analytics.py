@@ -26,6 +26,53 @@ from mini_data_platform_spark.operators.asof import asof_join
 from mini_data_platform_spark.operators.sketch import sql_cms_table
 from mini_data_platform_spark.plans._parity import davg, dsum, sql_davg, sql_dsum
 
+def _spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a scan-rooted frame to full parallelism ONLY when its
+    input would plan fewer splits than the session has cores — the
+    single-split-fixture disease (one map task does all the aggregate's
+    per-row work while 31 cores idle, round-15 job attribution) without
+    penalizing wide scans: at production file counts the estimate
+    exceeds the core count and the frame passes through UNTOUCHED, so
+    the standard partial-agg-before-exchange plan (guide §2.3) keeps
+    its map-side combine. The split estimate is driver-side arithmetic
+    over the already-listed file sizes — no job.
+
+    With ``keys``, the spread is HASH-partitioning on the aggregate's
+    own keys at the session partition count, which the downstream
+    groupBy REUSES (guide §2.4) — one exchange total, same shuffle
+    count as the un-spread plan; round-robin otherwise (the multiset
+    crosses either way)."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df  # not scan-rooted: nothing to estimate
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return df  # non-local store: no cheap size probe
+            total += _os.path.getsize(u.path or f)
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        ).strip().lower().removesuffix("b")
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+        mpb = (
+            int(raw[:-1]) * units[raw[-1]]
+            if raw[-1:] in units else int(raw)
+        )
+        est = max(len(files), -(-total // mpb))
+    except Exception:  # noqa: BLE001 — estimation is advisory
+        return df
+    if est >= p:
+        return df
+    return df.repartition(p, *keys) if keys else df.repartition(p)
+
+
 def _revenue():
     # built lazily: Column construction needs an active SparkContext
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -310,11 +357,14 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled) their own copy of the per-group value buffer; the array
     form keeps ONE buffer and reads all three ranks from the same
     sorted pass — identical interpolation, one third the aggregation
-    state."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    state. Guarded (_spread_if_narrow): a wide production scan already
+    builds buffers in parallel, and there the extra exchange would
+    make the multiset cross twice."""
+    li = _spread_if_narrow(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
     )
-    li = li.repartition(li.sparkSession.sparkContext.defaultParallelism)
     pct = F.percentile(
         F.col("l_extendedprice"),
         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
@@ -560,8 +610,23 @@ def order_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per returnflag from exact decimal power/product
     sums + one shared closed-form double expression (same rationale as
-    order_moments: native CORR accumulates in engine-specific order)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    order_moments: native CORR accumulates in engine-specific order).
+
+    The projected rows are repartitioned before the aggregate: five
+    decimal product-sums per row are heavy map work, and the fixture
+    parquet is one input split — the whole partial agg ran as ONE
+    1.26 s task (round-15 job attribution). Spreading first
+    parallelizes it (interleaved A/B: 2.55 → 1.86 s); decimal sums are
+    exact and associative, so any partitioning merges to bit-identical
+    totals (the plans/_parity.py doctrine). A 3-value group key rules
+    out the keyed-spread variant (3 partitions); the spread is guarded
+    (_spread_if_narrow) so wide production scans keep the map-side
+    combine plan."""
+    li = _spread_if_narrow(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.count("*").alias("n"),
@@ -636,8 +701,23 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined back to the fact. Aggregate lineitem FIRST (one shuffle,
     map-side combine), filter to the rare heavy orders, then join the tiny
     survivor set to orders — at 100 TB the join probe side is a few
-    thousand rows, broadcast by AQE."""
-    li = load_table(spark, sf_dir, "lineitem")
+    thousand rows, broadcast by AQE.
+
+    The projection is KEY-repartitioned on l_orderkey first: ~4 rows
+    per order means map-side combine barely collapses, and the
+    single-split scan ran the decimal-sum partial as ONE 0.51 s task
+    (round-15 job attribution). The keyed exchange is reused by the
+    groupBy (guide §2.4 — one exchange; raw rows instead of the ~4×
+    smaller combined partials cross it, a narrow-type trade the guard
+    below only takes on under-parallel scans), so the aggregation runs
+    32-way. Interleaved A/B: 0.77 → 0.41 s. Guarded
+    (_spread_if_narrow): wide production scans keep partial-agg-first."""
+    li = _spread_if_narrow(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ),
+        "l_orderkey",
+    )
     orders = load_table(spark, sf_dir, "orders")
     heavy = (
         li.groupBy("l_orderkey")
@@ -683,8 +763,24 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     sale price observed in lineitem — the classic correlated
     min-subquery, decorrelated into aggregate + per-part window (what
     Catalyst rewrites the subquery into anyway). Ties break to the lowest
-    suppkey, making the result deterministic."""
-    li = load_table(spark, sf_dir, "lineitem")
+    suppkey, making the result deterministic.
+
+    The projection is KEY-repartitioned on the aggregate's own keys
+    before the groupBy: (partkey, suppkey) is near-unique, so map-side
+    combine collapses nothing and the single-split scan ran the whole
+    decimal-avg partial as ONE 0.84 s task (round-15 job attribution).
+    Hash-partitioning on the same keys at the same partition count is
+    REUSED by the aggregate (guide §2.4 — one exchange total, same
+    bytes), moving the aggregation above the exchange where it runs
+    32-way. Interleaved A/B: 1.54 → 0.95 s; decimal states merge
+    order-independently. Guarded (_spread_if_narrow): wide scans pass
+    through untouched."""
+    li = _spread_if_narrow(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_extendedprice"
+        ),
+        "l_partkey", "l_suppkey",
+    )
     supplier = load_table(spark, sf_dir, "supplier")
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         davg(F.col("l_extendedprice")).alias("avg_price")

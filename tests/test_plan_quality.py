@@ -605,3 +605,44 @@ class TestSketchAndAnomalyPlans:
         plan = explain_str(df, "formatted")
         assert not uses_python_eval(df)
         assert "CartesianProduct" not in plan
+
+
+class TestSpreadGuard:
+    """r15 _spread_if_narrow: under-parallel scans spread (keyed spread
+    reuses the aggregate's exchange — one total), wide or non-scan
+    frames pass through untouched."""
+
+    def test_keyed_spread_reuses_aggregate_exchange(self, spark):
+        from mini_data_platform_spark.plans.analytics import (
+            _spread_if_narrow,
+        )
+
+        li = load_table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        spread = _spread_if_narrow(li, "l_orderkey")
+        assert spread is not li  # single-file fixture: the guard fires
+        agg = spread.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        # the keyed repartition IS the aggregate's exchange
+        assert count_exchanges(agg) == 1
+
+    def test_non_scan_frame_passes_through(self, spark):
+        from mini_data_platform_spark.plans.analytics import (
+            _spread_if_narrow,
+        )
+
+        mem = spark.range(10)
+        assert _spread_if_narrow(mem) is mem
+
+    def test_wide_scan_passes_through(self, spark, monkeypatch):
+        import os as _os
+
+        from mini_data_platform_spark.plans.analytics import (
+            _spread_if_narrow,
+        )
+
+        li = load_table(spark, SF, "lineitem")
+        monkeypatch.setattr(
+            _os.path, "getsize", lambda p: 50 * 1024**3
+        )  # a 50 GB file plans hundreds of splits
+        assert _spread_if_narrow(li, "l_orderkey") is li
