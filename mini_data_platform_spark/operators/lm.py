@@ -86,16 +86,25 @@ def unigram_logprob(
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
-    total = counts.agg(F.sum("cnt")).collect()[0][0]
-    if not total:
-        counts.unpersist(False)
-        raise ValueError("unigram_logprob: corpus has no tokens")
-    top = (
-        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .limit(vocab_size)
-        .collect()
+    # the two model-parameter collects (corpus total, top-k vocabulary)
+    # are independent reads of the shared persisted counts — submit
+    # them from driver threads (guide §2.6; cached-block locking keeps
+    # the count aggregate computed once) instead of paying two
+    # sequential driver round-trips
+    from mini_data_platform_spark.operators.resources import (
+        run_concurrently,
     )
+
+    total_rows, top = run_concurrently(
+        lambda: counts.agg(F.sum("cnt")).collect(),
+        lambda: counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect(),
+    )
+    total = total_rows[0][0]
     counts.unpersist(False)
+    if not total:
+        raise ValueError("unigram_logprob: corpus has no tokens")
     table, oov_logp = vocab_logprobs(
         [(r["tok"], r["cnt"]) for r in top], int(total)
     )
