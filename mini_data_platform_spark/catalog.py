@@ -98,11 +98,53 @@ def _ship_package(spark: SparkSession) -> None:
         pass
 
 
+def _path_signature(path: str):
+    """Driver-local freshness token for a fixture path: (name, mtime_ns,
+    size) of the file, or of every direct child for a directory. None for
+    paths os.stat cannot see (object stores) — those are never cached.
+    Pure metadata; no Spark job, no file reads."""
+    try:
+        if os.path.isdir(path):
+            out = []
+            for fn in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, fn))
+                out.append((fn, st.st_mtime_ns, st.st_size))
+            return tuple(out)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown into the parquet
-    scan are Catalyst's job — callers should select/filter declaratively."""
+    scan are Catalyst's job — callers should select/filter declaratively.
+
+    The analyzed DataFrame is memoized per (session, path, stat-signature):
+    ``spark.read.parquet`` re-lists the path and re-reads footers on every
+    call, and the engine's 138 query constructors reference the same ten
+    fixture tables hundreds of times per bench run — exactly the repeated
+    driver-side metadata work a real catalog's shared FileIndex avoids
+    (optimization guide §6 "file listing ... cached per session"). The
+    cache holds PLANS, never results: every action still scans parquet.
+    A changed file (different mtime/size) misses the cache; non-local
+    paths bypass it entirely."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _path_signature(path)
+    cache: dict = spark.__dict__.setdefault("_mdp_table_cache", {})
+    if sig is not None:
+        hit = cache.get(path)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+    df = _read_table(spark, path, name)
+    if sig is not None:
+        cache[path] = (sig, df)
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    df = spark.read.parquet(path)
     from pyspark.sql import functions as F, types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .resources import attach_plan
+
 #: join keys are namespaced ("g:" + gram vs the short sentinel) so a
 #: gram can never collide with the short-block key
 _SHORT = "s:short"
@@ -181,32 +183,50 @@ def edit_distance_pairs(
                 )
             ).alias("k"),
         )
+    # The keyed frame feeds BOTH sides of the self-join; without a
+    # persist each alias re-runs the whole subtree (scan + tokenize +
+    # gram/md5/sort — the expensive half of candidate generation) once
+    # per side. It is prefix-bounded (≤ q·d+2 rows per string), so
+    # caching it is small by construction. Attached for release_plan.
+    keyed = keyed.persist()
     a = keyed.alias("a")
     b = keyed.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter: ed <= d bounds the length difference
-            & (
-                F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
-                <= d
-            ),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("_sa"),
-            F.col("b.s").alias("_sb"),
-        )
-        .distinct()
+    cands = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.id") < F.col("b.id"))
+        # length filter: ed <= d bounds the length difference
+        & (
+            F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s")))
+            <= d
+        ),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.s").alias("_sa"),
+        F.col("b.s").alias("_sb"),
     )
-    return (
-        cands.withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .where(F.col("dist") <= d)
+    # Verify BEFORE deduplicating: the banded DP (levenshtein with a
+    # threshold, O(d·|s|) per pair instead of O(|s|²)) runs map-side on
+    # the raw join output, so the distinct no longer shuffles candidate
+    # strings — only the (rare) surviving pairs. A pair meeting on k
+    # prefix grams is verified k times (k ≤ q·d+2), a bounded constant
+    # next to the string shuffle it removes (guide §2.3 "shuffle fewer
+    # bytes"). Same output: dist is a pure function of the pair, so
+    # distinct-after-verify equals verify-after-distinct.
+    # (the distinct keeps the strings: dist is a function of the string
+    # pair, so distinct-on-(ids, strings) after verify is row-for-row
+    # the original distinct-then-verify — including the degenerate
+    # duplicate-id-different-string input, where one id pair can
+    # legitimately yield several rows)
+    out = (
+        cands.withColumn("dist", F.levenshtein("_sa", "_sb", d))
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", "_sa", "_sb", "dist")
+        .distinct()
         .select("id_a", "id_b", "dist")
     )
+    return attach_plan(out, keyed)
 
 
 def sql_edit_distance_pairs(

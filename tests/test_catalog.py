@@ -66,3 +66,32 @@ class TestTimestampContract:
                 assert not isinstance(f.dataType, T.TimestampNTZType)
         finally:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+class TestTableCache:
+    """load_table memoizes the ANALYZED frame per (session, path,
+    stat-signature) — plan/metadata reuse only (round-16 item 1). The
+    freshness contract: a rewritten file must miss the cache."""
+
+    def test_repeated_load_returns_cached_plan(self, spark):
+        a = load_table(spark, SF, "nation")
+        b = load_table(spark, SF, "nation")
+        assert a is b  # same analyzed DataFrame — no re-list, no re-read
+
+    def test_rewritten_file_misses_cache(self, spark, tmp_path):
+        import os
+        import time
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(3).toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+        first = load_table(spark, str(tmp_path), "t")
+        assert first.count() == 3
+        time.sleep(0.01)  # ensure distinguishable mtime_ns
+        spark.range(5).toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+        again = load_table(spark, str(tmp_path), "t")
+        assert again.count() == 5
+
+    def test_cache_holds_plans_not_results(self, spark):
+        # the cached frame is lazy: no storage level, no materialization
+        df = load_table(spark, SF, "region")
+        assert not df.is_cached
